@@ -1,0 +1,164 @@
+"""Content hashing and near-dup signatures (MinHash, SimHash).
+
+AMiner dedups learned artifacts with exact Python sets (SURVEY.md
+§2.7); a training-data pipeline needs document-level exact and
+near-duplicate detection, so the engine adds:
+
+- ``md5_hex`` content hash (matches DuckDB's ``md5()`` for the SQL
+  oracle) → exact dedup via groupby on the hash;
+- word-shingle MinHash signatures with banded LSH bucketing;
+- 64-bit SimHash fingerprints;
+- winnowing-style min-k shingle fingerprints.
+
+All signature math is vectorized numpy over the shingle-hash arrays
+produced by ``functions.text.shingle_hashes``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.sketches import splitmix64
+from .text import flat_utf8, shingle_hashes
+
+
+def md5_hex(arr) -> list[str]:
+    """md5 hex digest per row of a string column. hashlib releases
+    the GIL per call and runs at C speed; the per-row loop is the
+    digest feed only (no vectorized md5 exists in pyarrow)."""
+    data, offsets = flat_utf8(arr)
+    mv = memoryview(data)
+    return [
+        hashlib.md5(mv[offsets[i] : offsets[i + 1]]).hexdigest()
+        for i in range(len(offsets) - 1)
+    ]
+
+
+def sha256_hex(arr) -> list[str]:
+    """sha256 hex digest per row — used for the byte-identity
+    invariant on ``text`` (BASELINE.json input_hint)."""
+    data, offsets = flat_utf8(arr)
+    mv = memoryview(data)
+    return [
+        hashlib.sha256(mv[offsets[i] : offsets[i + 1]]).hexdigest()
+        for i in range(len(offsets) - 1)
+    ]
+
+
+def _perm_seeds(num_perm: int) -> np.ndarray:
+    return splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+
+def minhash_signatures(arr, num_perm: int = 64, k: int = 3) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signature matrix over word
+    k-shingles. Rows with no shingle get all-max sentinel signatures
+    (never collide). Permutations are XOR-rotations of one base hash
+    (splitmix-mixed), standard practice for MinHash at scale."""
+    n_rows = len(arr)
+    sh, rid = shingle_hashes(arr, k=k)
+    sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    seeds = _perm_seeds(num_perm)
+    order = np.argsort(rid, kind="stable")
+    sh, rid = sh[order], rid[order]
+    # group boundaries per row
+    row_start = np.searchsorted(rid, np.arange(n_rows))
+    row_end = np.searchsorted(rid, np.arange(n_rows), side="right")
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            ph = splitmix64(sh ^ seeds[p])
+            # per-row min via minimum.reduceat on non-empty rows
+            ne = row_end > row_start
+            if ne.any():
+                mins = np.minimum.reduceat(ph, row_start[ne])
+                sig[np.flatnonzero(ne), p] = mins
+    return sig
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int = 16) -> np.ndarray:
+    """(n_rows, num_bands) uint64 band hashes for LSH bucketing.
+    Docs sharing any (band_id, band_hash) are candidate near-dups."""
+    n_rows, num_perm = sig.shape
+    rows_per_band = num_perm // num_bands
+    out = np.empty((n_rows, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(num_bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.full(n_rows, np.uint64(0xCBF29CE484222325))
+            for c in range(rows_per_band):
+                h = (h ^ chunk[:, c]) * np.uint64(0x100000001B3)
+            out[:, b] = splitmix64(h)
+    return out
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard similarity between signature rows."""
+    return (sig_a == sig_b).mean(axis=-1)
+
+
+def simhash64(arr, k: int = 2) -> np.ndarray:
+    """64-bit SimHash per row over word k-shingles: sign of the
+    per-bit sum of ±1 contributions of each shingle hash."""
+    n_rows = len(arr)
+    sh, rid = shingle_hashes(arr, k=k)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(sh) == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((sh[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+    acc = np.zeros((n_rows, 64), dtype=np.int64)
+    np.add.at(acc, rid, bits)
+    pos = acc > 0
+    out = (pos.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 fingerprints."""
+    x = a ^ b
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def fingerprint_min_k(arr, k_shingle: int = 4, k_keep: int = 8) -> np.ndarray:
+    """Winnowing-style document fingerprint: the ``k_keep`` smallest
+    shingle hashes per row, XOR-folded to one uint64. Stable under
+    small edits away from the minimal shingles."""
+    n_rows = len(arr)
+    sh, rid = shingle_hashes(arr, k=k_shingle)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(sh) == 0:
+        return out
+    order = np.lexsort((sh, rid))
+    sh, rid = sh[order], rid[order]
+    row_start = np.searchsorted(rid, np.arange(n_rows))
+    row_end = np.searchsorted(rid, np.arange(n_rows), side="right")
+    for r in range(n_rows):  # small loop over rows, vector work done above
+        lo, hi = row_start[r], min(row_end[r], row_start[r] + k_keep)
+        if hi > lo:
+            v = np.uint64(0)
+            for h in sh[lo:hi]:
+                v ^= splitmix64(np.array([h ^ v], dtype=np.uint64))[0]
+            out[r] = v
+    return out
+
+
+def ngram_jaccard_exact(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word k-gram Jaccard between two strings — the verifier
+    applied to LSH candidate pairs (small cardinality, driver/task
+    side)."""
+    def grams(s: str) -> set[tuple[str, ...]]:
+        toks = s.split()
+        return {tuple(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / len(ga | gb)

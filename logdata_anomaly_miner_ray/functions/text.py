@@ -1,0 +1,274 @@
+"""Arrow-buffer-level vectorized text kernels.
+
+Token counting, shingling, bigram statistics, quality metrics — all
+computed from the flat utf-8 data buffer + offsets of an Arrow
+string/binary column, zero-copy, with numpy passes only (no per-row
+Python in any hot path).
+
+Recasts (clean-room, semantics only):
+- token counting / value extraction — AMiner's DelimitedData /
+  VariableByteData model elements (reference:
+  aminer/parsing/DelimitedDataModelElement.py:20-52) parse runs of
+  bytes per record; here a single boundary-transition pass yields
+  every token of every row at once.
+- char-pair (bigram) frequency table + mean pair probability —
+  EntropyDetector (reference:
+  aminer/analysis/EntropyDetector.py:128-193) walks value strings
+  char by char; here one bincount over the whole batch buffer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.sketches import splitmix64
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# ASCII whitespace bytes (space \t \n \v \f \r)
+_WS_BYTES = np.array([32, 9, 10, 11, 12, 13], dtype=np.uint8)
+# polynomial base for rolling token hashes — odd, so invertible mod 2^64
+_BASE = np.uint64(0x100000001B3)
+
+
+def flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data_bytes, offsets) view of a string/binary column.
+
+    ``data`` is the whole utf-8 buffer (uint8), ``offsets`` has
+    ``len(arr)+1`` absolute int64 indices into ``data``; row i spans
+    ``data[offsets[i]:offsets[i+1]]``. Null rows span zero bytes.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if t not in (pa.large_binary(), pa.large_string()):
+        arr = arr.cast(pa.large_binary())
+    off_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, offsets
+
+
+def _row_sums(indicator_cumsum: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums from a cumsum array of a per-byte indicator.
+
+    ``indicator_cumsum`` must be the exclusive-prefix-sum (length =
+    len(data)+1); robust for empty rows unlike ``np.add.reduceat``.
+    """
+    return indicator_cumsum[offsets[1:]] - indicator_cumsum[offsets[:-1]]
+
+
+def _excl_cumsum(a: np.ndarray, dtype=np.int64) -> np.ndarray:
+    out = np.zeros(len(a) + 1, dtype=dtype)
+    np.cumsum(a, dtype=dtype, out=out[1:])
+    return out
+
+
+def token_spans(data: np.ndarray, offsets: np.ndarray):
+    """Whitespace-delimited token spans across the whole batch buffer.
+
+    Returns (starts, ends, row_id): absolute byte ranges of every
+    token plus the row each belongs to. One vectorized pass.
+    """
+    n = len(data)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    is_ws = np.isin(data, _WS_BYTES)
+    nonws = ~is_ws
+    prev_ws = np.empty(n, dtype=bool)
+    prev_ws[:1] = True
+    prev_ws[1:] = is_ws[:-1]
+    # force token break at every row start
+    prev_ws[offsets[:-1][offsets[:-1] < n]] = True
+    next_ws = np.empty(n, dtype=bool)
+    next_ws[-1:] = True
+    next_ws[:-1] = is_ws[1:]
+    row_ends = offsets[1:] - 1
+    next_ws[row_ends[(row_ends >= 0) & (row_ends < n)]] = True
+
+    starts = np.flatnonzero(nonws & prev_ws)
+    ends = np.flatnonzero(nonws & next_ws) + 1
+    starts = starts[(starts >= lo) & (starts < hi)]
+    ends = ends[(ends > lo) & (ends <= hi)]
+    row_id = np.searchsorted(offsets, starts, side="right") - 1
+    return starts, ends, row_id
+
+
+def token_counts(arr) -> np.ndarray:
+    """Whitespace token count per row (matches splitting on /\\s+/
+    of the trimmed string)."""
+    data, offsets = flat_utf8(arr)
+    n = len(data)
+    is_ws = np.isin(data, _WS_BYTES)
+    prev_ws = np.empty(n, dtype=bool)
+    prev_ws[:1] = True
+    prev_ws[1:] = is_ws[:-1]
+    prev_ws[offsets[:-1][offsets[:-1] < n]] = True
+    starts = (~is_ws) & prev_ws
+    cs = _excl_cumsum(starts)
+    return _row_sums(cs, offsets)
+
+
+def token_hashes(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """64-bit polynomial hash of each token span, fully vectorized.
+
+    Uses weighted prefix sums: with S[i] = sum_{j<i} data[j]*B^(i-1-j)
+    computed incrementally as S[i] = S[i-1]*B + data[i-1] — that
+    recurrence is serial, so instead compute W[i] = data[i] * B^(N-1-i)
+    (cumulative powers wrap naturally in uint64), prefix-sum W, and
+    normalize each span by the inverse power of its end position.
+    B is odd hence invertible mod 2^64.
+    """
+    n = len(data)
+    if n == 0 or len(starts) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # powers[i] = B^i,  inv_powers[i] = B^-i  (mod 2^64)
+        binv = _modinv64(_BASE)
+        pw = np.empty(n, dtype=np.uint64)
+        pw[0] = 1
+        ipw = np.empty(n, dtype=np.uint64)
+        ipw[0] = 1
+        if n > 1:
+            pw[1:] = np.multiply.accumulate(np.full(n - 1, _BASE, dtype=np.uint64))
+            ipw[1:] = np.multiply.accumulate(np.full(n - 1, binv, dtype=np.uint64))
+        # weighted data, weight = B^(position)
+        w = (data.astype(np.uint64) + np.uint64(1)) * pw  # +1 so NUL bytes count
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.add.accumulate(w, out=s[1:])
+        # hash(a..b) = (S[b]-S[a]) * B^-a   → equals sum data[j]*B^(j-a)
+        h = (s[ends] - s[starts]) * ipw[starts]
+        # mix in token length to separate e.g. "aa" vs "a"+NUL edge cases
+        h ^= (ends - starts).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return splitmix64(h)
+
+
+def _modinv64(b: np.uint64) -> np.uint64:
+    """Inverse of odd b mod 2^64 by Newton iteration."""
+    b_ = int(b)
+    x = b_  # correct mod 2^3
+    for _ in range(5):
+        x = (x * (2 - b_ * x)) % (1 << 64)
+    return np.uint64(x)
+
+
+def shingle_hashes(
+    arr, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, row_id) of all word k-shingles per row.
+
+    Consecutive-token windows of length k; shingles never cross row
+    boundaries. Foundation for MinHash/SimHash dedup and
+    winnowing-style fingerprints.
+    """
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    th = token_hashes(data, starts, ends)
+    if len(th) < k:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            h = h * np.uint64(0x100000001B3) + th[j : len(th) - k + 1 + j]
+    valid = row_id[: len(th) - k + 1] == row_id[k - 1 :]
+    return splitmix64(h[valid]), row_id[: len(th) - k + 1][valid]
+
+
+def bigram_counts(arr) -> np.ndarray:
+    """65536-bin count table of adjacent byte pairs across all rows
+    (pairs never cross row boundaries). Mergeable by addition —
+    the learned state of the entropy check."""
+    data, offsets = flat_utf8(arr)
+    n = len(data)
+    if n < 2:
+        return np.zeros(65536, dtype=np.int64)
+    pair_ok = np.ones(n - 1, dtype=bool)
+    row_last = offsets[1:] - 1  # last byte index of each row
+    row_last = row_last[(row_last >= 0) & (row_last < n - 1)]
+    pair_ok[row_last] = False
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    if lo > 0:
+        pair_ok[:lo] = False
+    if hi - 1 < n - 1:
+        pair_ok[hi - 1 :] = False
+    idx = data[:-1].astype(np.int32) * 256 + data[1:]
+    return np.bincount(idx[pair_ok], minlength=65536).astype(np.int64)
+
+
+def mean_pair_prob(arr, table: np.ndarray) -> np.ndarray:
+    """Per-row mean conditional pair probability P(b2|b1) under a
+    learned bigram table — the EntropyDetector anomaly score
+    (reference: aminer/analysis/EntropyDetector.py:128-165; score
+    below prob_thresh ⇒ anomaly). Rows with <1 pair score NaN."""
+    data, offsets = flat_utf8(arr)
+    n = len(data)
+    tbl = table.reshape(256, 256).astype(np.float64)
+    row_tot = tbl.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cond = tbl / row_tot[:, None]
+    cond = np.nan_to_num(cond)
+    if n < 2:
+        return np.full(len(offsets) - 1, np.nan)
+    pair_ok = np.ones(n - 1, dtype=bool)
+    row_last = offsets[1:] - 1
+    row_last = row_last[(row_last >= 0) & (row_last < n - 1)]
+    pair_ok[row_last] = False
+    probs = cond[data[:-1], data[1:]] * pair_ok
+    cs_p = _excl_cumsum(probs.astype(np.float64), dtype=np.float64)
+    cs_n = _excl_cumsum(pair_ok)
+    # per-row pair sums: pairs starting in [off[i], off[i+1]-1)
+    ostart = np.clip(offsets[:-1], 0, n - 1)
+    oend = np.clip(np.maximum(offsets[1:] - 1, offsets[:-1]), 0, n - 1)
+    psum = cs_p[oend] - cs_p[ostart]
+    pcnt = cs_n[oend] - cs_n[ostart]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(pcnt > 0, psum / np.maximum(pcnt, 1), np.nan)
+
+
+def char_class_fractions(arr) -> dict[str, np.ndarray]:
+    """Per-row quality signals from one buffer pass: fractions of
+    alpha / digit / punct / whitespace / non-ascii bytes and total
+    byte length. Feeds the quality-score stage."""
+    data, offsets = flat_utf8(arr)
+    length = (offsets[1:] - offsets[:-1]).astype(np.float64)
+    classes = {
+        "alpha": ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122)),
+        "digit": (data >= 48) & (data <= 57),
+        "space": np.isin(data, _WS_BYTES),
+        "punct": np.isin(
+            data,
+            np.frombuffer(b"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", dtype=np.uint8),
+        ),
+        "non_ascii": data >= 128,
+    }
+    out: dict[str, np.ndarray] = {}
+    safe_len = np.maximum(length, 1.0)
+    for name, ind in classes.items():
+        cs = _excl_cumsum(ind)
+        out[name + "_frac"] = _row_sums(cs, offsets) / safe_len
+    out["n_bytes"] = length.astype(np.int64)
+    return out
+
+
+def codepoint_set(arr, max_codepoint: int = 0x10000) -> np.ndarray:
+    """Bitmap (bool array) of which codepoints < max_codepoint occur
+    anywhere in the column chunk — the CharsetDetector learned state
+    (reference: aminer/analysis/CharsetDetector.py:74-140), as a
+    mergeable bitmap instead of a Python set. Decodes via numpy
+    utf-32 view (one C-level decode per batch)."""
+    data, offsets = flat_utf8(arr)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    bitmap = np.zeros(max_codepoint, dtype=bool)
+    if hi > lo:
+        # rows are valid utf-8 and boundaries align with char
+        # boundaries, so ONE decode of the whole buffer suffices
+        s = bytes(data[lo:hi]).decode("utf-8", "replace")
+        cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        cps = cps[cps < max_codepoint]
+        bitmap[cps] = True
+    return bitmap
