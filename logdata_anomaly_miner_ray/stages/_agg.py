@@ -1,0 +1,104 @@
+"""Shared pre-aggregated groupby helpers.
+
+Every keyed check funnels through this pattern: combine inside each
+Arrow block with ``pyarrow.Table.group_by`` (a C++ hash aggregate),
+then shuffle only the per-block partials through
+``Dataset.groupby(...).aggregate(...)``. For a uniqueness check on
+``url`` over 10^12 rows this moves (#blocks × #distinct-per-block)
+partial rows instead of every row — the hot-key problem AMiner never
+has (single process, reference aminer/AnalysisChild.py:300-326)
+becomes a bounded shuffle: a key occurs at most once per block in the
+partials, so the reduce fan-in per key is ≤ #blocks and no explicit
+salting is required for counts/min/max/sum (the combiner IS the salt).
+Explicit salting remains necessary only for holistic per-key work
+(``map_groups`` over raw rows), noted where used.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def grouped_counts(
+    ds: "ray.data.Dataset", keys: list[str], out_name: str = "n"
+) -> "ray.data.Dataset":
+    """groupby(keys).count() with per-block combining."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return t.rename_columns(keys + ["__pn"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(keys).aggregate(Sum("__pn", alias_name=out_name))
+    return out
+
+
+def grouped_min_max(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    min_name: str = "min_value",
+    max_name: str = "max_value",
+    count_name: str | None = None,
+) -> "ray.data.Dataset":
+    """groupby(keys) → min/max(value) with per-block combining —
+    the learn phase of ValueRangeDetector (reference:
+    aminer/analysis/ValueRangeDetector.py:151-161) for all keys at
+    once."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(keys + [value_col])
+            .group_by(keys)
+            .aggregate([(value_col, "min"), (value_col, "max"), ([], "count_all")])
+        )
+        return t.rename_columns(keys + ["__mn", "__mx", "__pn"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Min("__mn", alias_name=min_name), Max("__mx", alias_name=max_name)]
+    if count_name:
+        aggs.append(Sum("__pn", alias_name=count_name))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def grouped_span_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    ts_col: str,
+    first_name: str = "first_ts",
+    last_name: str = "last_ts",
+    count_name: str = "n",
+) -> "ray.data.Dataset":
+    """groupby(keys) → (min ts, max ts, count) — the
+    EnhancedNewMatchPathValueComboDetector occurrence metadata
+    (reference:
+    aminer/analysis/EnhancedNewMatchPathValueComboDetector.py:27-228)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(keys + [ts_col])
+            .group_by(keys)
+            .aggregate([(ts_col, "min"), (ts_col, "max"), ([], "count_all")])
+        )
+        return t.rename_columns(keys + ["__mn", "__mx", "__pn"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(keys).aggregate(
+        Min("__mn", alias_name=first_name),
+        Max("__mx", alias_name=last_name),
+        Sum("__pn", alias_name=count_name),
+    )
+
+
+def distinct_rows(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+    """Distinct key tuples with per-block combining (no counts)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys).group_by(keys).aggregate([])
+        return t
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(keys).aggregate(Count(alias_name="__c")).drop_columns(["__c"])

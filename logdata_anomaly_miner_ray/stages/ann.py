@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column.
+
+Baseline: brute-force cosine top-k — per block a numpy matmul of the
+block's embeddings against a BROADCAST query matrix (``ray.put``
+once), emitting each block's local top-k; a final tiny merge keeps
+the global top-k per query. No shuffle of the embedding table.
+
+Scale path: IVF-style coarse quantization — assign each vector to
+its nearest of C seeded random centroids (deterministic, no training
+shuffle), search only the query's nprobe closest centroid buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix via the flat Arrow
+    values buffer (zero-copy, no per-row python lists)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
+        values = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        d = int(widths[0]) if len(widths) else 0
+        assert (widths == d).all(), "ragged embedding column"
+        start, end = int(offsets[0]), int(offsets[-1])
+        return values[start:end].reshape(-1, d).astype(np.float64)
+    raise TypeError(f"not a list column: {col.type}")
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_topk(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    queries_ref: "ray.ObjectRef",
+    k: int = 10,
+) -> pd.DataFrame:
+    """Global top-k cosine matches per query.
+
+    ``queries_ref`` is a ray.put (q, d) float array. Per block:
+    one matmul + argpartition → ≤ q·k candidate rows; driver merges
+    (#blocks × q × k) candidates — small for any real k."""
+
+    class BlockTopK:
+        def __init__(self):
+            q = np.asarray(ray.get(queries_ref), dtype=np.float64)
+            self.q = _normalize(q)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_as_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sims = emb @ self.q.T  # (n, q)
+            n, nq = sims.shape
+            kk = min(k, n)
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, q)
+            qi = np.repeat(np.arange(nq, dtype=np.int64)[None, :], kk, axis=0)
+            return pa.table(
+                {
+                    "query_id": pa.array(qi.ravel()),
+                    id_col: pa.array(ids[top.ravel()]),
+                    "sim": pa.array(sims[top.ravel(), qi.ravel()], pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        BlockTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    cand = partials.to_pandas()
+    out = (
+        cand.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    queries_ref: "ray.ObjectRef",
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k: vectors are assigned to seeded
+    random-direction centroids (deterministic in every task, no
+    training pass); only blocks' vectors falling in the query's
+    ``nprobe`` nearest centroid cells are scored. Trades recall for
+    a ~n_centroids/nprobe compute cut — the 10^12-row path."""
+    rng = np.random.default_rng(seed)
+    centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+    cref = ray.put(centroids)
+
+    class BlockIvf:
+        def __init__(self):
+            self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+            self.c = ray.get(cref)
+            qc = self.q @ self.c.T
+            self.probe = np.argsort(-qc, axis=1)[:, :nprobe]  # (q, nprobe)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_as_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cell = np.argmax(emb @ self.c.T, axis=1)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(self.q)):
+                mask = np.isin(cell, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = emb[mask] @ self.q[qi]
+                sel_ids = ids[mask]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_i.extend(sel_ids[top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_i),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        BlockIvf, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    cand = partials.to_pandas()
+    return (
+        cand.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

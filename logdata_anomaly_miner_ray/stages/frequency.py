@@ -1,0 +1,154 @@
+"""Windowed event-frequency constraints (EventFrequencyDetector &
+SlidingEventFrequencyDetector recast).
+
+Reference semantics:
+- tumbling counts per event key with anomaly band
+  ``mean ± std/confidence_factor`` over the trailing windows, std
+  population-style via np.std (reference:
+  aminer/analysis/EventFrequencyDetector.py:361-400);
+- skipped/empty windows count as zero and warn (reference:
+  aminer/analysis/EventFrequencyDetector.py:190-200);
+- sliding variant: count of events in a trailing time window above a
+  fixed limit, with local-maximum suppression (reference:
+  aminer/analysis/SlidingEventFrequencyDetector.py:22-271).
+
+Batch recast: derive ``window = floor(ts_us / W·10^6)`` per batch,
+pre-aggregate counts per (key, window) per block, one groupby
+shuffle of the partials; the per-key band math then runs over the
+SMALL counts table (``map_groups`` per key with zero-filled
+windows). The sliding variant sorts within key groups only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.windows import window_id
+
+
+def window_counts(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    ts_col: str,
+    window_seconds: int = 600,
+    count_name: str = "n",
+    window_name: str = "window",
+) -> "ray.data.Dataset":
+    """Counts per (key, tumbling window) with per-block combining."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = window_id(batch[ts_col], window_seconds)
+        t = batch.select(key_cols).append_column(window_name, w)
+        t = t.group_by(key_cols + [window_name]).aggregate([([], "count_all")])
+        return t.rename_columns(key_cols + [window_name, "__pn"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(key_cols + [window_name]).aggregate(
+        Sum("__pn", alias_name=count_name)
+    )
+
+
+def frequency_anomalies(
+    counts: "ray.data.Dataset",
+    key_cols: list[str],
+    confidence_factor: float = 0.33,
+    count_name: str = "n",
+    window_name: str = "window",
+) -> "ray.data.Dataset":
+    """Windows whose count leaves the per-key band
+    ``mean ± std/confidence_factor`` computed over ALL of that key's
+    windows zero-filled between its first and last window
+    (population std, matching np.std in the reference). Emits
+    (key..., window, n, mean, std, lower, upper) rows for flagged
+    windows, including zero-filled (empty/skipped) windows."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        wmin, wmax = int(g[window_name].min()), int(g[window_name].max())
+        full = np.arange(wmin, wmax + 1, dtype=np.int64)
+        cnt = np.zeros(len(full), dtype=np.float64)
+        cnt[(g[window_name].to_numpy() - wmin).astype(np.int64)] = g[count_name].to_numpy()
+        mean, std = float(cnt.mean()), float(cnt.std())
+        lower = mean - std / confidence_factor
+        upper = mean + std / confidence_factor
+        bad = (cnt < lower) | (cnt > upper)
+        if not bad.any():
+            return pd.DataFrame(
+                {c: pd.Series(dtype=g[c].dtype) for c in key_cols}
+                | {window_name: pd.Series(dtype=np.int64),
+                   count_name: pd.Series(dtype=np.int64),
+                   "mean": pd.Series(dtype=np.float64),
+                   "std": pd.Series(dtype=np.float64),
+                   "lower": pd.Series(dtype=np.float64),
+                   "upper": pd.Series(dtype=np.float64)}
+            )
+        idx = np.flatnonzero(bad)
+        out = {c: [g[c].iloc[0]] * len(idx) for c in key_cols}
+        out[window_name] = full[idx]
+        out[count_name] = cnt[idx].astype(np.int64)
+        out["mean"] = mean
+        out["std"] = std
+        out["lower"] = lower
+        out["upper"] = upper
+        return pd.DataFrame(out)
+
+    return counts.groupby(key_cols).map_groups(per_key, batch_format="pandas")
+
+
+def empty_windows(
+    counts: "ray.data.Dataset",
+    key_cols: list[str],
+    count_name: str = "n",
+    window_name: str = "window",
+) -> "ray.data.Dataset":
+    """Per key, the windows between its first and last that saw no
+    events — the reference's skipped-window warning (reference:
+    aminer/analysis/EventFrequencyDetector.py:190-200)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        wmin, wmax = int(g[window_name].min()), int(g[window_name].max())
+        full = np.arange(wmin, wmax + 1, dtype=np.int64)
+        have = np.isin(full, g[window_name].to_numpy())
+        miss = full[~have]
+        out = {c: [g[c].iloc[0]] * len(miss) for c in key_cols}
+        out[window_name] = miss
+        return pd.DataFrame(out)
+
+    return counts.groupby(key_cols).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_count_exceed(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    ts_col: str,
+    window_seconds: float,
+    upper_limit: int,
+    count_name: str = "n_in_window",
+) -> "ray.data.Dataset":
+    """Sliding variant: for each event, the count of the key's events
+    in ``(t - window, t]``; rows exceeding ``upper_limit`` are
+    returned. Sort happens WITHIN key groups (vectorized
+    searchsorted), never globally. Local-maximum suppression: of a
+    run of consecutive exceeding events, the first is reported
+    (reference keeps a suppression flag until count drops below the
+    limit, SlidingEventFrequencyDetector.py:22-271)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        tsi = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" else ts.astype(np.int64)
+        w = int(window_seconds * 1_000_000)
+        left = np.searchsorted(tsi, tsi - w, side="right")
+        cnt = np.arange(1, len(tsi) + 1) - left
+        exceed = cnt > upper_limit
+        first = exceed & ~np.concatenate([[False], exceed[:-1]])
+        idx = np.flatnonzero(first)
+        out = g.iloc[idx][key_cols + [ts_col]].copy()
+        out[count_name] = cnt[idx]
+        return out
+
+    return ds.groupby(key_cols).map_groups(per_key, batch_format="pandas")

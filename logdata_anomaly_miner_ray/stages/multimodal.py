@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads ride as opaque ``binary`` columns with typed
+metadata; decode / feature-extract stages are actor-pool
+``map_batches`` with SMALL batch sizes (payloads are MBs — batch ×
+concurrency must fit worker heaps; see ray_guide.md memory notes).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so ``decode_fn`` is stubbed: ``DeterministicFakeDecoder`` produces
+seeded, content-hash-derived feature vectors (stable across runs →
+testable plumbing), and ``CodecDecoder`` raises NotImplementedError
+until a real codec is injected. The Ray-side contract — schema,
+batch size, actor signature, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+class DeterministicFakeDecoder:
+    """Actor-pool decode stub: 'decodes' each payload into a
+    ``feat_dim`` float32 feature vector derived from its sha256 —
+    deterministic, so downstream stages (ANN, dedup, stats) are
+    testable end-to-end without codecs."""
+
+    def __init__(self, feat_dim: int = 16):
+        self.feat_dim = feat_dim
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.feat_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        feats = [self._features(payloads[i].as_py() or b"") for i in range(len(payloads))]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "features": pa.array(feats, pa.list_(pa.float32(), self.feat_dim)),
+                "n_bytes": pa.array(
+                    [len(payloads[i].as_py() or b"") for i in range(len(payloads))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+class CodecDecoder:
+    """Real-codec decode stage — STUB. The image/audio libraries are
+    not installed in this container; inject a ``decode_fn(payload,
+    kind) -> np.ndarray`` when they are."""
+
+    def __init__(self, decode_fn=None):
+        if decode_fn is None:
+            raise NotImplementedError(
+                "no media codec available in this environment; pass "
+                "decode_fn=... (e.g. PIL/ffmpeg-based) or use "
+                "DeterministicFakeDecoder for plumbing tests"
+            )
+        self.decode_fn = decode_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self.decode_fn(batch["payload"][i].as_py(), batch["kind"][i].as_py())
+            for i in range(len(batch))
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            }
+        )
+
+
+def decode_media(
+    ds: "ray.data.Dataset",
+    decoder_cls=DeterministicFakeDecoder,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+    **decoder_kwargs,
+) -> "ray.data.Dataset":
+    """Actor-pool decode stage. Small batch_size on purpose: payload
+    bytes × batch_size × concurrency is the resident-set bound."""
+    if decoder_kwargs:
+        import functools
+
+        decoder = functools.partial(decoder_cls, **decoder_kwargs)
+    else:
+        decoder = decoder_cls
+    return ds.map_batches(
+        decoder,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds.tolist(), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["application/octet-stream"] * n, pa.string()),
+            "width": pa.array(rng.integers(16, 1920, n).astype(np.int32)),
+            "height": pa.array(rng.integers(16, 1080, n).astype(np.int32)),
+            "duration_ms": pa.array(rng.integers(0, 60000, n).astype(np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -1,0 +1,122 @@
+"""Text analysis stages: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Training-data-pipeline extensions (first-class per the build brief).
+Quality/token kernels are single-pass Arrow-buffer numpy
+(functions.text); language-ID is an actor-pool stage (stopword
+regexes compiled once per actor — the AMiner pattern of loading
+detector state at startup, reference:
+aminer/input/InputInterfaces.py:70-386 kwargs/persistence init).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import fingerprint_min_k, simhash64
+from ..functions.text import char_class_fractions, token_counts
+
+# tiny built-in stopword profiles — heuristic langid, not a model
+_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was|are)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|von|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que|pas)\b",
+    "es": r"\b(el|la|los|las|es|una|del|para|con|por|que)\b",
+}
+
+
+def with_token_stats(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Append n_tokens + char-class fraction columns (one buffer
+    pass per block)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        tc = token_counts(batch[text_col])
+        fr = char_class_fractions(batch[text_col])
+        out = batch.append_column("n_tokens", pa.array(tc, pa.int64()))
+        for name, arr in fr.items():
+            t = pa.int64() if arr.dtype.kind == "i" else pa.float64()
+            out = out.append_column(name, pa.array(arr, t))
+        return out
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_quality_score(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    score_name: str = "quality",
+) -> "ray.data.Dataset":
+    """Composite [0,1] heuristic quality score: rewards alphabetic
+    mass and mid-length docs, penalizes punctuation/digit overload —
+    the usual web-text pre-filter signals."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        tc = token_counts(batch[text_col]).astype(np.float64)
+        fr = char_class_fractions(batch[text_col])
+        length_score = np.clip(tc / 100.0, 0, 1) * (tc >= min_tokens)
+        alpha_score = np.clip(fr["alpha_frac"] / 0.7, 0, 1)
+        punct_pen = np.clip(1.0 - 2.0 * fr["punct_frac"], 0, 1)
+        digit_pen = np.clip(1.0 - 2.0 * fr["digit_frac"], 0, 1)
+        score = 0.25 * length_score + 0.35 * alpha_score + 0.2 * punct_pen + 0.2 * digit_pen
+        return batch.append_column(score_name, pa.array(score, pa.float64()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangIdScorer:
+    """Actor-pool language-ID: stopword regex hit-rates per language
+    + CJK codepoint share; regexes compiled once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.patterns = {lang: re.compile(rx) for lang, rx in _STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("").str.lower()
+        n_tok = text.str.split().str.len().clip(lower=1)
+        scores = {
+            lang: text.str.count(pat) / n_tok for lang, pat in self.patterns.items()
+        }
+        score_df = pd.DataFrame(scores)
+        # CJK share of characters
+        cjk = text.str.count(r"[一-鿿]") / text.str.len().clip(lower=1)
+        best = score_df.idxmax(axis=1)
+        best_score = score_df.max(axis=1)
+        pred = np.where(cjk > 0.2, "zh", np.where(best_score > 0.01, best, "xx"))
+        batch = batch.copy()
+        batch["pred_lang"] = pred
+        batch["lang_score"] = np.where(cjk > 0.2, cjk, best_score)
+        return batch
+
+    @staticmethod
+    def apply(ds: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 4096):
+        return ds.map_batches(
+            LangIdScorer,
+            batch_format="pandas",
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+
+
+def with_fingerprints(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Append rolling-hash document fingerprints: winnowing min-k
+    fold + SimHash (both int64 bit-patterns)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_min_k(batch[text_col])
+        sh = simhash64(batch[text_col])
+        return batch.append_column(
+            "fingerprint", pa.array(fp.view(np.int64), pa.int64())
+        ).append_column("simhash", pa.array(sh.view(np.int64), pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,52 @@
+"""Uniqueness / duplicate-key checks (north-rule uniqueness on url).
+
+AMiner tracks first-seen values with exact in-process sets
+(reference: aminer/analysis/NewMatchPathValueDetector.py:68-120);
+the batch recast of "this key must be unique" is a pre-aggregated
+count shuffle: duplicates are exactly the keys whose global count
+exceeds 1. Per-block combining bounds the shuffle (see _agg.py);
+hot keys (Zipf domains) therefore fan in at most #blocks partial
+rows each.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ._agg import grouped_counts
+
+
+def duplicate_keys(
+    ds: "ray.data.Dataset", keys: list[str], count_name: str = "n"
+) -> "ray.data.Dataset":
+    """Key tuples occurring more than once, with their counts."""
+    counts = grouped_counts(ds, keys, out_name=count_name)
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(t[count_name], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def uniqueness_violations(
+    ds: "ray.data.Dataset", key: str, check_name: str = "UniqueKeyDetector"
+) -> "ray.data.Dataset":
+    """Duplicate keys rendered as violation rows (FIXTURES.md F4)."""
+    from ..schema import violations_table
+
+    dups = duplicate_keys(ds, [key])
+
+    def render(t: pa.Table) -> pa.Table:
+        return violations_table(
+            check=check_name,
+            message=f"duplicate value for unique key '{key}'",
+            keys=t[key].to_pylist(),
+            affected_paths=[key],
+            affected_values=[[str(k), str(n)] for k, n in zip(t[key].to_pylist(), t["n"].to_pylist())],
+            expected='{"count": 1}',
+        )
+
+    return dups.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
