@@ -1,0 +1,59 @@
+"""Per-partition / per-check checkpoint manifest for resumable runs.
+
+AMiner persists detector state every 600 s and keeps stream
+repositioning data so a restarted child resumes where it left off
+(reference: aminer/util/PersistenceUtil.py:84-130,
+aminer/input/LogStream.py:30-176, atomic tmp+replace write protocol
+PersistenceUtil.py:116-130). The batch analogue: each completed unit
+of output (a check, or a partition of a check) gets a manifest entry
+with its lineage + metrics, written atomically (tmp file + rename);
+a rerun consults the manifest and skips completed units.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Any
+
+
+class CheckpointManifest:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "manifest.json")
+        self._entries: dict[str, dict[str, Any]] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._entries = json.load(f)
+
+    def is_done(self, unit: str) -> bool:
+        return unit in self._entries
+
+    def entry(self, unit: str) -> dict[str, Any] | None:
+        return self._entries.get(unit)
+
+    def mark_done(self, unit: str, **info: Any) -> None:
+        self._entries[unit] = {"completed_at": time.time(), **info}
+        self._flush()
+
+    def reset(self, unit: str | None = None) -> None:
+        if unit is None:
+            self._entries = {}
+        else:
+            self._entries.pop(unit, None)
+        self._flush()
+
+    def _flush(self) -> None:
+        # atomic replace, mirroring the reference's tmp+rename protocol
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(self._entries, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
