@@ -155,26 +155,32 @@ def simhash_near_dup_pairs(
     k_shingle: int = 2,
 ) -> "ray.data.Dataset":
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
-    LSH by 16-bit fingerprint chunks (pigeonhole: distance ≤3 ⟹ at
-    least one of 4 chunks equal) → one groupby per chunk key via a
-    4-way exploded bucket column — the standard Manku-style split."""
+    Manku-style split: the 64-bit fingerprint is cut into
+    ``max_hamming + 1`` chunks — by pigeonhole, any pair within the
+    distance bound agrees on at least one chunk — and each chunk is
+    one LSH bucket key for a single groupby."""
 
+    n_chunks = min(16, max_hamming + 1)
+    chunk_bits = 64 // n_chunks
+    mask = np.uint64((1 << chunk_bits) - 1)
     fps = simhash_fingerprints(ds, text_col, id_col, k_shingle)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         chunks = np.stack(
-            [((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64) for c in range(4)],
+            [((sh >> np.uint64(chunk_bits * c)) & mask).astype(np.int64) for c in range(n_chunks)],
             axis=1,
         )
         n = len(ids)
         return pa.table(
             {
-                "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int64)[None, :], n, axis=0).ravel()),
+                "chunk": pa.array(
+                    np.repeat(np.arange(n_chunks, dtype=np.int64)[None, :], n, axis=0).ravel()
+                ),
                 "ch": pa.array(chunks.ravel()),
-                id_col: pa.array(np.repeat(ids, 4)),
-                "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+                id_col: pa.array(np.repeat(ids, n_chunks)),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), n_chunks)),
             }
         )
 

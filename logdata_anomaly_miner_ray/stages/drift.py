@@ -111,22 +111,32 @@ def psi_drift_by_group(
     n_bins: int,
     count_name: str = "n",
     threshold: float = 0.2,
+    reference_frac: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Per group: PSI of its bin distribution vs the pooled REST.
-    Input is the (small) histogram table; output
-    (group, psi, drift)."""
+    """Per group: PSI of its bin distribution vs a reference.
+
+    ``reference_frac`` (optional) is a clean external reference —
+    e.g. the fit-phase histogram. Without one, the reference is the
+    element-wise MEDIAN of the per-group fraction vectors
+    (renormalized): robust to a minority of shifted groups, which
+    would contaminate a pooled or leave-one-out reference and make
+    every clean group flag. Laplace smoothing (+0.5 per bin) bounds
+    empty-bin log terms. Input is the (small) histogram table;
+    output (group, psi, drift)."""
     pivot = hist.pivot_table(
         index=group_col, columns="bin", values=count_name, aggfunc="sum", fill_value=0
     ).reindex(columns=range(n_bins), fill_value=0)
-    counts = pivot.to_numpy(dtype=np.float64)
-    total = counts.sum(axis=0)
+    counts = pivot.to_numpy(dtype=np.float64) + 0.5  # Laplace smoothing
+    fracs = counts / counts.sum(axis=1, keepdims=True)
+    if reference_frac is not None:
+        ref = np.asarray(reference_frac, dtype=np.float64)
+        ref = ref / ref.sum()
+    else:
+        ref = np.median(fracs, axis=0)
+        ref = ref / ref.sum()
     out = []
     for i, g in enumerate(pivot.index):
-        rest = total - counts[i]
-        if rest.sum() == 0 or counts[i].sum() == 0:
-            out.append((g, 0.0, False))
-            continue
-        v = psi(rest / rest.sum(), counts[i] / counts[i].sum())
+        v = psi(ref, fracs[i])
         out.append((g, v, v > threshold))
     return pd.DataFrame(out, columns=[group_col, "psi", "drift"])
 
@@ -137,11 +147,23 @@ def ks_drift_by_group(
     value_col: str,
     alpha: float = 0.05,
     n_quantile_points: int = 256,
+    min_effect: float = 0.15,
 ) -> pd.DataFrame:
     """Per group: approximate two-sample KS of the group vs the
-    pooled rest, using per-group t-digests (mergeable per-block
-    partials) as the sample summaries. Output
-    (group, ks_stat, critical, drift, n)."""
+    POOLED-ALL reference distribution, using per-group t-digests
+    (mergeable per-block partials) as the sample summaries. Output
+    (group, ks_stat, critical, drift, n).
+
+    The reference sample is the pooled distribution over every group
+    (the learned state of the fit pass) — comparing against a
+    leave-one-out pool would let one genuinely shifted group
+    contaminate every other group's test. ``min_effect`` is an
+    effect-size floor on D: at large n the asymptotic critical value
+    shrinks toward 0 and any impurity fires; requiring a material D
+    keeps only practically shifted groups (the reference's
+    VariableTypeDetector similarly re-tests with binomial
+    backtracking rather than firing on every significant p,
+    VariableTypeDetector.py:1605-1660)."""
     import pickle
 
     from ..state.sketches import TDigest
@@ -181,21 +203,21 @@ def ks_drift_by_group(
             else:
                 digests[g], ns[g] = td, n
     qs = (np.arange(n_quantile_points) + 0.5) / n_quantile_points
-    rows = []
     groups = sorted(digests)
+    pooled = TDigest()
+    for h in groups:
+        d = digests[h]
+        pooled.merge(TDigest(d.delta, d.means.copy(), d.weights.copy()))
+    m = sum(ns.values())
+    b = np.sort(pooled.quantile(qs))
+    rows = []
     for g in groups:
-        rest = TDigest()
-        for h in groups:
-            if h != g:
-                d = digests[h]
-                rest.merge(TDigest(d.delta, d.means.copy(), d.weights.copy()))
-        n, m = ns[g], sum(ns[h] for h in groups if h != g)
+        n = ns[g]
         if not n or not m:
             rows.append((g, 0.0, np.inf, False, n))
             continue
         a = np.sort(digests[g].quantile(qs))
-        b = np.sort(rest.quantile(qs))
         d_stat = ks_2samp_from_sorted(a, b)
         crit = ks_critical(n, m, alpha)
-        rows.append((g, d_stat, crit, d_stat > crit, n))
+        rows.append((g, d_stat, crit, d_stat > max(crit, min_effect), n))
     return pd.DataFrame(rows, columns=[group_col, "ks_stat", "critical", "drift", "n"])

@@ -1,0 +1,198 @@
+"""Drift, dedup, ANN and charset/entropy scenario tests
+(FIXTURES.md F3)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+
+def test_ks_drift_flags_shifted_partition():
+    # FIXTURES.md drift: partitions 0-8 ~ N(0,1), partition 9 ~ N(3,1)
+    from logdata_anomaly_miner_ray.stages.drift import ks_drift_by_group
+
+    rng = np.random.default_rng(42)
+    parts, vals = [], []
+    for p in range(10):
+        v = rng.normal(3.0 if p == 9 else 0.0, 1.0, 1000)
+        parts += [str(p)] * 1000
+        vals += v.tolist()
+    ds = rd.from_arrow(pa.table({"part": parts, "value": vals})).repartition(4)
+    out = ks_drift_by_group(ds, "part", "value")
+    flagged = set(out[out["drift"]]["part"])
+    assert "9" in flagged
+    assert len(flagged) == 1
+
+
+def test_psi_drift_flags_shifted_partition():
+    from logdata_anomaly_miner_ray.stages.drift import (
+        group_histograms,
+        psi_drift_by_group,
+    )
+
+    rng = np.random.default_rng(7)
+    parts, vals = [], []
+    for p in range(5):
+        v = rng.normal(2.0 if p == 4 else 0.0, 1.0, 2000)
+        parts += [str(p)] * 2000
+        vals += v.tolist()
+    ds = rd.from_arrow(pa.table({"part": parts, "value": vals})).repartition(4)
+    edges = np.linspace(-4, 6, 21)
+    hist = group_histograms(ds, "part", "value", edges).to_pandas()
+    out = psi_drift_by_group(hist, "part", len(edges) + 1)
+    assert set(out[out["drift"]]["part"]) == {"4"}
+
+
+def test_ks_2samp_stat_matches_bruteforce():
+    from logdata_anomaly_miner_ray.stages.drift import ks_2samp_from_sorted
+
+    rng = np.random.default_rng(0)
+    a = np.sort(rng.normal(0, 1, 500))
+    b = np.sort(rng.normal(0.5, 1, 400))
+    d = ks_2samp_from_sorted(a, b)
+    # brute force over all sample points
+    pts = np.concatenate([a, b])
+    brute = max(
+        abs((a <= x).mean() - (b <= x).mean()) for x in pts
+    )
+    assert d == pytest.approx(brute, abs=1e-12)
+
+
+def test_exact_dedup_planted():
+    from logdata_anomaly_miner_ray.stages.dedup import exact_dup_groups
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": ["same text", "other", "same text", "same text", "unique"],
+        }
+    )
+    out = exact_dup_groups(rd.from_arrow(t).repartition(2), "text", "doc_id").to_pandas()
+    dup = out[out["n"] > 1]
+    assert len(dup) == 1
+    assert dup["keep_id"].iloc[0] == 1 and dup["n"].iloc[0] == 3
+
+
+def test_minhash_lsh_finds_near_dups():
+    from logdata_anomaly_miner_ray.stages.dedup import minhash_lsh_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the dusty road near town"
+    docs = [base, base.replace("dusty", "muddy"), "totally different words about ray data engines and arrow batches here now"]
+    t = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()), "text": docs})
+    pairs = minhash_lsh_candidate_pairs(
+        rd.from_arrow(t), "text", "doc_id", jaccard_threshold=0.5
+    ).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(10, 20)}
+
+
+def test_simhash_near_dup_pairs():
+    from logdata_anomaly_miner_ray.stages.dedup import simhash_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    docs = [base, base + " omicron", "one two three four five six seven eight nine ten eleven twelve"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": docs})
+    pairs = simhash_near_dup_pairs(
+        rd.from_arrow(t), "text", "doc_id", max_hamming=8
+    ).to_pandas()
+    assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 3) not in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_embedding_near_dup_pairs():
+    from logdata_anomaly_miner_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    emb = [base, base + rng.standard_normal(16) * 0.01, rng.standard_normal(16)]
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb], pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_near_dup_pairs(
+        rd.from_arrow(t), "embedding", "vec_id", cosine_threshold=0.99
+    ).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+
+
+def test_cosine_topk_matches_numpy(sf_dir):
+    from logdata_anomaly_miner_ray.stages.ann import cosine_topk
+
+    import pyarrow.parquet as pq
+
+    et = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    M = np.array(et["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(et["vec_id"].to_pylist())
+    Q = M[:3]
+    got = cosine_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(4),
+        "embedding",
+        "vec_id",
+        ray.put(Q),
+        k=5,
+    )
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Mn @ Qn.T
+    for qi in range(3):
+        want_ids = ids[np.argsort(-sims[:, qi], kind="stable")[:5]]
+        got_ids = got[got["query_id"] == qi]["vec_id"].to_numpy()
+        assert set(got_ids) == set(want_ids)
+
+
+def test_charset_scenario():
+    # FIXTURES.md charset: one row introduces '#'
+    from logdata_anomaly_miner_ray.stages.charset import (
+        charset_violations,
+        fit_charsets,
+    )
+
+    fit_t = pa.table({"id": ["g", "g", "g"], "value": ["abc", "abd", "xyz"]})
+    cs = fit_charsets(rd.from_arrow(fit_t), "id", "value")
+    probe = pa.table({"id": ["g", "g"], "value": ["abz", "ab#"]})
+    viol = charset_violations(
+        rd.from_arrow(probe), "id", "value", ray.put(cs)
+    ).to_pandas()
+    assert len(viol) == 1
+    assert viol["affected_values"].iloc[0] == ["#"]
+
+
+def test_entropy_scenario():
+    # FIXTURES.md entropy: normal words + high-entropy tokens
+    from logdata_anomaly_miner_ray.stages.entropy import (
+        entropy_violations,
+        fit_bigram_table,
+    )
+
+    normal = ["the cat sat on the mat"] * 50 + ["a tale of two cities"] * 50
+    fit_ds = rd.from_arrow(pa.table({"text": normal}))
+    tbl = fit_bigram_table(fit_ds, "text")
+    probe = pa.table({"text": ["the cat sat", "qxzkjvwpfh", "mat on the mat", "zqxvjkwygh"]})
+    viol = entropy_violations(
+        rd.from_arrow(probe), "text", ray.put(tbl), prob_thresh=0.01
+    ).to_pandas()
+    flagged = {v[0] for v in viol["affected_values"]}
+    assert flagged == {"qxzkjvwpfh", "zqxvjkwygh"}
+
+
+def test_multimodal_plumbing():
+    from logdata_anomaly_miner_ray.stages.multimodal import (
+        CodecDecoder,
+        decode_media,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(16))
+    out = decode_media(media).to_pandas()
+    assert len(out) == 16
+    assert all(len(f) == 16 for f in out["features"])
+    # determinism: same payload → same features
+    out2 = decode_media(rd.from_arrow(synth_media_table(16))).to_pandas()
+    a = out.sort_values("media_id")["features"].tolist()
+    b = out2.sort_values("media_id")["features"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    with pytest.raises(NotImplementedError):
+        CodecDecoder()

@@ -1,0 +1,99 @@
+"""Flagship suite end-to-end: expected verdicts on the seeded pages
+fixture, checkpoint resume, byte-identity invariant."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from logdata_anomaly_miner_ray.pipelines.validate import run_suite
+from logdata_anomaly_miner_ray.sources.pages import make_pages_block, ts_index_block
+
+N = 8000
+
+
+@pytest.fixture(scope="module")
+def suite_out(tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("suite"))
+    pages = rd.from_arrow(make_pages_block(0, N)).repartition(4)
+    tsx = rd.from_arrow(ts_index_block(0, N)).repartition(2)
+    return run_suite(pages, ts_index=tsx, out_dir=out_dir), out_dir
+
+
+def _verdict(out, check):
+    df = out["verdicts"].to_pandas().set_index("check")
+    return df.loc[check]
+
+
+def test_uniqueness_matches_generator(suite_out):
+    out, _ = suite_out
+    t = make_pages_block(0, N)
+    urls = t["url"].to_pylist()
+    n_dups = len(urls) - len(set(urls))
+    v = _verdict(out, "uniqueness_url")
+    assert not v["pass"]
+    assert v["n_violations"] == n_dups
+
+
+def test_referential_flags_seeded_missing(suite_out):
+    out, _ = suite_out
+    v = _verdict(out, "referential_url_ts")
+    assert not v["pass"]
+    # seeded ~0.2% missing
+    assert 0.0005 * N < v["n_violations"] < 0.005 * N
+
+
+def test_lang_domain_flags_xx(suite_out):
+    out, _ = suite_out
+    t = make_pages_block(0, N)
+    n_xx = sum(1 for l in t["lang"].to_pylist() if l == "xx")
+    v = _verdict(out, "lang_domain")
+    assert v["n_violations"] == n_xx
+
+
+def test_self_learned_checks_pass(suite_out):
+    out, _ = suite_out
+    for check in ["charset", "token_range", "frequency"]:
+        assert _verdict(out, check)["pass"], check
+
+
+def test_ordering_flags_swaps(suite_out):
+    out, _ = suite_out
+    assert not _verdict(out, "ordering")["pass"]
+
+
+def test_byte_identity(suite_out):
+    out, _ = suite_out
+    assert _verdict(out, "text_byte_identity")["pass"]
+
+
+def test_resume_skips_completed(suite_out):
+    out, out_dir = suite_out
+    import json
+    import time
+
+    pages = rd.from_arrow(make_pages_block(0, N)).repartition(4)
+    tsx = rd.from_arrow(ts_index_block(0, N)).repartition(2)
+    t0 = time.time()
+    out2 = run_suite(pages, ts_index=tsx, out_dir=out_dir)
+    # identical verdict counts on resume
+    a = out["verdicts"].to_pandas().set_index("check")["n_violations"]
+    b = out2["verdicts"].to_pandas().set_index("check")["n_violations"]
+    assert (a == b).all()
+
+
+def test_violation_rows_schema(suite_out):
+    out, out_dir = suite_out
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{out_dir}/check=uniqueness_url").to_table()
+    assert t.num_rows > 0
+    assert t["event_type"].to_pylist()[0] == "Analysis.UniqueKeyDetector"
+    assert set(t.column_names) >= {
+        "event_type",
+        "message",
+        "affected_paths",
+        "affected_values",
+        "expected",
+        "key",
+    }

@@ -1,0 +1,139 @@
+import collections
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logdata_anomaly_miner_ray.functions import hashing as H
+from logdata_anomaly_miner_ray.functions import text as T
+from logdata_anomaly_miner_ray.functions.windows import modulo_seconds, window_id
+
+ROWS = [
+    "hello world  foo",
+    "",
+    "one",
+    "a b c d",
+    None,
+    "  leading and trailing  ",
+    "tab\tsep\nnewline",
+    "ümlaut über alles",
+]
+
+
+def test_token_counts_matches_regex_split():
+    arr = pa.array(ROWS, pa.string())
+    got = T.token_counts(arr).tolist()
+    want = [
+        len(re.split(r"\s+", r.strip())) if r and r.strip() else 0
+        for r in ["" if x is None else x for x in ROWS]
+    ]
+    assert got == want
+
+
+def test_token_hashes_consistent():
+    arr = pa.array(ROWS, pa.string())
+    data, off = T.flat_utf8(arr)
+    s, e, rid = T.token_spans(data, off)
+    toks = [bytes(data[a:b]).decode() for a, b in zip(s, e)]
+    th = T.token_hashes(data, s, e)
+    seen: dict[str, int] = {}
+    for t, h in zip(toks, th):
+        assert seen.setdefault(t, int(h)) == int(h)
+    assert len(set(seen.values())) == len(seen)
+
+
+def test_shingles_per_row_and_equality():
+    sh, rid = T.shingle_hashes(pa.array(["a b c d e", "a b c d e", "x y z"]), k=3)
+    assert np.bincount(rid).tolist() == [3, 3, 1]
+    assert set(sh[rid == 0]) == set(sh[rid == 1])
+
+
+def test_bigram_counts_matches_counter():
+    rows = ["abab", "ba", None, "x", "zz"]
+    bg = T.bigram_counts(pa.array(rows))
+    exp = collections.Counter()
+    for r in rows:
+        for a, b in zip(r or "", (r or "")[1:]):
+            exp[(ord(a), ord(b))] += 1
+    assert bg.sum() == sum(exp.values())
+    for (a, b), c in exp.items():
+        assert bg[a * 256 + b] == c
+
+
+def test_mean_pair_prob_matches_manual():
+    rows = ["abab", "ba", "", "x"]
+    arr = pa.array(rows)
+    table = T.bigram_counts(arr).astype(np.float64)
+    mp = T.mean_pair_prob(arr, table)
+    tbl = table.reshape(256, 256)
+    rt = tbl.sum(1)
+
+    def manual(r):
+        ps = [tbl[ord(x), ord(y)] / rt[ord(x)] for x, y in zip(r, r[1:]) if rt[ord(x)] > 0]
+        return np.mean(ps) if ps else np.nan
+
+    for got, r in zip(mp, rows):
+        want = manual(r)
+        assert (np.isnan(got) and np.isnan(want)) or got == pytest.approx(want)
+
+
+def test_char_class_fractions():
+    cf = T.char_class_fractions(pa.array(["ab1 .", "ümlaut"]))
+    assert cf["n_bytes"].tolist() == [5, 7]
+    assert cf["alpha_frac"][0] == pytest.approx(2 / 5)
+    assert cf["digit_frac"][0] == pytest.approx(1 / 5)
+    assert cf["punct_frac"][0] == pytest.approx(1 / 5)
+    assert cf["non_ascii_frac"][1] == pytest.approx(2 / 7)
+
+
+def test_codepoint_set():
+    bm = T.codepoint_set(pa.array(["abc", "ü#"]))
+    assert bm[ord("a")] and bm[ord("ü")] and bm[ord("#")] and not bm[ord("z")]
+
+
+def test_md5_matches_hashlib():
+    import hashlib
+
+    arr = pa.array(["hello", "", "wörld"])
+    got = H.md5_hex(arr)
+    assert got[0] == hashlib.md5(b"hello").hexdigest()
+    assert got[1] == hashlib.md5(b"").hexdigest()
+    assert got[2] == hashlib.md5("wörld".encode()).hexdigest()
+
+
+def test_minhash_similarity_ordering():
+    docs = pa.array(
+        [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and once",
+            "completely unrelated text about distributed dataset engines",
+        ]
+    )
+    sig = H.minhash_signatures(docs, num_perm=64, k=3)
+    assert H.minhash_jaccard(sig[0], sig[1]) > H.minhash_jaccard(sig[0], sig[2])
+    bands = H.minhash_bands(sig, num_bands=16)
+    assert (bands[0] == bands[1]).sum() >= 1
+    assert (bands[0] == bands[2]).sum() == 0
+
+
+def test_simhash_hamming_ordering():
+    docs = pa.array(
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight nine",
+        ]
+    )
+    sh = H.simhash64(docs, k=2)
+    d_near = H.hamming64(sh[:1], sh[1:2])[0]
+    d_far = H.hamming64(sh[:1], sh[2:3])[0]
+    assert d_near < d_far
+
+
+def test_window_id_integer_exact():
+    ts = pa.array([0, 599_999_999, 600_000_000, 1_800_000_001], pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    assert window_id(ts).to_pylist() == [0, 0, 1, 3]
+    assert modulo_seconds(ts, 600).to_pylist() == [0, 599, 0, 0]
