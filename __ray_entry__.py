@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry exercises one operator family from SURVEY.md §2
+(re-expressed Ray-Data-first in logdata_anomaly_miner_ray.stages) on
+the driver-provided testdata tables; the matching oracle_sql() entry
+is the ANSI-SQL equivalent DuckDB runs on the same parquet. Column
+names match exactly; float aggregates are rounded identically on
+both sides (half away from zero).
 """
 
 from __future__ import annotations
@@ -18,27 +16,773 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WINDOW = 3600  # seconds, used by all frequency/window queries
+CF = 0.33  # EventFrequencyDetector confidence_factor
+GAP = 7200.0  # missing-value gap threshold (s)
+SLIDE_LIMIT = 12  # sliding-window count limit
+HIST_EDGES = [float(x) for x in range(0, 440, 40)]  # 0..400 step 40
+
+
+def _round(arr, n):
+    return pc.round(arr, ndigits=n, round_mode="half_towards_infinity")
+
+
+def _scaled_int(arr, scale: int):
+    """Float → BIGINT of round(value·scale): summation-order float
+    noise (~ulp) cannot flip the integer, so the driver's value-hash
+    compares exactly; plain ROUND(x, n) can differ between engines by
+    one ulp of the rounded double."""
+    return pc.cast(
+        pc.round(pc.multiply(pc.cast(arr, pa.float64()), float(scale)), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_column_stats_lineitem(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.column_stats import column_stats
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    t = column_stats(_read(sf_dir, "lineitem", cols), cols, with_quantiles=False)
+    return pa.table(
+        {
+            "col": t["column"],
+            "n": t["n"],
+            "n_null": t["n_null"],
+            "min_v": pc.cast(t["min"], pa.float64()),  # min/max are exact
+            "max_v": pc.cast(t["max"], pa.float64()),
+            "mean_e4": _scaled_int(t["mean"], 10_000),
+            "std_e4": _scaled_int(t["std"], 10_000),
+        }
+    )
+
+
+def q_value_range_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.value_range import fit_ranges
+
+    return fit_ranges(_read(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value")
+
+
+def q_distinct_lang_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.domain import distinct_values
+
+    return distinct_values(_read(sf_dir, "documents", ["lang"]), ["lang"])
+
+
+def q_combo_domain_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.domain import distinct_values
+
+    return distinct_values(
+        _read(sf_dir, "events", ["event_type", "user_id"]), ["event_type", "user_id"]
+    )
+
+
+def q_enhanced_combo_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.domain import combo_span_counts
+
+    return combo_span_counts(
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts"
+    )
+
+
+def q_distinct_users_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages._agg import distinct_rows, grouped_counts
+
+    d = distinct_rows(
+        _read(sf_dir, "events", ["event_type", "user_id"]), ["event_type", "user_id"]
+    )
+    return grouped_counts(d, ["event_type"], out_name="n_users")
+
+
+def q_window_counts_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.frequency import window_counts
+
+    return window_counts(
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", WINDOW
+    )
+
+
+def q_frequency_anomalies_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.frequency import (
+        frequency_anomalies,
+        window_counts,
+    )
+
+    wc = window_counts(
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", WINDOW
+    )
+    fa = frequency_anomalies(wc, ["event_type"], confidence_factor=CF)
+    return fa.select_columns(["event_type", "window", "n"])
+
+
+def q_empty_windows_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.frequency import empty_windows, window_counts
+
+    wc = window_counts(
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", WINDOW
+    )
+    return empty_windows(wc, ["event_type"])
+
+
+def q_sliding_exceed_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.frequency import sliding_count_exceed
+
+    return sliding_count_exceed(
+        _read(sf_dir, "events", ["event_type", "ts"]),
+        ["event_type"],
+        "ts",
+        GAP,
+        SLIDE_LIMIT,
+    )
+
+
+def q_missing_gaps_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.missing import gap_violations
+
+    out = gap_violations(
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", GAP
+    )
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "ts": df["ts"],
+                "gap_us": (df["gap_seconds"] * 1e6).round().astype(np.int64),
+            }
+        )
+
+    return out.map_batches(to_us, batch_format="pandas")
+
+
+def q_uniqueness_lineitem(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.uniqueness import duplicate_keys
+
+    return duplicate_keys(_read(sf_dir, "lineitem", ["l_orderkey"]), ["l_orderkey"])
+
+
+def q_referential_missing_counts(sf_dir: str):
+    """Anti-join summary over three FK relations (always non-empty:
+    one row per relation, zero counts included)."""
+    from logdata_anomaly_miner_ray.stages.referential import anti_join_keys
+
+    rels = [
+        ("customer->orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    names, counts = [], []
+    for rel, lt, lk, rt, rk in rels:
+        n = anti_join_keys(
+            _read(sf_dir, lt, [lk]), lk, _read(sf_dir, rt, [rk]), rk
+        ).count()
+        names.append(rel)
+        counts.append(int(n))
+    return pa.table(
+        {"rel": pa.array(names, pa.string()), "n_missing": pa.array(counts, pa.int64())}
+    )
+
+
+def q_exact_dedup_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.dedup import exact_dup_groups
+
+    return exact_dup_groups(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+
+
+def q_token_stats_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.functions.text import token_counts
+
+    def add(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(token_counts(batch["text"]), pa.int64()),
+                "n_chars_text": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_charset_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.charset import fit_charsets
+
+    cs = fit_charsets(_read(sf_dir, "documents", ["lang", "text"]), "lang", "text")
+    langs = sorted(cs)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array([int(cs[l].sum()) for l in langs], pa.int64()),
+        }
+    )
+
+
+def q_ordering_inversions_events(sf_dir: str):
+    """Monotonicity check per user on the value path (the ts path is
+    globally sorted in this table, so the value path exercises the
+    non-empty case; ts ordering is exercised by pages_suite's seeded
+    swaps)."""
+    from logdata_anomaly_miner_ray.stages.ordering import inversion_counts
+
+    return inversion_counts(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"]),
+        ["user_id"],
+        "event_id",
+        "value",
+    )
+
+
+def q_sequence_2grams_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.sequence import ngram_counts
+
+    return ngram_counts(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"],
+        "event_type",
+        ["ts", "event_id"],
+        n=2,
+    )
+
+
+def q_min_transition_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.sequence import min_transition_times
+
+    out = min_transition_times(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"],
+        "event_type",
+        "ts",
+        order_cols=["ts", "event_id"],
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_event": t["from_event"],
+                "to_event": t["to_event"],
+                "min_us": _scaled_int(t["min_seconds"], 1_000_000),
+            }
+        )
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
+def q_histogram_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.drift import group_histograms
+
+    return group_histograms(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        "value",
+        np.array(HIST_EDGES),
+    )
+
+
+def q_q1_lineitem(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        g = (
+            t.select(["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "__sq", "__sp", "__n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("__sq", alias_name="sum_qty_raw"),
+            Sum("__sp", alias_name="sum_base_raw"),
+            Sum("__n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                # quantities are integral doubles → the sum is exact
+                "sum_qty": pc.cast(t["sum_qty_raw"], pa.int64()),
+                "sum_base_cents": _scaled_int(t["sum_base_raw"], 100),
+                "avg_qty_e4": _scaled_int(
+                    pc.divide(t["sum_qty_raw"], pc.cast(t["n"], pa.float64())), 10_000
+                ),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast join: small customer side shipped once via ray.put,
+    looked up per batch (AMiner's dict dispatch, AtomFilters.py:91)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_mktsegment"].to_numpy())
+    )
+
+    class SegmentJoin:
+        def __init__(self):
+            keys, segs = ray.get(lookup_ref)
+            order = np.argsort(keys)
+            self.keys, self.segs = keys[order], segs[order]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            seg = np.where(self.keys[pos] == ck, self.segs[pos], None)
+            t = pa.table(
+                {
+                    "c_mktsegment": pa.array(seg.tolist(), pa.string()),
+                    "o_totalprice": batch["o_totalprice"],
+                }
+            ).filter(pc.is_valid(pa.array(seg.tolist(), pa.string())))
+            g = t.group_by(["c_mktsegment"]).aggregate(
+                [("o_totalprice", "sum"), ([], "count_all")]
+            )
+            return g.rename_columns(["c_mktsegment", "__sp", "__n"])
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(SegmentJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("__sp", alias_name="rev_raw"), Sum("__n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "revenue_cents": _scaled_int(t["rev_raw"], 100),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_ann_topk_embeddings(sf_dir: str):
+    import ray
+
+    from logdata_anomaly_miner_ray.stages.ann import cosine_topk
+
+    import pyarrow.parquet as pq
+
+    q0 = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))["embedding"]
+        .to_pylist()[0]
+    )
+    out = cosine_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding",
+        "vec_id",
+        ray.put(np.array([q0], dtype=np.float64)),
+        k=10,
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "sim_e4": _scaled_int(pa.array(out["sim"].to_numpy()), 10_000),
+        }
+    )
+
+
+# ---- rows-only queries (non-SQL-expressible: heuristic scoring,
+# sketches, LSH candidates, drift statistics, model plumbing) ----
+
+
+def q_quality_scores_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.text_analysis import with_quality_score
+
+    return with_quality_score(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "quality"]
+    )
+
+
+def q_langid_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.text_analysis import LangIdScorer
+
+    return LangIdScorer.apply(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+def q_fingerprints_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.text_analysis import with_fingerprints
+
+    return with_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "fingerprint", "simhash"]
+    )
+
+
+def q_minhash_pairs_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.dedup import minhash_lsh_candidate_pairs
+
+    return minhash_lsh_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        jaccard_threshold=0.5,
+    )
+
+
+def q_simhash_pairs_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=3
+    )
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.dedup import embedding_near_dup_pairs
+
+    # synthetic embeddings are near-orthogonal random vectors (max
+    # pairwise cosine ≈0.5 at sf0.01); 0.4 keeps the result non-empty
+    # so the rows-only check exercises real output
+    return embedding_near_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding",
+        "vec_id",
+        cosine_threshold=0.4,
+        n_planes=6,
+    )
+
+
+def q_hll_distinct_documents(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.column_stats import column_stats
+
+    t = column_stats(
+        _read(sf_dir, "documents", ["text", "lang", "source"]),
+        ["text", "lang", "source"],
+        with_quantiles=False,
+    )
+    return t.select(["column", "approx_distinct"])
+
+
+def q_ks_drift_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.drift import ks_drift_by_group
+
+    return ks_drift_by_group(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    )
+
+
+def q_entropy_scores_documents(sf_dir: str):
+    import ray
+
+    from logdata_anomaly_miner_ray.stages.entropy import entropy_scores, fit_bigram_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tbl = fit_bigram_table(ds, "text")
+    scored = entropy_scores(ds, "text", ray.put(tbl))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "mean_pair_prob": _round(t["mean_pair_prob"], 6)}
+        )
+
+    return scored.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_pages_suite_sf(sf_dir: str):
+    """Flagship suite verdicts on pages derived from the documents
+    table (rows-only check: verdict table shape is stable)."""
+    return _pages_suite(sf_dir)
+
+
+def _pages_from_documents(sf_dir: str):
+    import ray.data as rd
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        urls = [f"https://{s}.example.org/d/{i}" for s, i in zip(src, ids)]
+        ts = pa.array(1_735_689_600_000_000 + ids * 137_000, pa.int64()).cast(
+            pa.timestamp("us")
+        )
+        html = [
+            f"<html><body><p>{t}</p></body></html>".encode()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": ts,
+                "html": pa.array(html, pa.binary()),
+                "text": batch["text"],
+                "lang": batch["lang"],
+                "row_idx": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(
+        to_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _pages_suite(sf_dir: str):
+    from logdata_anomaly_miner_ray.pipelines.validate import run_suite
+
+    pages = _pages_from_documents(sf_dir)
+    out = run_suite(pages)
+    return out["verdicts"]
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint-suite validation of sf0.001 pages
+    (driver smoke: runs, ≥0 rows, stable schema)."""
+    return _pages_suite("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "column_stats_lineitem": q_column_stats_lineitem,
+        "value_range_events": q_value_range_events,
+        "distinct_lang_documents": q_distinct_lang_documents,
+        "combo_domain_events": q_combo_domain_events,
+        "enhanced_combo_events": q_enhanced_combo_events,
+        "distinct_users_events": q_distinct_users_events,
+        "window_counts_events": q_window_counts_events,
+        "frequency_anomalies_events": q_frequency_anomalies_events,
+        "empty_windows_events": q_empty_windows_events,
+        "sliding_exceed_events": q_sliding_exceed_events,
+        "missing_gaps_events": q_missing_gaps_events,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "referential_missing_counts": q_referential_missing_counts,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "token_stats_documents": q_token_stats_documents,
+        "charset_documents": q_charset_documents,
+        "ordering_inversions_events": q_ordering_inversions_events,
+        "sequence_2grams_events": q_sequence_2grams_events,
+        "min_transition_events": q_min_transition_events,
+        "histogram_events": q_histogram_events,
+        "q1_lineitem": q_q1_lineitem,
+        "segment_revenue": q_segment_revenue,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        # rows-only (non-SQL-expressible)
+        "quality_scores_documents": q_quality_scores_documents,
+        "langid_documents": q_langid_documents,
+        "fingerprints_documents": q_fingerprints_documents,
+        "minhash_pairs_documents": q_minhash_pairs_documents,
+        "simhash_pairs_documents": q_simhash_pairs_documents,
+        "embedding_near_dups": q_embedding_near_dups,
+        "hll_distinct_documents": q_hll_distinct_documents,
+        "ks_drift_events": q_ks_drift_events,
+        "entropy_scores_documents": q_entropy_scores_documents,
+        "pages_suite": q_pages_suite_sf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    zfill = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(epoch(ts)/{WINDOW}) AS BIGINT) AS "window",
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min("window") AS wmin, max("window") AS wmax FROM c GROUP BY 1
+), f AS (
+  SELECT event_type, unnest(generate_series(wmin, wmax)) AS "window" FROM b
+), z AS (
+  SELECT f.event_type, f."window", coalesce(c.n, 0)::BIGINT AS n
+  FROM f LEFT JOIN c ON f.event_type = c.event_type AND f."window" = c."window"
+)"""
+    return {
+        "column_stats_lineitem": """
+WITH s AS (
+  SELECT 'l_quantity' AS col, count(l_quantity)::BIGINT AS n,
+         (count(*) - count(l_quantity))::BIGINT AS n_null,
+         min(l_quantity) mn, max(l_quantity) mx, avg(l_quantity) mean,
+         stddev_pop(l_quantity) std FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+         (count(*) - count(l_extendedprice))::BIGINT,
+         min(l_extendedprice), max(l_extendedprice), avg(l_extendedprice),
+         stddev_pop(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(l_discount)::BIGINT,
+         (count(*) - count(l_discount))::BIGINT,
+         min(l_discount), max(l_discount), avg(l_discount),
+         stddev_pop(l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', count(l_tax)::BIGINT,
+         (count(*) - count(l_tax))::BIGINT,
+         min(l_tax), max(l_tax), avg(l_tax), stddev_pop(l_tax) FROM lineitem
+)
+SELECT col, n, n_null, mn AS min_v, mx AS max_v,
+       CAST(ROUND(mean * 10000) AS BIGINT) AS mean_e4,
+       CAST(ROUND(std * 10000) AS BIGINT) AS std_e4 FROM s""",
+        "value_range_events": """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type""",
+        "distinct_lang_documents": "SELECT DISTINCT lang FROM documents",
+        "combo_domain_events": "SELECT DISTINCT event_type, user_id FROM events",
+        "enhanced_combo_events": """
+SELECT event_type, min(ts) AS first_ts, max(ts) AS last_ts,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
+        "distinct_users_events": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type""",
+        "window_counts_events": f"""
+SELECT event_type, CAST(floor(epoch(ts)/{WINDOW}) AS BIGINT) AS window,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2""",
+        "frequency_anomalies_events": zfill
+        + f""",
+s AS (SELECT event_type, avg(n) AS mean, stddev_pop(n) AS std FROM z GROUP BY 1)
+SELECT z.event_type, z."window", z.n
+FROM z JOIN s ON z.event_type = s.event_type
+WHERE z.n < s.mean - s.std/{CF} OR z.n > s.mean + s.std/{CF}""",
+        "empty_windows_events": zfill
+        + """
+SELECT event_type, "window" FROM z WHERE n = 0""",
+        "sliding_exceed_events": f"""
+WITH w AS (
+  SELECT event_type, ts,
+         count(*) OVER (PARTITION BY event_type ORDER BY epoch(ts)
+                        RANGE BETWEEN {GAP} PRECEDING AND CURRENT ROW)
+           ::BIGINT AS n_in_window
+  FROM events
+), fl AS (
+  SELECT event_type, ts, n_in_window,
+         n_in_window > {SLIDE_LIMIT} AS ex,
+         coalesce(lag(n_in_window > {SLIDE_LIMIT})
+                  OVER (PARTITION BY event_type ORDER BY epoch(ts)), false) AS pex
+  FROM w
+)
+SELECT event_type, ts, n_in_window FROM fl WHERE ex AND NOT pex""",
+        "missing_gaps_events": f"""
+WITH o AS (
+  SELECT event_type, ts,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nxt
+  FROM events
+)
+SELECT event_type, ts,
+       CAST(ROUND((epoch(nxt) - epoch(ts)) * 1000000) AS BIGINT) AS gap_us
+FROM o WHERE epoch(nxt) - epoch(ts) > {GAP}""",
+        "uniqueness_lineitem": """
+SELECT l_orderkey, count(*)::BIGINT AS n FROM lineitem
+GROUP BY 1 HAVING count(*) > 1""",
+        "referential_missing_counts": """
+SELECT 'customer->orders' AS rel,
+       (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))::BIGINT AS n_missing
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))::BIGINT
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
+         WHERE l_partkey NOT IN (SELECT p_partkey FROM part)))::BIGINT""",
+        "exact_dedup_documents": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n
+FROM documents GROUP BY md5(text)""",
+        "token_stats_documents": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_text
+FROM documents""",
+        "charset_documents": """
+SELECT lang, count(DISTINCT u)::BIGINT AS n_chars
+FROM (SELECT lang, unnest(string_split(text, '')) AS u FROM documents)
+GROUP BY lang""",
+        "ordering_inversions_events": """
+WITH o AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_inversions
+FROM o WHERE value < prev_v GROUP BY user_id""",
+        "sequence_2grams_events": """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS g0, event_type AS g1, count(*)::BIGINT AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "min_transition_events": """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+  FROM events
+)
+SELECT pe AS from_event, event_type AS to_event,
+       CAST(ROUND(min(epoch(ts) - epoch(pt)) * 1000000) AS BIGINT) AS min_us
+FROM o WHERE pe IS NOT NULL GROUP BY 1, 2""",
+        "histogram_events": f"""
+SELECT event_type,
+       CASE WHEN value < {HIST_EDGES[0]} THEN 0
+            WHEN value >= {HIST_EDGES[-1]} THEN {len(HIST_EDGES)}
+            ELSE CAST(floor(value/40) AS BIGINT) + 1 END AS bin,
+       count(*)::BIGINT AS n
+FROM events WHERE value IS NOT NULL GROUP BY 1, 2""",
+        "q1_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+       CAST(ROUND(sum(l_quantity)/count(*) * 10000) AS BIGINT) AS avg_qty_e4,
+       count(*)::BIGINT AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+        "segment_revenue": """
+SELECT c_mktsegment,
+       CAST(ROUND(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
+        "ann_topk_embeddings": """
+SELECT vec_id,
+       CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)) * 10000) AS BIGINT) AS sim_e4
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10""",
+    }

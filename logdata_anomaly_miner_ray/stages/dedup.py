@@ -229,7 +229,7 @@ def embedding_near_dup_pairs(
         norm[norm == 0] = 1.0
         unit = emb / norm
         bits = (unit @ planes) > 0
-        bucket = np.packbits(bits, axis=1, bitorder="little")[:, :2].view(np.uint16)[:, 0]
+        bucket = bits @ (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         return pa.table(
             {
                 "bucket": pa.array(bucket.astype(np.int64)),

@@ -36,8 +36,9 @@ def inversion_counts(
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(seq_col, kind="mergesort")
         ts = g[ts_col].to_numpy()
-        inv = int((np.diff(ts.astype("datetime64[us]").astype(np.int64)
-                           if ts.dtype.kind == "M" else ts.astype(np.int64)) < 0).sum())
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        inv = int((np.diff(ts) < 0).sum())
         if inv == 0:
             return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in key_cols}
                                 | {out_name: pd.Series(dtype=np.int64)})
