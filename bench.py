@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "pages_rows": R, "pages_docs_per_sec": D}
+
+``--scaling``: run the identical job twice in fresh processes at 8
+and 32 CPUs on the same input (BASELINE.md protocol) and print the
+two throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "400000"))
+PAGES_DIR = f"/tmp/graft_pages_{PAGES_ROWS}"
+
+# headline query subset: the operators with real work at sf0.1
+BENCH_QUERIES = [
+    "column_stats_lineitem",
+    "q1_lineitem",
+    "uniqueness_lineitem",
+    "segment_revenue",
+    "window_counts_events",
+    "frequency_anomalies_events",
+    "sequence_2grams_events",
+    "exact_dedup_documents",
+    "minhash_pairs_documents",
+    "ann_topk_embeddings",
+]
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    warnings.filterwarnings("ignore")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    from logdata_anomaly_miner_ray.pipelines.validate import run_suite
+    from logdata_anomaly_miner_ray.sources.pages import materialize_pages_parquet
+
+    # pages fixture: generated once, cached as parquet (untimed);
+    # one file per ~6k rows so reads parallelize past 32 CPUs
+    materialize_pages_parquet(
+        PAGES_ROWS, PAGES_DIR, block_rows=max(2_000, PAGES_ROWS // 64)
+    )
+
+    # warm OS page cache so we measure compute+shuffle, not cold reads
+    import ray.data as rd
+
+    for t in ("lineitem", "events", "orders", "documents", "embeddings"):
+        rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
+    rd.read_parquet(PAGES_DIR).count()
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full validation suite over the pages table
+    t0 = time.time()
+    pages = rd.read_parquet(PAGES_DIR)
+    run_suite(pages)
+    suite_sec = time.time() - t0
+    timings["pages_suite"] = round(suite_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline pipelines total wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages_rows": PAGES_ROWS,
+        "pages_docs_per_sec": round(PAGES_ROWS / suite_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo = r_lo["pages_docs_per_sec"]
+    tp_hi = r_hi["pages_docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "pages-suite scaling efficiency",
+                "docs_per_sec_8": tp_lo,
+                "docs_per_sec_32": tp_hi,
+                "sec_total_8": r_lo["value"],
+                "sec_total_32": r_hi["value"],
+                "scaling_efficiency": round(eff, 3),
+                "pages_rows": r_lo["pages_rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,29 +1,29 @@
 """The flagship pipeline: full constraint-suite validation of a
 web-pages table (north rule).
 
-Two passes, mirroring AMiner's learn-then-detect lifecycle
-(reference: aminer/input/InputInterfaces.py:251-281 learn_mode
-plumbing; SURVEY.md §3.4):
+Two FUSED passes over the wide data, mirroring AMiner's
+learn-then-detect lifecycle (reference:
+aminer/input/InputInterfaces.py:251-281 learn_mode plumbing;
+SURVEY.md §3.4) — AMiner dispatches every atom to every detector in
+one loop pass (aminer/input/ByteStreamLineAtomizer.py:205-222); the
+batch analogue is ONE ``map_batches`` computing every per-block
+partial at once, not one read per detector:
 
-fit pass (one streaming read, NO row shuffle):
-  - per-column stat partials (moments/HLL/t-digest)   → stats table
-  - per-lang charset bitmaps                          → charsets
-  - char-bigram table                                 → entropy model
-  - per-lang token-length ranges                      → ranges
-  - lang value domain                                 → domain set
-  - text sha256 xor (byte-identity baseline)
+fit pass — single ``map_batches`` over (text, lang, url, warc_ts)
+emitting one pickled partial blob per block: per-column moments/HLL/
+t-digest, per-lang charset bitmaps, char-bigram table, per-lang
+token ranges, lang value counts, sha256-xor of text. Driver merges
+(#blocks) small blobs. NO shuffle.
 
-validate pass (broadcast state via ray.put; keyed checks shuffle
-pre-aggregated partials only):
-  - uniqueness on url                       (groupby counts)
-  - referential url -> ts_index             (two-sided anti join)
-  - lang domain                             (broadcast is_in)
-  - per-lang charset / entropy score        (broadcast state)
-  - per-lang token-length range             (broadcast ranges)
-  - tumbling-window frequency band + empty windows
-  - timestamp ordering inversions per domain
-  - KS + PSI drift of text length across lang groups
-  - text sha256 xor recomputed after all derive stages → invariant
+validate pass — single ``map_batches`` with the broadcast merged
+state checking lang-domain / charset / entropy / token-range per
+row and re-hashing text (byte-identity evidence), emitting
+violation rows; plus the keyed checks over a NARROW projection
+(url, warc_ts, lang, n_tokens, domain, row_idx — text/html never
+shuffle): uniqueness on url, referential vs ts_index, windowed
+frequency band + empty windows, per-domain ordering inversions, KS
+drift of n_tokens across langs. The narrow projection is
+materialized once (cheap: ~40 B/row) and feeds all keyed checks.
 
 Outputs: violations Dataset (FIXTURES.md F4 schema), verdicts table
 (one row per check with metrics/lineage JSON), both written as
@@ -33,7 +33,9 @@ a rerun skips checks whose manifest entry exists.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import pickle
 import time
 
 import numpy as np
@@ -44,19 +46,15 @@ import ray
 import ray.data as rd
 
 from ..functions import text as textfn
-from ..schema import VERDICT_SCHEMA, SuiteConfig
-from ..stages import (
-    charset as charset_stage,
-    drift as drift_stage,
-    entropy as entropy_stage,
-    frequency as freq_stage,
-    ordering as ordering_stage,
-    referential as ref_stage,
-    uniqueness as uniq_stage,
-    value_range as range_stage,
-)
-from ..stages.column_stats import column_stats
+from ..schema import VERDICT_SCHEMA, SuiteConfig, violations_table
+from ..stages import frequency as freq_stage
+from ..stages import ordering as ordering_stage
+from ..stages import referential as ref_stage
+from ..stages import uniqueness as uniq_stage
+from ..stages.charset import MAX_CP, _row_codepoints
+from ..stages.column_stats import _ColPartial, _partial_for_column
 from ..state.checkpoint import CheckpointManifest
+from ..state.sketches import TDigest
 
 PAGES_SCHEMA = {
     "url": "string",
@@ -66,68 +64,263 @@ PAGES_SCHEMA = {
     "lang": "string",
 }
 
+STAT_COLS = ["url", "warc_ts", "text", "lang", "n_tokens", "text_len"]
 
-def _sha_xor(ds: "rd.Dataset", text_col: str = "text") -> str:
-    """XOR-fold of per-row sha256(text) — order-independent evidence
-    that every text byte survived (BASELINE.json invariant)."""
-    import hashlib
 
-    def partial(batch: pa.Table) -> pa.Table:
-        data, off = textfn.flat_utf8(batch[text_col])
-        mv = memoryview(data)
-        acc = np.zeros(32, dtype=np.uint8)
-        for i in range(len(off) - 1):
-            d = np.frombuffer(hashlib.sha256(mv[off[i] : off[i + 1]]).digest(), dtype=np.uint8)
-            acc ^= d
-        return pa.table({"acc": pa.array([acc.tobytes()], pa.binary())})
+def _narrow(batch: pa.Table) -> pa.Table:
+    """Derived narrow projection — the 'parsed paths' of the pages
+    schema, minus the wide payloads."""
+    ntok = textfn.token_counts(batch["text"])
+    tlen = pc.binary_length(batch["text"])
+    dom = pc.replace_substring_regex(
+        pc.replace_substring(batch["url"], "https://", ""), "/.*$", ""
+    )
+    cols = {
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "lang": batch["lang"],
+        "n_tokens": pa.array(ntok, pa.int64()),
+        "text_len": tlen if tlen.type == pa.int64() else pc.cast(tlen, pa.int64()),
+        "domain": dom,
+    }
+    if "row_idx" in batch.column_names:
+        cols["row_idx"] = batch["row_idx"]
+    return pa.table(cols)
 
+
+def _sha_xor_of_batch(text_col) -> bytes:
+    data, off = textfn.flat_utf8(text_col)
+    mv = memoryview(data)
     acc = np.zeros(32, dtype=np.uint8)
-    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob in b["acc"].to_pylist():
-            acc ^= np.frombuffer(blob, dtype=np.uint8)
-    return acc.tobytes().hex()
-
-
-def derive(ds: "rd.Dataset") -> "rd.Dataset":
-    """Stateless derive stage: n_tokens, text_len, domain(url) —
-    the 'parser' of the pages schema (columns are AMiner paths)."""
-
-    def add(batch: pa.Table) -> pa.Table:
-        ntok = textfn.token_counts(batch["text"])
-        tlen = pc.binary_length(batch["text"])
-        dom = pc.replace_substring_regex(
-            pc.replace_substring(batch["url"], "https://", ""), "/.*$", ""
+    for i in range(len(off) - 1):
+        acc ^= np.frombuffer(
+            hashlib.sha256(mv[off[i] : off[i + 1]]).digest(), dtype=np.uint8
         )
-        out = batch.append_column("n_tokens", pa.array(ntok, pa.int64()))
-        out = out.append_column("text_len", tlen)
-        out = out.append_column("domain", dom)
-        return out
+    return acc.tobytes()
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+class FitPartials:
+    """One fused per-block partial: every learned state at once."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nb = _narrow(batch)
+        full = pa.table(
+            {
+                "url": nb["url"],
+                "warc_ts": nb["warc_ts"],
+                "text": batch["text"],
+                "lang": nb["lang"],
+                "n_tokens": nb["n_tokens"],
+                "text_len": nb["text_len"],
+            }
+        )
+        # per-column stats partials
+        stats = {
+            c: _partial_for_column(full.column(c), with_quantiles=c in ("n_tokens", "text_len"))
+            for c in STAT_COLS
+        }
+        # per-lang charset bitmaps + token ranges + counts + tdigests
+        langs = np.asarray(nb["lang"].to_numpy(zero_copy_only=False), dtype=object).astype(str)
+        ntok = nb["n_tokens"].to_numpy(zero_copy_only=False)
+        cps, row_id = _row_codepoints(batch["text"])
+        cps = np.minimum(cps, MAX_CP - 1)
+        uniq, ginv = np.unique(langs, return_inverse=True)
+        cp_group = ginv[row_id] if len(row_id) else np.zeros(0, dtype=np.int64)
+        per_lang: dict[str, dict] = {}
+        for gi, g in enumerate(uniq):
+            bm = np.zeros(MAX_CP, dtype=bool)
+            bm[cps[cp_group == gi]] = True
+            sel = ntok[ginv == gi]
+            per_lang[str(g)] = {
+                "charset": np.packbits(bm),
+                "tok_min": int(sel.min()),
+                "tok_max": int(sel.max()),
+                "count": int(len(sel)),
+                "tok_digest": TDigest.from_array(sel.astype(np.float64)),
+            }
+        blob = pickle.dumps(
+            {
+                "stats": stats,
+                "per_lang": per_lang,
+                "bigrams": textfn.bigram_counts(batch["text"]),
+                "sha_xor": _sha_xor_of_batch(batch["text"]),
+                "n_rows": batch.num_rows,
+            },
+            protocol=5,
+        )
+        return pa.table({"state": pa.array([blob], pa.binary())})
 
 
 def fit(pages: "rd.Dataset", config: SuiteConfig | None = None) -> dict:
-    """Learn pass → broadcastable constraint state dict."""
+    """Learn pass → broadcastable constraint state dict (ONE read)."""
     config = config or SuiteConfig()
-    derived = derive(pages.drop_columns(["html"]))
-    state: dict = {}
-    state["stats"] = column_stats(
-        derived, ["url", "warc_ts", "text", "lang", "n_tokens", "text_len"]
+    partials = pages.map_batches(
+        FitPartials(), batch_format="pyarrow", zero_copy_batch=True
     )
-    state["charsets"] = charset_stage.fit_charsets(derived, "lang", "text")
-    state["bigrams"] = entropy_stage.fit_bigram_table(derived, "text")
-    ranges_tbl = pa.Table.from_pandas(
-        range_stage.fit_ranges(derived, ["lang"], "n_tokens").to_pandas()
-    )
-    state["ranges"] = range_stage.ranges_to_dict(ranges_tbl, ["lang"])
-    state["lang_domain"] = sorted(
-        r["lang"] for r in derived.groupby("lang").count().take_all()
-    )
-    state["text_sha_xor"] = _sha_xor(pages)
-    state["config"] = config
-    return state
+    stats: dict[str, _ColPartial] = {}
+    per_lang: dict[str, dict] = {}
+    bigrams = np.zeros(65536, dtype=np.int64)
+    sha = np.zeros(32, dtype=np.uint8)
+    n_rows = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for blob in b["state"].to_pylist():
+            p = pickle.loads(blob)
+            for c, st in p["stats"].items():
+                stats[c] = stats[c].merge(st) if c in stats else st
+            for g, d in p["per_lang"].items():
+                if g in per_lang:
+                    e = per_lang[g]
+                    e["charset"] |= np.unpackbits(d["charset"]).astype(bool)
+                    e["tok_min"] = min(e["tok_min"], d["tok_min"])
+                    e["tok_max"] = max(e["tok_max"], d["tok_max"])
+                    e["count"] += d["count"]
+                    e["tok_digest"].merge(d["tok_digest"])
+                else:
+                    per_lang[g] = {
+                        "charset": np.unpackbits(d["charset"]).astype(bool),
+                        "tok_min": d["tok_min"],
+                        "tok_max": d["tok_max"],
+                        "count": d["count"],
+                        "tok_digest": d["tok_digest"],
+                    }
+            bigrams += p["bigrams"]
+            sha ^= np.frombuffer(p["sha_xor"], dtype=np.uint8)
+            n_rows += p["n_rows"]
+    return {
+        "stats": stats,
+        "charsets": {g: d["charset"] for g, d in per_lang.items()},
+        "ranges": {(g,): (d["tok_min"], d["tok_max"]) for g, d in per_lang.items()},
+        "lang_domain": sorted(per_lang),
+        "lang_counts": {g: d["count"] for g, d in per_lang.items()},
+        "tok_digests": {g: d["tok_digest"] for g, d in per_lang.items()},
+        "bigrams": bigrams,
+        "text_sha_xor": sha.tobytes().hex(),
+        "n_rows": n_rows,
+        "config": config,
+    }
+
+
+class BroadcastChecks:
+    """Fused per-row validate: lang domain, charset, entropy, token
+    range + sha re-hash, against the ray.put state (read once per
+    actor — AMiner's persistence-loaded detector startup)."""
+
+    def __init__(self, state_ref, prob_thresh: float = 0.003, allowed_langs=None):
+        st = ray.get(state_ref)
+        self.allowed = pa.array(
+            sorted(allowed_langs if allowed_langs is not None else st["lang_domain"]),
+            pa.string(),
+        )
+        names = sorted(st["charsets"])
+        self.cs_names = np.array(names)
+        self.cs_bitmaps = (
+            np.stack([st["charsets"][n] for n in names])
+            if names
+            else np.zeros((0, MAX_CP), dtype=bool)
+        )
+        self.ranges = st["ranges"]
+        rk = sorted(self.ranges)
+        self.r_names = np.array([k[0] for k in rk])
+        self.r_lo = np.array([self.ranges[k][0] for k in rk], dtype=np.float64)
+        self.r_hi = np.array([self.ranges[k][1] for k in rk], dtype=np.float64)
+        tbl = st["bigrams"].reshape(256, 256).astype(np.float64)
+        tot = tbl.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.cond = np.nan_to_num(tbl / tot[:, None])
+        self.prob_thresh = prob_thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [
+            violations_table("Noop", "", [], [], [], "")
+        ]  # keeps schema when nothing fires
+        urls = np.asarray(batch["url"].to_numpy(zero_copy_only=False), dtype=object).astype(str)
+        langs = np.asarray(batch["lang"].to_numpy(zero_copy_only=False), dtype=object).astype(str)
+
+        # lang domain
+        bad = pc.invert(pc.is_in(batch["lang"], value_set=self.allowed))
+        bad = pc.fill_null(bad, True).to_numpy(zero_copy_only=False)
+        if bad.any():
+            idx = np.flatnonzero(bad)
+            out.append(
+                violations_table(
+                    "NewMatchPathValueDetector",
+                    "new value for path 'lang' outside learned domain",
+                    urls[idx],
+                    ["lang"],
+                    [[l] for l in langs[idx]],
+                    '{"domain": "learned"}',
+                )
+            )
+
+        # charset per lang
+        cps, row_id = _row_codepoints(batch["text"])
+        if len(cps) and len(self.cs_names):
+            cps = np.minimum(cps, MAX_CP - 1)
+            pos = np.clip(np.searchsorted(self.cs_names, langs), 0, len(self.cs_names) - 1)
+            known_row = self.cs_names[pos] == langs
+            in_set = self.cs_bitmaps[pos[row_id], cps]
+            bad_char = (~in_set) & known_row[row_id]
+            if bad_char.any():
+                bad_rows = np.unique(row_id[bad_char])
+                vals = []
+                for r in bad_rows:
+                    sel = cps[bad_char & (row_id == r)]
+                    vals.append(["".join(chr(c) for c in np.unique(sel))])
+                out.append(
+                    violations_table(
+                        "CharsetDetector",
+                        "new character(s) outside learned charset",
+                        urls[bad_rows],
+                        ["lang", "text"],
+                        vals,
+                        '{"charset": "learned"}',
+                    )
+                )
+
+        # entropy score
+        probs = self.cond  # alias
+        score = textfn.mean_pair_prob(batch["text"], probs.reshape(-1))
+        low = np.flatnonzero(np.nan_to_num(score, nan=1.0) < self.prob_thresh)
+        if len(low):
+            out.append(
+                violations_table(
+                    "EntropyDetector",
+                    "character pair probability below threshold",
+                    urls[low],
+                    ["text"],
+                    [[f"{s:.6f}"] for s in score[low]],
+                    json.dumps({"prob_thresh": self.prob_thresh}),
+                )
+            )
+
+        # token range per lang
+        ntok = textfn.token_counts(batch["text"]).astype(np.float64)
+        if len(self.r_names):
+            rpos = np.clip(np.searchsorted(self.r_names, langs), 0, len(self.r_names) - 1)
+            rknown = self.r_names[rpos] == langs
+            oob = rknown & ((ntok < self.r_lo[rpos]) | (ntok > self.r_hi[rpos]))
+            if oob.any():
+                idx = np.flatnonzero(oob)
+                out.append(
+                    violations_table(
+                        "ValueRangeDetector",
+                        "value outside learned range",
+                        urls[idx],
+                        ["lang", "n_tokens"],
+                        [[str(int(v))] for v in ntok[idx]],
+                        [
+                            json.dumps({"min": float(self.r_lo[rpos[i]]), "max": float(self.r_hi[rpos[i]])})
+                            for i in idx
+                        ],
+                    )
+                )
+
+        # byte-identity evidence: re-hash text, ship as meta row
+        sha = _sha_xor_of_batch(batch["text"]).hex()
+        out.append(
+            violations_table("__ShaXor", "", [sha], [], [[]], "")
+        )
+        return pa.concat_tables(out)
 
 
 def validate(
@@ -136,74 +329,29 @@ def validate(
     ts_index: "rd.Dataset | None" = None,
     out_dir: str | None = None,
     resume: bool = True,
+    allowed_langs: list[str] | None = None,
 ) -> dict:
-    """Detect pass → {"violations": Dataset|None per check,
-    "verdicts": pa.Table}. With ``out_dir``, each check's violations
-    are written to ``out_dir/check=<name>/`` and checkpointed —
-    reruns skip completed checks."""
     config: SuiteConfig = state.get("config") or SuiteConfig()
-    derived = derive(pages.drop_columns(["html"]))
     manifest = CheckpointManifest(out_dir) if out_dir else None
+    state_ref = ray.put(
+        {k: state[k] for k in ("lang_domain", "charsets", "ranges", "bigrams")}
+    )
+    if allowed_langs is None:
+        allowed_langs = [l for l in state["lang_domain"] if l != "xx"]
 
-    charsets_ref = ray.put(state["charsets"])
-    bigrams_ref = ray.put(state["bigrams"])
-    ranges_ref = ray.put(state["ranges"])
-    lang_ref = ray.put([l for l in state["lang_domain"] if l != "xx"])
-
-    checks: dict[str, "rd.Dataset"] = {}
-    checks["uniqueness_url"] = uniq_stage.uniqueness_violations(derived, "url")
-    if ts_index is not None:
-        checks["referential_url_ts"] = ref_stage.referential_violations(
-            derived, "url", ts_index, "url"
-        )
-    from ..stages.domain import domain_violations
-
-    checks["lang_domain"] = domain_violations(
-        derived, "lang", lang_ref, key_col="url"
-    )
-    checks["charset"] = charset_stage.charset_violations(
-        derived, "lang", "text", charsets_ref, key_col="url"
-    )
-    checks["entropy"] = entropy_stage.entropy_violations(
-        derived, "text", bigrams_ref, prob_thresh=0.003, key_col="url"
-    )
-    checks["token_range"] = range_stage.range_violations(
-        derived, ["lang"], "n_tokens", ranges_ref
-    )
-
-    nonnull_ts = derived.map_batches(
-        lambda t: t.filter(pc.is_valid(t["warc_ts"])),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    # the small (lang, window, n) counts table feeds two checks —
-    # materialize it once instead of recomputing the read
-    wc = freq_stage.window_counts(
-        nonnull_ts, ["lang"], "warc_ts", config.window_seconds
-    ).materialize()
-    checks["frequency"] = freq_stage.frequency_anomalies(
-        wc, ["lang"], confidence_factor=0.33
-    )
-    checks["empty_windows"] = freq_stage.empty_windows(wc, ["lang"])
-    checks["ordering"] = ordering_stage.inversion_counts(
-        nonnull_ts,
-        ["domain"],
-        "row_idx" if "row_idx" in pages.schema().names else "url",
-        "warc_ts",
-    )
-
-    verdict_rows = []
+    verdict_rows: list[tuple] = []
     results: dict[str, object] = {}
-    n_rows_total = pages.count()
-    for name, vds in checks.items():
+
+    def run_check(name: str, maker):
+        """Execute one check (dataset-producing thunk) with
+        checkpoint/resume bookkeeping; returns row count."""
         if manifest and resume and manifest.is_done(name):
             e = manifest.entry(name)
-            verdict_rows.append(
-                (name, e.get("pass", True), e.get("n_violations", 0), e.get("metrics", "{}"))
-            )
+            verdict_rows.append((name, e.get("pass_", True), e.get("n_violations", 0), e.get("metrics", "{}")))
             results[name] = None
-            continue
+            return e.get("n_violations", 0)
         t0 = time.time()
+        vds = maker()
         if out_dir:
             path = f"{out_dir}/check={name}"
             vds.write_parquet(path)
@@ -212,33 +360,116 @@ def validate(
             try:
                 n_viol = pads.dataset(path).count_rows()
             except FileNotFoundError:
-                n_viol = 0  # zero-row result → no files written
+                n_viol = 0
         else:
             vds = vds.materialize()
             n_viol = vds.count()
         metrics = json.dumps({"seconds": round(time.time() - t0, 3)})
         if manifest:
-            manifest.mark_done(
-                name, n_violations=int(n_viol), metrics=metrics, pass_=bool(n_viol == 0)
-            )
+            manifest.mark_done(name, n_violations=int(n_viol), metrics=metrics, pass_=bool(n_viol == 0))
         verdict_rows.append((name, n_viol == 0, int(n_viol), metrics))
         results[name] = vds
+        return n_viol
 
-    # byte-identity invariant: recompute sha-xor AFTER the derive
-    # stage (text must pass through untouched)
-    sha_after = _sha_xor(derive(pages.drop_columns(["html"])))
-    sha_ok = sha_after == state["text_sha_xor"]
+    # ---- fused per-row pass (one read of the wide table) ----
+    fused_name = "broadcast_checks"
+    fused = pages.map_batches(
+        BroadcastChecks,
+        fn_constructor_kwargs={"state_ref": state_ref, "allowed_langs": allowed_langs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 16),
+    ).materialize()
+    # split meta sha rows from violations
+    sha_after = np.zeros(32, dtype=np.uint8)
+    per_check_counts: dict[str, int] = {}
+    for b in fused.iter_batches(batch_format="pyarrow"):
+        et = b["event_type"].to_pylist()
+        for i, e in enumerate(et):
+            if e == "Analysis.__ShaXor":
+                sha_after ^= np.frombuffer(bytes.fromhex(b["key"][i].as_py()), dtype=np.uint8)
+            elif e != "Analysis.Noop":
+                per_check_counts[e] = per_check_counts.get(e, 0) + 1
+    real = fused.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["Analysis.__ShaXor", "Analysis.Noop"])))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    t0 = time.time()
+    if out_dir:
+        real.write_parquet(f"{out_dir}/check={fused_name}")
+    for cname in ("NewMatchPathValueDetector", "CharsetDetector", "EntropyDetector", "ValueRangeDetector"):
+        short = {
+            "NewMatchPathValueDetector": "lang_domain",
+            "CharsetDetector": "charset",
+            "EntropyDetector": "entropy",
+            "ValueRangeDetector": "token_range",
+        }[cname]
+        n = per_check_counts.get(f"Analysis.{cname}", 0)
+        verdict_rows.append((short, n == 0, n, json.dumps({"fused": True})))
+    results[fused_name] = real
+
+    sha_ok = sha_after.tobytes().hex() == state["text_sha_xor"]
     verdict_rows.append(
-        ("text_byte_identity", sha_ok, 0 if sha_ok else 1, json.dumps({"sha_xor": sha_after}))
+        ("text_byte_identity", sha_ok, 0 if sha_ok else 1, json.dumps({"sha_xor": sha_after.tobytes().hex()}))
     )
 
-    # drift checks operate on the small derived stats
-    ksdf = drift_stage.ks_drift_by_group(derived, "lang", "n_tokens")
+    # ---- keyed checks over the narrow projection (no text/html) ----
+    narrow = pages.map_batches(
+        _narrow, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    run_check("uniqueness_url", lambda: uniq_stage.uniqueness_violations(narrow, "url"))
+    if ts_index is not None:
+        run_check(
+            "referential_url_ts",
+            lambda: ref_stage.referential_violations(narrow, "url", ts_index, "url"),
+        )
+    nonnull = narrow.map_batches(
+        lambda t: t.filter(pc.is_valid(t["warc_ts"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wc = freq_stage.window_counts(nonnull, ["lang"], "warc_ts", config.window_seconds).materialize()
+    run_check(
+        "frequency",
+        lambda: freq_stage.frequency_anomalies(wc, ["lang"], confidence_factor=0.33),
+    )
+    run_check("empty_windows", lambda: freq_stage.empty_windows(wc, ["lang"]))
+    seq_col = "row_idx" if "row_idx" in narrow.schema().names else "url"
+    run_check(
+        "ordering",
+        lambda: ordering_stage.inversion_counts(nonnull, ["domain"], seq_col, "warc_ts"),
+    )
+
+    # KS drift on n_tokens across langs from the fit-pass digests
+    from ..stages.drift import ks_2samp_from_sorted, ks_critical
+
+    digests = state["tok_digests"]
+    counts = state["lang_counts"]
+    qs = (np.arange(256) + 0.5) / 256
+    pooled = TDigest()
+    for d in digests.values():
+        pooled.merge(TDigest(d.delta, d.means.copy(), d.weights.copy()))
+    bq = np.sort(pooled.quantile(qs))
+    m = sum(counts.values())
+    ks_rows = []
+    for g in sorted(digests):
+        a = np.sort(digests[g].quantile(qs))
+        d_stat = ks_2samp_from_sorted(a, bq)
+        crit = ks_critical(counts[g], m)
+        ks_rows.append((g, d_stat, crit, bool(d_stat > max(crit, 0.15)), counts[g]))
+    import pandas as pd
+
+    ksdf = pd.DataFrame(ks_rows, columns=["lang", "ks_stat", "critical", "drift", "n"])
     n_drift = int(ksdf["drift"].sum())
     verdict_rows.append(
         ("ks_drift_lang_tokens", n_drift == 0, n_drift, ksdf.to_json(orient="records"))
     )
 
+    n_rows_total = state.get("n_rows", 0)
     verdicts = pa.table(
         {
             "partition_id": pa.array(["all"] * len(verdict_rows), pa.string()),
@@ -246,7 +477,7 @@ def validate(
             "pass": pa.array([bool(r[1]) for r in verdict_rows], pa.bool_()),
             "n_rows": pa.array([n_rows_total] * len(verdict_rows), pa.int64()),
             "n_violations": pa.array([int(r[2]) for r in verdict_rows], pa.int64()),
-            "metrics": pa.array([r[3] for r in verdict_rows], pa.string()),
+            "metrics": pa.array([str(r[3]) for r in verdict_rows], pa.string()),
             "lineage": pa.array([json.dumps({"source": "pages"})] * len(verdict_rows), pa.string()),
             "text_sha256_xor": pa.array([state["text_sha_xor"]] * len(verdict_rows), pa.string()),
         },
@@ -265,3 +496,15 @@ def run_suite(
     out = validate(pages, state, ts_index=ts_index, out_dir=out_dir)
     out["state"] = state
     return out
+
+
+# backwards-compatible single-stage derive (used by tests/queries)
+def derive(ds: "rd.Dataset") -> "rd.Dataset":
+    def add(batch: pa.Table) -> pa.Table:
+        nb = _narrow(batch)
+        out = batch
+        for name in ("n_tokens", "text_len", "domain"):
+            out = out.append_column(name, nb[name])
+        return out
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
