@@ -168,7 +168,7 @@ def q_missing_gaps_events(sf_dir: str):
             }
         )
 
-    return out.map_batches(to_us, batch_format="pandas")
+    return out.map_batches(to_us, batch_format="pandas", batch_size=None)
 
 
 def q_uniqueness_lineitem(sf_dir: str):
@@ -220,7 +220,7 @@ def q_token_stats_documents(sf_dir: str):
         )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        add, batch_format="pyarrow", zero_copy_batch=True
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -284,7 +284,7 @@ def q_min_transition_events(sf_dir: str):
             }
         )
 
-    return out.map_batches(to_us, batch_format="pyarrow")
+    return out.map_batches(to_us, batch_format="pyarrow", batch_size=None)
 
 
 def q_histogram_events(sf_dir: str):
@@ -314,7 +314,7 @@ def q_q1_lineitem(sf_dir: str):
         return g.rename_columns(["l_returnflag", "l_linestatus", "__sq", "__sp", "__n"])
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("__sq", alias_name="sum_qty_raw"),
@@ -338,7 +338,7 @@ def q_q1_lineitem(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def q_segment_revenue(sf_dir: str):
@@ -376,7 +376,7 @@ def q_segment_revenue(sf_dir: str):
 
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(SegmentJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        .map_batches(SegmentJoin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 4))
         .groupby("c_mktsegment")
         .aggregate(Sum("__sp", alias_name="rev_raw"), Sum("__n", alias_name="n"))
     )
@@ -390,7 +390,7 @@ def q_segment_revenue(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def q_ann_topk_embeddings(sf_dir: str):
@@ -420,8 +420,220 @@ def q_ann_topk_embeddings(sf_dir: str):
     )
 
 
+def q_json_extract_events(sf_dir: str):
+    """JsonModelElement recast: typed field extraction from the JSON
+    props column (parse failures → null + flag)."""
+    from logdata_anomaly_miner_ray.functions.parsing import json_extract
+
+    def add(batch: pa.Table) -> pa.Table:
+        cols = json_extract(batch["props"], {"k": pa.int64()})
+        return pa.table({"event_id": batch["event_id"], "k": cols["k"]})
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def q_allowlist_rules_events(sf_dir: str):
+    """Rule-engine allowlist check (AllowlistViolationDetector):
+    rows matching NO allowlist rule are violations."""
+    from logdata_anomaly_miner_ray.functions.rules import (
+        ValueListRule,
+        ValueRangeRule,
+        allowlist_violations_mask,
+    )
+
+    allow = [
+        ValueListRule("event_type", ["click", "view", "purchase"]),
+        ValueRangeRule("value", 0.0, 100.0),
+    ]
+
+    def flag(batch: pa.Table) -> pa.Table:
+        mask = allowlist_violations_mask(batch, allow)
+        return pa.table({"event_id": batch["event_id"]}).filter(mask)
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        flag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def q_implication_support_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.correlation import implication_support
+
+    return implication_support(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"],
+        "event_type",
+        "ts",
+        max_delta=600.0,
+    )
+
+
+def q_mean_shift_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.timeseries import mean_shift_violations
+
+    out = mean_shift_violations(
+        _read(sf_dir, "events", ["event_type", "value", "ts"]),
+        ["event_type"],
+        "value",
+        "ts",
+        window_seconds=21600,
+        avg_factor=3.0,
+        min_n=10,
+    )
+    return out.select_columns(["event_type", "window"])
+
+
+def q_sessions_events(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    from logdata_anomaly_miner_ray.stages.session import sessionize
+
+    s = sessionize(
+        _read(sf_dir, "events", ["user_id", "ts"]), ["user_id"], "ts", 1800.0
+    )
+    agg = s.groupby("user_id").aggregate(Max("session_id", alias_name="max_sid"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_sessions": pc.add(t["max_sid"], 1),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_interval_unmatched_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.correlation import interval_join_violations
+
+    out = interval_join_violations(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"],
+        "event_type",
+        "ts",
+        a_event="error",
+        b_event="purchase",
+        min_delta=0.0,
+        max_delta=600.0,
+    )
+    return out.select_columns(["user_id", "ts"])
+
+
+def q_monotonic_adjust_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.ordering import monotonic_adjust
+
+    out = monotonic_adjust(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+        ["user_id"],
+        "event_id",
+        "ts",
+    )
+    return out.select_columns(["event_id", "ts_adjusted"])
+
+
 # ---- rows-only queries (non-SQL-expressible: heuristic scoring,
 # sketches, LSH candidates, drift statistics, model plumbing) ----
+
+
+def q_pca_windows_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.timeseries import pca_outlier_windows
+
+    return pca_outlier_windows(
+        _read(sf_dir, "events", ["event_type", "ts"]), "event_type", "ts", 3600
+    )
+
+
+def q_ar_outliers_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.frequency import window_counts
+    from logdata_anomaly_miner_ray.stages.timeseries import ar_forecast_outliers
+
+    wc = window_counts(
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", 3600
+    ).to_pandas()
+    return ar_forecast_outliers(wc, ["event_type"])
+
+
+def q_count_vector_outliers_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.correlation import count_vector_outliers
+
+    return count_vector_outliers(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"],
+        "event_type",
+        "ts",
+        window_seconds=86400,
+        confidence_factor=0.3,
+    )
+
+
+def q_chi2_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.correlation import contingency_chi2
+
+    chi2, dof, _ = contingency_chi2(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+    return pa.table(
+        {"chi2_e4": pa.array([int(round(chi2 * 10_000))], pa.int64()),
+         "dof": pa.array([dof], pa.int64())}
+    )
+
+
+def q_time_of_period_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.timeseries import time_of_period_outliers
+
+    return time_of_period_outliers(
+        _read(sf_dir, "events", ["event_type", "ts"]),
+        ["event_type"],
+        "ts",
+        period_seconds=86400,
+        max_time_diff=600.0,
+    )
+
+
+def q_session_combos_events(sf_dir: str):
+    from logdata_anomaly_miner_ray.stages.session import session_combos
+
+    return session_combos(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        gap_seconds=1800.0,
+    )
+
+
+def q_ivf_topk_embeddings(sf_dir: str):
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from logdata_anomaly_miner_ray.stages.ann import ivf_topk
+
+    t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q0 = np.array([t0["embedding"].to_pylist()[0]], dtype=np.float64)
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding",
+        "vec_id",
+        ray.put(q0),
+        dim=q0.shape[1],
+        k=10,
+    )
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: actor-pool decode of a deterministic
+    synthetic media table (codecs stubbed — see stages/multimodal)."""
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.multimodal import (
+        decode_media,
+        synth_media_table,
+    )
+
+    return decode_media(rd.from_arrow(synth_media_table(128)))
 
 
 def q_quality_scores_documents(sf_dir: str):
@@ -515,7 +727,7 @@ def q_entropy_scores_documents(sf_dir: str):
             {"doc_id": t["doc_id"], "mean_pair_prob": _round(t["mean_pair_prob"], 6)}
         )
 
-    return scored.map_batches(rnd, batch_format="pyarrow")
+    return scored.map_batches(rnd, batch_format="pyarrow", batch_size=None)
 
 
 def q_pages_suite_sf(sf_dir: str):
@@ -550,7 +762,7 @@ def _pages_from_documents(sf_dir: str):
         )
 
     return _read(sf_dir, "documents").map_batches(
-        to_pages, batch_format="pyarrow", zero_copy_batch=True
+        to_pages, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -598,6 +810,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": q_q1_lineitem,
         "segment_revenue": q_segment_revenue,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "json_extract_events": q_json_extract_events,
+        "allowlist_rules_events": q_allowlist_rules_events,
+        "implication_support_events": q_implication_support_events,
+        "mean_shift_events": q_mean_shift_events,
+        "sessions_events": q_sessions_events,
+        "interval_unmatched_events": q_interval_unmatched_events,
+        "monotonic_adjust_events": q_monotonic_adjust_events,
         # rows-only (non-SQL-expressible)
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
@@ -608,6 +827,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_documents": q_hll_distinct_documents,
         "ks_drift_events": q_ks_drift_events,
         "entropy_scores_documents": q_entropy_scores_documents,
+        "pca_windows_events": q_pca_windows_events,
+        "ar_outliers_events": q_ar_outliers_events,
+        "count_vector_outliers_events": q_count_vector_outliers_events,
+        "chi2_events": q_chi2_events,
+        "time_of_period_events": q_time_of_period_events,
+        "session_combos_events": q_session_combos_events,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "media_decode": q_media_decode,
         "pages_suite": q_pages_suite_sf,
     }
 
@@ -785,4 +1012,63 @@ ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
           WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10""",
+        "json_extract_events": """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events""",
+        "allowlist_rules_events": """
+SELECT event_id FROM events
+WHERE NOT (event_type IN ('click', 'view', 'purchase')
+           OR (value >= 0.0 AND value <= 100.0))""",
+        "implication_support_events": """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+a AS (SELECT user_id, event_type AS a_event, epoch_us(ts) AS ats FROM events)
+SELECT a.a_event, t.event_type AS b_event,
+       count(*)::BIGINT AS n_a,
+       sum(CASE WHEN EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = t.event_type
+              AND epoch_us(b.ts) > a.ats
+              AND epoch_us(b.ts) <= a.ats + 600000000
+          ) THEN 1 ELSE 0 END)::BIGINT AS n_hit
+FROM a CROSS JOIN types t
+GROUP BY 1, 2""",
+        "mean_shift_events": """
+WITH s AS (
+  SELECT event_type, CAST(floor(epoch(ts)/21600) AS BIGINT) AS "window",
+         count(*)::BIGINT AS n, avg(value) AS mean, var_pop(value) AS var
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, "window", n, mean, var,
+         lag(n)    OVER w AS pn,
+         lag(mean) OVER w AS pm,
+         lag(var)  OVER w AS pv
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY "window")
+)
+SELECT event_type, "window" FROM p
+WHERE pn IS NOT NULL AND pn >= 10 AND n >= 10
+  AND sqrt(pv/pn + var/n) > 0
+  AND abs(mean - pm) / sqrt(pv/pn + var/n) > 3.0""",
+        "sessions_events": """
+WITH o AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id, (sum(brk) + 1)::BIGINT AS n_sessions
+FROM o GROUP BY user_id""",
+        "interval_unmatched_events": """
+SELECT user_id, ts FROM events a
+WHERE a.event_type = 'error' AND NOT EXISTS (
+  SELECT 1 FROM events b
+  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+    AND epoch_us(b.ts) >= epoch_us(a.ts)
+    AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+)""",
+        "monotonic_adjust_events": """
+SELECT event_id,
+       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS ts_adjusted
+FROM events""",
     }

@@ -1,0 +1,141 @@
+"""Derived-column 'parsing model': JSON field extraction and
+datetime parsing over Arrow batches.
+
+Clean-room recast of AMiner's parsing-model leaf elements for a
+columnar world: the ModelElement tree consumed byte prefixes per
+record (reference: aminer/parsing/ModelElementInterface.py:495-501);
+here a 'parser path' is a derived column, produced vectorized:
+
+- ``json_extract``       — JsonModelElement/JsonStringModelElement
+  (reference: aminer/parsing/JsonModelElement.py:52-514): a JSON
+  string column → typed columns for selected dotted paths, with
+  parse-failure rows flagged null (AMiner's unparsed-atom event).
+- ``parse_datetime``     — DateTimeModelElement (reference:
+  aminer/parsing/DateTimeModelElement.py:70-422): %-format strings
+  → timestamp[us] via pc.strptime, nulls on failure.
+- ``parse_int/float``    — Decimal*ValueModelElement: string →
+  number with null-on-failure.
+- ``parse_ipv4``         — IpAddressDataModelElement
+  (reference: aminer/parsing/IpAddressDataModelElement.py:19-93):
+  dotted quad → uint32 int.
+- ``fixed_wordlist_index`` — FixedWordlistDataModelElement:
+  value → index in word list (match_object = index semantics).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def json_extract(
+    col, paths: dict[str, pa.DataType], flag_name: str = "parse_ok"
+) -> dict[str, pa.Array]:
+    """Extract dotted paths from a JSON-string column.
+
+    Returns {out_name: typed Array} plus a boolean parse-ok column.
+    Row-level json.loads is unavoidable without a JSON kernel in
+    this pyarrow build; the loop body is C-accelerated json parsing
+    per row and runs inside distributed map_batches tasks.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    ok = np.zeros(n, dtype=bool)
+    raw: dict[str, list] = {p: [None] * n for p in paths}
+    for i in range(n):
+        v = col[i].as_py()
+        if v is None:
+            continue
+        try:
+            obj = json.loads(v)
+            ok[i] = True
+        except (ValueError, TypeError):
+            continue
+        for p in paths:
+            cur = obj
+            for part in p.split("."):
+                if isinstance(cur, dict) and part in cur:
+                    cur = cur[part]
+                else:
+                    cur = None
+                    break
+            raw[p][i] = cur
+    out: dict[str, pa.Array] = {}
+    for p, typ in paths.items():
+        vals = raw[p]
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            coerced = []
+            for v in vals:
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    coerced.append(None)
+                else:
+                    coerced.append(v)
+            out[p.replace(".", "_")] = pa.array(coerced, typ)
+        elif pa.types.is_boolean(typ):
+            out[p.replace(".", "_")] = pa.array(
+                [v if isinstance(v, bool) else None for v in vals], typ
+            )
+        else:
+            out[p.replace(".", "_")] = pa.array(
+                [v if isinstance(v, str) else (None if v is None else json.dumps(v)) for v in vals],
+                typ,
+            )
+    out[flag_name] = pa.array(ok)
+    return out
+
+
+def parse_datetime(col, fmt: str = "%Y-%m-%d %H:%M:%S") -> pa.Array:
+    """String → timestamp[us]; unparseable rows become null (the
+    reference raises per-atom parse failure; columnar recast flags)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.strptime(col, format=fmt, unit="us", error_is_null=True)
+
+
+def parse_int(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # cast with safe=False maps unparseable to error; use regex guard
+    valid = pc.match_substring_regex(col, r"^[+-]?\d+$")
+    guarded = pc.if_else(pc.fill_null(valid, False), col, pa.scalar(None, pa.string()))
+    return pc.cast(guarded, pa.int64())
+
+
+def parse_float(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.match_substring_regex(col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+    guarded = pc.if_else(pc.fill_null(valid, False), col, pa.scalar(None, pa.string()))
+    return pc.cast(guarded, pa.float64())
+
+
+def parse_ipv4(col) -> pa.Array:
+    """Dotted-quad string → int (match_object semantics of
+    IpAddressDataModelElement)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(col, ".")
+    out = np.full(len(col), -1, dtype=np.int64)
+    lists = parts.to_pylist()
+    for i, p in enumerate(lists):
+        if p is None or len(p) != 4:
+            continue
+        try:
+            o = [int(x) for x in p]
+        except ValueError:
+            continue
+        if all(0 <= x <= 255 for x in o):
+            out[i] = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+    return pa.array([int(x) if x >= 0 else None for x in out], pa.int64())
+
+
+def fixed_wordlist_index(col, words: list[str]) -> pa.Array:
+    """Value → index in the word list, null if absent."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    idx = pc.index_in(col, value_set=pa.array(words, pa.string()))
+    return idx

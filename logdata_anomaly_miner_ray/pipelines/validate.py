@@ -155,7 +155,7 @@ def fit(pages: "rd.Dataset", config: SuiteConfig | None = None) -> dict:
     """Learn pass → broadcastable constraint state dict (ONE read)."""
     config = config or SuiteConfig()
     partials = pages.map_batches(
-        FitPartials(), batch_format="pyarrow", zero_copy_batch=True
+        FitPartials(), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     stats: dict[str, _ColPartial] = {}
     per_lang: dict[str, dict] = {}
@@ -376,7 +376,7 @@ def validate(
     fused = pages.map_batches(
         BroadcastChecks,
         fn_constructor_kwargs={"state_ref": state_ref, "allowed_langs": allowed_langs},
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=(1, 16),
     ).materialize()
@@ -394,7 +394,7 @@ def validate(
         lambda t: t.filter(
             pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["Analysis.__ShaXor", "Analysis.Noop"])))
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     t0 = time.time()
@@ -418,30 +418,50 @@ def validate(
 
     # ---- keyed checks over the narrow projection (no text/html) ----
     narrow = pages.map_batches(
-        _narrow, batch_format="pyarrow", zero_copy_batch=True
+        _narrow, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()
 
-    run_check("uniqueness_url", lambda: uniq_stage.uniqueness_violations(narrow, "url"))
+    run_check(
+        "uniqueness_url",
+        lambda: uniq_stage.uniqueness_violations(narrow.select_columns(["url"]), "url"),
+    )
     if ts_index is not None:
         run_check(
             "referential_url_ts",
-            lambda: ref_stage.referential_violations(narrow, "url", ts_index, "url"),
+            lambda: ref_stage.referential_violations(
+                narrow.select_columns(["url"]), "url", ts_index, "url"
+            ),
         )
-    nonnull = narrow.map_batches(
+    seq_col = "row_idx" if "row_idx" in narrow.schema().names else "url"
+    nonnull = narrow.select_columns(["lang", "domain", seq_col, "warc_ts"]).map_batches(
         lambda t: t.filter(pc.is_valid(t["warc_ts"])),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    wc = freq_stage.window_counts(nonnull, ["lang"], "warc_ts", config.window_seconds).materialize()
+    wc = freq_stage.window_counts(nonnull, ["lang"], "warc_ts", config.window_seconds)
+    freq_rep = freq_stage.frequency_report(wc, ["lang"], confidence_factor=0.33).materialize()
     run_check(
         "frequency",
-        lambda: freq_stage.frequency_anomalies(wc, ["lang"], confidence_factor=0.33),
+        lambda: freq_rep.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "anomaly")),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ),
     )
-    run_check("empty_windows", lambda: freq_stage.empty_windows(wc, ["lang"]))
-    seq_col = "row_idx" if "row_idx" in narrow.schema().names else "url"
+    run_check(
+        "empty_windows",
+        lambda: freq_rep.map_batches(
+            lambda t: t.filter(t["is_empty"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ),
+    )
     run_check(
         "ordering",
-        lambda: ordering_stage.inversion_counts(nonnull, ["domain"], seq_col, "warc_ts"),
+        lambda: ordering_stage.inversion_counts(
+            nonnull.select_columns(["domain", seq_col, "warc_ts"]),
+            ["domain"],
+            seq_col,
+            "warc_ts",
+        ),
     )
 
     # KS drift on n_tokens across langs from the fit-pass digests
@@ -507,4 +527,4 @@ def derive(ds: "rd.Dataset") -> "rd.Dataset":
             out = out.append_column(name, nb[name])
         return out
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -31,7 +31,7 @@ def grouped_counts(
         t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return t.rename_columns(keys + ["__pn"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     out = partials.groupby(keys).aggregate(Sum("__pn", alias_name=out_name))
     return out
 
@@ -57,7 +57,7 @@ def grouped_min_max(
         )
         return t.rename_columns(keys + ["__mn", "__mx", "__pn"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     aggs = [Min("__mn", alias_name=min_name), Max("__mx", alias_name=max_name)]
     if count_name:
         aggs.append(Sum("__pn", alias_name=count_name))
@@ -85,7 +85,7 @@ def grouped_span_count(
         )
         return t.rename_columns(keys + ["__mn", "__mx", "__pn"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby(keys).aggregate(
         Min("__mn", alias_name=first_name),
         Max("__mx", alias_name=last_name),
@@ -100,5 +100,5 @@ def distinct_rows(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset"
         t = batch.select(keys).group_by(keys).aggregate([])
         return t
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby(keys).aggregate(Count(alias_name="__c")).drop_columns(["__c"])

@@ -79,7 +79,7 @@ def cosine_topk(
             )
 
     partials = ds.map_batches(
-        BlockTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        BlockTopK, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
     cand = partials.to_pandas()
     out = (
@@ -143,7 +143,7 @@ def ivf_topk(
             )
 
     partials = ds.map_batches(
-        BlockIvf, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        BlockIvf, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
     cand = partials.to_pandas()
     return (

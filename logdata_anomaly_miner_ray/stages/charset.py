@@ -79,7 +79,7 @@ def fit_charsets(
     over (#blocks × #groups) small packed bitmaps."""
     partials = ds.map_batches(
         CharsetFitPartials(group_col, value_col),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     out: dict[str, np.ndarray] = {}
@@ -156,5 +156,5 @@ def charset_violations(
             )
 
     return ds.map_batches(
-        CharsetCheck, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        CharsetCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )

@@ -120,7 +120,7 @@ def column_stats(
     table — the input streams through once."""
     partials = ds.map_batches(
         ColumnStatsPartials(columns, with_quantiles),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     merged = merge_column_partials(_collect_arrow(partials))

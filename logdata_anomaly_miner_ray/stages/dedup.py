@@ -37,7 +37,7 @@ def with_content_hash(
     def add(batch: pa.Table) -> pa.Table:
         return batch.append_column(hash_name, pa.array(md5_hex(batch[text_col]), pa.string()))
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def exact_dup_groups(
@@ -59,7 +59,7 @@ def exact_dup_groups(
         )
         return t.rename_columns([hash_name, "__mn", "__pn"])
 
-    partials = hashed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = hashed.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby(hash_name).aggregate(
         Min("__mn", alias_name="keep_id"), Sum("__pn", alias_name="n")
     )
@@ -104,29 +104,47 @@ def minhash_lsh_candidate_pairs(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per BAND (few, large groups — thousands of tiny
+        (band, bh) map_groups calls are pure overhead in Ray);
+        buckets are the bh sub-groups, paired vectorized."""
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
-        g = g.sort_values(id_col, kind="mergesort").head(max_bucket)
+            return empty
+        g = g.sort_values(["bh", id_col], kind="mergesort")
+        bh = g["bh"].to_numpy()
         ids = g[id_col].to_numpy()
         sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        iu = np.triu_indices(len(ids), k=1)
-        jac = eq[iu]
-        keep = jac >= jaccard_threshold
+        starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bh)]])
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            e = min(e, s + max_bucket)
+            sub = sigs[s:e]
+            eq = (sub[:, None, :] == sub[None, :, :]).mean(axis=2)
+            iu = np.triu_indices(e - s, k=1)
+            jac = eq[iu]
+            keep = jac >= jaccard_threshold
+            out_a.append(ids[s:e][iu[0][keep]])
+            out_b.append(ids[s:e][iu[1][keep]])
+            out_j.append(jac[keep])
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "id_a": ids[iu[0][keep]],
-                "id_b": ids[iu[1][keep]],
-                "est_jaccard": jac[keep],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "est_jaccard": np.concatenate(out_j),
             }
         )
 
-    pairs = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands — dedupe with one small groupby
     from ray.data.aggregate import Max
 
@@ -144,7 +162,7 @@ def simhash_fingerprints(
             "simhash", pa.array(sh.view(np.int64), pa.int64())
         )
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def simhash_near_dup_pairs(
@@ -184,22 +202,41 @@ def simhash_near_dup_pairs(
             }
         )
 
-    exploded = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = fps.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def chunk_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per CHUNK position; ch sub-buckets paired inside
+        (same tiny-group-overhead avoidance as MinHash bands)."""
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        g = g.sort_values(id_col, kind="mergesort").head(256)
+            return empty
+        g = g.sort_values(["ch", id_col], kind="mergesort")
+        ch = g["ch"].to_numpy()
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().view(np.uint64)
-        iu = np.triu_indices(len(ids), k=1)
-        d = hamming64(sh[iu[0]], sh[iu[1]])
-        keep = d <= max_hamming
-        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]], "hamming": d[keep]})
+        starts = np.flatnonzero(np.concatenate([[True], ch[1:] != ch[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ch)]])
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            e = min(e, s + 256)
+            iu = np.triu_indices(e - s, k=1)
+            d = hamming64(sh[s:e][iu[0]], sh[s:e][iu[1]])
+            keep = d <= max_hamming
+            out_a.append(ids[s:e][iu[0][keep]])
+            out_b.append(ids[s:e][iu[1][keep]])
+            out_d.append(d[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_d)}
+        )
 
-    pairs = exploded.groupby(["chunk", "ch"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = exploded.groupby("chunk").map_groups(chunk_pairs, batch_format="pandas")
     from ray.data.aggregate import Min as _Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
@@ -232,29 +269,50 @@ def embedding_near_dup_pairs(
         bucket = bits @ (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         return pa.table(
             {
+                "coarse": pa.array((bucket & 0xF).astype(np.int64)),
                 "bucket": pa.array(bucket.astype(np.int64)),
                 id_col: batch[id_col],
                 "unit": pa.array(list(unit.astype(np.float32))),
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per coarse group (16); fine buckets sub-looped —
+        avoids per-tiny-group map_groups overhead."""
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "cosine": pd.Series(dtype=np.float64)})
-        g = g.sort_values(id_col, kind="mergesort").head(max_bucket)
+            return empty
+        g = g.sort_values(["bucket", id_col], kind="mergesort")
+        bk = g["bucket"].to_numpy()
         ids = g[id_col].to_numpy()
         unit = np.stack(g["unit"].to_list()).astype(np.float64)
-        sim = unit @ unit.T
-        iu = np.triu_indices(len(ids), k=1)
-        s = sim[iu]
-        keep = s >= cosine_threshold
-        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]], "cosine": s[keep]})
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bk)]])
+        out_a, out_b, out_s = [], [], []
+        for s_, e_ in zip(starts, ends):
+            if e_ - s_ < 2:
+                continue
+            e_ = min(e_, s_ + max_bucket)
+            sub = unit[s_:e_]
+            sim = sub @ sub.T
+            iu = np.triu_indices(e_ - s_, k=1)
+            sv = sim[iu]
+            keep = sv >= cosine_threshold
+            out_a.append(ids[s_:e_][iu[0][keep]])
+            out_b.append(ids[s_:e_][iu[1][keep]])
+            out_s.append(sv[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_s)}
+        )
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed.groupby("coarse").map_groups(coarse_pairs, batch_format="pandas")
     from ray.data.aggregate import Max as _Max
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cosine", alias_name="cosine"))

@@ -89,7 +89,7 @@ def domain_violations(
             )
 
     return ds.map_batches(
-        DomainCheck, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        DomainCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
 
 

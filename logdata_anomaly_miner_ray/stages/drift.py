@@ -101,7 +101,7 @@ def group_histograms(
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby([group_col, "bin"]).aggregate(Sum("__pn", alias_name=count_name))
 
 
@@ -191,7 +191,7 @@ def ks_drift_by_group(
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     digests: dict[str, TDigest] = {}
     ns: dict[str, int] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):

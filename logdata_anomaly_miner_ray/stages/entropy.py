@@ -30,7 +30,7 @@ def fit_bigram_table(ds: "ray.data.Dataset", value_col: str) -> np.ndarray:
         counts = bigram_counts(batch[value_col])
         return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     total = np.zeros(65536, dtype=np.int64)
     for b in partials.iter_batches(batch_format="pyarrow"):
         for blob in b["counts"].to_pylist():
@@ -55,7 +55,7 @@ def entropy_scores(
             return batch.append_column(score_name, pa.array(score, pa.float64(), from_pandas=True))
 
     return ds.map_batches(
-        Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        Scorer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
 
 
@@ -97,5 +97,5 @@ def entropy_violations(
             )
 
     return ds.map_batches(
-        EntropyCheck, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        EntropyCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )

@@ -47,7 +47,7 @@ def window_counts(
         t = t.group_by(key_cols + [window_name]).aggregate([([], "count_all")])
         return t.rename_columns(key_cols + [window_name, "__pn"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby(key_cols + [window_name]).aggregate(
         Sum("__pn", alias_name=count_name)
     )
@@ -92,6 +92,44 @@ def frequency_anomalies(
         out[count_name] = cnt[idx].astype(np.int64)
         out["mean"] = mean
         out["std"] = std
+        out["lower"] = lower
+        out["upper"] = upper
+        return pd.DataFrame(out)
+
+    return counts.groupby(key_cols).map_groups(per_key, batch_format="pandas")
+
+
+def frequency_report(
+    counts: "ray.data.Dataset",
+    key_cols: list[str],
+    confidence_factor: float = 0.33,
+    count_name: str = "n",
+    window_name: str = "window",
+) -> "ray.data.Dataset":
+    """One pass over the counts table producing BOTH the band
+    anomalies and the empty windows, tagged by a ``kind`` column —
+    two separate map_groups over the same shuffle would double the
+    fixed stage cost for no reason."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        wmin, wmax = int(g[window_name].min()), int(g[window_name].max())
+        full = np.arange(wmin, wmax + 1, dtype=np.int64)
+        cnt = np.zeros(len(full), dtype=np.float64)
+        cnt[(g[window_name].to_numpy() - wmin).astype(np.int64)] = g[count_name].to_numpy()
+        mean, std = float(cnt.mean()), float(cnt.std())
+        lower = mean - std / confidence_factor
+        upper = mean + std / confidence_factor
+        anom = (cnt < lower) | (cnt > upper)
+        empty = cnt == 0
+        idx = np.flatnonzero(anom | empty)
+        kinds = np.where(anom[idx], "anomaly", "empty")
+        # a zero-count window can be both; anomaly wins the tag,
+        # the empty flag column keeps the information
+        out = {c: [g[c].iloc[0]] * len(idx) for c in key_cols}
+        out[window_name] = full[idx]
+        out[count_name] = cnt[idx].astype(np.int64)
+        out["kind"] = kinds
+        out["is_empty"] = empty[idx]
         out["lower"] = lower
         out["upper"] = upper
         return pd.DataFrame(out)

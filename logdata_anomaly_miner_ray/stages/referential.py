@@ -50,8 +50,8 @@ def anti_join_keys(
 
         return partial
 
-    l = left.map_batches(side(0, left_key), batch_format="pyarrow", zero_copy_batch=True)
-    r = right.map_batches(side(1, right_key), batch_format="pyarrow", zero_copy_batch=True)
+    l = left.map_batches(side(0, left_key), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    r = right.map_batches(side(1, right_key), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     both = l.union(r)
     agg = both.groupby("__key").aggregate(
         Sum("__left", alias_name="__nl"), Sum("__right", alias_name="__nr")
@@ -60,7 +60,7 @@ def anti_join_keys(
         lambda t: t.filter(
             pc.and_(pc.greater(t["__nl"], 0), pc.equal(t["__nr"], 0))
         ).select(["__key"]).rename_columns([out_name]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     return missing
@@ -85,7 +85,7 @@ def filter_not_in(
             return batch.filter(mask)
 
     return ds.map_batches(
-        NotInFilter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        NotInFilter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
 
 
@@ -112,4 +112,4 @@ def referential_violations(
             expected='{"exists_in_parent": true}',
         )
 
-    return missing.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    return missing.map_batches(render, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

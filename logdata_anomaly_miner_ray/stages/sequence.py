@@ -63,7 +63,7 @@ def new_ngrams(
         mask = np.array([g not in known for g in grams], dtype=bool)
         return df[mask]
 
-    return ngrams.map_batches(flag, batch_format="pandas")
+    return ngrams.map_batches(flag, batch_format="pandas", batch_size=None)
 
 
 def min_transition_times(

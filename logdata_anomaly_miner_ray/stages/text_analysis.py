@@ -44,7 +44,7 @@ def with_token_stats(
             out = out.append_column(name, pa.array(arr, t))
         return out
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def with_quality_score(
@@ -67,7 +67,7 @@ def with_quality_score(
         score = 0.25 * length_score + 0.35 * alpha_score + 0.2 * punct_pen + 0.2 * digit_pen
         return batch.append_column(score_name, pa.array(score, pa.float64()))
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 class LangIdScorer:
@@ -119,4 +119,4 @@ def with_fingerprints(
             "fingerprint", pa.array(fp.view(np.int64), pa.int64())
         ).append_column("simhash", pa.array(sh.view(np.int64), pa.int64()))
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

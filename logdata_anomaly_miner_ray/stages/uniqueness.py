@@ -26,7 +26,7 @@ def duplicate_keys(
     counts = grouped_counts(ds, keys, out_name=count_name)
     return counts.map_batches(
         lambda t: t.filter(pc.greater(t[count_name], 1)),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
 
@@ -49,4 +49,4 @@ def uniqueness_violations(
             expected='{"count": 1}',
         )
 
-    return dups.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    return dups.map_batches(render, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

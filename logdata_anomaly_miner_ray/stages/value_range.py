@@ -84,5 +84,5 @@ def range_violations(
             )
 
     return ds.map_batches(
-        RangeCheck, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        RangeCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
