@@ -169,14 +169,16 @@ def pca_outlier_windows(
     )
     pivot = counts.pivot_table(index="window", columns=event_col, values="n", fill_value=0)
     X = pivot.to_numpy(dtype=np.float64)
-    mu = X.mean(axis=0)
-    Xc = X - mu
-    cov = Xc.T @ Xc / max(len(X) - 1, 1)
+    # non-centered PCA over the raw count vectors (reference builds
+    # the eigenspace from the raw event-count matrix,
+    # PCADetector.py:79-153); the anomaly score is the squared-norm
+    # fraction OUTSIDE the top-k eigenspace
+    cov = X.T @ X / max(len(X), 1)
     vals, vecs = np.linalg.eigh(cov)
     top = vecs[:, np.argsort(vals)[::-1][:n_components]]
-    proj = Xc @ top @ top.T
-    err = ((Xc - proj) ** 2).sum(axis=1)
-    norm = (Xc**2).sum(axis=1)
+    proj = X @ top @ top.T
+    err = ((X - proj) ** 2).sum(axis=1)
+    norm = (X**2).sum(axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
         score = np.where(norm > 0, err / norm, 0.0)
     return pd.DataFrame(

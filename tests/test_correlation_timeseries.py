@@ -1,0 +1,148 @@
+"""Correlation, time-series and session stages vs hand oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _ds(rows, cols=("user", "ev", "ts")):
+    arrs = list(zip(*rows))
+    t = pa.table(
+        {
+            cols[0]: pa.array(list(arrs[0])),
+            cols[1]: pa.array(list(arrs[1])),
+            cols[2]: pa.array(list(arrs[2]), pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_interval_join_violations():
+    from logdata_anomaly_miner_ray.stages.correlation import interval_join_violations
+
+    S = 1_000_000
+    rows = [
+        ("u", "a", 0 * S), ("u", "b", 5 * S),        # matched (within 10s)
+        ("u", "a", 100 * S),                          # unmatched
+        ("v", "a", 0 * S), ("v", "b", 50 * S),        # b too late
+    ]
+    out = interval_join_violations(
+        _ds(rows), ["user"], "ev", "ts", "a", "b", 0.0, 10.0
+    ).to_pandas()
+    got = sorted(zip(out["user"], out["ts"].astype(np.int64)))
+    assert got == [("u", 100 * S), ("v", 0)]
+
+
+def test_implication_support():
+    from logdata_anomaly_miner_ray.stages.correlation import implication_support
+
+    S = 1_000_000
+    rows = [("u", "a", 0), ("u", "b", 1 * S), ("u", "a", 10 * S), ("u", "c", 100 * S)]
+    out = (
+        implication_support(_ds(rows), ["user"], "ev", "ts", max_delta=5.0)
+        .to_pandas()
+        .set_index(["a_event", "b_event"])
+    )
+    assert out.loc[("a", "b")]["n_a"] == 2 and out.loc[("a", "b")]["n_hit"] == 1
+    assert out.loc[("a", "c")]["n_hit"] == 0
+
+
+def test_contingency_chi2_independent_vs_dependent():
+    from logdata_anomaly_miner_ray.stages.correlation import contingency_chi2
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2, 4000)
+    b_dep = (a + rng.integers(0, 2, 4000) * (rng.random(4000) < 0.1)).clip(0, 1)
+    b_ind = rng.integers(0, 2, 4000)
+    ds_dep = rd.from_arrow(pa.table({"a": a.astype(str), "b": b_dep.astype(str)}))
+    ds_ind = rd.from_arrow(pa.table({"a": a.astype(str), "b": b_ind.astype(str)}))
+    chi_dep, dof, _ = contingency_chi2(ds_dep, "a", "b")
+    chi_ind, _, _ = contingency_chi2(ds_ind, "a", "b")
+    assert dof == 1
+    assert chi_dep > 100 > chi_ind  # dependent huge, independent small
+
+
+def test_mean_shift_detects_level_change():
+    from logdata_anomaly_miner_ray.stages.timeseries import mean_shift_violations
+
+    S = 1_000_000
+    rows = []
+    rng = np.random.default_rng(1)
+    for w in range(6):
+        base = 100.0 if w < 3 else 200.0  # level shift at window 3
+        for i in range(50):
+            rows.append(("k", float(base + rng.normal(0, 5)), w * 3600 * S + i * S))
+    t = pa.table(
+        {
+            "key": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    out = mean_shift_violations(
+        rd.from_arrow(t), ["key"], "value", "ts", window_seconds=3600
+    ).to_pandas()
+    assert out["window"].tolist() == [3]
+
+
+def test_ar_forecast_outliers():
+    from logdata_anomaly_miner_ray.stages.timeseries import ar_forecast_outliers
+
+    wins = list(range(40))
+    n = [100.0] * 40
+    n[30] = 500.0  # spike
+    df = pd.DataFrame({"key": "k", "window": wins, "n": n})
+    out = ar_forecast_outliers(df, ["key"])
+    assert 30 in out["window"].tolist()
+
+
+def test_pca_outlier_windows():
+    from logdata_anomaly_miner_ray.stages.timeseries import pca_outlier_windows
+
+    S = 1_000_000
+    rows = []
+    rng = np.random.default_rng(2)
+    for w in range(30):
+        # correlated pattern: a≈b; window 25 breaks the correlation
+        na = 50 + int(rng.integers(0, 10))
+        nb = na if w != 25 else 5
+        rows += [("x", "a", w * 600 * S + i * 1000) for i in range(na)]
+        rows += [("x", "b", w * 600 * S + i * 1000 + 1) for i in range(nb)]
+    ds = _ds(rows)
+    out = pca_outlier_windows(ds, "ev", "ts", 600, n_components=1)
+    flagged = out[out["anomaly"]]["window"].tolist()
+    assert 25 in flagged
+
+
+def test_time_of_period_outliers():
+    from logdata_anomaly_miner_ray.stages.timeseries import time_of_period_outliers
+
+    S = 1_000_000
+    day = 86400 * S
+    rows = [("job", "run", d * day + 3600 * S) for d in range(5)]  # daily at 01:00
+    rows.append(("job", "run", 5 * day + 12 * 3600 * S))  # once at 12:00
+    out = time_of_period_outliers(
+        _ds(rows), ["user"], "ts", 86400, max_time_diff=600.0
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out["ts"].astype(np.int64).iloc[0]) == 5 * day + 12 * 3600 * S
+
+
+def test_sessionize_and_combos():
+    from logdata_anomaly_miner_ray.stages.session import session_combos, sessionize
+
+    S = 1_000_000
+    rows = [
+        ("u", "a", 0), ("u", "b", 10 * S),            # session 0
+        ("u", "c", 5000 * S),                          # session 1 (gap > 1800s)
+        ("v", "a", 0),
+    ]
+    s = sessionize(_ds(rows), ["user"], "ts", 1800.0).to_pandas()
+    u = s[s["user"] == "u"].sort_values("ts")
+    assert u["session_id"].tolist() == [0, 0, 1]
+    combos = session_combos(_ds(rows), ["user"], ["ev"], "ts", 1800.0).to_pandas()
+    u0 = combos[(combos["user"] == "u") & (combos["session_id"] == 0)]
+    assert u0["ev_set"].iloc[0] == "a|b"
+    assert u0["n_events"].iloc[0] == 2

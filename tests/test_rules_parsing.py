@@ -1,0 +1,106 @@
+"""Rule engine and parsing-model kernels."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logdata_anomaly_miner_ray.functions import parsing as P
+from logdata_anomaly_miner_ray.functions.rules import (
+    AndRule,
+    IPv4InRFC1918Rule,
+    ModuloTimeRule,
+    NotRule,
+    OrRule,
+    PathExistsRule,
+    StringRegexRule,
+    ValueListRule,
+    ValueMatchRule,
+    ValueRangeRule,
+    allowlist_violations_mask,
+)
+
+BATCH = pa.table(
+    {
+        "ev": ["click", "error", "view", "click", None],
+        "v": [10.0, 200.0, 50.0, -5.0, 30.0],
+        "msg": ["ok fine", "fatal crash", "ok again", "warn", "x"],
+        "ts": pa.array(
+            [0, 7_200_000_000, 43_200_000_000, 86_400_000_000, 90_000_000_000],
+            pa.int64(),
+        ).cast(pa.timestamp("us")),
+        "ip": pa.array(
+            [0x0A000001, 0x08080808, 0xC0A80101, 0x01020304, 0xAC100001], pa.int64()
+        ),
+    }
+)
+
+
+def test_value_and_range_rules():
+    assert ValueMatchRule("ev", "click").evaluate(BATCH).to_pylist() == [
+        True, False, False, True, False,
+    ]
+    assert ValueRangeRule("v", 0, 100).evaluate(BATCH).to_pylist() == [
+        True, False, True, False, True,
+    ]
+    assert ValueListRule("ev", ["click", "view"]).evaluate(BATCH).to_pylist() == [
+        True, False, True, True, False,
+    ]
+
+
+def test_boolean_combinators():
+    r = AndRule([ValueListRule("ev", ["click"]), ValueRangeRule("v", 0, 100)])
+    assert r.evaluate(BATCH).to_pylist() == [True, False, False, False, False]
+    r2 = OrRule([ValueMatchRule("ev", "error"), ValueRangeRule("v", -10, 0)])
+    assert r2.evaluate(BATCH).to_pylist() == [False, True, False, True, False]
+    assert NotRule(r2).evaluate(BATCH).to_pylist() == [True, False, True, False, True]
+    # operator sugar
+    assert (ValueMatchRule("ev", "click") & ValueRangeRule("v", 0, 100)).evaluate(
+        BATCH
+    ).to_pylist() == [True, False, False, False, False]
+
+
+def test_regex_modulo_ip_rules():
+    assert StringRegexRule("msg", r"^ok").evaluate(BATCH).to_pylist() == [
+        True, False, True, False, False,
+    ]
+    # hour-of-day bucket: 01:00-03:00
+    m = ModuloTimeRule("ts", 86400, 3600, 10800).evaluate(BATCH).to_pylist()
+    assert m == [False, True, False, False, True]
+    assert IPv4InRFC1918Rule("ip").evaluate(BATCH).to_pylist() == [
+        True, False, True, False, True,
+    ]
+    assert PathExistsRule("ev").evaluate(BATCH).to_pylist() == [
+        True, True, True, True, False,
+    ]
+    assert PathExistsRule("missing").evaluate(BATCH).to_pylist() == [False] * 5
+
+
+def test_allowlist_mask():
+    allow = [ValueListRule("ev", ["click", "view"]), ValueRangeRule("v", 0, 100)]
+    mask = allowlist_violations_mask(BATCH, allow)
+    # violating rows: error/200 (no rule matches)
+    assert mask.to_pylist() == [False, True, False, False, False]
+
+
+def test_json_extract():
+    col = pa.array(['{"a": {"b": 3}, "k": 7}', '{"k": "x"}', "not json", None])
+    out = P.json_extract(col, {"k": pa.int64(), "a.b": pa.int64()})
+    assert out["k"].to_pylist() == [7, None, None, None]
+    assert out["a_b"].to_pylist() == [3, None, None, None]
+    assert out["parse_ok"].to_pylist() == [True, True, False, False]
+
+
+def test_parse_datetime_int_float():
+    dt = P.parse_datetime(pa.array(["2024-01-02 03:04:05", "garbage"]))
+    assert dt[0].as_py().isoformat() == "2024-01-02T03:04:05"
+    assert dt[1].as_py() is None
+    assert P.parse_int(pa.array(["42", "-7", "x", "3.5"])).to_pylist() == [42, -7, None, None]
+    f = P.parse_float(pa.array(["3.5", "-2e3", "abc"]))
+    assert f.to_pylist()[:2] == [3.5, -2000.0] and f[2].as_py() is None
+
+
+def test_parse_ipv4_and_wordlist():
+    ip = P.parse_ipv4(pa.array(["10.0.0.1", "256.1.1.1", "1.2.3.4", "nope"]))
+    assert ip.to_pylist() == [0x0A000001, None, 0x01020304, None]
+    idx = P.fixed_wordlist_index(pa.array(["b", "a", "z"]), ["a", "b"])
+    assert idx.to_pylist() == [1, 0, None]
