@@ -95,10 +95,11 @@ def run_bench() -> dict:
 
     qs = E.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(qs[name](sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_SUITE_ONLY"):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(qs[name](sf_dir))
+            timings[name] = round(time.time() - t0, 3)
 
     # headline: full validation suite over the pages table
     t0 = time.time()
@@ -124,7 +125,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling compares the headline pages suite only — the same
+        # job at both parallelism levels (BASELINE.md protocol)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SUITE_ONLY="1")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

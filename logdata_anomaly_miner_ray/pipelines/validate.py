@@ -99,8 +99,32 @@ def _sha_xor_of_batch(text_col) -> bytes:
     return acc.tobytes()
 
 
+@ray.remote(num_cpus=0)
+class _StateCollector:
+    """Accumulates per-block fit partials so the SAME pass can return
+    the narrow projection as its dataset output — one wide read
+    yields both the learned state and the keyed-check input."""
+
+    def __init__(self):
+        self._blobs: list[bytes] = []
+
+    def add(self, blob: bytes) -> bool:
+        self._blobs.append(blob)
+        return True
+
+    def get_all(self) -> list[bytes]:
+        return self._blobs
+
+
 class FitPartials:
-    """One fused per-block partial: every learned state at once."""
+    """One fused per-block partial: every learned state at once.
+
+    With ``collector`` set, the partial blob is shipped to the
+    collector actor and the NARROW projection is returned instead
+    (fit + narrow in a single wide pass)."""
+
+    def __init__(self, collector=None):
+        self.collector = collector
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         nb = _narrow(batch)
@@ -148,22 +172,57 @@ class FitPartials:
             },
             protocol=5,
         )
+        if self.collector is not None:
+            ray.get(self.collector.add.remote(blob))  # ack before completing
+            return nb
         return pa.table({"state": pa.array([blob], pa.binary())})
 
 
 def fit(pages: "rd.Dataset", config: SuiteConfig | None = None) -> dict:
     """Learn pass → broadcastable constraint state dict (ONE read)."""
+    state, _ = fit_and_narrow(pages, config, want_narrow=False)
+    return state
+
+
+def fit_and_narrow(
+    pages: "rd.Dataset",
+    config: SuiteConfig | None = None,
+    want_narrow: bool = True,
+):
+    """ONE wide pass returning (state, materialized narrow
+    projection). The fit partials travel to a zero-CPU collector
+    actor; the pass's dataset output IS the narrow table."""
     config = config or SuiteConfig()
-    partials = pages.map_batches(
-        FitPartials(), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    blobs: list[bytes] = []
+    narrow = None
+    if want_narrow:
+        collector = _StateCollector.remote()
+        narrow = pages.map_batches(
+            FitPartials(collector),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).materialize()
+        blobs = ray.get(collector.get_all.remote())
+        ray.kill(collector)
+    else:
+        partials = pages.map_batches(
+            FitPartials(), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            blobs.extend(b["state"].to_pylist())
+    state = _merge_fit_blobs(blobs)
+    state["config"] = config
+    return state, narrow
+
+
+def _merge_fit_blobs(blobs: list[bytes]) -> dict:
     stats: dict[str, _ColPartial] = {}
     per_lang: dict[str, dict] = {}
     bigrams = np.zeros(65536, dtype=np.int64)
     sha = np.zeros(32, dtype=np.uint8)
     n_rows = 0
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for blob in b["state"].to_pylist():
+    for blob in blobs:
             p = pickle.loads(blob)
             for c, st in p["stats"].items():
                 stats[c] = stats[c].merge(st) if c in stats else st
@@ -196,7 +255,6 @@ def fit(pages: "rd.Dataset", config: SuiteConfig | None = None) -> dict:
         "bigrams": bigrams,
         "text_sha_xor": sha.tobytes().hex(),
         "n_rows": n_rows,
-        "config": config,
     }
 
 
@@ -330,6 +388,7 @@ def validate(
     out_dir: str | None = None,
     resume: bool = True,
     allowed_langs: list[str] | None = None,
+    narrow: "rd.Dataset | None" = None,
 ) -> dict:
     config: SuiteConfig = state.get("config") or SuiteConfig()
     manifest = CheckpointManifest(out_dir) if out_dir else None
@@ -416,10 +475,12 @@ def validate(
         ("text_byte_identity", sha_ok, 0 if sha_ok else 1, json.dumps({"sha_xor": sha_after.tobytes().hex()}))
     )
 
-    # ---- keyed checks over the narrow projection (no text/html) ----
-    narrow = pages.map_batches(
-        _narrow, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).materialize()
+    # ---- keyed checks over the narrow projection (no text/html);
+    # reuse the fit pass's narrow output when provided ----
+    if narrow is None:
+        narrow = pages.map_batches(
+            _narrow, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).materialize()
 
     run_check(
         "uniqueness_url",
@@ -512,8 +573,8 @@ def run_suite(
     out_dir: str | None = None,
     config: SuiteConfig | None = None,
 ) -> dict:
-    state = fit(pages, config)
-    out = validate(pages, state, ts_index=ts_index, out_dir=out_dir)
+    state, narrow = fit_and_narrow(pages, config)
+    out = validate(pages, state, ts_index=ts_index, out_dir=out_dir, narrow=narrow)
     out["state"] = state
     return out
 
