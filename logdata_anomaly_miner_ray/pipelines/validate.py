@@ -439,16 +439,20 @@ def validate(
         zero_copy_batch=True,
         concurrency=(1, 16),
     ).materialize()
-    # split meta sha rows from violations
+    # split meta sha rows from violations (vectorized: value_counts
+    # per batch; only sha-meta keys materialize as Python objects)
     sha_after = np.zeros(32, dtype=np.uint8)
     per_check_counts: dict[str, int] = {}
     for b in fused.iter_batches(batch_format="pyarrow"):
-        et = b["event_type"].to_pylist()
-        for i, e in enumerate(et):
-            if e == "Analysis.__ShaXor":
-                sha_after ^= np.frombuffer(bytes.fromhex(b["key"][i].as_py()), dtype=np.uint8)
-            elif e != "Analysis.Noop":
-                per_check_counts[e] = per_check_counts.get(e, 0) + 1
+        b = b.select(["event_type", "key"])
+        vc = b["event_type"].value_counts()
+        for sv in vc:
+            e = sv["values"].as_py()
+            if e not in ("Analysis.__ShaXor", "Analysis.Noop"):
+                per_check_counts[e] = per_check_counts.get(e, 0) + sv["counts"].as_py()
+        sha_rows = b.filter(pc.equal(b["event_type"], "Analysis.__ShaXor"))
+        for h in sha_rows["key"].to_pylist():
+            sha_after ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
     real = fused.map_batches(
         lambda t: t.filter(
             pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["Analysis.__ShaXor", "Analysis.Noop"])))
