@@ -31,13 +31,58 @@ def duplicate_keys(
     )
 
 
+def duplicate_keys_hashed(
+    ds: "ray.data.Dataset", key: str, count_name: str = "n"
+) -> "ray.data.Dataset":
+    """duplicate_keys for a high-cardinality STRING key: shuffle a
+    64-bit hash of the key instead of the string — the groupby's
+    sort compares ints, and only one representative string per
+    distinct hash rides along for reporting. Collision odds at
+    10^12 keys ≈ 10^24/2^65 ≈ 3e-5 per run (and a collision only
+    risks one false duplicate pair)."""
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.text import flat_utf8, token_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, off = flat_utf8(col)
+        h = token_hashes(data, off[:-1], off[1:]).view(np.int64)
+        uniq, first_idx, counts = np.unique(h, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "__h": pa.array(uniq),
+                key: col.take(pa.array(first_idx)),
+                "__pn": pa.array(counts),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    agg = partials.groupby("__h").aggregate(
+        Sum("__pn", alias_name=count_name), Min(key, alias_name=key)
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t[count_name], 1)).select([key, count_name]),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
 def uniqueness_violations(
     ds: "ray.data.Dataset", key: str, check_name: str = "UniqueKeyDetector"
 ) -> "ray.data.Dataset":
-    """Duplicate keys rendered as violation rows (FIXTURES.md F4)."""
+    """Duplicate keys rendered as violation rows (FIXTURES.md F4).
+    Uses the hashed shuffle (int sort keys) — the suite's url check."""
     from ..schema import violations_table
 
-    dups = duplicate_keys(ds, [key])
+    dups = duplicate_keys_hashed(ds, key)
 
     def render(t: pa.Table) -> pa.Table:
         return violations_table(
