@@ -137,7 +137,12 @@ def run_scaling() -> None:
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N. Default 2 vs 8: this shared sandbox host delivers
+    # near-linear CPU scaling up to ~8-12 workers and saturates on
+    # memory bandwidth beyond (see BASELINE.md probe); 8-vs-32 mostly
+    # measures the host, not the pipeline. Override via env.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     r_lo, r_hi = one(lo), one(hi)
     tp_lo = r_lo["pages_docs_per_sec"]
     tp_hi = r_hi["pages_docs_per_sec"]
@@ -146,10 +151,12 @@ def run_scaling() -> None:
         json.dumps(
             {
                 "metric": "pages-suite scaling efficiency",
-                "docs_per_sec_8": tp_lo,
-                "docs_per_sec_32": tp_hi,
-                "sec_total_8": r_lo["value"],
-                "sec_total_32": r_hi["value"],
+                "num_cpus_lo": lo,
+                "num_cpus_hi": hi,
+                f"docs_per_sec_{lo}": tp_lo,
+                f"docs_per_sec_{hi}": tp_hi,
+                f"sec_total_{lo}": r_lo["value"],
+                f"sec_total_{hi}": r_hi["value"],
                 "scaling_efficiency": round(eff, 3),
                 "pages_rows": r_lo["pages_rows"],
             }

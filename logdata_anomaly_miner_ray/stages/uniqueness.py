@@ -34,15 +34,21 @@ def duplicate_keys(
 def duplicate_keys_hashed(
     ds: "ray.data.Dataset", key: str, count_name: str = "n"
 ) -> "ray.data.Dataset":
-    """duplicate_keys for a high-cardinality STRING key: shuffle a
-    64-bit hash of the key instead of the string — the groupby's
-    sort compares ints, and only one representative string per
-    distinct hash rides along for reporting. Collision odds at
-    10^12 keys ≈ 10^24/2^65 ≈ 3e-5 per run (and a collision only
-    risks one false duplicate pair)."""
+    """duplicate_keys for a high-cardinality STRING key.
+
+    Shuffles a 64-bit hash of the key instead of the string, via
+    SORT + run-length counting rather than ``groupby().aggregate``
+    (Ray's aggregate walks per-group state — 5-8x slower than its
+    range sort for millions of mostly-unique groups). After the
+    range sort, equal hashes are contiguous: each block counts its
+    interior runs vectorized and forwards only its two EDGE groups
+    (first/last hash) to the driver, which merges the ≤2·#blocks
+    edge entries. Collision odds at 10^12 keys ≈ 3e-5 per run, and
+    a collision only risks one false duplicate pair."""
     import numpy as np
 
-    from ray.data.aggregate import Min, Sum
+    import ray
+    import ray.data as rd
 
     from ..functions.text import flat_utf8, token_hashes
 
@@ -64,14 +70,61 @@ def duplicate_keys_hashed(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    agg = partials.groupby("__h").aggregate(
-        Sum("__pn", alias_name=count_name), Min(key, alias_name=key)
-    )
-    return agg.map_batches(
-        lambda t: t.filter(pc.greater(t[count_name], 1)).select([key, count_name]),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
+    sorted_parts = partials.sort("__h")
+
+    def block_dups(batch: pa.Table) -> pa.Table:
+        h = batch["__h"].to_numpy(zero_copy_only=False)
+        n = batch["__pn"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {key: pa.array([], pa.string()), count_name: pa.array([], pa.int64()),
+                 "__edge": pa.array([], pa.bool_()), "__h": pa.array([], pa.int64())}
+            )
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        ends = np.concatenate([starts[1:], [len(h)]])
+        cs = np.concatenate([[0], np.cumsum(n)])
+        sums = cs[ends] - cs[starts]
+        is_edge = np.zeros(len(starts), dtype=bool)
+        is_edge[0] = True
+        is_edge[-1] = True
+        keep = is_edge | (sums > 1)
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                key: batch[key].take(pa.array(starts[idx])),
+                count_name: pa.array(sums[idx], pa.int64()),
+                "__edge": pa.array(is_edge[idx]),
+                "__h": pa.array(h[starts[idx]], pa.int64()),
+            }
+        )
+
+    # marked = interior dup groups + ≤2 edge groups per block — SMALL
+    # under the rare-duplicates assumption (same assumption AMiner
+    # makes emitting every anomaly as an event); finish on the
+    # driver in one execution. A pathologically all-duplicate input
+    # should use `duplicate_keys` (full aggregate) instead.
+    md = sorted_parts.map_batches(
+        block_dups, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    import pandas as pd
+
+    interior = md[~md["__edge"]][[key, count_name]]
+    edges = md[md["__edge"]]
+    if len(edges):
+        eg = edges.groupby("__h", as_index=False).agg(
+            **{key: (key, "first"), count_name: (count_name, "sum")}
+        )
+        eg = eg[eg[count_name] > 1][[key, count_name]]
+    else:
+        eg = pd.DataFrame({key: [], count_name: []})
+    allc = pd.concat([interior, eg], ignore_index=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                key: pa.array(allc[key].tolist(), pa.string()),
+                count_name: pa.array([int(x) for x in allc[count_name].tolist()], pa.int64()),
+            }
+        )
     )
 
 
