@@ -521,11 +521,13 @@ def validate(
     )
     run_check(
         "ordering",
-        lambda: ordering_stage.inversion_counts(
-            nonnull.select_columns(["domain", seq_col, "warc_ts"]),
-            ["domain"],
-            seq_col,
-            "warc_ts",
+        lambda: rd.from_pandas(
+            ordering_stage.inversion_counts_sorted(
+                nonnull.select_columns(["domain", seq_col, "warc_ts"]),
+                "domain",
+                seq_col,
+                "warc_ts",
+            )
         ),
     )
 
