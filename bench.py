@@ -103,7 +103,7 @@ def run_bench() -> dict:
 
     # headline: full validation suite over the pages table
     t0 = time.time()
-    pages = rd.read_parquet(PAGES_DIR)
+    pages = rd.read_parquet(PAGES_DIR, include_paths=True)
     run_suite(pages)
     suite_sec = time.time() - t0
     timings["pages_suite"] = round(suite_sec, 3)

@@ -85,18 +85,49 @@ def _narrow(batch: pa.Table) -> pa.Table:
     }
     if "row_idx" in batch.column_names:
         cols["row_idx"] = batch["row_idx"]
+    pid = _partition_ids(batch)
+    if pid is not None:
+        cols["partition_id"] = pa.array(pid.tolist(), pa.string())
     return pa.table(cols)
 
 
-def _sha_xor_of_batch(text_col) -> bytes:
+def _partition_ids(batch: pa.Table) -> np.ndarray | None:
+    """Per-row partition id: an explicit ``partition_id`` column, or
+    the basename of a ``path`` column (``read_parquet(...,
+    include_paths=True)`` lineage)."""
+    import os as _os
+
+    if "partition_id" in batch.column_names:
+        return np.asarray(
+            batch["partition_id"].to_numpy(zero_copy_only=False), dtype=object
+        ).astype(str)
+    if "path" in batch.column_names:
+        paths = batch["path"].to_pylist()
+        return np.array([_os.path.basename(p or "") for p in paths], dtype=object).astype(str)
+    return None
+
+
+def _sha_xor_of_batch(text_col, partitions: np.ndarray | None = None):
+    """XOR-fold of per-row sha256. With ``partitions`` given, returns
+    {partition_id: digest_bytes}; else the single fold."""
     data, off = textfn.flat_utf8(text_col)
     mv = memoryview(data)
-    acc = np.zeros(32, dtype=np.uint8)
+    if partitions is None:
+        acc = np.zeros(32, dtype=np.uint8)
+        for i in range(len(off) - 1):
+            acc ^= np.frombuffer(
+                hashlib.sha256(mv[off[i] : off[i + 1]]).digest(), dtype=np.uint8
+            )
+        return acc.tobytes()
+    accs: dict[str, np.ndarray] = {}
     for i in range(len(off) - 1):
-        acc ^= np.frombuffer(
-            hashlib.sha256(mv[off[i] : off[i + 1]]).digest(), dtype=np.uint8
-        )
-    return acc.tobytes()
+        d = np.frombuffer(hashlib.sha256(mv[off[i] : off[i + 1]]).digest(), dtype=np.uint8)
+        p = partitions[i]
+        if p in accs:
+            accs[p] ^= d
+        else:
+            accs[p] = d.copy()
+    return {p: a.tobytes() for p, a in accs.items()}
 
 
 @ray.remote(num_cpus=0)
@@ -162,12 +193,28 @@ class FitPartials:
                 "count": int(len(sel)),
                 "tok_digest": TDigest.from_array(sel.astype(np.float64)),
             }
+        pid = _partition_ids(batch)
+        if pid is not None:
+            sha_parts = _sha_xor_of_batch(batch["text"], pid)
+            pvals, pcounts = np.unique(pid, return_counts=True)
+            partitions = {
+                str(p): {"n_rows": int(c), "sha_xor": sha_parts[str(p)]}
+                for p, c in zip(pvals, pcounts)
+            }
+            sha_all = np.zeros(32, dtype=np.uint8)
+            for d in sha_parts.values():
+                sha_all ^= np.frombuffer(d, dtype=np.uint8)
+            sha_all = sha_all.tobytes()
+        else:
+            partitions = {}
+            sha_all = _sha_xor_of_batch(batch["text"])
         blob = pickle.dumps(
             {
                 "stats": stats,
                 "per_lang": per_lang,
                 "bigrams": textfn.bigram_counts(batch["text"]),
-                "sha_xor": _sha_xor_of_batch(batch["text"]),
+                "sha_xor": sha_all,
+                "partitions": partitions,
                 "n_rows": batch.num_rows,
             },
             protocol=5,
@@ -221,6 +268,7 @@ def _merge_fit_blobs(blobs: list[bytes]) -> dict:
     per_lang: dict[str, dict] = {}
     bigrams = np.zeros(65536, dtype=np.int64)
     sha = np.zeros(32, dtype=np.uint8)
+    partitions: dict[str, dict] = {}
     n_rows = 0
     for blob in blobs:
             p = pickle.loads(blob)
@@ -245,7 +293,18 @@ def _merge_fit_blobs(blobs: list[bytes]) -> dict:
             bigrams += p["bigrams"]
             sha ^= np.frombuffer(p["sha_xor"], dtype=np.uint8)
             n_rows += p["n_rows"]
+            for pid, info in p.get("partitions", {}).items():
+                if pid in partitions:
+                    e = partitions[pid]
+                    e["n_rows"] += info["n_rows"]
+                    e["sha_xor"] = (
+                        np.frombuffer(e["sha_xor"], dtype=np.uint8)
+                        ^ np.frombuffer(info["sha_xor"], dtype=np.uint8)
+                    ).tobytes()
+                else:
+                    partitions[pid] = dict(info)
     return {
+        "partitions": partitions,
         "stats": stats,
         "charsets": {g: d["charset"] for g, d in per_lang.items()},
         "ranges": {(g,): (d["tok_min"], d["tok_max"]) for g, d in per_lang.items()},
@@ -293,6 +352,8 @@ class BroadcastChecks:
         ]  # keeps schema when nothing fires
         urls = np.asarray(batch["url"].to_numpy(zero_copy_only=False), dtype=object).astype(str)
         langs = np.asarray(batch["lang"].to_numpy(zero_copy_only=False), dtype=object).astype(str)
+        pid = _partition_ids(batch)
+        pids = pid if pid is not None else np.full(len(urls), "", dtype=object)
 
         # lang domain
         bad = pc.invert(pc.is_in(batch["lang"], value_set=self.allowed))
@@ -307,6 +368,7 @@ class BroadcastChecks:
                     ["lang"],
                     [[l] for l in langs[idx]],
                     '{"domain": "learned"}',
+                    partition_id=pids[idx],
                 )
             )
 
@@ -332,6 +394,7 @@ class BroadcastChecks:
                         ["lang", "text"],
                         vals,
                         '{"charset": "learned"}',
+                        partition_id=pids[bad_rows],
                     )
                 )
 
@@ -348,6 +411,7 @@ class BroadcastChecks:
                     ["text"],
                     [[f"{s:.6f}"] for s in score[low]],
                     json.dumps({"prob_thresh": self.prob_thresh}),
+                    partition_id=pids[low],
                 )
             )
 
@@ -370,14 +434,28 @@ class BroadcastChecks:
                             json.dumps({"min": float(self.r_lo[rpos[i]]), "max": float(self.r_hi[rpos[i]])})
                             for i in idx
                         ],
+                        partition_id=pids[idx],
                     )
                 )
 
-        # byte-identity evidence: re-hash text, ship as meta row
-        sha = _sha_xor_of_batch(batch["text"]).hex()
-        out.append(
-            violations_table("__ShaXor", "", [sha], [], [[]], "")
-        )
+        # byte-identity evidence: re-hash text, ship as meta rows
+        # (one per partition present in the block)
+        if pid is not None:
+            sha_parts = _sha_xor_of_batch(batch["text"], pids)
+            out.append(
+                violations_table(
+                    "__ShaXor",
+                    "",
+                    [d.hex() if isinstance(d, bytes) else d for d in sha_parts.values()],
+                    [],
+                    [[] for _ in sha_parts],
+                    "",
+                    partition_id=list(sha_parts.keys()),
+                )
+            )
+        else:
+            sha = _sha_xor_of_batch(batch["text"]).hex()
+            out.append(violations_table("__ShaXor", "", [sha], [], [[]], ""))
         return pa.concat_tables(out)
 
 
@@ -439,20 +517,34 @@ def validate(
         zero_copy_batch=True,
         concurrency=(1, 16),
     ).materialize()
-    # split meta sha rows from violations (vectorized: value_counts
-    # per batch; only sha-meta keys materialize as Python objects)
+    # split meta sha rows from violations (vectorized per batch);
+    # count per (check, partition) for the per-partition verdicts
     sha_after = np.zeros(32, dtype=np.uint8)
+    sha_parts_after: dict[str, np.ndarray] = {}
     per_check_counts: dict[str, int] = {}
+    per_part_counts: dict[tuple[str, str], int] = {}
+    import pandas as _pd
+
     for b in fused.iter_batches(batch_format="pyarrow"):
-        b = b.select(["event_type", "key"])
-        vc = b["event_type"].value_counts()
-        for sv in vc:
-            e = sv["values"].as_py()
-            if e not in ("Analysis.__ShaXor", "Analysis.Noop"):
-                per_check_counts[e] = per_check_counts.get(e, 0) + sv["counts"].as_py()
+        b = b.select(["event_type", "key", "partition_id"])
+        df = _pd.DataFrame(
+            {
+                "e": b["event_type"].to_pylist(),
+                "p": b["partition_id"].to_pylist(),
+            }
+        )
+        viol = df[~df["e"].isin(["Analysis.__ShaXor", "Analysis.Noop"])]
+        for (e, p), c in viol.groupby(["e", "p"]).size().items():
+            per_check_counts[e] = per_check_counts.get(e, 0) + int(c)
+            per_part_counts[(e, p)] = per_part_counts.get((e, p), 0) + int(c)
         sha_rows = b.filter(pc.equal(b["event_type"], "Analysis.__ShaXor"))
-        for h in sha_rows["key"].to_pylist():
-            sha_after ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+        for h, p in zip(sha_rows["key"].to_pylist(), sha_rows["partition_id"].to_pylist()):
+            d = np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+            sha_after ^= d
+            if p in sha_parts_after:
+                sha_parts_after[p] = sha_parts_after[p] ^ d
+            else:
+                sha_parts_after[p] = d.copy()
     real = fused.map_batches(
         lambda t: t.filter(
             pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["Analysis.__ShaXor", "Analysis.Noop"])))
@@ -557,17 +649,59 @@ def validate(
     )
 
     n_rows_total = state.get("n_rows", 0)
-    verdicts = pa.table(
+    rows: list[dict] = [
         {
-            "partition_id": pa.array(["all"] * len(verdict_rows), pa.string()),
-            "check": pa.array([r[0] for r in verdict_rows], pa.string()),
-            "pass": pa.array([bool(r[1]) for r in verdict_rows], pa.bool_()),
-            "n_rows": pa.array([n_rows_total] * len(verdict_rows), pa.int64()),
-            "n_violations": pa.array([int(r[2]) for r in verdict_rows], pa.int64()),
-            "metrics": pa.array([str(r[3]) for r in verdict_rows], pa.string()),
-            "lineage": pa.array([json.dumps({"source": "pages"})] * len(verdict_rows), pa.string()),
-            "text_sha256_xor": pa.array([state["text_sha_xor"]] * len(verdict_rows), pa.string()),
-        },
+            "partition_id": "all",
+            "check": r[0],
+            "pass": bool(r[1]),
+            "n_rows": n_rows_total,
+            "n_violations": int(r[2]),
+            "metrics": str(r[3]),
+            "lineage": json.dumps({"source": "pages"}),
+            "text_sha256_xor": state["text_sha_xor"],
+        }
+        for r in verdict_rows
+    ]
+    # per-partition verdicts (north rule: per-partition pass/fail,
+    # lineage = input file, byte-identity evidence per partition)
+    short_names = {
+        "Analysis.NewMatchPathValueDetector": "lang_domain",
+        "Analysis.CharsetDetector": "charset",
+        "Analysis.EntropyDetector": "entropy",
+        "Analysis.ValueRangeDetector": "token_range",
+    }
+    for pid, info in sorted(state.get("partitions", {}).items()):
+        sha_fit = info["sha_xor"].hex() if isinstance(info["sha_xor"], bytes) else info["sha_xor"]
+        sha_val = sha_parts_after.get(pid)
+        sha_val_hex = sha_val.tobytes().hex() if sha_val is not None else ""
+        for full, short in short_names.items():
+            n = per_part_counts.get((full, pid), 0)
+            rows.append(
+                {
+                    "partition_id": pid,
+                    "check": short,
+                    "pass": n == 0,
+                    "n_rows": int(info["n_rows"]),
+                    "n_violations": int(n),
+                    "metrics": "{}",
+                    "lineage": json.dumps({"file": pid}),
+                    "text_sha256_xor": sha_fit,
+                }
+            )
+        rows.append(
+            {
+                "partition_id": pid,
+                "check": "text_byte_identity",
+                "pass": sha_val_hex == sha_fit,
+                "n_rows": int(info["n_rows"]),
+                "n_violations": 0 if sha_val_hex == sha_fit else 1,
+                "metrics": json.dumps({"sha_xor_validate": sha_val_hex}),
+                "lineage": json.dumps({"file": pid}),
+                "text_sha256_xor": sha_fit,
+            }
+        )
+    verdicts = pa.table(
+        {f.name: pa.array([r[f.name] for r in rows], f.type) for f in VERDICT_SCHEMA},
         schema=VERDICT_SCHEMA,
     )
     return {"violations": results, "verdicts": verdicts, "ks_drift": ksdf}

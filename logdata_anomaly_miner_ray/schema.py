@@ -68,7 +68,7 @@ def violations_table(
     affected_paths: list[str],
     affected_values: Iterable[list[str]],
     expected: Iterable[str] | str,
-    partition_id: str = "",
+    partition_id: "str | Iterable[str]" = "",
     ts: Iterable[Any] | None = None,
 ) -> pa.Table:
     """Build a violation-row table for one check over one block."""
@@ -76,6 +76,10 @@ def violations_table(
     n = len(keys)
     if isinstance(expected, str):
         expected = [expected] * n
+    if isinstance(partition_id, str):
+        partition_id = [partition_id] * n
+    else:
+        partition_id = [str(p) for p in partition_id]
     return pa.table(
         {
             "event_type": pa.array([f"Analysis.{check}"] * n, pa.string()),
@@ -86,7 +90,7 @@ def violations_table(
             ),
             "expected": pa.array(list(expected), pa.string()),
             "key": pa.array([str(k) for k in keys], pa.string()),
-            "partition_id": pa.array([partition_id] * n, pa.string()),
+            "partition_id": pa.array(partition_id, pa.string()),
             "ts": pa.array(
                 list(ts) if ts is not None else [None] * n, pa.timestamp("us")
             ),
