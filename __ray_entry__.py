@@ -521,6 +521,52 @@ def q_interval_unmatched_events(sf_dir: str):
     return out.select_columns(["user_id", "ts"])
 
 
+def q_topk_orders(sf_dir: str):
+    """Top-k by value WITHOUT a global sort: per-block
+    argpartition top-k partials, tiny driver merge (the
+    worst-violations-report pattern, SURVEY.md §2.7)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        kk = min(10, len(v))
+        if kk == 0:
+            return batch.select(["o_orderkey", "o_totalprice"])
+        top = np.argpartition(-v, kk - 1)[:kk]
+        return batch.select(["o_orderkey", "o_totalprice"]).take(pa.array(top))
+
+    parts = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    df = parts.to_pandas()
+    out = df.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+            "o_totalprice": pa.array(out["o_totalprice"].to_numpy(np.float64)),
+        }
+    )
+
+
+def q_schema_conformance_events(sf_dir: str):
+    """NewMatchPathDetector recast: dataset schema vs a declared
+    schema that misses one column and mistypes another → exactly the
+    expected violation rows (rows-only; metadata-level check)."""
+    from logdata_anomaly_miner_ray.stages.domain import schema_conformance_violations
+
+    declared = {
+        "event_id": "int64",
+        "ts": "timestamp[us]",
+        "user_id": "int64",
+        "event_type": "string",
+        "value": "int64",  # deliberate mistype (actual: double)
+        # "props" deliberately missing -> new-path violation
+    }
+    t = schema_conformance_violations(_read(sf_dir, "events"), declared)
+    return t.select(["event_type", "message", "key"])
+
+
 def q_monotonic_adjust_events(sf_dir: str):
     from logdata_anomaly_miner_ray.stages.ordering import monotonic_adjust
 
@@ -817,6 +863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_events": q_sessions_events,
         "interval_unmatched_events": q_interval_unmatched_events,
         "monotonic_adjust_events": q_monotonic_adjust_events,
+        "topk_orders": q_topk_orders,
+        "schema_conformance_events": q_schema_conformance_events,
         # rows-only (non-SQL-expressible)
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
@@ -1071,4 +1119,7 @@ SELECT event_id,
        max(ts) OVER (PARTITION BY user_id ORDER BY event_id
                      ROWS UNBOUNDED PRECEDING) AS ts_adjusted
 FROM events""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     }
