@@ -669,6 +669,42 @@ def q_ivf_topk_embeddings(sf_dir: str):
     )
 
 
+def q_vartype_events(sf_dir: str):
+    """VariableTypeDetector type inference per event_type over the
+    value column (rows-only: classification labels)."""
+    from logdata_anomaly_miner_ray.stages.vartype import infer_types_by_group
+
+    out = infer_types_by_group(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(sorted(out), pa.string()),
+            "var_kind": pa.array([out[g].kind for g in sorted(out)], pa.string()),
+        }
+    )
+
+
+def q_implication_rules_events(sf_dir: str):
+    """EventCorrelationDetector rule acceptance (binomial test over
+    the support counts; rows-only)."""
+    from logdata_anomaly_miner_ray.stages.correlation import (
+        implication_rules,
+        implication_support,
+    )
+
+    support = implication_support(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"],
+        "event_type",
+        "ts",
+        max_delta=3600.0,
+    ).to_pandas()
+    # synthetic events are near-independent (hit rates ~2% at 1h);
+    # p0=0.01 keeps the acceptance path exercised with real output
+    return implication_rules(support, p0=0.01, alpha=0.05)
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: actor-pool decode of a deterministic
     synthetic media table (codecs stubbed — see stages/multimodal)."""
@@ -882,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_of_period_events": q_time_of_period_events,
         "session_combos_events": q_session_combos_events,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "vartype_events": q_vartype_events,
+        "implication_rules_events": q_implication_rules_events,
         "media_decode": q_media_decode,
         "pages_suite": q_pages_suite_sf,
     }

@@ -100,6 +100,48 @@ def implication_support(
     )
 
 
+def implication_rules(
+    support: pd.DataFrame,
+    p0: float = 0.9,
+    alpha: float = 0.05,
+    min_support: int = 20,
+) -> pd.DataFrame:
+    """Accept A⇒B rules whose hit rate is credibly ≥ p0 — the
+    binomial rule test of EventCorrelationDetector (reference:
+    aminer/analysis/EventCorrelationDetector.py:126-175
+    ``get_min_eval_true``: smallest k with
+    P[Binom(n, p0) ≤ k] ≥ alpha). scipy-free exact binomial CDF via
+    log-space summation. Input: the (a_event, b_event, n_a, n_hit)
+    table from ``implication_support``."""
+
+    def min_eval_true(n: int, p: float, a: float) -> int:
+        # smallest k such that sum_{i<=k} C(n,i) p^i (1-p)^(n-i) >= a
+        logp, log1p = np.log(p), np.log1p(-p)
+        # iterative log-pmf to avoid overflow
+        lp = n * log1p  # i = 0
+        cdf = np.exp(lp)
+        k = 0
+        while cdf < a and k < n:
+            k += 1
+            lp += np.log((n - k + 1) / k) + logp - log1p
+            cdf += np.exp(lp)
+        return k
+
+    rows = []
+    for _, r in support.iterrows():
+        n, hit = int(r["n_a"]), int(r["n_hit"])
+        if n < min_support or r["a_event"] == r["b_event"]:
+            continue
+        thresh = min_eval_true(n, p0, alpha)
+        if hit >= thresh:
+            rows.append(
+                (r["a_event"], r["b_event"], n, hit, hit / n, thresh)
+            )
+    return pd.DataFrame(
+        rows, columns=["a_event", "b_event", "n_a", "n_hit", "confidence", "min_hits"]
+    )
+
+
 def contingency_chi2(
     ds: "ray.data.Dataset", col_a: str, col_b: str
 ) -> tuple[float, int, pd.DataFrame]:
