@@ -322,7 +322,8 @@ class BroadcastChecks:
     range + sha re-hash, against the ray.put state (read once per
     actor — AMiner's persistence-loaded detector startup)."""
 
-    def __init__(self, state_ref, prob_thresh: float = 0.003, allowed_langs=None):
+    def __init__(self, state_ref, prob_thresh: float = 0.05, allowed_langs=None):
+        # 0.05 = the reference EntropyDetector default prob_thresh
         st = ray.get(state_ref)
         self.allowed = pa.array(
             sorted(allowed_langs if allowed_langs is not None else st["lang_domain"]),

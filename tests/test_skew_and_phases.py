@@ -47,7 +47,7 @@ def test_fit_on_day1_validate_on_day2():
     t = make_pages_block(4000, 2000)
     texts = t["text"].to_pylist()
     texts[0] = texts[0] + " ☃☄★"          # chars never seen
-    texts[1] = "x9q2zk84jw31vp70qq 5k9x2z 8j4w1v"  # digit/letter pairs unseen in corpus
+    texts[1] = "XQZWVJ KPFQXZ VJQWXZ KQPFXZ"  # uppercase pairs unseen in corpus
     texts[2] = " ".join(["word"] * 500)                    # above learned n_tokens max
     t = t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts, pa.string()))
     day2 = rd.from_arrow(t).repartition(2)
