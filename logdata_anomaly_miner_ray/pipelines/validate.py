@@ -590,7 +590,8 @@ def validate(
                 narrow.select_columns(["url"]), "url", ts_index, "url"
             ),
         )
-    seq_col = "row_idx" if "row_idx" in narrow.schema().names else "url"
+    _sch = narrow.schema()
+    seq_col = "row_idx" if (_sch is not None and "row_idx" in _sch.names) else "url"
     nonnull = narrow.select_columns(["lang", "domain", seq_col, "warc_ts"]).map_batches(
         lambda t: t.filter(pc.is_valid(t["warc_ts"])),
         batch_format="pyarrow", batch_size=None,

@@ -102,6 +102,8 @@ def inversion_counts_sorted(
     md = s.map_batches(
         block_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
+    if md.empty or "__edge" not in md.columns:  # 0-row input
+        return pd.DataFrame({key_col: [], out_name: []}).astype({out_name: "int64"})
     per_key = (
         md[~md["__edge"]].groupby(key_col, as_index=False)["__inv"].sum()
         if len(md)

@@ -108,6 +108,10 @@ def duplicate_keys_hashed(
     ).to_pandas()
     import pandas as pd
 
+    if md.empty or "__edge" not in md.columns:  # 0-row input
+        return rd.from_arrow(
+            pa.table({key: pa.array([], pa.string()), count_name: pa.array([], pa.int64())})
+        )
     interior = md[~md["__edge"]][[key, count_name]]
     edges = md[md["__edge"]]
     if len(edges):
