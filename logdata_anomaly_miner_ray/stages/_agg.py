@@ -93,6 +93,42 @@ def grouped_span_count(
     )
 
 
+def salted_grouped_counts(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    salt_buckets: int = 16,
+    out_name: str = "n",
+) -> "ray.data.Dataset":
+    """Explicit two-stage salted groupby-count (north rule: 'skew
+    from hot domains is handled by salted repartitioning before the
+    groupby-aggregate shuffle').
+
+    Stage 1 groups by (key, salt) where salt = row_position %
+    salt_buckets — a hot key's rows land in ``salt_buckets``
+    different reduce groups instead of one; stage 2 collapses the
+    ≤ salt_buckets partial rows per key. Use when the per-block
+    combiner of ``grouped_counts`` is NOT applicable (e.g. the
+    aggregation state per key is too large to keep one per block) —
+    for plain counts/min/max the combiner already bounds fan-in and
+    this explicit salt is redundant."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        salt = pa.array(
+            (np.arange(batch.num_rows, dtype=np.int64) % salt_buckets), pa.int64()
+        )
+        t = batch.select(keys).append_column("__salt", salt)
+        t = t.group_by(keys + ["__salt"]).aggregate([([], "count_all")])
+        return t.rename_columns(keys + ["__salt", "__pn"])
+
+    stage1 = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(keys + ["__salt"])
+        .aggregate(Sum("__pn", alias_name="__sn"))
+    )
+    return stage1.groupby(keys).aggregate(Sum("__sn", alias_name=out_name))
+
+
 def distinct_rows(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
     """Distinct key tuples with per-block combining (no counts)."""
 

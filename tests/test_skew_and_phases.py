@@ -58,3 +58,21 @@ def test_fit_on_day1_validate_on_day2():
     assert vd.loc["token_range"]["n_violations"] >= 1
     # byte identity intentionally fails: day2 text != day1 text
     assert not vd.loc["text_byte_identity"]["pass"]
+
+
+def test_salted_grouped_counts_equal_plain():
+    from logdata_anomaly_miner_ray.stages._agg import (
+        grouped_counts,
+        salted_grouped_counts,
+    )
+
+    n = 50_000
+    rng = np.random.default_rng(3)
+    keys = np.where(rng.random(n) < 0.6, "hot", np.char.add("k", rng.integers(0, 200, n).astype(str)))
+    ds = rd.from_arrow(pa.table({"k": keys.tolist()})).repartition(8)
+    a = grouped_counts(ds, ["k"]).to_pandas().sort_values("k").reset_index(drop=True)
+    b = salted_grouped_counts(ds, ["k"], salt_buckets=8).to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert a.set_index("k")["n"]["hot"] > 0.5 * n
