@@ -133,6 +133,66 @@ def parse_ipv4(col) -> pa.Array:
     return pa.array([int(x) if x >= 0 else None for x in out], pa.int64())
 
 
+def xml_extract(
+    col, paths: dict[str, pa.DataType], flag_name: str = "parse_ok"
+) -> dict[str, pa.Array]:
+    """XmlModelElement recast (reference:
+    aminer/parsing/XmlModelElement.py:45-406): extract element text /
+    ``@attribute`` values at '/'-separated paths from an XML string
+    column; unparseable rows → nulls + flag. stdlib ElementTree per
+    row (C-accelerated expat), same execution shape as
+    ``json_extract``."""
+    import xml.etree.ElementTree as ET
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    ok = np.zeros(n, dtype=bool)
+    raw: dict[str, list] = {p: [None] * n for p in paths}
+    for i in range(n):
+        v = col[i].as_py()
+        if not v:
+            continue
+        try:
+            root = ET.fromstring(v)
+            ok[i] = True
+        except ET.ParseError:
+            continue
+        for p in paths:
+            parts = p.split("/")
+            attr = None
+            if parts and parts[-1].startswith("@"):
+                attr = parts[-1][1:]
+                parts = parts[:-1]
+            cur = root
+            found = True
+            for part in parts:
+                nxt = cur.find(part)
+                if nxt is None:
+                    found = False
+                    break
+                cur = nxt
+            if not found:
+                continue
+            raw[p][i] = cur.get(attr) if attr else (cur.text or "")
+    out: dict[str, pa.Array] = {}
+    for p, typ in paths.items():
+        name = p.replace("/", "_").replace("@", "")
+        vals = raw[p]
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            conv = []
+            for v in vals:
+                try:
+                    conv.append(None if v is None else (int(v) if pa.types.is_integer(typ) else float(v)))
+                except ValueError:
+                    conv.append(None)
+            out[name] = pa.array(conv, typ)
+        else:
+            out[name] = pa.array(vals, typ)
+    out[flag_name] = pa.array(ok)
+    return out
+
+
 def fixed_wordlist_index(col, words: list[str]) -> pa.Array:
     """Value → index in the word list, null if absent."""
     if isinstance(col, pa.ChunkedArray):

@@ -104,3 +104,21 @@ def test_parse_ipv4_and_wordlist():
     assert ip.to_pylist() == [0x0A000001, None, 0x01020304, None]
     idx = P.fixed_wordlist_index(pa.array(["b", "a", "z"]), ["a", "b"])
     assert idx.to_pylist() == [1, 0, None]
+
+
+def test_xml_extract():
+    col = pa.array(
+        [
+            '<doc id="7"><title>hello</title><meta><lang>en</lang></meta></doc>',
+            "<doc><title>t2</title></doc>",
+            "not xml <",
+            None,
+        ]
+    )
+    out = P.xml_extract(
+        col, {"title": pa.string(), "meta/lang": pa.string(), "@id": pa.int64()}
+    )
+    assert out["title"].to_pylist() == ["hello", "t2", None, None]
+    assert out["meta_lang"].to_pylist() == ["en", None, None, None]
+    assert out["id"].to_pylist() == [7, None, None, None]
+    assert out["parse_ok"].to_pylist() == [True, True, False, False]
