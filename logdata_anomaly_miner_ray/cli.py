@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
         from .schema import SuiteConfig
         from .state.checkpoint import CheckpointManifest
 
-        pages = rd.read_parquet(args.input)
+        pages = rd.read_parquet(args.input, include_paths=True)
         tsx = rd.read_parquet(args.ts_index) if args.ts_index else None
         if args.no_resume:
             CheckpointManifest(args.out).reset()

@@ -1,0 +1,50 @@
+"""CLI end-to-end (subprocess: the CLI owns its own Ray session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    from logdata_anomaly_miner_ray.sources.pages import make_pages_block
+
+    inp = tmp_path / "pages"
+    inp.mkdir()
+    pq.write_table(make_pages_block(0, 2000), str(inp / "p0.parquet"))
+    pq.write_table(make_pages_block(2000, 2000), str(inp / "p1.parquet"))
+    out_dir = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    p = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "logdata_anomaly_miner_ray",
+            "--input",
+            str(inp),
+            "--out",
+            str(out_dir),
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert p.returncode in (0, 1), p.stderr[-2000:]
+    report = json.loads(p.stdout.strip().splitlines()[-1])
+    assert report["n_rows"] == 4000
+    assert "uniqueness_url" in report["checks"]
+    assert (out_dir / "manifest.json").exists()
+    assert (out_dir / "verdicts.parquet").exists()
+    v = pq.read_table(str(out_dir / "verdicts.parquet")).to_pandas()
+    assert (v[v.partition_id == "all"]["check"] == "text_byte_identity").any()
+    # per-partition verdicts present (one per input file)
+    assert set(v[v.partition_id != "all"]["partition_id"]) == {"p0.parquet", "p1.parquet"}
