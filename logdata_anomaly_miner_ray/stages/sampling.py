@@ -1,0 +1,90 @@
+"""Sampling: dataset fractions and bounded per-group reservoirs.
+
+Clean-room recasts:
+- AMiner caps per-variable value lists with ring buffers
+  (reference: aminer/analysis/EventTypeDetector.py:31-32,
+  min_num_vals=1000/max_num_vals=1500) and keeps a
+  logarithmic-backoff event history (reference:
+  aminer/util/History.py:49-97 LogarithmicBackoffHistory). The
+  distributed analogue is a deterministic PRIORITY reservoir: each
+  row gets priority u = hash64(id) and each group keeps its k
+  smallest-priority rows — priorities are content-derived, so the
+  per-block partial top-k merges associatively across blocks and
+  reruns reproduce the same sample (bottom-k sketch).
+- randomized hypothesis sampling (reference:
+  aminer/analysis/EventCorrelationDetector.py:56-59
+  generation_probability) ≙ ``sample_fraction``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.text import flat_utf8, token_hashes
+from ..state.sketches import hash_int64
+
+
+def sample_fraction(ds: "ray.data.Dataset", fraction: float, seed: int = 42):
+    """Uniform row sample (Ray native)."""
+    return ds.random_sample(fraction, seed=seed)
+
+
+def _priorities(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
+    col = batch[id_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return hash_int64(col.to_numpy(zero_copy_only=False), seed=seed)
+    data, off = flat_utf8(col)
+    h = token_hashes(data, off[:-1], off[1:])
+    if seed:
+        h = hash_int64(h.view(np.int64), seed=seed)
+    return h
+
+
+def reservoir_per_group(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    id_col: str,
+    k: int = 100,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Deterministic bounded sample: per key group, the k rows with
+    the smallest content-hash priority. Per-block partial top-k
+    bounds the shuffle to ≤ k rows per (group, block); the final
+    per-group selection is a small map_groups."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = _priorities(batch, id_col, seed)
+        gvals = [
+            np.asarray(batch[c].to_numpy(zero_copy_only=False), dtype=object).astype(str)
+            for c in keys
+        ]
+        gkey = gvals[0]
+        for g in gvals[1:]:
+            gkey = np.char.add(np.char.add(gkey, "\x1f"), g)
+        order = np.lexsort((pr, gkey))
+        gk_s, pr_s = gkey[order], pr[order]
+        starts = np.flatnonzero(np.concatenate([[True], gk_s[1:] != gk_s[:-1]]))
+        keep = np.zeros(len(order), dtype=bool)
+        ends = np.concatenate([starts[1:], [len(order)]])
+        for a, b in zip(starts, ends):
+            keep[a : min(a + k, b)] = True
+        idx = order[keep]
+        out = batch.take(pa.array(np.sort(idx)))
+        pr_keep = pr[np.sort(idx)]
+        return out.append_column("__pr", pa.array(pr_keep.view(np.int64), pa.int64()))
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__pr", kind="mergesort").head(k)
+        return g.drop(columns=["__pr"])
+
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
