@@ -705,6 +705,20 @@ def q_implication_rules_events(sf_dir: str):
     return implication_rules(support, p0=0.01, alpha=0.05)
 
 
+def q_reservoir_sample_events(sf_dir: str):
+    """Deterministic per-group bottom-k priority reservoir
+    (EventTypeDetector ring-buffer recast; rows-only — priorities are
+    engine-internal hashes)."""
+    from logdata_anomaly_miner_ray.stages.sampling import reservoir_per_group
+
+    return reservoir_per_group(
+        _read(sf_dir, "events", ["event_type", "event_id", "value"]),
+        ["event_type"],
+        "event_id",
+        k=50,
+    ).select_columns(["event_type", "event_id"])
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: actor-pool decode of a deterministic
     synthetic media table (codecs stubbed — see stages/multimodal)."""
@@ -920,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "vartype_events": q_vartype_events,
         "implication_rules_events": q_implication_rules_events,
+        "reservoir_sample_events": q_reservoir_sample_events,
         "media_decode": q_media_decode,
         "pages_suite": q_pages_suite_sf,
     }
