@@ -393,6 +393,47 @@ def q_segment_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def q_nation_revenue_join(sf_dir: str):
+    """Large×large hash-partitioned shuffle join (Ray native
+    Dataset.join) — orders ⋈ customer grouped by nation."""
+    from ray.data.aggregate import Sum
+
+    from logdata_anomaly_miner_ray.stages.join import hash_join
+
+    j = hash_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=16,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_nationkey", "o_totalprice"])
+            .group_by(["c_nationkey"])
+            .aggregate([("o_totalprice", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["c_nationkey", "__sp", "__pn"])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Sum("__sp", alias_name="rev_raw"), Sum("__pn", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int32()),
+                "revenue_cents": _scaled_int(t["rev_raw"], 100),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def q_ann_topk_embeddings(sf_dir: str):
     import ray
 
@@ -905,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events": q_histogram_events,
         "q1_lineitem": q_q1_lineitem,
         "segment_revenue": q_segment_revenue,
+        "nation_revenue_join": q_nation_revenue_join,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "json_extract_events": q_json_extract_events,
         "allowlist_rules_events": q_allowlist_rules_events,
@@ -1099,6 +1141,12 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2""",
         "segment_revenue": """
 SELECT c_mktsegment,
+       CAST(ROUND(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
+        "nation_revenue_join": """
+SELECT c_nationkey,
        CAST(ROUND(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
        count(*)::BIGINT AS n
 FROM orders JOIN customer ON o_custkey = c_custkey
