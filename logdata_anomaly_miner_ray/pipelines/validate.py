@@ -516,7 +516,7 @@ def validate(
         fn_constructor_kwargs={"state_ref": state_ref, "allowed_langs": allowed_langs},
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-        concurrency=(1, 16),
+        concurrency=(1, 32),
     ).materialize()
     # split meta sha rows from violations (vectorized per batch);
     # count per (check, partition) for the per-partition verdicts
