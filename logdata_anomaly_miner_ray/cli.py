@@ -25,7 +25,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap")
     ap.add_argument("--window-seconds", type=int, default=600)
     ap.add_argument("--no-resume", action="store_true", help="ignore checkpoint manifest")
+    ap.add_argument(
+        "--list-checkpoints", action="store_true",
+        help="print the manifest of --out and exit (aminer-persistence list analogue)",
+    )
+    ap.add_argument(
+        "--reset-check", default=None, metavar="CHECK",
+        help="drop one check's manifest entry so the next run redoes it",
+    )
     args = ap.parse_args(argv)
+
+    if args.list_checkpoints or args.reset_check:
+        from .state.checkpoint import CheckpointManifest
+
+        m = CheckpointManifest(args.out)
+        if args.reset_check:
+            m.reset(args.reset_check)
+            print(json.dumps({"reset": args.reset_check}))
+        if args.list_checkpoints:
+            print(json.dumps(m._entries, indent=1, sort_keys=True))
+        return 0
 
     import ray
 

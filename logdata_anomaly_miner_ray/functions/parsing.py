@@ -96,6 +96,20 @@ def parse_datetime(col, fmt: str = "%Y-%m-%d %H:%M:%S") -> pa.Array:
     return pc.strptime(col, format=fmt, unit="us", error_is_null=True)
 
 
+def parse_datetime_multi(col, formats: list[str]) -> pa.Array:
+    """First-match over multiple %-formats —
+    MultiLocaleDateTimeModelElement semantics (reference:
+    aminer/parsing/DateTimeModelElement.py:423-527): each row takes
+    the first format that parses; all-fail → null."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = None
+    for fmt in formats:
+        parsed = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
+        out = parsed if out is None else pc.if_else(pc.is_valid(out), out, parsed)
+    return out if out is not None else pa.nulls(len(col), pa.timestamp("us"))
+
+
 def parse_int(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

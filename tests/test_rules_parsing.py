@@ -122,3 +122,11 @@ def test_xml_extract():
     assert out["meta_lang"].to_pylist() == ["en", None, None, None]
     assert out["id"].to_pylist() == [7, None, None, None]
     assert out["parse_ok"].to_pylist() == [True, True, False, False]
+
+
+def test_parse_datetime_multi():
+    col = pa.array(["2024-01-02 03:04:05", "02/01/2024 03:04", "garbage"])
+    out = P.parse_datetime_multi(col, ["%Y-%m-%d %H:%M:%S", "%d/%m/%Y %H:%M"])
+    assert out[0].as_py().isoformat() == "2024-01-02T03:04:05"
+    assert out[1].as_py().isoformat() == "2024-01-02T03:04:00"
+    assert out[2].as_py() is None
