@@ -143,13 +143,19 @@ def q_empty_windows_events(sf_dir: str):
 def q_sliding_exceed_events(sf_dir: str):
     from logdata_anomaly_miner_ray.stages.frequency import sliding_count_exceed
 
-    return sliding_count_exceed(
+    out = sliding_count_exceed(
         _read(sf_dir, "events", ["event_type", "ts"]),
         ["event_type"],
         "ts",
         GAP,
         SLIDE_LIMIT,
-    )
+    ).to_pandas()
+    # small result; typed empty frame keeps the schema stable when
+    # no window exceeds the limit (tiny scale factors)
+    cols = {"event_type": "object", "ts": "datetime64[us]", "n_in_window": "int64"}
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return out[list(cols)]
 
 
 def q_missing_gaps_events(sf_dir: str):
@@ -521,8 +527,12 @@ def q_mean_shift_events(sf_dir: str):
         window_seconds=21600,
         avg_factor=3.0,
         min_n=10,
-    )
-    return out.select_columns(["event_type", "window"])
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"event_type": pd.Series(dtype=object), "window": pd.Series(dtype="int64")}
+        )
+    return out[["event_type", "window"]]
 
 
 def q_sessions_events(sf_dir: str):
@@ -682,12 +692,15 @@ def q_time_of_period_events(sf_dir: str):
 def q_session_combos_events(sf_dir: str):
     from logdata_anomaly_miner_ray.stages.session import session_combos
 
-    return session_combos(
+    out = session_combos(
         _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
         ["user_id"],
         ["event_type"],
         "ts",
         gap_seconds=1800.0,
+    )
+    return out.select_columns(
+        ["user_id", "session_id", "event_type_set", "first_ts", "last_ts", "n_events"]
     )
 
 
@@ -1223,4 +1236,21 @@ FROM events""",
         "topk_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "session_combos_events": """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS event_type_set,
+       min(ts) AS first_ts, max(ts) AS last_ts, count(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2""",
     }
