@@ -322,8 +322,15 @@ class BroadcastChecks:
     range + sha re-hash, against the ray.put state (read once per
     actor — AMiner's persistence-loaded detector startup)."""
 
-    def __init__(self, state_ref, prob_thresh: float = 0.05, allowed_langs=None):
+    def __init__(
+        self,
+        state_ref,
+        prob_thresh: float = 0.05,
+        allowed_langs=None,
+        window_seconds: int = 600,
+    ):
         # 0.05 = the reference EntropyDetector default prob_thresh
+        self.window_seconds = window_seconds
         st = ray.get(state_ref)
         self.allowed = pa.array(
             sorted(allowed_langs if allowed_langs is not None else st["lang_domain"]),
@@ -457,6 +464,59 @@ class BroadcastChecks:
         else:
             sha = _sha_xor_of_batch(batch["text"]).hex()
             out.append(violations_table("__ShaXor", "", [sha], [], [[]], ""))
+
+        # frequency + ordering PARTIALS as meta rows — folding these
+        # into the fused pass removes their dedicated shuffles: the
+        # (lang, window) count table and per-domain (first/last seq,
+        # inversions) fragments are tiny, and blocks partition the
+        # natural row order so per-domain fragments concatenate in
+        # block order (junctions fixed on the driver).
+        wt = batch["warc_ts"]
+        if isinstance(wt, pa.ChunkedArray):
+            wt = wt.combine_chunks()
+        ok_ts = pc.is_valid(wt).to_numpy(zero_copy_only=False)
+        ts_us = pc.fill_null(wt.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+        win = np.floor_divide(
+            np.where(ok_ts, ts_us, 0), self.window_seconds * 1_000_000
+        )
+        lw = np.char.add(np.char.add(langs.astype(str), "\x1f"), win.astype(str))
+        uw, cw = np.unique(lw[ok_ts], return_counts=True)
+        out.append(
+            violations_table(
+                "__WinCount", "", uw.tolist(), [],
+                [[str(int(c))] for c in cw], "",
+            )
+        )
+        dom = np.asarray(
+            pc.replace_substring_regex(
+                pc.replace_substring(batch["url"], "https://", ""), "/.*$", ""
+            ).to_numpy(zero_copy_only=False),
+            dtype=object,
+        ).astype(str)
+        seq = (
+            batch["row_idx"].to_numpy(zero_copy_only=False)
+            if "row_idx" in batch.column_names
+            else np.arange(len(dom))
+        )
+        d_ok = dom[ok_ts]
+        s_ok = seq[ok_ts]
+        t_ok = ts_us[ok_ts]
+        order = np.lexsort((s_ok, d_ok))
+        ds_, ss_, tt_ = d_ok[order], s_ok[order], t_ok[order]
+        same = ds_[1:] == ds_[:-1]
+        inv = same & (np.diff(tt_) < 0)
+        starts = np.flatnonzero(np.concatenate([[True], ~same]))
+        ends = np.concatenate([starts[1:], [len(ds_)]])
+        cs = np.concatenate([[0], np.cumsum(inv)])
+        counts = cs[np.maximum(ends - 1, starts)] - cs[starts]
+        frag_keys = ds_[starts]
+        frag_vals = [
+            [str(int(c)), str(int(ss_[a])), str(int(tt_[a])), str(int(tt_[b - 1]))]
+            for c, a, b in zip(counts, starts, ends)
+        ]
+        out.append(
+            violations_table("__OrdFrag", "", frag_keys, [], frag_vals, "")
+        )
         return pa.concat_tables(out)
 
 
@@ -513,7 +573,11 @@ def validate(
     fused_name = "broadcast_checks"
     fused = pages.map_batches(
         BroadcastChecks,
-        fn_constructor_kwargs={"state_ref": state_ref, "allowed_langs": allowed_langs},
+        fn_constructor_kwargs={
+            "state_ref": state_ref,
+            "allowed_langs": allowed_langs,
+            "window_seconds": config.window_seconds,
+        },
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=(1, 32),
@@ -526,15 +590,23 @@ def validate(
     per_part_counts: dict[tuple[str, str], int] = {}
     import pandas as _pd
 
+    META = [
+        "Analysis.__ShaXor",
+        "Analysis.Noop",
+        "Analysis.__WinCount",
+        "Analysis.__OrdFrag",
+    ]
+    win_counts: dict[tuple[str, int], int] = {}
+    ord_frags: dict[str, list[tuple[int, int, int, int]]] = {}
     for b in fused.iter_batches(batch_format="pyarrow"):
-        b = b.select(["event_type", "key", "partition_id"])
+        b = b.select(["event_type", "key", "partition_id", "affected_values"])
         df = _pd.DataFrame(
             {
                 "e": b["event_type"].to_pylist(),
                 "p": b["partition_id"].to_pylist(),
             }
         )
-        viol = df[~df["e"].isin(["Analysis.__ShaXor", "Analysis.Noop"])]
+        viol = df[~df["e"].isin(META)]
         for (e, p), c in viol.groupby(["e", "p"]).size().items():
             per_check_counts[e] = per_check_counts.get(e, 0) + int(c)
             per_part_counts[(e, p)] = per_part_counts.get((e, p), 0) + int(c)
@@ -546,9 +618,19 @@ def validate(
                 sha_parts_after[p] = sha_parts_after[p] ^ d
             else:
                 sha_parts_after[p] = d.copy()
+        wrows = b.filter(pc.equal(b["event_type"], "Analysis.__WinCount"))
+        for k, av in zip(wrows["key"].to_pylist(), wrows["affected_values"].to_pylist()):
+            lang, win = k.rsplit("\x1f", 1)
+            kk = (lang, int(win))
+            win_counts[kk] = win_counts.get(kk, 0) + int(av[0])
+        orows = b.filter(pc.equal(b["event_type"], "Analysis.__OrdFrag"))
+        for k, av in zip(orows["key"].to_pylist(), orows["affected_values"].to_pylist()):
+            ord_frags.setdefault(k, []).append(
+                (int(av[1]), int(av[0]), int(av[2]), int(av[3]))
+            )  # (first_seq, n_inv, first_ts, last_ts)
     real = fused.map_batches(
         lambda t: t.filter(
-            pc.invert(pc.is_in(t["event_type"], value_set=pa.array(["Analysis.__ShaXor", "Analysis.Noop"])))
+            pc.invert(pc.is_in(t["event_type"], value_set=pa.array(META)))
         ),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
@@ -590,40 +672,55 @@ def validate(
                 narrow.select_columns(["url"]), "url", ts_index, "url"
             ),
         )
-    _sch = narrow.schema()
-    seq_col = "row_idx" if (_sch is not None and "row_idx" in _sch.names) else "url"
-    nonnull = narrow.select_columns(["lang", "domain", seq_col, "warc_ts"]).map_batches(
-        lambda t: t.filter(pc.is_valid(t["warc_ts"])),
-        batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True,
-    )
-    wc = freq_stage.window_counts(nonnull, ["lang"], "warc_ts", config.window_seconds)
-    freq_rep = freq_stage.frequency_report(wc, ["lang"], confidence_factor=0.33).materialize()
-    run_check(
-        "frequency",
-        lambda: freq_rep.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], "anomaly")),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        ),
-    )
-    run_check(
-        "empty_windows",
-        lambda: freq_rep.map_batches(
-            lambda t: t.filter(t["is_empty"]),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        ),
-    )
-    run_check(
-        "ordering",
-        lambda: rd.from_pandas(
-            ordering_stage.inversion_counts_sorted(
-                nonnull.select_columns(["domain", seq_col, "warc_ts"]),
-                "domain",
-                seq_col,
-                "warc_ts",
-            )
-        ),
-    )
+    # frequency + ordering come straight from the fused pass's meta
+    # partials (no extra shuffle): zero-filled per-lang window band,
+    # and per-domain fragment merge with junction fixup.
+    # PARTITIONING ASSUMPTION (ordering): a domain's fragments are
+    # stitched by their first row_idx, which equals the global
+    # adjacent-pair definition iff blocks cover non-interleaving seq
+    # ranges — true for append-ordered ingest (our parquet layout);
+    # for arbitrarily shuffled input use
+    # stages/ordering.inversion_counts_sorted (global sort) instead.
+    import pandas as pd
+
+    def _freq_tables():
+        rows_a, rows_e = [], []
+        langs_w = sorted({k[0] for k in win_counts})
+        for lang in langs_w:
+            wins = {k[1]: v for k, v in win_counts.items() if k[0] == lang}
+            wmin, wmax = min(wins), max(wins)
+            full = np.arange(wmin, wmax + 1, dtype=np.int64)
+            cnt = np.array([wins.get(int(w), 0) for w in full], dtype=np.float64)
+            mean, std = float(cnt.mean()), float(cnt.std())
+            lower, upper = mean - std / 0.33, mean + std / 0.33
+            anom = (cnt < lower) | (cnt > upper)
+            empty = cnt == 0
+            for w, c, a, em in zip(full, cnt, anom, empty):
+                if a:
+                    rows_a.append((lang, int(w), int(c), lower, upper))
+                if em:
+                    rows_e.append((lang, int(w)))
+        fa = pd.DataFrame(rows_a, columns=["lang", "window", "n", "lower", "upper"])
+        fe = pd.DataFrame(rows_e, columns=["lang", "window"])
+        return fa, fe
+
+    freq_df, empty_df = _freq_tables()
+    run_check("frequency", lambda: rd.from_pandas(freq_df))
+    run_check("empty_windows", lambda: rd.from_pandas(empty_df))
+
+    def _ordering_table():
+        rows = []
+        for domv, frags in ord_frags.items():
+            frags.sort(key=lambda f: f[0])  # by first_seq
+            total = sum(f[1] for f in frags)
+            for a, bfr in zip(frags, frags[1:]):
+                if bfr[2] < a[3]:  # next fragment's first ts < prev last ts
+                    total += 1
+            if total > 0:
+                rows.append((domv, int(total)))
+        return pd.DataFrame(rows, columns=["domain", "n_inversions"])
+
+    run_check("ordering", lambda: rd.from_pandas(_ordering_table()))
 
     # KS drift on n_tokens across langs from the fit-pass digests
     from ..stages.drift import ks_2samp_from_sorted, ks_critical
