@@ -47,8 +47,6 @@ import ray.data as rd
 
 from ..functions import text as textfn
 from ..schema import VERDICT_SCHEMA, SuiteConfig, violations_table
-from ..stages import frequency as freq_stage
-from ..stages import ordering as ordering_stage
 from ..stages import referential as ref_stage
 from ..stages import uniqueness as uniq_stage
 from ..stages.charset import MAX_CP, _row_codepoints
