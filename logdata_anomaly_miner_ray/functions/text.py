@@ -41,6 +41,10 @@ def flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        # empty arrays may alias the offsets and data buffers —
+        # return canonical empties instead of reinterpreting them
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     t = arr.type
     if t not in (pa.large_binary(), pa.large_string()):
         arr = arr.cast(pa.large_binary())
@@ -142,7 +146,9 @@ def token_hashes(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.n
         s = np.zeros(n + 1, dtype=np.uint64)
         np.add.accumulate(w, out=s[1:])
         # hash(a..b) = (S[b]-S[a]) * B^-a   → equals sum data[j]*B^(j-a)
-        h = (s[ends] - s[starts]) * ipw[starts]
+        # (empty spans at the buffer end index past ipw — their sum
+        # is 0 regardless of the inverse power, so clip the index)
+        h = (s[ends] - s[starts]) * ipw[np.minimum(starts, n - 1)]
         # mix in token length to separate e.g. "aa" vs "a"+NUL edge cases
         h ^= (ends - starts).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     return splitmix64(h)
@@ -195,7 +201,7 @@ def bigram_counts(arr) -> np.ndarray:
     if lo > 0:
         pair_ok[:lo] = False
     if hi - 1 < n - 1:
-        pair_ok[hi - 1 :] = False
+        pair_ok[max(hi - 1, 0) :] = False
     idx = data[:-1].astype(np.int32) * 256 + data[1:]
     return np.bincount(idx[pair_ok], minlength=65536).astype(np.int64)
 
