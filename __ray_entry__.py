@@ -600,22 +600,26 @@ def q_topk_orders(sf_dir: str):
     )
 
 
-def q_schema_conformance_events(sf_dir: str):
-    """NewMatchPathDetector recast: dataset schema vs a declared
-    schema that misses one column and mistypes another → exactly the
-    expected violation rows (rows-only; metadata-level check)."""
-    from logdata_anomaly_miner_ray.stages.domain import schema_conformance_violations
+# declared schema for the conformance check, in portable SQL type
+# names: misses 'props' (new-path) and mistypes 'value' (BIGINT vs
+# actual DOUBLE) so the check provably fires; the oracle recomputes
+# the diff from DESCRIBE of the same parquet
+DECLARED_EVENTS_SCHEMA = {
+    "event_id": "BIGINT",
+    "ts": "TIMESTAMP",
+    "user_id": "BIGINT",
+    "event_type": "VARCHAR",
+    "value": "BIGINT",  # deliberate mistype (actual: DOUBLE)
+    # "props" deliberately missing -> new-path violation
+}
 
-    declared = {
-        "event_id": "int64",
-        "ts": "timestamp[us]",
-        "user_id": "int64",
-        "event_type": "string",
-        "value": "int64",  # deliberate mistype (actual: double)
-        # "props" deliberately missing -> new-path violation
-    }
-    t = schema_conformance_violations(_read(sf_dir, "events"), declared)
-    return t.select(["event_type", "message", "key"])
+
+def q_schema_conformance_events(sf_dir: str):
+    """NewMatchPathDetector recast: dataset schema vs the declared
+    schema — oracle recomputes the diff from DuckDB DESCRIBE."""
+    from logdata_anomaly_miner_ray.stages.domain import schema_conformance_table
+
+    return schema_conformance_table(_read(sf_dir, "events"), DECLARED_EVENTS_SCHEMA)
 
 
 def q_monotonic_adjust_events(sf_dir: str):
@@ -653,15 +657,26 @@ def q_ar_outliers_events(sf_dir: str):
 
 
 def q_count_vector_outliers_events(sf_dir: str):
+    """EventCountClusterDetector recast: per (user, day-window)
+    event-type count vector cosine-scored against the user's mean
+    vector; windows under the confidence factor are outliers. The
+    oracle recomputes the zero-filled vectors + cosine in SQL."""
     from logdata_anomaly_miner_ray.stages.correlation import count_vector_outliers
 
-    return count_vector_outliers(
+    out = count_vector_outliers(
         _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
         ["user_id"],
         "event_type",
         "ts",
         window_seconds=86400,
         confidence_factor=0.3,
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "window": pa.array(out["window"].to_numpy(np.int64)),
+            "sim_e6": _scaled_int(pa.array(out["similarity"].to_numpy(np.float64)), 1_000_000),
+        }
     )
 
 
@@ -787,11 +802,19 @@ def q_media_decode(sf_dir: str):
 
 
 def q_quality_scores_documents(sf_dir: str):
+    """Heuristic web-text quality score; deterministic arithmetic
+    over token/char-class counts, recomputed exactly by the SQL
+    oracle (document text is ASCII so char counts == byte counts)."""
     from logdata_anomaly_miner_ray.stages.text_analysis import with_quality_score
 
-    return with_quality_score(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
-        ["doc_id", "quality"]
-    )
+    out = with_quality_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "quality_e6": _scaled_int(t["quality"], 1_000_000)}
+        )
+
+    return out.map_batches(scale, batch_format="pyarrow", batch_size=None)
 
 
 def q_langid_documents(sf_dir: str):
@@ -1253,4 +1276,71 @@ SELECT user_id, session_id::BIGINT AS session_id,
        string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS event_type_set,
        min(ts) AS first_ts, max(ts) AS last_ts, count(*)::BIGINT AS n_events
 FROM s GROUP BY 1, 2""",
+        "schema_conformance_events": """
+WITH actual AS (
+  SELECT column_name AS col, column_type AS typ FROM (DESCRIBE events)
+), declared(col, typ) AS (VALUES """
+        + ", ".join(
+            f"('{c}', '{t}')" for c, t in DECLARED_EVENTS_SCHEMA.items()
+        )
+        + """),
+j AS (SELECT coalesce(a.col, d.col) AS col, a.typ AS atyp, d.typ AS dtyp
+      FROM actual a FULL JOIN declared d ON a.col = d.col)
+SELECT col,
+       CASE WHEN dtyp IS NULL THEN 'new_path'
+            WHEN atyp IS NULL THEN 'missing'
+            ELSE 'type_mismatch' END AS kind,
+       coalesce(atyp, '<absent>') AS actual_type
+FROM j WHERE dtyp IS NULL OR atyp IS NULL OR atyp <> dtyp""",
+        "chi2_events": """
+WITH c AS (SELECT event_type AS a, user_id AS b, count(*)::DOUBLE AS n
+           FROM events GROUP BY 1, 2),
+ra AS (SELECT a, sum(n) AS rt FROM c GROUP BY 1),
+cb AS (SELECT b, sum(n) AS ct FROM c GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM c),
+grid AS (SELECT ra.a, cb.b, ra.rt, cb.ct FROM ra CROSS JOIN cb),
+g2 AS (SELECT grid.a, grid.b, coalesce(c.n, 0) AS o, grid.rt * grid.ct / tot.t AS e
+       FROM grid LEFT JOIN c ON grid.a = c.a AND grid.b = c.b CROSS JOIN tot)
+SELECT CAST(ROUND(sum((o - e) * (o - e) / e) * 10000) AS BIGINT) AS chi2_e4,
+       ((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM cb) - 1) AS dof
+FROM g2""",
+        "count_vector_outliers_events": """
+WITH c AS (SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS win,
+                  event_type, count(*)::DOUBLE AS n
+           FROM events GROUP BY 1, 2, 3),
+et AS (SELECT DISTINCT event_type FROM events),
+uw AS (SELECT DISTINCT user_id, win FROM c),
+grid AS (SELECT uw.user_id, uw.win, et.event_type FROM uw CROSS JOIN et),
+cz AS (SELECT g.user_id, g.win, g.event_type, coalesce(c.n, 0) AS n
+       FROM grid g LEFT JOIN c
+         ON g.user_id = c.user_id AND g.win = c.win AND g.event_type = c.event_type),
+m AS (SELECT user_id, event_type, avg(n) AS mn FROM cz GROUP BY 1, 2),
+s AS (SELECT cz.user_id, cz.win,
+             sum(cz.n * m.mn) AS dot, sum(cz.n * cz.n) AS nn, sum(m.mn * m.mn) AS mm
+      FROM cz JOIN m ON cz.user_id = m.user_id AND cz.event_type = m.event_type
+      GROUP BY 1, 2),
+r AS (SELECT user_id, win AS "window",
+             CASE WHEN nn > 0 AND mm > 0 THEN dot / (sqrt(nn) * sqrt(mm))
+                  ELSE 1.0 END AS sim
+      FROM s)
+SELECT user_id, "window", CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM r WHERE sim < 0.3""",
+        "quality_scores_documents": r"""
+WITH q AS (
+  SELECT doc_id,
+    (CASE WHEN trim(text) = '' THEN 0
+          ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS tc,
+    greatest(strlen(text), 1)::DOUBLE AS slen,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS na,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS nd,
+    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE AS npn
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+    0.25 * (least(tc / 100.0, 1.0) * (CASE WHEN tc >= 5 THEN 1.0 ELSE 0.0 END))
+  + 0.35 * least((na / slen) / 0.7, 1.0)
+  + 0.2 * greatest(1.0 - 2.0 * (npn / slen), 0.0)
+  + 0.2 * greatest(1.0 - 2.0 * (nd / slen), 0.0) AS quality
+  FROM q)
+SELECT doc_id, CAST(ROUND(quality * 1000000) AS BIGINT) AS quality_e6 FROM sc""",
     }

@@ -93,6 +93,53 @@ def domain_violations(
     )
 
 
+# Arrow → SQL (DuckDB-style) type names, the neutral space in which
+# declared schemas are written so the conformance result is
+# recomputable by an external SQL engine reading the same parquet
+_ARROW_TO_SQL = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INTEGER", "int64": "BIGINT",
+    "uint8": "UTINYINT", "uint16": "USMALLINT", "uint32": "UINTEGER", "uint64": "UBIGINT",
+    "float": "FLOAT", "double": "DOUBLE", "bool": "BOOLEAN",
+    "string": "VARCHAR", "large_string": "VARCHAR",
+    "binary": "BLOB", "large_binary": "BLOB",
+    "timestamp[us]": "TIMESTAMP", "timestamp[ns]": "TIMESTAMP_NS",
+    "timestamp[ms]": "TIMESTAMP_MS", "timestamp[s]": "TIMESTAMP_S",
+    "date32[day]": "DATE",
+}
+
+
+def schema_conformance_table(
+    ds: "ray.data.Dataset", declared: dict[str, str]
+) -> pa.Table:
+    """NewMatchPathDetector recast as a *recomputable* schema diff:
+    (col, kind, actual_type) rows where kind ∈ {new_path,
+    type_mismatch, missing}. ``declared`` maps column → SQL type name
+    (the portable space of ``_ARROW_TO_SQL``), so an external SQL
+    engine's DESCRIBE of the same table reproduces the rows exactly.
+    Reference: aminer/analysis/NewMatchPathDetector.py:61-105 (known
+    parser paths ≙ known typed columns)."""
+    actual = {
+        f.name: _ARROW_TO_SQL.get(str(f.type), str(f.type))
+        for f in ds.schema().base_schema
+    }
+    cols, kinds, types = [], [], []
+    for name, typ in actual.items():
+        if name not in declared:
+            cols.append(name); kinds.append("new_path"); types.append(typ)
+        elif declared[name] != typ:
+            cols.append(name); kinds.append("type_mismatch"); types.append(typ)
+    for name in declared:
+        if name not in actual:
+            cols.append(name); kinds.append("missing"); types.append("<absent>")
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "actual_type": pa.array(types, pa.string()),
+        }
+    )
+
+
 def schema_conformance_violations(
     ds: "ray.data.Dataset",
     expected_columns: dict[str, str],

@@ -37,7 +37,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
     warnings.filterwarnings("ignore")
     import ray
 
@@ -56,6 +56,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = []
     for name, fn in qs.items():
         try:
