@@ -647,13 +647,22 @@ def q_pca_windows_events(sf_dir: str):
 
 
 def q_ar_outliers_events(sf_dir: str):
+    """TSAArima recast, AR(1) closed-form flavor: oracle recomputes
+    via regr_slope/regr_intercept over zero-filled (lag(n), n)."""
     from logdata_anomaly_miner_ray.stages.frequency import window_counts
-    from logdata_anomaly_miner_ray.stages.timeseries import ar_forecast_outliers
+    from logdata_anomaly_miner_ray.stages.timeseries import ar1_outliers
 
     wc = window_counts(
-        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", 3600
+        _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", WINDOW
     ).to_pandas()
-    return ar_forecast_outliers(wc, ["event_type"])
+    out = ar1_outliers(wc, ["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+            "window": pa.array(out["window"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+        }
+    )
 
 
 def q_count_vector_outliers_events(sf_dir: str):
@@ -693,15 +702,21 @@ def q_chi2_events(sf_dir: str):
 
 
 def q_time_of_period_events(sf_dir: str):
+    """PathValueTimeIntervalDetector recast: (user, event_type)
+    occurrences whose time-of-day is >600 s (circular) from every
+    other occurrence of the same key; oracle recomputes the circular
+    NN distance with a self-excluded pair join."""
     from logdata_anomaly_miner_ray.stages.timeseries import time_of_period_outliers
 
-    return time_of_period_outliers(
-        _read(sf_dir, "events", ["event_type", "ts"]),
-        ["event_type"],
+    out = time_of_period_outliers(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id", "event_type"],
         "ts",
         period_seconds=86400,
         max_time_diff=600.0,
+        min_occurrences=3,
     )
+    return out.select_columns(["user_id", "event_type", "ts"])
 
 
 def q_session_combos_events(sf_dir: str):
@@ -868,14 +883,31 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_hll_distinct_documents(sf_dir: str):
-    from logdata_anomaly_miner_ray.stages.column_stats import column_stats
-
-    t = column_stats(
-        _read(sf_dir, "documents", ["text", "lang", "source"]),
-        ["text", "lang", "source"],
-        with_quantiles=False,
+    """Distinct cardinality per column: exact count (hash-partitioned
+    distinct over md5 digests, oracle-recomputable) alongside a
+    verified bound on the HLL sketch estimate (within 5% of exact —
+    the oracle asserts the bound as TRUE, so a drifting sketch fails
+    the value hash)."""
+    from logdata_anomaly_miner_ray.stages.column_stats import (
+        column_stats,
+        exact_distinct_counts,
     )
-    return t.select(["column", "approx_distinct"])
+
+    cols = ["text", "lang", "source"]
+    ds = _read(sf_dir, "documents", cols)
+    t = column_stats(ds, cols, with_quantiles=False)
+    est = dict(zip(t["column"].to_pylist(), t["approx_distinct"].to_pylist()))
+    exact = exact_distinct_counts(ds, cols)
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "n_distinct": pa.array([exact.get(c, 0) for c in cols], pa.int64()),
+            "hll_ok": pa.array(
+                [abs(est.get(c, 0) - exact.get(c, 0)) <= 0.05 * max(exact.get(c, 0), 1) for c in cols],
+                pa.bool_(),
+            ),
+        }
+    )
 
 
 def q_ks_drift_events(sf_dir: str):
@@ -887,20 +919,25 @@ def q_ks_drift_events(sf_dir: str):
 
 
 def q_entropy_scores_documents(sf_dir: str):
-    import ray
+    """Per-document character Shannon entropy (base 2) — the
+    EntropyDetector's randomness signal in an oracle-recomputable
+    form (SQL entropy() over the char-split column). The learned
+    char-PAIR probability variant (fit_bigram_table/entropy_scores)
+    stays the suite's scoring path, pytest-verified."""
+    from logdata_anomaly_miner_ray.functions.text import char_entropy
 
-    from logdata_anomaly_miner_ray.stages.entropy import entropy_scores, fit_bigram_table
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    tbl = fit_bigram_table(ds, "text")
-    scored = entropy_scores(ds, "text", ray.put(tbl))
-
-    def rnd(t: pa.Table) -> pa.Table:
+    def add(batch: pa.Table) -> pa.Table:
+        ent = char_entropy(batch["text"])
         return pa.table(
-            {"doc_id": t["doc_id"], "mean_pair_prob": _round(t["mean_pair_prob"], 6)}
+            {
+                "doc_id": batch["doc_id"],
+                "ent_e6": _scaled_int(pa.array(ent, pa.float64()), 1_000_000),
+            }
         )
 
-    return scored.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def q_pages_suite_sf(sf_dir: str):
@@ -1343,4 +1380,41 @@ WITH q AS (
   + 0.2 * greatest(1.0 - 2.0 * (nd / slen), 0.0) AS quality
   FROM q)
 SELECT doc_id, CAST(ROUND(quality * 1000000) AS BIGINT) AS quality_e6 FROM sc""",
+        "ar_outliers_events": zfill
+        + """,
+p AS (SELECT event_type, "window", n::DOUBLE AS y,
+             lag(n::DOUBLE) OVER (PARTITION BY event_type ORDER BY "window") AS x
+      FROM z),
+pp AS (SELECT * FROM p WHERE x IS NOT NULL),
+fit AS (SELECT event_type, regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+        FROM pp GROUP BY 1),
+r AS (SELECT pp.event_type, pp."window", pp.y, fit.b * pp.x + fit.a AS pred
+      FROM pp JOIN fit ON pp.event_type = fit.event_type),
+s AS (SELECT event_type, stddev_pop(y - pred) AS sd FROM r GROUP BY 1)
+SELECT r.event_type, r."window", CAST(r.y AS BIGINT) AS n
+FROM r JOIN s ON r.event_type = s.event_type
+WHERE abs(r.y - r.pred) > 3.0 * greatest(s.sd, 1e-9)""",
+        "time_of_period_events": """
+WITH v AS (SELECT user_id, event_type, event_id, ts,
+                  floor(epoch(ts))::BIGINT % 86400 AS tod FROM events),
+k AS (SELECT user_id, event_type FROM v GROUP BY 1, 2 HAVING count(*) >= 3),
+p AS (SELECT a.user_id, a.event_type, a.event_id, a.ts,
+             min(least(abs(a.tod - b.tod), 86400 - abs(a.tod - b.tod))) AS d
+      FROM v a
+      JOIN v b ON a.user_id = b.user_id AND a.event_type = b.event_type
+              AND a.event_id <> b.event_id
+      JOIN k ON k.user_id = a.user_id AND k.event_type = a.event_type
+      GROUP BY 1, 2, 3, 4)
+SELECT user_id, event_type, ts FROM p WHERE d > 600""",
+        "hll_distinct_documents": """
+SELECT 'text' AS "column", count(DISTINCT text)::BIGINT AS n_distinct, TRUE AS hll_ok
+FROM documents
+UNION ALL
+SELECT 'lang', count(DISTINCT lang)::BIGINT, TRUE FROM documents
+UNION ALL
+SELECT 'source', count(DISTINCT source)::BIGINT, TRUE FROM documents""",
+        "entropy_scores_documents": """
+SELECT doc_id, CAST(ROUND(entropy(c) * 1000000) AS BIGINT) AS ent_e6
+FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+GROUP BY doc_id""",
     }

@@ -261,6 +261,41 @@ def char_class_fractions(arr) -> dict[str, np.ndarray]:
     return out
 
 
+def char_entropy(arr) -> np.ndarray:
+    """Per-row Shannon entropy (base 2) of the row's CHARACTER
+    (codepoint) distribution — the per-value entropy signal of the
+    EntropyDetector family (reference:
+    aminer/analysis/EntropyDetector.py:128-193 scores character
+    randomness). One utf-32 decode of the whole buffer + one
+    np.unique over (row, codepoint) keys; no per-row Python.
+    Empty rows score 0. Matches SQL ``entropy()`` over the
+    char-split column exactly (up to float summation noise)."""
+    data, offsets = flat_utf8(arr)
+    n_rows = len(offsets) - 1
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    out = np.zeros(n_rows, dtype=np.float64)
+    if hi <= lo or n_rows == 0:
+        return out
+    buf = data[lo:hi]
+    s = bytes(buf).decode("utf-8", "replace")
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # chars per row = non-continuation bytes per row
+    noncont = (buf & 0xC0) != 0x80
+    cs = _excl_cumsum(noncont)
+    row_chars = cs[offsets[1:] - lo] - cs[offsets[:-1] - lo]
+    row_id = np.repeat(np.arange(n_rows, dtype=np.int64), row_chars)
+    key = row_id * np.int64(0x110000) + cps
+    uk, cnt = np.unique(key, return_counts=True)
+    urow = uk // 0x110000
+    clog = cnt * np.log2(cnt)
+    sum_clog = np.zeros(n_rows, dtype=np.float64)
+    np.add.at(sum_clog, urow, clog)
+    n = row_chars.astype(np.float64)
+    nz = n > 0
+    out[nz] = np.log2(n[nz]) - sum_clog[nz] / n[nz]
+    return out
+
+
 def codepoint_set(arr, max_codepoint: int = 0x10000) -> np.ndarray:
     """Bitmap (bool array) of which codepoints < max_codepoint occur
     anywhere in the column chunk — the CharsetDetector learned state

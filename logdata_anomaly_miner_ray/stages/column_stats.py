@@ -156,6 +156,46 @@ def column_stats(
     return pa.table(rows)
 
 
+def exact_distinct_counts(
+    ds: "ray.data.Dataset", columns: list[str]
+) -> dict[str, int]:
+    """EXACT distinct count per column, at shuffle cost of 16-byte
+    hashes (never the values): per block, the set of md5 digests per
+    column; one distinct + one count groupby over (column, digest).
+    Nulls are excluded (SQL count(DISTINCT) semantics). md5 collisions
+    are negligible even at 10^12 rows (~n²/2^129). Complements the
+    HLL estimate in ``column_stats`` — use this to bound the sketch
+    error, or when exactness is required."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex
+    from ._agg import distinct_rows, grouped_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_c: list[str] = []
+        out_h: list[str] = []
+        for c in columns:
+            if c not in batch.column_names:
+                continue
+            arr = batch.column(c)
+            if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+                    or pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)):
+                arr = pc.cast(arr, pa.string())
+            hs = set(md5_hex(arr.drop_null()))
+            out_c.extend([c] * len(hs))
+            out_h.extend(hs)
+        return pa.table(
+            {"column": pa.array(out_c, pa.string()), "h": pa.array(out_h, pa.string())}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    d = distinct_rows(partials, ["column", "h"])
+    counts = grouped_counts(d, ["column"], out_name="n_distinct").to_pandas()
+    return dict(zip(counts["column"], counts["n_distinct"].astype(int)))
+
+
 def _collect_arrow(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a SMALL dataset to one Arrow table (driver side)."""
     import ray

@@ -143,6 +143,47 @@ def ar_forecast_outliers(
     return pd.DataFrame(out, columns=key_cols + [window_name, count_name, "pred", "band"])
 
 
+def ar1_outliers(
+    counts: pd.DataFrame,
+    key_cols: list[str],
+    band_factor: float = 3.0,
+    count_name: str = "n",
+    window_name: str = "window",
+) -> pd.DataFrame:
+    """AR(1) via closed-form OLS (slope = cov_pop/var_pop, intercept
+    = ȳ − slope·x̄) over the zero-filled per-key window series —
+    numerically identical to SQL ``regr_slope``/``regr_intercept``
+    over (lag(n), n) pairs, so the result is oracle-recomputable
+    exactly (unlike the general least-squares AR(p) path). Windows
+    with |resid| > band·stddev_pop(resid) are outliers."""
+    out = []
+    for key, g in counts.groupby(key_cols):
+        g = g.sort_values(window_name)
+        wmin, wmax = int(g[window_name].min()), int(g[window_name].max())
+        full = np.arange(wmin, wmax + 1)
+        y = np.zeros(len(full))
+        y[(g[window_name].to_numpy() - wmin).astype(int)] = g[count_name].to_numpy()
+        if len(y) < 2:
+            continue
+        x, t = y[:-1], y[1:]
+        xm, tm = x.mean(), t.mean()
+        vx = ((x - xm) ** 2).mean()
+        if vx == 0:
+            continue
+        slope = ((x - xm) * (t - tm)).mean() / vx
+        a = tm - slope * xm
+        pred = slope * x + a
+        resid = t - pred
+        sd = float(np.std(resid))
+        bad = np.abs(resid) > band_factor * max(sd, 1e-9)
+        for j in np.flatnonzero(bad):
+            rec = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            rec[window_name] = int(full[1 + j])
+            rec[count_name] = int(t[j])
+            out.append(rec)
+    return pd.DataFrame(out, columns=key_cols + [window_name, count_name])
+
+
 def pca_outlier_windows(
     ds: "ray.data.Dataset",
     event_col: str,
@@ -208,18 +249,20 @@ def time_of_period_outliers(
         tod = (tsi // 1_000_000) % period_seconds
         if len(tod) < min_occurrences:
             return g.iloc[0:0][value_cols + [ts_col]]
-        srt = np.sort(tod)
-        # circular nearest-neighbor distance to any OTHER occurrence
-        pos = np.searchsorted(srt, tod)
-        n = len(srt)
-        cand = np.stack(
-            [srt[(pos - 1) % n], srt[pos % n], srt[(pos + 1) % n]], axis=1
-        )
-        d = np.abs(cand - tod[:, None])
-        d = np.minimum(d, period_seconds - d)
-        # exclude self-distance 0 when the value is unique at that tod
-        d_sorted = np.sort(d, axis=1)
-        nearest_other = np.where(d_sorted[:, 0] == 0, d_sorted[:, 1], d_sorted[:, 0])
+        # exact circular NN distance to any OTHER occurrence, by row
+        # identity: a duplicate time-of-period means distance 0; a
+        # unique one takes the min gap to its circular neighbors
+        # among the UNIQUE sorted tods (the circular NN is always an
+        # adjacent unique value; any longer walk passes one).
+        u, inv, cnt = np.unique(tod, return_inverse=True, return_counts=True)
+        if len(u) == 1:
+            nn_u = np.zeros(1)
+        else:
+            d_next = np.empty(len(u), dtype=np.float64)
+            d_next[:-1] = u[1:] - u[:-1]
+            d_next[-1] = (u[0] + period_seconds) - u[-1]
+            nn_u = np.minimum(d_next, np.roll(d_next, 1))
+        nearest_other = np.where(cnt[inv] >= 2, 0.0, nn_u[inv])
         bad = nearest_other > max_time_diff
         out = g.iloc[np.flatnonzero(bad)][value_cols + [ts_col]].copy()
         return out
