@@ -841,10 +841,22 @@ def q_langid_documents(sf_dir: str):
 
 
 def q_fingerprints_documents(sf_dir: str):
-    from logdata_anomaly_miner_ray.stages.text_analysis import with_fingerprints
+    """Winnowing fingerprint in the portable md5 hash family (min
+    digest over word 3-shingles) — oracle recomputes with SQL md5().
+    The engine's rolling-hash fingerprint + SimHash columns
+    (with_fingerprints) are the scale path, pytest-verified."""
+    from logdata_anomaly_miner_ray.functions.hashing import min_shingle_md5
 
-    return with_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
-        ["doc_id", "fingerprint", "simhash"]
+    def add(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp_min": pa.array(min_shingle_md5(batch["text"], k=3), pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -868,17 +880,25 @@ def q_simhash_pairs_documents(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
-    from logdata_anomaly_miner_ray.stages.dedup import embedding_near_dup_pairs
+    """EXACT embedding-cosine near-dup pairs (broadcast matmul per
+    block); oracle recomputes every pair with list_cosine_similarity.
+    The hyperplane-LSH variant (embedding_near_dup_pairs) remains the
+    unbounded-N scale path, pytest-verified. Threshold 0.45 keeps the
+    result non-empty on the near-orthogonal synthetic vectors."""
+    from logdata_anomaly_miner_ray.stages.dedup import embedding_near_dup_pairs_exact
 
-    # synthetic embeddings are near-orthogonal random vectors (max
-    # pairwise cosine ≈0.5 at sf0.01); 0.4 keeps the result non-empty
-    # so the rows-only check exercises real output
-    return embedding_near_dup_pairs(
+    out = embedding_near_dup_pairs_exact(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         "embedding",
         "vec_id",
-        cosine_threshold=0.4,
-        n_planes=6,
+        cosine_threshold=0.45,
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64)),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64)),
+            "sim_e4": _scaled_int(pa.array(out["cosine"].to_numpy(np.float64)), 10_000),
+        }
     )
 
 
@@ -911,10 +931,21 @@ def q_hll_distinct_documents(sf_dir: str):
 
 
 def q_ks_drift_events(sf_dir: str):
-    from logdata_anomaly_miner_ray.stages.drift import ks_drift_by_group
+    """Exact two-sample KS of each event_type vs the pooled-all
+    distribution; oracle recomputes both ECDFs with an ASOF join.
+    The t-digest approximate variant (ks_drift_by_group) remains the
+    unbounded-cardinality scale path, pytest-verified."""
+    from logdata_anomaly_miner_ray.stages.drift import ks_exact_by_group
 
-    return ks_drift_by_group(
+    out = ks_exact_by_group(
         _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "ks_e6": _scaled_int(pa.array(out["ks"].to_numpy(np.float64)), 1_000_000),
+        }
     )
 
 
@@ -1417,4 +1448,66 @@ SELECT 'source', count(DISTINCT source)::BIGINT, TRUE FROM documents""",
 SELECT doc_id, CAST(ROUND(entropy(c) * 1000000) AS BIGINT) AS ent_e6
 FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
 GROUP BY doc_id""",
+        "langid_documents": r"""
+WITH s AS (
+  SELECT doc_id,
+    greatest(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END, 1)::DOUBLE AS nt,
+    len(regexp_extract_all(lower(text),
+        '\b(the|and|of|to|in|is|that|for|with|was|are)\b'))::DOUBLE AS c_en,
+    len(regexp_extract_all(lower(text),
+        '\b(der|die|das|und|ist|nicht|mit|ein|eine|von|zu)\b'))::DOUBLE AS c_de,
+    len(regexp_extract_all(lower(text),
+        '\b(le|la|les|et|est|une|des|dans|pour|que|pas)\b'))::DOUBLE AS c_fr,
+    len(regexp_extract_all(lower(text),
+        '\b(el|la|los|las|es|una|del|para|con|por|que)\b'))::DOUBLE AS c_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]'))::DOUBLE AS c_cjk,
+    greatest(length(text), 1)::DOUBLE AS nc
+  FROM documents
+), sc AS (
+  SELECT doc_id, c_en/nt AS s_en, c_de/nt AS s_de, c_fr/nt AS s_fr,
+         c_es/nt AS s_es, c_cjk/nc AS s_cjk
+  FROM s)
+SELECT doc_id,
+  CASE WHEN s_cjk > 0.2 THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es) > 0.01 THEN
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END
+       ELSE 'xx' END AS pred_lang
+FROM sc""",
+        "fingerprints_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+f AS (SELECT t.doc_id, min(md5(array_to_string(toks[i:i+2], ' '))) AS fp_min
+      FROM t, unnest(generate_series(1, len(toks) - 2)) g(i)
+      GROUP BY t.doc_id)
+SELECT d.doc_id, f.fp_min FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""",
+        "ks_drift_events": """
+WITH v AS (SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
+ng AS (SELECT g, count(*)::DOUBLE AS n FROM v GROUP BY 1),
+mt AS (SELECT count(*)::DOUBLE AS m FROM v),
+pts AS (SELECT DISTINCT value FROM v),
+ac AS (SELECT g, value, count(*) AS c FROM v GROUP BY 1, 2),
+ac2 AS (SELECT g, value, sum(c) OVER (PARTITION BY g ORDER BY value) AS ca FROM ac),
+bc AS (SELECT value, count(*) AS c FROM v GROUP BY 1),
+bc2 AS (SELECT value, sum(c) OVER (ORDER BY value) AS cb FROM bc),
+grid AS (SELECT ng.g, p.value, ng.n FROM ng CROSS JOIN pts p),
+fa AS (SELECT grid.g, grid.value, grid.n, coalesce(a.ca, 0)::DOUBLE AS ca
+       FROM grid ASOF LEFT JOIN ac2 a ON grid.g = a.g AND grid.value >= a.value),
+j AS (SELECT fa.g, abs(fa.ca / fa.n - b.cb / mt.m) AS d
+      FROM fa JOIN bc2 b ON fa.value = b.value CROSS JOIN mt)
+SELECT j.g AS event_type, CAST(ng.n AS BIGINT) AS n,
+       CAST(ROUND(max(j.d) * 1000000) AS BIGINT) AS ks_e6
+FROM j JOIN ng ON j.g = ng.g
+GROUP BY 1, 2""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 10000)
+            AS BIGINT) AS sim_e4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45""",
     }

@@ -150,6 +150,35 @@ def fingerprint_min_k(arr, k_shingle: int = 4, k_keep: int = 8) -> np.ndarray:
     return out
 
 
+def min_shingle_md5(arr, k: int = 3) -> list[str | None]:
+    """Winnowing-style fingerprint with a PORTABLE hash family: the
+    minimum md5 hex digest over all word k-shingles of the row
+    (tokens joined by single spaces), so an external SQL engine with
+    md5() reproduces it exactly. Rows with <k tokens → None. The
+    token spans come from the vectorized buffer pass; only the digest
+    feed loops (C-speed hashlib, as in md5_hex)."""
+    from .text import flat_utf8, token_spans
+
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    n_rows = len(offsets) - 1
+    row_start = np.searchsorted(row_id, np.arange(n_rows))
+    row_end = np.searchsorted(row_id, np.arange(n_rows), side="right")
+    mv = memoryview(data)
+    out: list[str | None] = [None] * n_rows
+    for r in range(n_rows):
+        lo, hi = int(row_start[r]), int(row_end[r])
+        if hi - lo < k:
+            continue
+        toks = [bytes(mv[starts[i] : ends[i]]) for i in range(lo, hi)]
+        best = min(
+            hashlib.md5(b" ".join(toks[i : i + k])).hexdigest()
+            for i in range(len(toks) - k + 1)
+        )
+        out[r] = best
+    return out
+
+
 def ngram_jaccard_exact(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word k-gram Jaccard between two strings — the verifier
     applied to LSH candidate pairs (small cardinality, driver/task

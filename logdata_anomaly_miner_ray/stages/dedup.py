@@ -242,6 +242,69 @@ def simhash_near_dup_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
 
 
+def embedding_near_dup_pairs_exact(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    cosine_threshold: float = 0.95,
+) -> pd.DataFrame:
+    """EXACT embedding near-dup pairs: every (id_a < id_b) pair with
+    cosine ≥ threshold. Shape: one pass collects the (small-dim)
+    raw matrix + norms, ``ray.put`` broadcasts it, a second streaming
+    pass matmuls each block against the broadcast side — the ANN
+    brute-force pattern. Memory bound is dim×N floats on each worker
+    (the verification tier; ``embedding_near_dup_pairs`` LSH is the
+    unbounded-N scale path). Cosine is computed as
+    dot/(norm_a·norm_b) over RAW vectors to mirror SQL
+    list_cosine_similarity bit-for-bit up to summation noise."""
+    import ray as _ray
+
+    from .ann import _as_matrix
+
+    blocks = ds.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "__m": pa.array(list(_as_matrix(b[emb_col]).astype(np.float64))),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).to_pandas()
+    full = np.stack(blocks["__m"].to_numpy())
+    full_ids = blocks[id_col].to_numpy(np.int64)
+    order = np.argsort(full_ids)
+    full, full_ids = full[order], full_ids[order]
+    full_norm = np.linalg.norm(full, axis=1)
+    full_norm[full_norm == 0] = 1.0
+    ref = _ray.put((full, full_ids, full_norm))
+
+    class BlockPairs:
+        def __init__(self):
+            self.full, self.ids, self.norms = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _as_matrix(batch[emb_col]).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            nr = np.linalg.norm(emb, axis=1)
+            nr[nr == 0] = 1.0
+            sims = (emb @ self.full.T) / (nr[:, None] * self.norms[None, :])
+            keep = (sims >= cosine_threshold) & (ids[:, None] < self.ids[None, :])
+            ai, bi = np.nonzero(keep)
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[ai], pa.int64()),
+                    "id_b": pa.array(self.ids[bi], pa.int64()),
+                    "cosine": pa.array(sims[ai, bi], pa.float64()),
+                }
+            )
+
+    pairs = ds.map_batches(
+        BlockPairs, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str,

@@ -141,6 +141,46 @@ def psi_drift_by_group(
     return pd.DataFrame(out, columns=[group_col, "psi", "drift"])
 
 
+def ks_exact_by_group(
+    ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> pd.DataFrame:
+    """EXACT two-sample KS D of each group vs the POOLED-ALL
+    reference: D_g = max over pooled value points of
+    |F_g(x) − F_pool(x)| (right-continuous ECDFs; evaluation at the
+    union's points is exact because the difference is piecewise
+    constant between them). One pre-aggregated (group, value)
+    groupby shuffles only distinct pairs; the ECDF pass runs on the
+    collected count table — the verification-tier variant whose
+    driver cost is O(total distinct values). ``ks_drift_by_group``
+    (t-digest) is the unbounded-cardinality scale path. Returns
+    (group, n, ks) with float division exactly matching SQL DOUBLE
+    division (same rationals → same IEEE doubles)."""
+    from ._agg import grouped_counts
+
+    counts = grouped_counts(ds, [group_col, value_col]).to_pandas()
+    counts = counts.dropna(subset=[value_col]).sort_values(value_col, kind="mergesort")
+    vals = counts[value_col].to_numpy(np.float64)
+    grp = counts[group_col].astype(str).to_numpy()
+    cnt = counts["n"].to_numpy(np.int64)
+    # pooled cumulative counts at distinct points
+    pooled_vals, inv = np.unique(vals, return_inverse=True)
+    pooled_cnt = np.bincount(inv, weights=cnt)
+    cb = np.cumsum(pooled_cnt)
+    m = float(cb[-1]) if len(cb) else 0.0
+    rows = []
+    for g in np.unique(grp):
+        sel = grp == g
+        gv = vals[sel]
+        gc = np.cumsum(cnt[sel]).astype(np.float64)
+        n = float(gc[-1])
+        # F_g at every pooled point: index of last group value <= x
+        pos = np.searchsorted(gv, pooled_vals, side="right")
+        ca = np.where(pos > 0, gc[np.maximum(pos - 1, 0)], 0.0)
+        d = np.abs(ca / n - cb / m).max() if m and n else 0.0
+        rows.append((g, int(n), float(d)))
+    return pd.DataFrame(rows, columns=[group_col, "n", "ks"])
+
+
 def ks_drift_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -72,35 +72,54 @@ def with_quality_score(
 
 class LangIdScorer:
     """Actor-pool language-ID: stopword regex hit-rates per language
-    + CJK codepoint share; regexes compiled once per actor."""
+    + CJK codepoint share. Arrow-native: counts come from RE2 via
+    ``pc.count_substring_regex`` on the zero-copy string column (no
+    per-row pandas object loop), which also matches the SQL oracle's
+    RE2 ``regexp_extract_all`` semantics exactly. Tie-break on equal
+    scores is first-in-order of ``_STOPWORDS``."""
 
     def __init__(self):
-        import re
+        self.langs = list(_STOPWORDS)
+        self.patterns = [_STOPWORDS[lang] for lang in self.langs]
 
-        self.patterns = {lang: re.compile(rx) for lang, rx in _STOPWORDS.items()}
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("").str.lower()
-        n_tok = text.str.split().str.len().clip(lower=1)
-        scores = {
-            lang: text.str.count(pat) / n_tok for lang, pat in self.patterns.items()
-        }
-        score_df = pd.DataFrame(scores)
-        # CJK share of characters
-        cjk = text.str.count(r"[一-鿿]") / text.str.len().clip(lower=1)
-        best = score_df.idxmax(axis=1)
-        best_score = score_df.max(axis=1)
-        pred = np.where(cjk > 0.2, "zh", np.where(best_score > 0.01, best, "xx"))
-        batch = batch.copy()
-        batch["pred_lang"] = pred
-        batch["lang_score"] = np.where(cjk > 0.2, cjk, best_score)
-        return batch
+        text = pc.fill_null(batch["text"], "")
+        lower = pc.utf8_lower(text)
+        n_tok = np.maximum(token_counts(lower), 1).astype(np.float64)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(lower, rx).to_numpy(zero_copy_only=False)
+                / n_tok
+                for rx in self.patterns
+            ],
+            axis=1,
+        )
+        n_chars = np.maximum(
+            pc.utf8_length(text).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        cjk = (
+            pc.count_substring_regex(lower, r"[一-鿿]").to_numpy(zero_copy_only=False)
+            / n_chars
+        )
+        best_idx = np.argmax(scores, axis=1)  # first max wins ties
+        best_score = scores[np.arange(len(scores)), best_idx]
+        best_lang = np.asarray(self.langs, dtype=object)[best_idx]
+        pred = np.where(cjk > 0.2, "zh", np.where(best_score > 0.01, best_lang, "xx"))
+        return batch.append_column(
+            "pred_lang", pa.array(pred.astype(object), pa.string())
+        ).append_column(
+            "lang_score",
+            pa.array(np.where(cjk > 0.2, cjk, best_score), pa.float64()),
+        )
 
     @staticmethod
     def apply(ds: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 4096):
         return ds.map_batches(
             LangIdScorer,
-            batch_format="pandas",
+            batch_format="pyarrow",
+            zero_copy_batch=True,
             concurrency=concurrency,
             batch_size=batch_size,
         )
