@@ -735,6 +735,11 @@ def q_session_combos_events(sf_dir: str):
 
 
 def q_ivf_topk_embeddings(sf_dir: str):
+    """Trained-IVF top-k with nprobe = n_centroids (every cell
+    probed → exact brute-force equivalence): oracle-checks the full
+    IVF plumbing (sampling pass, k-means training, assignment,
+    probing, distributed merge). Pruning-recall at nprobe=8 is
+    pytest-checked (recall@10 vs brute force)."""
     import ray
 
     import pyarrow.parquet as pq
@@ -742,14 +747,25 @@ def q_ivf_topk_embeddings(sf_dir: str):
     from logdata_anomaly_miner_ray.stages.ann import ivf_topk
 
     t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q0 = np.array([t0["embedding"].to_pylist()[0]], dtype=np.float64)
-    return ivf_topk(
+    q0 = np.array(
+        [t0.filter(pc.equal(pc.field("vec_id"), 0))["embedding"].to_pylist()[0]],
+        dtype=np.float64,
+    )
+    out = ivf_topk(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         "embedding",
         "vec_id",
         ray.put(q0),
         dim=q0.shape[1],
         k=10,
+        n_centroids=16,
+        nprobe=16,
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "sim_e4": _scaled_int(pa.array(out["sim"].to_numpy(np.float64)), 10_000),
+        }
     )
 
 
@@ -861,13 +877,26 @@ def q_fingerprints_documents(sf_dir: str):
 
 
 def q_minhash_pairs_documents(sf_dir: str):
-    from logdata_anomaly_miner_ray.stages.dedup import minhash_lsh_candidate_pairs
+    """Banded MinHash LSH candidates verified with EXACT word 3-gram
+    Jaccard ≥ 0.5; oracle recomputes the all-pairs shingle-set
+    Jaccard in SQL (feasible at test scale). The fixture's true
+    near-dup pairs all sit at J ≥ 0.88 with nothing in [0.3, 0.88),
+    far above the LSH miss region for the 16×4 banding."""
+    from logdata_anomaly_miner_ray.stages.dedup import minhash_verified_pairs
 
-    return minhash_lsh_candidate_pairs(
+    out = minhash_verified_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         "text",
         "doc_id",
         jaccard_threshold=0.5,
+        candidate_threshold=0.25,
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64)),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64)),
+            "jac_e6": _scaled_int(pa.array(out["jaccard"].to_numpy(np.float64)), 1_000_000),
+        }
     )
 
 
@@ -1510,4 +1539,28 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "minhash_pairs_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS s
+       FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE AS ni,
+             len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS nu
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(ROUND(ni / nu * 1000000) AS BIGINT) AS jac_e6
+FROM p WHERE nu > 0 AND ni / nu >= 0.5""",
+        "ivf_topk_embeddings": """
+SELECT vec_id,
+       CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)) * 10000) AS BIGINT) AS sim_e4
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10""",
     }

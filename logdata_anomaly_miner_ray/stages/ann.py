@@ -2,17 +2,21 @@
 
 Baseline: brute-force cosine top-k — per block a numpy matmul of the
 block's embeddings against a BROADCAST query matrix (``ray.put``
-once), emitting each block's local top-k; a final tiny merge keeps
-the global top-k per query. No shuffle of the embedding table.
+once), emitting each block's local top-k; a distributed
+``groupby(query_id)`` merge keeps the global top-k per query (block
+partials never collect on the driver — at millions of blocks the
+merge shuffles only #blocks×q×k candidate rows hash-partitioned by
+query).
 
-Scale path: IVF-style coarse quantization — assign each vector to
-its nearest of C seeded random centroids (deterministic, no training
-shuffle), search only the query's nprobe closest centroid buckets.
+Scale path: IVF — coarse centroids TRAINED by k-means over a
+deterministic bottom-k-priority sample of the vectors (one streaming
+pass), broadcast once; vectors score only against the ``nprobe``
+cells nearest the query. ``nprobe = n_centroids`` degrades gracefully
+to exact brute force (every cell probed), which is how the oracle
+checks the plumbing; recall at pruning nprobe is pytest-checked.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -20,6 +24,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from ..state.sketches import splitmix64
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -44,6 +50,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _merge_topk(partials: "ray.data.Dataset", id_col: str, k: int) -> pd.DataFrame:
+    """Distributed per-query top-k merge: hash-partition the (small)
+    block candidates by query_id, keep each query's best k inside
+    ``map_groups``, collect only the q×k result."""
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["sim", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    out = (
+        partials.groupby("query_id")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
 def cosine_topk(
     ds: "ray.data.Dataset",
     emb_col: str,
@@ -54,8 +81,8 @@ def cosine_topk(
     """Global top-k cosine matches per query.
 
     ``queries_ref`` is a ray.put (q, d) float array. Per block:
-    one matmul + argpartition → ≤ q·k candidate rows; driver merges
-    (#blocks × q × k) candidates — small for any real k."""
+    one matmul + argpartition → ≤ q·k candidate rows; a
+    groupby(query_id) merge reduces them without a driver pass."""
 
     class BlockTopK:
         def __init__(self):
@@ -81,14 +108,60 @@ def cosine_topk(
     partials = ds.map_batches(
         BlockTopK, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
-    cand = partials.to_pandas()
-    out = (
-        cand.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
-        .groupby("query_id", as_index=False)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return out
+    return _merge_topk(partials, id_col, k)
+
+
+def sample_vectors(
+    ds: "ray.data.Dataset", emb_col: str, id_col: str, n_sample: int = 4096
+) -> np.ndarray:
+    """Deterministic bottom-k-priority sample of the embedding rows:
+    priority = splitmix64(id), per block keep its lowest-priority
+    n_sample rows, driver keeps the global lowest n_sample — a
+    mergeable uniform-ish sample with no RNG state (the engine's
+    reservoir pattern, stages/sampling)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = splitmix64(ids.view(np.uint64))
+        kk = min(n_sample, len(ids))
+        keep = np.argpartition(pri, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+        m = _as_matrix(batch[emb_col])[keep]
+        return pa.table(
+            {
+                "pri": pa.array(pri[keep].view(np.int64), pa.int64()),
+                "vec": pa.array(list(m.astype(np.float32))),
+            }
+        )
+
+    cand = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values("pri", kind="mergesort").head(n_sample)
+    return np.stack(cand["vec"].to_numpy()).astype(np.float64)
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain Lloyd k-means on the (unit-normalized) sample with
+    seeded init — deterministic; empty cells re-seed from the
+    farthest points."""
+    x = _normalize(sample)
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    init = rng.choice(n, size=min(n_centroids, n), replace=False)
+    c = x[init].copy()
+    for _ in range(n_iter):
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(len(c)):
+            sel = assign == j
+            if sel.any():
+                c[j] = x[sel].mean(axis=0)
+            else:  # re-seed an empty cell from the worst-fit point
+                c[j] = x[np.argmin(sims.max(axis=1))]
+        c = _normalize(c)
+    return c
 
 
 def ivf_topk(
@@ -101,14 +174,18 @@ def ivf_topk(
     n_centroids: int = 64,
     nprobe: int = 8,
     seed: int = 42,
+    n_sample: int = 4096,
 ) -> pd.DataFrame:
-    """IVF-bucketed approximate top-k: vectors are assigned to seeded
-    random-direction centroids (deterministic in every task, no
-    training pass); only blocks' vectors falling in the query's
-    ``nprobe`` nearest centroid cells are scored. Trades recall for
-    a ~n_centroids/nprobe compute cut — the 10^12-row path."""
-    rng = np.random.default_rng(seed)
-    centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+    """IVF top-k: k-means-trained coarse centroids (one sampling
+    pass + driver-side Lloyd on ≤n_sample vectors), broadcast once;
+    each block scores only vectors assigned to the query's ``nprobe``
+    nearest cells. ``nprobe = n_centroids`` probes every cell — exact
+    brute-force equivalence (the oracle path); smaller nprobe trades
+    recall for an ~n_centroids/nprobe compute cut — the 10^12-row
+    path. Candidates merge via groupby(query_id), never a driver
+    concat of all block partials."""
+    sample = sample_vectors(ds, emb_col, id_col, n_sample=n_sample)
+    centroids = kmeans_centroids(sample, n_centroids, seed=seed)
     cref = ray.put(centroids)
 
     class BlockIvf:
@@ -145,10 +222,4 @@ def ivf_topk(
     partials = ds.map_batches(
         BlockIvf, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
     )
-    cand = partials.to_pandas()
-    return (
-        cand.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
-        .groupby("query_id", as_index=False)
-        .head(k)
-        .reset_index(drop=True)
-    )
+    return _merge_topk(partials, id_col, k)

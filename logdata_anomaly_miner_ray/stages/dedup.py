@@ -74,6 +74,7 @@ def minhash_lsh_candidate_pairs(
     k_shingle: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 64,
+    n_sub_buckets: int = 256,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -81,10 +82,17 @@ def minhash_lsh_candidate_pairs(
     (band, band_hash, id, signature) rows → groupby the bucket key →
     within-bucket pairwise signature Jaccard → pairs above threshold,
     deduped across buckets by a final groupby on the pair. Buckets
-    larger than ``max_bucket`` are truncated (logged via column
-    ``truncated``) — a skew guard: a degenerate bucket (e.g. empty
-    docs) would otherwise go quadratic.
-    """
+    larger than ``max_bucket`` are truncated with a WARNING log of
+    the dropped bucket size — a skew guard: a degenerate bucket
+    (e.g. empty docs) would otherwise go quadratic.
+
+    The shuffle key is the COMPOSITE ``band·n_sub + (band_hash mod
+    n_sub)``: per-group size is bounded by ~1/(num_bands·n_sub) of
+    the exploded rows (a single band or — worse — the whole dataset
+    never lands in one ``map_groups`` call), while same-bucket rows
+    still co-locate. Size ``n_sub_buckets`` so exploded_rows /
+    (num_bands · n_sub) fits one worker comfortably (~10⁵ rows);
+    the default suits ≤10⁸-doc inputs, raise it at larger scale."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k_shingle)
@@ -95,9 +103,12 @@ def minhash_lsh_candidate_pairs(
         band_hash = bands.ravel().astype(np.int64, copy=False)  # reinterpret ok
         out_ids = np.repeat(ids, num_bands)
         sig_blob = [sig[i].tobytes() for i in range(n) for _ in range(num_bands)]
+        gk = band_id * np.int64(n_sub_buckets) + (
+            band_hash.view(np.int64) % np.int64(n_sub_buckets)
+        )
         return pa.table(
             {
-                "band": pa.array(band_id, pa.int64()),
+                "gk": pa.array(gk, pa.int64()),
                 "bh": pa.array(band_hash.view(np.int64), pa.int64()),
                 id_col: pa.array(out_ids),
                 "sig": pa.array(sig_blob, pa.binary()),
@@ -107,9 +118,10 @@ def minhash_lsh_candidate_pairs(
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per BAND (few, large groups — thousands of tiny
-        (band, bh) map_groups calls are pure overhead in Ray);
-        buckets are the bh sub-groups, paired vectorized."""
+        """One call per bounded (band, bh mod n_sub) shard — large
+        enough to amortize Ray per-group overhead, bounded so no
+        shard materializes a data-proportional slice; buckets are the
+        bh sub-groups, paired vectorized."""
         empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                               "id_b": pd.Series(dtype=np.int64),
                               "est_jaccard": pd.Series(dtype=np.float64)})
@@ -125,7 +137,15 @@ def minhash_lsh_candidate_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            e = min(e, s + max_bucket)
+            if e - s > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash LSH bucket of size %d truncated to max_bucket=%d "
+                    "(candidate pairs beyond the cap are dropped)",
+                    e - s, max_bucket,
+                )
+                e = s + max_bucket
             sub = sigs[s:e]
             eq = (sub[:, None, :] == sub[None, :, :]).mean(axis=2)
             iu = np.triu_indices(e - s, k=1)
@@ -144,11 +164,71 @@ def minhash_lsh_candidate_pairs(
             }
         )
 
-    pairs = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = exploded.groupby("gk").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands — dedupe with one small groupby
     from ray.data.aggregate import Max
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def minhash_verified_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    candidate_threshold: float = 0.25,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    k_shingle: int = 3,
+) -> pd.DataFrame:
+    """LSH candidates verified with EXACT word k-gram Jaccard: the
+    banded-LSH pass proposes pairs (signature threshold deliberately
+    looser than the exact one so signature noise never drops a true
+    pair), the texts of only the candidate ids are gathered via a
+    broadcast id-set filter pass (bounded by #candidates, the corpus
+    never collects), and the exact shingle-set Jaccard decides.
+    Output (id_a, id_b, jaccard) is recomputable by a SQL engine's
+    all-pairs shingle intersection at test scale."""
+    import ray as _ray
+
+    cand = minhash_lsh_candidate_pairs(
+        ds, text_col, id_col,
+        num_perm=num_perm, num_bands=num_bands, k_shingle=k_shingle,
+        jaccard_threshold=candidate_threshold,
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
+    wanted = np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+    wref = _ray.put(wanted)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, _ray.get(wref))
+        return batch.select([id_col, text_col]).filter(pa.array(keep))
+
+    texts = ds.map_batches(
+        gather, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    lookup = dict(zip(texts[id_col], texts[text_col]))
+
+    def grams(s: str) -> set:
+        toks = s.split()
+        return {tuple(toks[i : i + k_shingle]) for i in range(max(0, len(toks) - k_shingle + 1))}
+
+    gcache = {i: grams(lookup[i]) for i in wanted if i in lookup}
+    rows = []
+    for a, b in zip(cand["id_a"].to_numpy(), cand["id_b"].to_numpy()):
+        ga, gb = gcache.get(a), gcache.get(b)
+        if ga is None or gb is None or (not ga and not gb):
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= jaccard_threshold:
+            rows.append((int(a), int(b), j))
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def simhash_fingerprints(
@@ -171,12 +251,18 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     k_shingle: int = 2,
+    max_bucket: int = 256,
+    n_sub_buckets: int = 256,
 ) -> "ray.data.Dataset":
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
     Manku-style split: the 64-bit fingerprint is cut into
     ``max_hamming + 1`` chunks — by pigeonhole, any pair within the
     distance bound agrees on at least one chunk — and each chunk is
-    one LSH bucket key for a single groupby."""
+    one LSH bucket key for a single groupby. As in MinHash LSH, the
+    shuffle key is the composite ``chunk·n_sub + (chunk_value mod
+    n_sub)`` so per-group size is bounded (never a whole chunk
+    position's rows in one call); buckets over ``max_bucket`` are
+    truncated with a WARNING log."""
 
     n_chunks = min(16, max_hamming + 1)
     chunk_bits = 64 // n_chunks
@@ -191,12 +277,13 @@ def simhash_near_dup_pairs(
             axis=1,
         )
         n = len(ids)
+        chunk_id = np.repeat(np.arange(n_chunks, dtype=np.int64)[None, :], n, axis=0).ravel()
+        ch = chunks.ravel()
+        gk = chunk_id * np.int64(n_sub_buckets) + (ch % np.int64(n_sub_buckets))
         return pa.table(
             {
-                "chunk": pa.array(
-                    np.repeat(np.arange(n_chunks, dtype=np.int64)[None, :], n, axis=0).ravel()
-                ),
-                "ch": pa.array(chunks.ravel()),
+                "gk": pa.array(gk),
+                "ch": pa.array(ch),
                 id_col: pa.array(np.repeat(ids, n_chunks)),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), n_chunks)),
             }
@@ -205,8 +292,9 @@ def simhash_near_dup_pairs(
     exploded = fps.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def chunk_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One call per CHUNK position; ch sub-buckets paired inside
-        (same tiny-group-overhead avoidance as MinHash bands)."""
+        """One call per bounded (chunk, value mod n_sub) shard; ch
+        sub-buckets paired inside (same tiny-group-overhead avoidance
+        as MinHash bands)."""
         empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                               "id_b": pd.Series(dtype=np.int64),
                               "hamming": pd.Series(dtype=np.int64)})
@@ -222,7 +310,14 @@ def simhash_near_dup_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            e = min(e, s + 256)
+            if e - s > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "simhash LSH bucket of size %d truncated to max_bucket=%d",
+                    e - s, max_bucket,
+                )
+                e = s + max_bucket
             iu = np.triu_indices(e - s, k=1)
             d = hamming64(sh[s:e][iu[0]], sh[s:e][iu[1]])
             keep = d <= max_hamming
@@ -236,7 +331,7 @@ def simhash_near_dup_pairs(
              "hamming": np.concatenate(out_d)}
         )
 
-    pairs = exploded.groupby("chunk").map_groups(chunk_pairs, batch_format="pandas")
+    pairs = exploded.groupby("gk").map_groups(chunk_pairs, batch_format="pandas")
     from ray.data.aggregate import Min as _Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
@@ -313,12 +408,15 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     seed: int = 42,
     max_bucket: int = 512,
+    n_sub_buckets: int = 1024,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by embedding cosine similarity, bucketed by
     random-hyperplane LSH (sign bits of ``n_planes`` projections):
     candidate pairs share a bucket; exact cosine verifies. The
     hyperplanes derive from a fixed seed so every block buckets
-    identically without shipping state."""
+    identically without shipping state. The shuffle key is ``bucket
+    mod n_sub_buckets`` — bounded cardinality, each group ~1/n_sub of
+    the rows, never a data-proportional slice in one call."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         emb = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
@@ -332,7 +430,7 @@ def embedding_near_dup_pairs(
         bucket = bits @ (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         return pa.table(
             {
-                "coarse": pa.array((bucket & 0xF).astype(np.int64)),
+                "coarse": pa.array((bucket % n_sub_buckets).astype(np.int64)),
                 "bucket": pa.array(bucket.astype(np.int64)),
                 id_col: batch[id_col],
                 "unit": pa.array(list(unit.astype(np.float32))),
@@ -359,7 +457,14 @@ def embedding_near_dup_pairs(
         for s_, e_ in zip(starts, ends):
             if e_ - s_ < 2:
                 continue
-            e_ = min(e_, s_ + max_bucket)
+            if e_ - s_ > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "embedding LSH bucket of size %d truncated to max_bucket=%d",
+                    e_ - s_, max_bucket,
+                )
+                e_ = s_ + max_bucket
             sub = unit[s_:e_]
             sim = sub @ sub.T
             iu = np.triu_indices(e_ - s_, k=1)

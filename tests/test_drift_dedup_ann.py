@@ -143,6 +143,62 @@ def test_cosine_topk_matches_numpy(sf_dir):
         assert set(got_ids) == set(want_ids)
 
 
+def test_ivf_topk_recall_at_pruning_nprobe(sf_dir):
+    """Trained IVF with nprobe < n_centroids must keep recall@10
+    >= 0.9 vs brute force (VERDICT round-1 acceptance bar)."""
+    from logdata_anomaly_miner_ray.stages.ann import ivf_topk
+
+    import pyarrow.parquet as pq
+
+    et = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    M = np.array(et["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(et["vec_id"].to_pylist())
+    Q = M[:5]
+    # the synthetic fixture is near-orthogonal random vectors — the
+    # adversarial no-cluster case for IVF (recall ≈ probed-cell
+    # fraction for far neighbors); nprobe=12/16 still prunes 25% of
+    # the scoring work while holding the recall bar. Real clustered
+    # embeddings do far better at smaller nprobe.
+    got = ivf_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(4),
+        "embedding", "vec_id", ray.put(Q), dim=M.shape[1],
+        k=10, n_centroids=16, nprobe=12,
+    )
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Mn @ Qn.T
+    recalls = []
+    for qi in range(len(Q)):
+        want = set(ids[np.argsort(-sims[:, qi], kind="stable")[:10]])
+        have = set(got[got["query_id"] == qi]["vec_id"].to_numpy())
+        recalls.append(len(want & have) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_minhash_bounded_group_keys_hot_bucket():
+    """A degenerate hot bucket (many identical docs) must stay
+    bounded by max_bucket truncation and still pair the dups."""
+    from logdata_anomaly_miner_ray.stages.dedup import minhash_lsh_candidate_pairs
+
+    texts = ["the same exact document text repeated many times over"] * 40 + [
+        f"unique filler document number {i} with its own words entirely" for i in range(20)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pairs = minhash_lsh_candidate_pairs(
+        rd.from_arrow(t).repartition(3), "text", "doc_id",
+        jaccard_threshold=0.9, max_bucket=16,
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # truncation caps the quadratic blowup but the dup cluster still
+    # surfaces pairs, and no false pair crosses into the fillers
+    assert len(got) > 0
+    assert all(a < 40 and b < 40 for a, b in got)
+    assert len(got) <= 16 * 15 // 2 * 16  # bounded by cap per band
+
+
 def test_charset_scenario():
     # FIXTURES.md charset: one row introduces '#'
     from logdata_anomaly_miner_ray.stages.charset import (
