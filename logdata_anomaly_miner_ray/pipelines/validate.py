@@ -89,6 +89,17 @@ def _narrow(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _fresh_dir(path: str) -> None:
+    """Remove a check's previous output before rewriting: re-runs
+    (or a crash between write and manifest mark) must not leave
+    stale UUID-named parquet files inflating violation counts
+    (ADVICE r1). Local-filesystem semantics; object-store outputs
+    would version the prefix instead."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _partition_ids(batch: pa.Table) -> np.ndarray | None:
     """Per-row partition id: an explicit ``partition_id`` column, or
     the basename of a ``path`` column (``read_parquet(...,
@@ -128,32 +139,73 @@ def _sha_xor_of_batch(text_col, partitions: np.ndarray | None = None):
     return {p: a.tobytes() for p, a in accs.items()}
 
 
+def _blob_merge(acc: dict | None, p: dict) -> dict:
+    """Merge one raw fit-partial dict into the accumulator.
+    Charset bitmaps stay PACKED (uint8 OR ≡ packed union) until
+    finalization; every field is mergeable in O(state), so the fold
+    is associative — safe to run sharded + tree-style."""
+    if acc is None:
+        return p
+    for c, st in p["stats"].items():
+        acc["stats"][c] = acc["stats"][c].merge(st) if c in acc["stats"] else st
+    for g, d in p["per_lang"].items():
+        if g in acc["per_lang"]:
+            e = acc["per_lang"][g]
+            e["charset"] |= d["charset"]
+            e["tok_min"] = min(e["tok_min"], d["tok_min"])
+            e["tok_max"] = max(e["tok_max"], d["tok_max"])
+            e["count"] += d["count"]
+            e["tok_digest"].merge(d["tok_digest"])
+        else:
+            acc["per_lang"][g] = d
+    acc["bigrams"] += p["bigrams"]
+    acc["sha_xor"] = (
+        np.frombuffer(acc["sha_xor"], dtype=np.uint8)
+        ^ np.frombuffer(p["sha_xor"], dtype=np.uint8)
+    ).tobytes()
+    acc["n_rows"] += p["n_rows"]
+    for pid, info in p.get("partitions", {}).items():
+        if pid in acc["partitions"]:
+            e = acc["partitions"][pid]
+            e["n_rows"] += info["n_rows"]
+            e["sha_xor"] = (
+                np.frombuffer(e["sha_xor"], dtype=np.uint8)
+                ^ np.frombuffer(info["sha_xor"], dtype=np.uint8)
+            ).tobytes()
+        else:
+            acc["partitions"][pid] = dict(info)
+    return acc
+
+
 @ray.remote(num_cpus=0)
 class _StateCollector:
-    """Accumulates per-block fit partials so the SAME pass can return
-    the narrow projection as its dataset output — one wide read
-    yields both the learned state and the keyed-check input."""
+    """One SHARD of the fit-state reduction: merges each incoming
+    blob into its running state immediately, so a shard holds O(1)
+    state (never O(#blocks) blobs) and the merge work parallelizes
+    across shards; the driver folds only #shards merged states. The
+    zero-CPU shards coexist with the wide pass's workers."""
 
     def __init__(self):
-        self._blobs: list[bytes] = []
+        self._acc: dict | None = None
 
     def add(self, blob: bytes) -> bool:
-        self._blobs.append(blob)
+        self._acc = _blob_merge(self._acc, pickle.loads(blob))
         return True
 
-    def get_all(self) -> list[bytes]:
-        return self._blobs
+    def get_state(self) -> bytes | None:
+        return pickle.dumps(self._acc, protocol=5) if self._acc is not None else None
 
 
 class FitPartials:
     """One fused per-block partial: every learned state at once.
 
-    With ``collector`` set, the partial blob is shipped to the
-    collector actor and the NARROW projection is returned instead
-    (fit + narrow in a single wide pass)."""
+    With ``collectors`` set (a list of shard actors), the partial
+    blob is shipped to one shard (round-robin-ish by cheap entropy)
+    and the NARROW projection is returned instead (fit + narrow in a
+    single wide pass)."""
 
-    def __init__(self, collector=None):
-        self.collector = collector
+    def __init__(self, collectors=None):
+        self.collectors = collectors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         nb = _narrow(batch)
@@ -217,8 +269,11 @@ class FitPartials:
             },
             protocol=5,
         )
-        if self.collector is not None:
-            ray.get(self.collector.add.remote(blob))  # ack before completing
+        if self.collectors is not None:
+            import os as _os
+
+            shard = int.from_bytes(_os.urandom(2), "little") % len(self.collectors)
+            ray.get(self.collectors[shard].add.remote(blob))  # ack before completing
             return nb
         return pa.table({"state": pa.array([blob], pa.binary())})
 
@@ -233,85 +288,72 @@ def fit_and_narrow(
     pages: "rd.Dataset",
     config: SuiteConfig | None = None,
     want_narrow: bool = True,
+    n_collector_shards: int = 8,
 ):
     """ONE wide pass returning (state, materialized narrow
-    projection). The fit partials travel to a zero-CPU collector
-    actor; the pass's dataset output IS the narrow table."""
+    projection). The fit partials travel to ``n_collector_shards``
+    zero-CPU collector shards that merge INCREMENTALLY (each holds
+    one running state, not a blob list), and the driver folds only
+    the #shards merged states — the #blocks-proportional memory and
+    serial-merge bottleneck of a single collector is gone. The
+    pass's dataset output IS the narrow table."""
     config = config or SuiteConfig()
-    blobs: list[bytes] = []
+    acc: dict | None = None
     narrow = None
     if want_narrow:
-        collector = _StateCollector.remote()
+        collectors = [_StateCollector.remote() for _ in range(n_collector_shards)]
         narrow = pages.map_batches(
-            FitPartials(collector),
+            FitPartials(collectors),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
         ).materialize()
-        blobs = ray.get(collector.get_all.remote())
-        ray.kill(collector)
+        for blob in ray.get([c.get_state.remote() for c in collectors]):
+            if blob is not None:
+                acc = _blob_merge(acc, pickle.loads(blob))
+        for c in collectors:
+            ray.kill(c)
     else:
         partials = pages.map_batches(
             FitPartials(), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
         for b in partials.iter_batches(batch_format="pyarrow"):
-            blobs.extend(b["state"].to_pylist())
-    state = _merge_fit_blobs(blobs)
+            for blob in b["state"].to_pylist():
+                acc = _blob_merge(acc, pickle.loads(blob))
+    state = _finalize_state(acc)
     state["config"] = config
     return state, narrow
 
 
 def _merge_fit_blobs(blobs: list[bytes]) -> dict:
-    stats: dict[str, _ColPartial] = {}
-    per_lang: dict[str, dict] = {}
-    bigrams = np.zeros(65536, dtype=np.int64)
-    sha = np.zeros(32, dtype=np.uint8)
-    partitions: dict[str, dict] = {}
-    n_rows = 0
+    """Fold raw pickled partials into the finalized state dict
+    (kept for tests / external callers; the pipeline itself merges
+    incrementally in the collector shards)."""
+    acc: dict | None = None
     for blob in blobs:
-            p = pickle.loads(blob)
-            for c, st in p["stats"].items():
-                stats[c] = stats[c].merge(st) if c in stats else st
-            for g, d in p["per_lang"].items():
-                if g in per_lang:
-                    e = per_lang[g]
-                    e["charset"] |= np.unpackbits(d["charset"]).astype(bool)
-                    e["tok_min"] = min(e["tok_min"], d["tok_min"])
-                    e["tok_max"] = max(e["tok_max"], d["tok_max"])
-                    e["count"] += d["count"]
-                    e["tok_digest"].merge(d["tok_digest"])
-                else:
-                    per_lang[g] = {
-                        "charset": np.unpackbits(d["charset"]).astype(bool),
-                        "tok_min": d["tok_min"],
-                        "tok_max": d["tok_max"],
-                        "count": d["count"],
-                        "tok_digest": d["tok_digest"],
-                    }
-            bigrams += p["bigrams"]
-            sha ^= np.frombuffer(p["sha_xor"], dtype=np.uint8)
-            n_rows += p["n_rows"]
-            for pid, info in p.get("partitions", {}).items():
-                if pid in partitions:
-                    e = partitions[pid]
-                    e["n_rows"] += info["n_rows"]
-                    e["sha_xor"] = (
-                        np.frombuffer(e["sha_xor"], dtype=np.uint8)
-                        ^ np.frombuffer(info["sha_xor"], dtype=np.uint8)
-                    ).tobytes()
-                else:
-                    partitions[pid] = dict(info)
+        acc = _blob_merge(acc, pickle.loads(blob))
+    return _finalize_state(acc)
+
+
+def _finalize_state(acc: dict | None) -> dict:
+    per_lang = acc["per_lang"] if acc else {}
     return {
-        "partitions": partitions,
-        "stats": stats,
-        "charsets": {g: d["charset"] for g, d in per_lang.items()},
+        "partitions": acc["partitions"] if acc else {},
+        "stats": acc["stats"] if acc else {},
+        "charsets": {
+            g: np.unpackbits(d["charset"]).astype(bool) for g, d in per_lang.items()
+        },
         "ranges": {(g,): (d["tok_min"], d["tok_max"]) for g, d in per_lang.items()},
         "lang_domain": sorted(per_lang),
         "lang_counts": {g: d["count"] for g, d in per_lang.items()},
         "tok_digests": {g: d["tok_digest"] for g, d in per_lang.items()},
-        "bigrams": bigrams,
-        "text_sha_xor": sha.tobytes().hex(),
-        "n_rows": n_rows,
+        "bigrams": acc["bigrams"] if acc else np.zeros(65536, dtype=np.int64),
+        "text_sha_xor": (
+            np.frombuffer(acc["sha_xor"], dtype=np.uint8).tobytes().hex()
+            if acc
+            else (b"\x00" * 32).hex()
+        ),
+        "n_rows": acc["n_rows"] if acc else 0,
     }
 
 
@@ -485,17 +527,18 @@ class BroadcastChecks:
                 [[str(int(c))] for c in cw], "",
             )
         )
+        if "row_idx" not in batch.column_names:
+            # no global sequence → per-domain fragments cannot be
+            # stitched meaningfully across blocks; emit no ordering
+            # partials (validate() records the check as skipped)
+            return pa.concat_tables(out)
         dom = np.asarray(
             pc.replace_substring_regex(
                 pc.replace_substring(batch["url"], "https://", ""), "/.*$", ""
             ).to_numpy(zero_copy_only=False),
             dtype=object,
         ).astype(str)
-        seq = (
-            batch["row_idx"].to_numpy(zero_copy_only=False)
-            if "row_idx" in batch.column_names
-            else np.arange(len(dom))
-        )
+        seq = batch["row_idx"].to_numpy(zero_copy_only=False)
         d_ok = dom[ok_ts]
         s_ok = seq[ok_ts]
         t_ok = ts_us[ok_ts]
@@ -550,6 +593,7 @@ def validate(
         vds = maker()
         if out_dir:
             path = f"{out_dir}/check={name}"
+            _fresh_dir(path)
             vds.write_parquet(path)
             import pyarrow.dataset as pads
 
@@ -580,13 +624,14 @@ def validate(
         zero_copy_batch=True,
         concurrency=(1, 32),
     ).materialize()
-    # split meta sha rows from violations (vectorized per batch);
-    # count per (check, partition) for the per-partition verdicts
-    sha_after = np.zeros(32, dtype=np.uint8)
-    sha_parts_after: dict[str, np.ndarray] = {}
-    per_check_counts: dict[str, int] = {}
-    per_part_counts: dict[tuple[str, str], int] = {}
+    # Meta rows reduce INSIDE the dataset (per-block partials + one
+    # tiny groupby each) — the driver touches only the aggregated
+    # results, never a data-proportional row stream (violations
+    # scale with input; at 100× a driver loop over them stalls the
+    # pipeline). The fused output is materialized once; each
+    # reduction below re-reads the stored blocks.
     import pandas as _pd
+    from ray.data.aggregate import Sum as _Sum
 
     META = [
         "Analysis.__ShaXor",
@@ -594,38 +639,118 @@ def validate(
         "Analysis.__WinCount",
         "Analysis.__OrdFrag",
     ]
-    win_counts: dict[tuple[str, int], int] = {}
-    ord_frags: dict[str, list[tuple[int, int, int, int]]] = {}
-    for b in fused.iter_batches(batch_format="pyarrow"):
-        b = b.select(["event_type", "key", "partition_id", "affected_values"])
-        df = _pd.DataFrame(
+    meta_set = pa.array(META)
+
+    # 1) violation counts per (check, partition): block-local groupby
+    #    partial, then a groupby over the tiny (check × partition) key
+    def _count_partial(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.invert(pc.is_in(t["event_type"], value_set=meta_set)))
+        g = (
+            t2.select(["event_type", "partition_id"])
+            .group_by(["event_type", "partition_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "partition_id", "__pn"])
+
+    counts_df = (
+        fused.map_batches(_count_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["event_type", "partition_id"])
+        .aggregate(_Sum("__pn", alias_name="n"))
+        .to_pandas()
+    )
+    per_check_counts: dict[str, int] = (
+        counts_df.groupby("event_type")["n"].sum().astype(int).to_dict()
+    )
+    per_part_counts: dict[tuple[str, str], int] = {
+        (e, p): int(n)
+        for e, p, n in zip(counts_df["event_type"], counts_df["partition_id"], counts_df["n"])
+    }
+
+    # 2) sha-xor per partition: XOR-fold inside map_groups, one row
+    #    per partition reaches the driver
+    def _sha_fold(g: _pd.DataFrame) -> _pd.DataFrame:
+        acc = np.zeros(32, dtype=np.uint8)
+        for h in g["key"]:
+            acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+        return _pd.DataFrame({"partition_id": [g["partition_id"].iloc[0]], "sha": [acc.tobytes().hex()]})
+
+    sha_df = (
+        fused.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "Analysis.__ShaXor")).select(
+                ["key", "partition_id"]
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        .groupby("partition_id")
+        .map_groups(_sha_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    sha_parts_after: dict[str, np.ndarray] = {
+        p: np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+        for p, h in zip(sha_df["partition_id"], sha_df["sha"])
+    }
+    sha_after = np.zeros(32, dtype=np.uint8)
+    for v in sha_parts_after.values():
+        sha_after = sha_after ^ v
+
+    # 3) (lang, window) counts: parse block meta rows to typed
+    #    columns, one groupby-sum over the small (lang × window) key
+    def _win_parse(t: pa.Table) -> pa.Table:
+        w = t.filter(pc.equal(t["event_type"], "Analysis.__WinCount"))
+        keys = w["key"].to_pylist()
+        avs = w["affected_values"].to_pylist()
+        langs, wins, ns = [], [], []
+        for k, av in zip(keys, avs):
+            lang, win = k.rsplit("\x1f", 1)
+            langs.append(lang); wins.append(int(win)); ns.append(int(av[0]))
+        return pa.table(
+            {"lang": pa.array(langs, pa.string()), "window": pa.array(wins, pa.int64()),
+             "__pn": pa.array(ns, pa.int64())}
+        )
+
+    win_df = (
+        fused.map_batches(_win_parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["lang", "window"])
+        .aggregate(_Sum("__pn", alias_name="n"))
+        .to_pandas()
+    )
+    win_counts: dict[tuple[str, int], int] = {
+        (l, int(w)): int(n) for l, w, n in zip(win_df["lang"], win_df["window"], win_df["n"])
+    }
+
+    # 4) ordering fragments: parse → groupby(domain) junction fixup
+    #    inside map_groups → one (domain, n_inversions) row each
+    def _frag_parse(t: pa.Table) -> pa.Table:
+        o = t.filter(pc.equal(t["event_type"], "Analysis.__OrdFrag"))
+        keys = o["key"].to_pylist()
+        avs = o["affected_values"].to_pylist()
+        return pa.table(
             {
-                "e": b["event_type"].to_pylist(),
-                "p": b["partition_id"].to_pylist(),
+                "domain": pa.array(keys, pa.string()),
+                "first_seq": pa.array([int(a[1]) for a in avs], pa.int64()),
+                "n_inv": pa.array([int(a[0]) for a in avs], pa.int64()),
+                "first_ts": pa.array([int(a[2]) for a in avs], pa.int64()),
+                "last_ts": pa.array([int(a[3]) for a in avs], pa.int64()),
             }
         )
-        viol = df[~df["e"].isin(META)]
-        for (e, p), c in viol.groupby(["e", "p"]).size().items():
-            per_check_counts[e] = per_check_counts.get(e, 0) + int(c)
-            per_part_counts[(e, p)] = per_part_counts.get((e, p), 0) + int(c)
-        sha_rows = b.filter(pc.equal(b["event_type"], "Analysis.__ShaXor"))
-        for h, p in zip(sha_rows["key"].to_pylist(), sha_rows["partition_id"].to_pylist()):
-            d = np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
-            sha_after ^= d
-            if p in sha_parts_after:
-                sha_parts_after[p] = sha_parts_after[p] ^ d
-            else:
-                sha_parts_after[p] = d.copy()
-        wrows = b.filter(pc.equal(b["event_type"], "Analysis.__WinCount"))
-        for k, av in zip(wrows["key"].to_pylist(), wrows["affected_values"].to_pylist()):
-            lang, win = k.rsplit("\x1f", 1)
-            kk = (lang, int(win))
-            win_counts[kk] = win_counts.get(kk, 0) + int(av[0])
-        orows = b.filter(pc.equal(b["event_type"], "Analysis.__OrdFrag"))
-        for k, av in zip(orows["key"].to_pylist(), orows["affected_values"].to_pylist()):
-            ord_frags.setdefault(k, []).append(
-                (int(av[1]), int(av[0]), int(av[2]), int(av[3]))
-            )  # (first_seq, n_inv, first_ts, last_ts)
+
+    def _frag_fold(g: _pd.DataFrame) -> _pd.DataFrame:
+        g = g.sort_values("first_seq", kind="mergesort")
+        total = int(g["n_inv"].sum())
+        lt = g["last_ts"].to_numpy()
+        ft = g["first_ts"].to_numpy()
+        total += int((ft[1:] < lt[:-1]).sum())  # junction inversions
+        if total == 0:
+            return _pd.DataFrame({"domain": _pd.Series(dtype=object), "n_inversions": _pd.Series(dtype=np.int64)})
+        return _pd.DataFrame({"domain": [g["domain"].iloc[0]], "n_inversions": [total]})
+
+    ord_df = (
+        fused.map_batches(_frag_parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("domain")
+        .map_groups(_frag_fold, batch_format="pandas")
+        .to_pandas()
+    )
+
     real = fused.map_batches(
         lambda t: t.filter(
             pc.invert(pc.is_in(t["event_type"], value_set=pa.array(META)))
@@ -635,6 +760,7 @@ def validate(
     )
     t0 = time.time()
     if out_dir:
+        _fresh_dir(f"{out_dir}/check={fused_name}")
         real.write_parquet(f"{out_dir}/check={fused_name}")
     for cname in ("NewMatchPathValueDetector", "CharsetDetector", "EntropyDetector", "ValueRangeDetector"):
         short = {
@@ -706,19 +832,17 @@ def validate(
     run_check("frequency", lambda: rd.from_pandas(freq_df))
     run_check("empty_windows", lambda: rd.from_pandas(empty_df))
 
-    def _ordering_table():
-        rows = []
-        for domv, frags in ord_frags.items():
-            frags.sort(key=lambda f: f[0])  # by first_seq
-            total = sum(f[1] for f in frags)
-            for a, bfr in zip(frags, frags[1:]):
-                if bfr[2] < a[3]:  # next fragment's first ts < prev last ts
-                    total += 1
-            if total > 0:
-                rows.append((domv, int(total)))
-        return pd.DataFrame(rows, columns=["domain", "n_inversions"])
-
-    run_check("ordering", lambda: rd.from_pandas(_ordering_table()))
+    has_row_idx = "row_idx" in pages.schema().base_schema.names
+    if has_row_idx:
+        run_check("ordering", lambda: rd.from_pandas(ord_df))
+    else:
+        # no global sequence column → block-local ordering would be
+        # meaningless (ADVICE r1): record an explicit skip instead of
+        # a silently-wrong pass. Callers with unordered input should
+        # run stages/ordering.inversion_counts over a real order key.
+        verdict_rows.append(
+            ("ordering", True, 0, json.dumps({"skipped": "no row_idx column (no global sequence)"}))
+        )
 
     # KS drift on n_tokens across langs from the fit-pass digests
     from ..stages.drift import ks_2samp_from_sorted, ks_critical

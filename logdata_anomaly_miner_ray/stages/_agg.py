@@ -129,6 +129,43 @@ def salted_grouped_counts(
     return stage1.groupby(keys).aggregate(Sum("__sn", alias_name=out_name))
 
 
+def coarse_grouped(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    per_bucket,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-id semantics at bounded group count: shuffle by
+    ``hash(id) mod n_buckets`` and run ``per_bucket`` once per
+    bucket. Thousands/millions of tiny per-id ``map_groups`` calls
+    are pure Ray overhead (CLAUDE.md); a vectorized bucket function
+    that respects per-id boundaries (sort by id inside, adjacency
+    masks) gets the same answer with ≤ n_buckets well-sized groups.
+    Bucket assignment uses pandas' fixed-key siphash — deterministic
+    across workers, no PYTHONHASHSEED dependence."""
+    import numpy as np
+    import pandas as pd
+
+    def add_bk(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in id_cols:
+            h = h * np.uint64(0x100000001B3) ^ pd.util.hash_pandas_object(
+                df[c], index=False
+            ).to_numpy()
+        df = df.copy()
+        df["__bk"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(g.drop(columns="__bk"))
+
+    return (
+        ds.map_batches(add_bk, batch_format="pandas", batch_size=None)
+        .groupby("__bk")
+        .map_groups(wrapped, batch_format="pandas")
+    )
+
+
 def distinct_rows(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
     """Distinct key tuples with per-block combining (no counts)."""
 

@@ -168,8 +168,11 @@ def sliding_count_exceed(
     count_name: str = "n_in_window",
 ) -> "ray.data.Dataset":
     """Sliding variant: for each event, the count of the key's events
-    in ``(t - window, t]``; rows exceeding ``upper_limit`` are
-    returned. Sort happens WITHIN key groups (vectorized
+    in ``[t - window, t]`` — CLOSED at both ends and including ALL
+    events with the same timestamp (the SQL ``RANGE BETWEEN w
+    PRECEDING AND CURRENT ROW`` frame, so the oracle equivalence
+    holds under equal-timestamp and exact-boundary pairs too —
+    ADVICE r1). Sort happens WITHIN key groups (vectorized double
     searchsorted), never globally. Local-maximum suppression: of a
     run of consecutive exceeding events, the first is reported
     (reference keeps a suppression flag until count drops below the
@@ -180,8 +183,9 @@ def sliding_count_exceed(
         ts = g[ts_col].to_numpy()
         tsi = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" else ts.astype(np.int64)
         w = int(window_seconds * 1_000_000)
-        left = np.searchsorted(tsi, tsi - w, side="right")
-        cnt = np.arange(1, len(tsi) + 1) - left
+        left = np.searchsorted(tsi, tsi - w, side="left")
+        right = np.searchsorted(tsi, tsi, side="right")
+        cnt = right - left
         exceed = cnt > upper_limit
         first = exceed & ~np.concatenate([[False], exceed[:-1]])
         idx = np.flatnonzero(first)

@@ -9,10 +9,13 @@ Reference semantics:
   faster transition is an anomaly (reference:
   aminer/analysis/MinimalTransitionTimeDetector.py:75-186).
 
-Batch recast: one groupby(id) shuffle, sort WITHIN the id group by
-(ts, seq), vectorized shifted-array n-gram / lag-delta extraction.
-The learned gram set / min-time matrix is a small aggregate,
-broadcast for the validate pass.
+Batch recast: ONE shuffle keyed by ``hash(id) mod n_buckets`` (the
+coarse-key pattern — per-id groups are naturally tiny and millions of
+tiny ``map_groups`` calls are pure Ray overhead); inside each bucket
+the rows sort by (id, order) once and n-grams / lag-deltas come from
+shifted arrays masked by a same-id adjacency vector — no per-id
+Python loop at any group size. The learned gram set / min-time matrix
+is a small aggregate, broadcast for the validate pass.
 """
 
 from __future__ import annotations
@@ -23,6 +26,19 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Min, Sum
 
+from ._agg import coarse_grouped
+
+
+def _same_adjacent(g: pd.DataFrame, id_cols: list[str]) -> np.ndarray:
+    """Boolean mask over consecutive sorted rows: True where row i+1
+    belongs to the same id-track as row i."""
+    m = len(g)
+    same = np.ones(max(m - 1, 0), dtype=bool)
+    for c in id_cols:
+        v = g[c].to_numpy()
+        same &= v[1:] == v[:-1]
+    return same
+
 
 def ngram_counts(
     ds: "ray.data.Dataset",
@@ -31,23 +47,35 @@ def ngram_counts(
     order_cols: list[str],
     n: int = 2,
     count_name: str = "n",
+    n_buckets: int = 256,
 ) -> "ray.data.Dataset":
     """Global counts of event-type n-grams (columns g0..g{n-1}),
     where grams are built per id-track in ``order_cols`` order."""
 
     gram_cols = [f"g{i}" for i in range(n)]
 
-    def per_id(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in gram_cols}
+            | {"__pn": pd.Series(dtype=np.int64)}
+        )
+        m = len(g)
+        if m < n:
+            return empty
+        g = g.sort_values(id_cols + order_cols, kind="mergesort")
         ev = g[event_col].to_numpy()
-        if len(ev) < n:
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in gram_cols}
-                                | {"__pn": pd.Series(dtype=np.int64)})
-        cols = {f"g{i}": ev[i : len(ev) - n + 1 + i] for i in range(n)}
+        same = _same_adjacent(g, id_cols)
+        # gram starting at i is valid iff rows i..i+n-1 share an id:
+        # windowed AND of the adjacency mask via prefix sums
+        cs = np.concatenate([[0], np.cumsum(same)])
+        ok = (cs[n - 1 :] - cs[: m - n + 1]) == (n - 1)
+        if not ok.any():
+            return empty
+        cols = {f"g{i}": ev[i : m - n + 1 + i][ok] for i in range(n)}
         df = pd.DataFrame(cols)
         return df.groupby(gram_cols, as_index=False).size().rename(columns={"size": "__pn"})
 
-    partials = ds.groupby(id_cols).map_groups(per_id, batch_format="pandas")
+    partials = coarse_grouped(ds, id_cols, per_bucket, n_buckets=n_buckets)
     return partials.groupby(gram_cols).aggregate(Sum("__pn", alias_name=count_name))
 
 
@@ -73,29 +101,38 @@ def min_transition_times(
     ts_col: str,
     order_cols: list[str] | None = None,
     out_name: str = "min_seconds",
+    n_buckets: int = 256,
 ) -> "ray.data.Dataset":
     """Minimal observed seconds between consecutive events per
     (from_event, to_event) — the learned time matrix."""
 
     order_cols = order_cols or [ts_col]
 
-    def per_id(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"from_event": pd.Series(dtype=object),
+             "to_event": pd.Series(dtype=object),
+             "__mn": pd.Series(dtype=np.float64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_cols + order_cols, kind="mergesort")
         ev = g[event_col].to_numpy()
         ts = g[ts_col].to_numpy()
         tsi = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" else ts.astype(np.int64)
-        if len(ev) < 2:
-            return pd.DataFrame({"from_event": pd.Series(dtype=object),
-                                 "to_event": pd.Series(dtype=object),
-                                 "__mn": pd.Series(dtype=np.float64)})
-        df = pd.DataFrame({
-            "from_event": ev[:-1],
-            "to_event": ev[1:],
-            "__mn": np.diff(tsi) / 1_000_000.0,
-        })
+        same = _same_adjacent(g, id_cols)
+        if not same.any():
+            return empty
+        df = pd.DataFrame(
+            {
+                "from_event": ev[:-1][same],
+                "to_event": ev[1:][same],
+                "__mn": (np.diff(tsi) / 1_000_000.0)[same],
+            }
+        )
         return df.groupby(["from_event", "to_event"], as_index=False)["__mn"].min()
 
-    partials = ds.groupby(id_cols).map_groups(per_id, batch_format="pandas")
+    partials = coarse_grouped(ds, id_cols, per_bucket, n_buckets=n_buckets)
     return partials.groupby(["from_event", "to_event"]).aggregate(
         Min("__mn", alias_name=out_name)
     )

@@ -82,6 +82,21 @@ def test_resume_skips_completed(suite_out):
     assert (a == b).all()
 
 
+def test_rerun_does_not_inflate_check_dirs(suite_out):
+    """Re-running into the same out_dir must REPLACE each
+    check=<name> dir, not append new UUID parquet files next to
+    stale ones (ADVICE r1: inflated counts flip verdicts)."""
+    out, out_dir = suite_out
+    import pyarrow.dataset as pads
+
+    n1 = pads.dataset(f"{out_dir}/check=broadcast_checks").count_rows()
+    pages = rd.from_arrow(make_pages_block(0, N)).repartition(4)
+    tsx = rd.from_arrow(ts_index_block(0, N)).repartition(2)
+    run_suite(pages, ts_index=tsx, out_dir=out_dir)
+    n2 = pads.dataset(f"{out_dir}/check=broadcast_checks").count_rows()
+    assert n1 == n2
+
+
 def test_violation_rows_schema(suite_out):
     out, out_dir = suite_out
     import pyarrow.dataset as pads

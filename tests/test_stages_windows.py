@@ -80,6 +80,21 @@ def test_sliding_count_exceed():
     assert out["n_in_window"].tolist() == [5]
 
 
+def test_sliding_count_ties_and_boundary():
+    """Equal timestamps count ALL peers; the window is closed at
+    t - w (SQL RANGE frame semantics, ADVICE r1)."""
+    from logdata_anomaly_miner_ray.stages.frequency import sliding_count_exceed
+
+    # 3 events at t=0, 2 at exactly t=10s (window edge) → each of the
+    # t=10s events sees all 5 in [0s, 10s]
+    rows = [("k", 0)] * 3 + [("k", 10_000_000)] * 2
+    out = sliding_count_exceed(_events_from(rows), ["key"], "ts", 10.0, 4).to_pandas()
+    assert out["n_in_window"].tolist() == [5]
+    # shrink the window below the boundary → only the 2 peers remain
+    out2 = sliding_count_exceed(_events_from(rows), ["key"], "ts", 9.0, 4).to_pandas()
+    assert len(out2) == 0
+
+
 def test_missing_gap_violations():
     # FIXTURES.md missing: heartbeat every 60s then silence
     from logdata_anomaly_miner_ray.stages.missing import gap_violations
