@@ -185,55 +185,65 @@ def shingle_hashes(
     return splitmix64(h[valid]), row_id[: len(th) - k + 1][valid]
 
 
-def bigram_counts(arr) -> np.ndarray:
-    """65536-bin count table of adjacent byte pairs across all rows
-    (pairs never cross row boundaries). Mergeable by addition —
-    the learned state of the entropy check."""
-    data, offsets = flat_utf8(arr)
-    n = len(data)
-    if n < 2:
-        return np.zeros(65536, dtype=np.int64)
-    pair_ok = np.ones(n - 1, dtype=bool)
-    row_last = offsets[1:] - 1  # last byte index of each row
-    row_last = row_last[(row_last >= 0) & (row_last < n - 1)]
-    pair_ok[row_last] = False
+N_SYM = 257  # 256 byte values + the reference's virtual boundary marker
+_BOUND = 256
+
+
+def _boundary_stream(data: np.ndarray, offsets: np.ndarray):
+    """Concatenated symbol stream ``B ⊕ row0 ⊕ B ⊕ row1 ⊕ … ⊕ B``
+    (B = boundary marker): its adjacent pairs are EXACTLY the
+    reference EntropyDetector's per-value pairs — including the
+    virtual before-first and after-last characters, and a (B, B)
+    pair for an empty value (EntropyDetector.py:128-193) — with
+    nothing crossing rows. Returns (stream, row pair-start offsets):
+    row i owns the ``len_i + 1`` pairs starting at pair index
+    ``offsets_rel[i] + i``."""
+    n_rows = len(offsets) - 1
     lo, hi = int(offsets[0]), int(offsets[-1])
-    if lo > 0:
-        pair_ok[:lo] = False
-    if hi - 1 < n - 1:
-        pair_ok[max(hi - 1, 0) :] = False
-    idx = data[:-1].astype(np.int32) * 256 + data[1:]
-    return np.bincount(idx[pair_ok], minlength=65536).astype(np.int64)
+    total = hi - lo
+    s = np.full(total + n_rows + 1, _BOUND, dtype=np.int32)
+    if total:
+        rel = offsets - lo
+        row_of_byte = np.searchsorted(rel, np.arange(total), side="right") - 1
+        s[np.arange(total) + row_of_byte + 1] = data[lo:hi]
+    return s, offsets - lo
+
+
+def bigram_counts(arr) -> np.ndarray:
+    """257×257-bin count table of adjacent symbol pairs across all
+    rows, boundary-marker pairs included — bit-for-bit the learned
+    frequency table of the reference EntropyDetector (P(second|first)
+    with virtual start/end characters). Mergeable by addition."""
+    data, offsets = flat_utf8(arr)
+    if len(offsets) <= 1:
+        return np.zeros(N_SYM * N_SYM, dtype=np.int64)
+    s, _ = _boundary_stream(data, offsets)
+    idx = s[:-1] * N_SYM + s[1:]
+    return np.bincount(idx, minlength=N_SYM * N_SYM).astype(np.int64)
 
 
 def mean_pair_prob(arr, table: np.ndarray) -> np.ndarray:
-    """Per-row mean conditional pair probability P(b2|b1) under a
-    learned bigram table — the EntropyDetector anomaly score
-    (reference: aminer/analysis/EntropyDetector.py:128-165; score
-    below prob_thresh ⇒ anomaly). Rows with <1 pair score NaN."""
+    """Per-row mean conditional pair probability P(c2|c1) under a
+    learned 257-symbol bigram table — the EntropyDetector anomaly
+    score (reference: aminer/analysis/EntropyDetector.py:128-165
+    ``critical_val``; below prob_thresh ⇒ anomaly). Every row has
+    ≥1 pair (the boundary pair), matching the reference exactly."""
     data, offsets = flat_utf8(arr)
-    n = len(data)
-    tbl = table.reshape(256, 256).astype(np.float64)
+    n_rows = len(offsets) - 1
+    if n_rows == 0:
+        return np.zeros(0, dtype=np.float64)
+    tbl = table.reshape(N_SYM, N_SYM).astype(np.float64)
     row_tot = tbl.sum(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         cond = tbl / row_tot[:, None]
     cond = np.nan_to_num(cond)
-    if n < 2:
-        return np.full(len(offsets) - 1, np.nan)
-    pair_ok = np.ones(n - 1, dtype=bool)
-    row_last = offsets[1:] - 1
-    row_last = row_last[(row_last >= 0) & (row_last < n - 1)]
-    pair_ok[row_last] = False
-    probs = cond[data[:-1], data[1:]] * pair_ok
-    cs_p = _excl_cumsum(probs.astype(np.float64), dtype=np.float64)
-    cs_n = _excl_cumsum(pair_ok)
-    # per-row pair sums: pairs starting in [off[i], off[i+1]-1)
-    ostart = np.clip(offsets[:-1], 0, n - 1)
-    oend = np.clip(np.maximum(offsets[1:] - 1, offsets[:-1]), 0, n - 1)
-    psum = cs_p[oend] - cs_p[ostart]
-    pcnt = cs_n[oend] - cs_n[ostart]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        return np.where(pcnt > 0, psum / np.maximum(pcnt, 1), np.nan)
+    s, rel = _boundary_stream(data, offsets)
+    probs = cond[s[:-1], s[1:]]
+    cs = _excl_cumsum(probs, dtype=np.float64)
+    starts = rel[:-1] + np.arange(n_rows)  # first pair index of each row
+    ends = rel[1:] + np.arange(1, n_rows + 1)  # one past last pair
+    pcnt = (ends - starts).astype(np.float64)
+    return (cs[ends] - cs[starts]) / pcnt
 
 
 def char_class_fractions(arr) -> dict[str, np.ndarray]:

@@ -347,7 +347,7 @@ def _finalize_state(acc: dict | None) -> dict:
         "lang_domain": sorted(per_lang),
         "lang_counts": {g: d["count"] for g, d in per_lang.items()},
         "tok_digests": {g: d["tok_digest"] for g, d in per_lang.items()},
-        "bigrams": acc["bigrams"] if acc else np.zeros(65536, dtype=np.int64),
+        "bigrams": acc["bigrams"] if acc else np.zeros(textfn.N_SYM * textfn.N_SYM, dtype=np.int64),
         "text_sha_xor": (
             np.frombuffer(acc["sha_xor"], dtype=np.uint8).tobytes().hex()
             if acc
@@ -388,7 +388,7 @@ class BroadcastChecks:
         self.r_names = np.array([k[0] for k in rk])
         self.r_lo = np.array([self.ranges[k][0] for k in rk], dtype=np.float64)
         self.r_hi = np.array([self.ranges[k][1] for k in rk], dtype=np.float64)
-        tbl = st["bigrams"].reshape(256, 256).astype(np.float64)
+        tbl = st["bigrams"].reshape(textfn.N_SYM, textfn.N_SYM).astype(np.float64)
         tot = tbl.sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             self.cond = np.nan_to_num(tbl / tot[:, None])
@@ -652,11 +652,19 @@ def validate(
         )
         return g.rename_columns(["event_type", "partition_id", "__pn"])
 
-    counts_df = (
+    def _typed(df: _pd.DataFrame, cols: dict) -> _pd.DataFrame:
+        # empty Datasets lose their schema through to_pandas — give
+        # all-empty reductions their typed columns back
+        if df.empty and list(df.columns) != list(cols):
+            return _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in cols.items()})
+        return df
+
+    counts_df = _typed(
         fused.map_batches(_count_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["event_type", "partition_id"])
         .aggregate(_Sum("__pn", alias_name="n"))
-        .to_pandas()
+        .to_pandas(),
+        {"event_type": object, "partition_id": object, "n": np.int64},
     )
     per_check_counts: dict[str, int] = (
         counts_df.groupby("event_type")["n"].sum().astype(int).to_dict()
@@ -685,6 +693,7 @@ def validate(
         .map_groups(_sha_fold, batch_format="pandas")
         .to_pandas()
     )
+    sha_df = _typed(sha_df, {"partition_id": object, "sha": object})
     sha_parts_after: dict[str, np.ndarray] = {
         p: np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
         for p, h in zip(sha_df["partition_id"], sha_df["sha"])
@@ -714,6 +723,7 @@ def validate(
         .aggregate(_Sum("__pn", alias_name="n"))
         .to_pandas()
     )
+    win_df = _typed(win_df, {"lang": object, "window": np.int64, "n": np.int64})
     win_counts: dict[tuple[str, int], int] = {
         (l, int(w)): int(n) for l, w, n in zip(win_df["lang"], win_df["window"], win_df["n"])
     }
@@ -750,6 +760,7 @@ def validate(
         .map_groups(_frag_fold, batch_format="pandas")
         .to_pandas()
     )
+    ord_df = _typed(ord_df, {"domain": object, "n_inversions": np.int64})
 
     real = fused.map_batches(
         lambda t: t.filter(

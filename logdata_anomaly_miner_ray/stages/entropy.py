@@ -4,8 +4,8 @@ Reference semantics (aminer/analysis/EntropyDetector.py:128-193):
 learn a char-pair frequency table over observed values; a value whose
 MEAN conditional pair probability falls below ``prob_thresh`` is an
 anomaly (random-looking token). Batch recast: the fit pass sums
-65536-bin bigram bincounts per block (mergeable by addition, one
-512 KiB array total); the scoring pass is a stateless vectorized
+257x257-bin bigram bincounts per block (boundary-marker pairs
+included, mergeable by addition, one ~516 KiB array total); the scoring pass is a stateless vectorized
 ``map_batches`` against the broadcast table — the actor-pool pattern
 mirrors AMiner loading its persisted frequency table at startup.
 """
@@ -24,14 +24,17 @@ from ..schema import violations_table
 
 
 def fit_bigram_table(ds: "ray.data.Dataset", value_col: str) -> np.ndarray:
-    """Learned 65536-bin bigram count table (sum over all blocks)."""
+    """Learned 257x257 bigram count table (sum over all blocks;
+    boundary pairs included — reference EntropyDetector parity)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         counts = bigram_counts(batch[value_col])
         return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    total = np.zeros(65536, dtype=np.int64)
+    from ..functions.text import N_SYM
+
+    total = np.zeros(N_SYM * N_SYM, dtype=np.int64)
     for b in partials.iter_batches(batch_format="pyarrow"):
         for blob in b["counts"].to_pylist():
             total += np.frombuffer(blob, dtype=np.int64)

@@ -137,6 +137,95 @@ def frequency_report(
     return counts.groupby(key_cols).map_groups(per_key, batch_format="pandas")
 
 
+def frequency_anomalies_streaming(
+    counts: pd.DataFrame,
+    key_cols: list[str],
+    num_windows: int = 50,
+    confidence_factor: float = 0.33,
+    count_name: str = "n",
+    window_name: str = "window",
+) -> tuple[pd.DataFrame, int]:
+    """EXACT streaming recast of the reference's window lifecycle
+    (EventFrequencyDetector.py:183-260, 340-399) over the small
+    (key, window, n) table:
+
+    - a window completes when the first atom of a LATER active window
+      arrives; the last active window never completes;
+    - at completion, EVERY key seen so far is checked (a key absent
+      from the window is checked at count 0) against
+      ``mean ± std/confidence_factor`` over its trailing ≤num_windows
+      history EXCLUDING the completed count; with a single history
+      point, std falls back to mean·(1−confidence_factor);
+    - a key with <2 stored windows is skipped (and its counter is
+      reset ONCE, not skipped+1 times — faithful to the reference's
+      early ``continue``);
+    - fully-empty (skipped) windows emit ONE empty-window warning per
+      completion and are never band-checked themselves.
+
+    Returns (anomaly rows (key..., window, n, lower, upper),
+    n_empty_warnings). The batch band over all windows is
+    ``frequency_anomalies``; this variant exists for 1:1 verdict
+    parity with the streaming reference."""
+    kc = key_cols[0] if len(key_cols) == 1 else None
+    df = counts.copy()
+    if kc is None:
+        df["__k"] = list(zip(*[df[c] for c in key_cols]))
+        kc = "__k"
+    pivot = df.pivot_table(index=window_name, columns=kc, values=count_name,
+                           aggfunc="sum", fill_value=0).sort_index()
+    active = pivot.index.to_numpy()
+    state: dict = {}  # key -> counts list (reference self.counts)
+    rows: list[tuple] = []
+    n_empty_warnings = 0
+
+    def _ingest(widx: int) -> None:
+        for k in pivot.columns:
+            c = int(pivot.loc[widx, k])
+            if k in state:
+                state[k][-1] += c
+            elif c > 0:
+                state[k] = [c]
+
+    _ingest(int(active[0]))
+    for j in range(1, len(active)):
+        w_prev, w_cur = int(active[j - 1]), int(active[j])
+        skipped = w_cur - w_prev - 1
+        if skipped > 0:
+            n_empty_warnings += 1
+        def _reset(lst: list) -> None:
+            # reference reset_counter, learn_mode=True branch
+            if len(lst) <= num_windows + 1:
+                lst.append(0)
+            else:
+                del lst[0]
+                lst.append(0)
+
+        for k in list(state):
+            lst = state[k]
+            if len(lst) < 2:
+                _reset(lst)  # reset ONCE, no band check
+                continue
+            hist = lst[-num_windows - 1 : -1]
+            mean = float(np.mean(hist))
+            std = (
+                float(np.std(hist))
+                if len(hist) > 1
+                else mean * (1 - confidence_factor)
+            )
+            lower = mean - std / confidence_factor
+            upper = mean + std / confidence_factor
+            if lst[-1] < lower or lst[-1] > upper:
+                key = k if isinstance(k, tuple) else (k,)
+                rows.append(key + (w_prev, int(lst[-1]), lower, upper))
+            for _ in range(skipped + 1):
+                _reset(lst)
+        _ingest(w_cur)
+    out = pd.DataFrame(
+        rows, columns=key_cols + [window_name, count_name, "lower", "upper"]
+    )
+    return out, n_empty_warnings
+
+
 def empty_windows(
     counts: "ray.data.Dataset",
     key_cols: list[str],

@@ -48,10 +48,9 @@ def test_token_counts_property(rows):
 def test_bigram_counts_property(rows):
     arr = pa.array(rows, pa.string())
     got = T.bigram_counts(arr)
-    total = 0
-    for r in rows:
-        if r:
-            total += max(0, len(r.encode("utf-8")) - 1)
+    # reference semantics: len+1 pairs per row (virtual boundary
+    # chars), one (B, B) pair for an empty/null row
+    total = sum(len((r or "").encode("utf-8")) + 1 for r in rows)
     assert got.sum() == total
 
 

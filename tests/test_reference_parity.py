@@ -184,6 +184,280 @@ def test_new_value_parity(aminer_env):
     assert our_flagged == ref_flagged == ["es", "xx"]
 
 
+def test_entropy_parity(aminer_env):
+    """EntropyDetector: learned char-pair table (incl. virtual
+    boundary chars) and per-value critical values / flags identical."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EntropyDetector import EntropyDetector
+
+    rec = Recorder()
+    ed = EntropyDetector(
+        FakeConfig(), [rec], target_path_list=["/m/value"],
+        learn_mode=True, persistence_id="ent_parity",
+    )
+    learn = ["the cat sat", "the dog sat", "the cat ran", "a dog ran"]
+    t0 = 1700000000.0
+    for i, v in enumerate(learn):
+        ed.receive_atom(_atom({"/m/value": v}, t0 + i))
+    ed.learn_mode = False
+    probes = ["the cat sat", "qzxj#k!!", "a cat ran"]
+    flags = []
+    n = len(rec.events)
+    for v in probes:
+        ed.receive_atom(_atom({"/m/value": v}, t0 + 50))
+        flags.append(len(rec.events) > n)
+        n = len(rec.events)
+
+    from logdata_anomaly_miner_ray.functions.text import (
+        N_SYM,
+        bigram_counts,
+        mean_pair_prob,
+    )
+
+    table = bigram_counts(pa.array(learn))
+    # learned table equals the reference freq dict exactly
+    # (reference uses -1 for the boundary; ours uses index 256)
+    for first, seconds in ed.freq.items():
+        fi = 256 if first == -1 else first
+        for second, cnt in seconds.items():
+            si = 256 if second == -1 else second
+            assert table[fi * N_SYM + si] == cnt, (first, second)
+    assert table.sum() == sum(len(v) + 1 for v in learn)
+
+    scores = mean_pair_prob(pa.array(probes), table)
+    our_flags = [bool(s < ed.prob_thresh) for s in scores]
+    assert our_flags == flags == [False, True, False]
+
+
+def test_event_frequency_parity(aminer_env):
+    """EventFrequencyDetector: identical (value, count) anomaly set,
+    band limits, and empty-window warning count on a spike/dip/gap
+    scenario, vs our streaming recast over the window-count table."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EventFrequencyDetector import EventFrequencyDetector
+
+    rec = Recorder()
+    efd = EventFrequencyDetector(
+        FakeConfig(), [rec], target_path_list=["/m/ev"], window_size=10,
+        confidence_factor=0.5, learn_mode=True, empty_window_warnings=True,
+        persistence_id="ef_parity",
+    )
+    # per-window counts; window 6 fully empty (skip), A spikes in w7
+    plan = {  # window -> {event: count}
+        0: {"A": 3, "B": 5}, 1: {"A": 3, "B": 5}, 2: {"A": 3, "B": 5},
+        3: {"A": 3, "B": 5}, 4: {"A": 3, "B": 5}, 5: {"A": 3, "B": 5},
+        7: {"A": 12, "B": 5}, 8: {"A": 3, "B": 5}, 9: {"A": 3, "B": 5},
+    }
+    t0 = 1700000000.0
+    for w in sorted(plan):
+        i = 0
+        for ev, c in sorted(plan[w].items()):
+            for _ in range(c):
+                efd.receive_atom(_atom({"/m/ev": ev}, t0 + w * 10 + i * 0.01))
+                i += 1
+    freq_events = [e for e in rec.events if e[1] == "Frequency anomaly detected"]
+    empty_events = [e for e in rec.events if "No log events" in e[1]]
+    ref_flagged = {
+        (e[2]["AnalysisComponent"]["AffectedLogAtomValues"][0],
+         int(e[2]["FrequencyData"]["LogAtomValuesFrequency"]))
+        for e in freq_events
+    }
+
+    from logdata_anomaly_miner_ray.stages.frequency import (
+        frequency_anomalies_streaming,
+    )
+
+    import pandas as pd
+
+    rows = [(ev, w, c) for w, evs in plan.items() for ev, c in evs.items()]
+    wc = pd.DataFrame(rows, columns=["ev", "window", "n"])
+    ours, n_empty = frequency_anomalies_streaming(
+        wc, ["ev"], num_windows=50, confidence_factor=0.5
+    )
+    our_flagged = set(zip(ours["ev"], ours["n"]))
+    assert our_flagged == ref_flagged
+    assert ("A", 12) in our_flagged  # the seeded spike fires on both
+    assert n_empty == len(empty_events) == 1
+    # band limits match the reference's reported expected range
+    ref_ranges = {
+        e[2]["AnalysisComponent"]["AffectedLogAtomValues"][0]: e[2][
+            "FrequencyData"
+        ]["ExpectedLogAtomValuesFrequencyRange"]
+        for e in freq_events
+    }
+    for _, r in ours.iterrows():
+        lo, hi = ref_ranges[r["ev"]]
+        assert np.ceil(max(0, r["lower"])) == lo and np.floor(r["upper"]) == hi
+
+
+def test_event_sequence_parity(aminer_env):
+    """EventSequenceDetector (seq_len=2): learned sequence set equals
+    our n-gram set; a novel transition flags identically."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EventSequenceDetector import EventSequenceDetector
+
+    rec = Recorder()
+    esd = EventSequenceDetector(
+        FakeConfig(), [rec], id_path_list=["/m/id"], target_path_list=["/m/ev"],
+        seq_len=2, learn_mode=True, persistence_id="es_parity",
+    )
+    learn = [("u1", "login"), ("u1", "view"), ("u1", "buy"),
+             ("u2", "login"), ("u2", "view"), ("u2", "logout")]
+    t0 = 1700000000.0
+    for i, (u, ev) in enumerate(learn):
+        esd.receive_atom(_atom({"/m/id": u, "/m/ev": ev}, t0 + i))
+    ref_grams = {tuple(v[0] for v in s) for s in esd.sequences}
+
+    from logdata_anomaly_miner_ray.stages.sequence import new_ngrams, ngram_counts
+
+    t = pa.table(
+        {"id": [u for u, _ in learn], "ev": [e for _, e in learn],
+         "seq": list(range(len(learn)))}
+    )
+    grams = ngram_counts(rd.from_arrow(t), ["id"], "ev", ["seq"], n=2).to_pandas()
+    our_grams = set(zip(grams["g0"], grams["g1"]))
+    assert our_grams == ref_grams == {
+        ("login", "view"), ("view", "buy"), ("view", "logout")}
+
+    esd.learn_mode = False
+    n = len(rec.events)
+    esd.receive_atom(_atom({"/m/id": "u1", "/m/ev": "logout"}, t0 + 50))
+    ref_flag = len(rec.events) > n  # (buy → logout) is novel
+    probe = pa.table({"g0": ["buy"], "g1": ["logout"], "n": [1]})
+    flagged = new_ngrams(rd.from_arrow(probe), our_grams, n=2).to_pandas()
+    assert (len(flagged) == 1) == ref_flag is True
+
+
+def test_min_transition_time_parity(aminer_env):
+    """MinimalTransitionTimeDetector: the learned minimal-time matrix
+    equals the min over both directions of our directed matrix, and
+    an undercutting probe flags identically."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.MinimalTransitionTimeDetector import (
+        MinimalTransitionTimeDetector,
+    )
+
+    rec = Recorder()
+    mtd = MinimalTransitionTimeDetector(
+        FakeConfig(), [rec], target_path_list=["/m/ev"], id_path_list=["/m/id"],
+        learn_mode=True, persistence_id="mt_parity",
+    )
+    seq = [("x", "A", 0.0), ("x", "B", 5.0), ("x", "A", 8.0), ("x", "B", 20.0),
+           ("y", "A", 0.0), ("y", "B", 4.0)]
+    t0 = 1700000000.0
+    for u, ev, dt in seq:
+        mtd.receive_atom(_atom({"/m/id": u, "/m/ev": ev}, t0 + dt))
+    ref_min = {}
+    for e1, seconds in mtd.time_matrix.items():
+        for e2, tmin in seconds.items():
+            ref_min[frozenset((e1[0], e2[0]))] = tmin
+
+    from logdata_anomaly_miner_ray.stages.sequence import min_transition_times
+
+    t = pa.table(
+        {"id": [u for u, _, _ in seq], "ev": [e for _, e, _ in seq],
+         "ts": pa.array([int((t0 + dt) * 1e6) for _, _, dt in seq], pa.int64()).cast(pa.timestamp("us")),
+         "seq": list(range(len(seq)))}
+    )
+    ours = min_transition_times(
+        rd.from_arrow(t), ["id"], "ev", "ts", order_cols=["ts", "seq"]
+    ).to_pandas()
+    our_min = {}
+    for _, r in ours.iterrows():
+        k = frozenset((r["from_event"], r["to_event"]))
+        our_min[k] = min(our_min.get(k, np.inf), r["min_seconds"])
+    assert our_min == ref_min == {frozenset(("A", "B")): 3.0}
+
+    # undercut probe: A→B in 1s < learned 3s, confidence 2/3 > 0.05
+    mtd.learn_mode = False
+    n = len(rec.events)
+    mtd.receive_atom(_atom({"/m/id": "z", "/m/ev": "A"}, t0 + 100.0))
+    mtd.receive_atom(_atom({"/m/id": "z", "/m/ev": "B"}, t0 + 101.0))
+    ref_flag = len(rec.events) > n
+    learned = our_min[frozenset(("A", "B"))]
+    our_flag = 1.0 < learned and (1 - 1.0 / learned) > 0.05
+    assert our_flag == ref_flag is True
+
+
+def test_enhanced_combo_parity(aminer_env):
+    """EnhancedNewMatchPathValueComboDetector: learned
+    (first_ts, last_ts, count) metadata per combo identical."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EnhancedNewMatchPathValueComboDetector import (
+        EnhancedNewMatchPathValueComboDetector,
+    )
+
+    rec = Recorder()
+    ecd = EnhancedNewMatchPathValueComboDetector(
+        FakeConfig(), ["/m/a", "/m/b"], [rec], learn_mode=True,
+        persistence_id="ec_parity",
+    )
+    rows = [("k1", "v1", 10.0), ("k1", "v2", 12.0), ("k1", "v1", 15.0),
+            ("k2", "v1", 20.0), ("k1", "v1", 30.0)]
+    for a, b, ts in rows:
+        ecd.receive_atom(_atom({"/m/a": a, "/m/b": b}, ts))
+
+    from logdata_anomaly_miner_ray.stages.domain import combo_span_counts
+
+    t = pa.table(
+        {"a": [r[0] for r in rows], "b": [r[1] for r in rows],
+         "ts": pa.array([int(r[2] * 1e6) for r in rows], pa.int64()).cast(pa.timestamp("us"))}
+    )
+    ours = combo_span_counts(rd.from_arrow(t), ["a", "b"], "ts").to_pandas()
+    for _, r in ours.iterrows():
+        ref = ecd.known_values_dict[(r["a"], r["b"])]
+        assert ref[0] == r["first_ts"].timestamp()
+        assert ref[1] == r["last_ts"].timestamp()
+        assert ref[2] == r["n"]
+    assert len(ours) == len(ecd.known_values_dict) == 3
+
+
+def test_missing_value_parity(aminer_env):
+    """MissingMatchPathValueDetector: a value silent past its
+    interval flags on both sides; steadily-recurring values don't."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.MissingMatchPathValueDetector import (
+        MissingMatchPathValueDetector,
+    )
+
+    rec = Recorder()
+    mmd = MissingMatchPathValueDetector(
+        FakeConfig(), ["/m/host"], [rec], learn_mode=True,
+        default_interval=600, realert_interval=86400, persistence_id="mm_parity",
+    )
+    t0 = 1700000000.0
+    rows = []
+    for k in range(11):  # 'a' every 200s through t=2000
+        rows.append(("a", t0 + 200 * k))
+    for k in range(6):  # 'b' stops at t=1000
+        rows.append(("b", t0 + 200 * k))
+    rows.sort(key=lambda r: r[1])
+    for v, ts in rows:
+        mmd.receive_atom(_atom({"/m/host": v}, ts))
+    import ast
+
+    assert all(e[1] == "Interval too large between values" for e in rec.events)
+    ref_missing = {
+        ast.literal_eval(v["Value"])[0]
+        for e in rec.events
+        for v in e[2]["AnalysisComponent"]["AffectedLogAtomValues"]
+    }
+
+    from logdata_anomaly_miner_ray.stages.missing import gap_violations
+
+    t = pa.table(
+        {"host": [r[0] for r in rows],
+         "ts": pa.array([int(r[1] * 1e6) for r in rows], pa.int64()).cast(pa.timestamp("us"))}
+    )
+    import pandas as pd
+
+    ours = gap_violations(
+        rd.from_arrow(t), ["host"], "ts", 600.0,
+        end_ts=pd.Timestamp(int((t0 + 2000) * 1e9)),
+    ).to_pandas()
+    assert set(ours["host"]) == ref_missing == {"b"}
+
+
 def test_unsorted_timestamps_parity(aminer_env):
     """TimestampsUnsortedDetector: same per-row anomaly flags as our
     inversion counting over the same sequence."""

@@ -49,16 +49,24 @@ def test_shingles_per_row_and_equality():
     assert set(sh[rid == 0]) == set(sh[rid == 1])
 
 
+def _ref_pairs(r: str):
+    """Reference EntropyDetector pair enumeration: virtual boundary
+    marker (-1 → index 256) before the first and after the last
+    character (EntropyDetector.py:128-145)."""
+    syms = [256] + [ord(c) for c in r] + [256]
+    return list(zip(syms, syms[1:]))
+
+
 def test_bigram_counts_matches_counter():
     rows = ["abab", "ba", None, "x", "zz"]
     bg = T.bigram_counts(pa.array(rows))
     exp = collections.Counter()
     for r in rows:
-        for a, b in zip(r or "", (r or "")[1:]):
-            exp[(ord(a), ord(b))] += 1
+        for a, b in _ref_pairs(r or ""):
+            exp[(a, b)] += 1
     assert bg.sum() == sum(exp.values())
     for (a, b), c in exp.items():
-        assert bg[a * 256 + b] == c
+        assert bg[a * T.N_SYM + b] == c
 
 
 def test_mean_pair_prob_matches_manual():
@@ -66,16 +74,15 @@ def test_mean_pair_prob_matches_manual():
     arr = pa.array(rows)
     table = T.bigram_counts(arr).astype(np.float64)
     mp = T.mean_pair_prob(arr, table)
-    tbl = table.reshape(256, 256)
+    tbl = table.reshape(T.N_SYM, T.N_SYM)
     rt = tbl.sum(1)
 
     def manual(r):
-        ps = [tbl[ord(x), ord(y)] / rt[ord(x)] for x, y in zip(r, r[1:]) if rt[ord(x)] > 0]
-        return np.mean(ps) if ps else np.nan
+        ps = [tbl[a, b] / rt[a] if rt[a] > 0 else 0.0 for a, b in _ref_pairs(r)]
+        return sum(ps) / len(ps)
 
     for got, r in zip(mp, rows):
-        want = manual(r)
-        assert (np.isnan(got) and np.isnan(want)) or got == pytest.approx(want)
+        assert got == pytest.approx(manual(r))
 
 
 def test_char_class_fractions():
