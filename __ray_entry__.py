@@ -805,6 +805,58 @@ def q_implication_rules_events(sf_dir: str):
     return implication_rules(support, p0=0.01, alpha=0.05)
 
 
+def q_correlation_rules_lineitem(sf_dir: str):
+    """VariableCorrelationDetector 'Rel' rules over lineitem's
+    discrete columns: deterministic value implications in both
+    directions, each surviving iff its left value co-occurs with
+    exactly one right value over the WHOLE table — recomputable in
+    SQL via HAVING count(DISTINCT right) = 1."""
+    from logdata_anomaly_miner_ray.stages.correlation_rules import (
+        fit_rel_rules,
+        pair_cooccurrence_counts,
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        # tax_cents → tax_band is deterministic BY CONSTRUCTION (the
+        # synthetic tables have no natural deterministic pair), so
+        # the rule-extraction path provably fires; the natural
+        # (l_returnflag, l_linestatus) pair checks agreed absence
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["l_tax"], 100.0), ndigits=0), pa.int64()
+        )
+        band = pc.divide(cents, 3)  # integer division on int64
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "tax_cents": cents,
+                "tax_band": band,
+            }
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_tax"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    pairs = [("l_returnflag", "l_linestatus"), ("tax_cents", "tax_band")]
+    cooc = pair_cooccurrence_counts(ds, pairs)
+    rows = []
+    for (ca, cb) in pairs:
+        rules = fit_rel_rules(cooc[(ca, cb)])
+        for a, (b, n) in rules["fwd"].items():
+            rows.append((ca, a, cb, b, n))
+        for b, (a, n) in rules["rev"].items():
+            rows.append((cb, b, ca, a, n))
+    return pa.table(
+        {
+            "col_a": pa.array([r[0] for r in rows], pa.string()),
+            "val_a": pa.array([r[1] for r in rows], pa.string()),
+            "col_b": pa.array([r[2] for r in rows], pa.string()),
+            "val_b": pa.array([r[3] for r in rows], pa.string()),
+            "n": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_reservoir_sample_events(sf_dir: str):
     """Deterministic per-group bottom-k priority reservoir
     (EventTypeDetector ring-buffer recast; rows-only — priorities are
@@ -1106,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_events": q_chi2_events,
         "time_of_period_events": q_time_of_period_events,
         "session_combos_events": q_session_combos_events,
+        "correlation_rules_lineitem": q_correlation_rules_lineitem,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "vartype_events": q_vartype_events,
         "implication_rules_events": q_implication_rules_events,
@@ -1539,6 +1592,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "correlation_rules_lineitem": """
+WITH d AS (SELECT CAST(l_returnflag AS VARCHAR) AS rf,
+                  CAST(l_linestatus AS VARCHAR) AS ls,
+                  CAST(CAST(ROUND(l_tax * 100) AS BIGINT) AS VARCHAR) AS tc,
+                  CAST(CAST(ROUND(l_tax * 100) AS BIGINT) // 3 AS VARCHAR) AS tb
+           FROM lineitem)
+SELECT 'l_returnflag' AS col_a, rf AS val_a, 'l_linestatus' AS col_b,
+       max(ls) AS val_b, count(*)::BIGINT AS n
+FROM d GROUP BY rf HAVING count(DISTINCT ls) = 1
+UNION ALL
+SELECT 'l_linestatus', ls, 'l_returnflag', max(rf), count(*)::BIGINT
+FROM d GROUP BY ls HAVING count(DISTINCT rf) = 1
+UNION ALL
+SELECT 'tax_cents', tc, 'tax_band', max(tb), count(*)::BIGINT
+FROM d GROUP BY tc HAVING count(DISTINCT tb) = 1
+UNION ALL
+SELECT 'tax_band', tb, 'tax_cents', max(tc), count(*)::BIGINT
+FROM d GROUP BY tb HAVING count(DISTINCT tc) = 1""",
         "minhash_pairs_documents": r"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
            FROM documents),

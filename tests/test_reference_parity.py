@@ -458,6 +458,190 @@ def test_missing_value_parity(aminer_env):
     assert set(ours["host"]) == ref_missing == {"b"}
 
 
+def _install_scipy_stub():
+    """The container has no scipy; the reference VCD only needs
+    chi2.ppf, which we back with our own bisected-incomplete-gamma
+    quantile (itself unit-tested against published chi² quantiles in
+    test_correlation_rules.py — no circularity)."""
+    import types
+
+    from logdata_anomaly_miner_ray.stages.correlation_rules import chi2_ppf
+
+    if "scipy" in sys.modules:
+        return
+    scipy = types.ModuleType("scipy")
+    stats = types.ModuleType("scipy.stats")
+
+    class _Chi2:
+        @staticmethod
+        def ppf(p, k):
+            return chi2_ppf(float(p), int(k))
+
+    stats.chi2 = _Chi2()
+    scipy.stats = stats
+    sys.modules["scipy"] = scipy
+    sys.modules["scipy.stats"] = stats
+
+
+def test_variable_correlation_parity(aminer_env):
+    """VariableCorrelationDetector: identical discrete-variable
+    selection, preselection pairs, and learned Rel rules on a
+    3-variable stream (b deterministic in a, c noisy)."""
+    FakeConfig, Recorder = aminer_env
+    _install_scipy_stub()
+    from aminer.analysis.EventTypeDetector import EventTypeDetector
+    from aminer.analysis.VariableCorrelationDetector import (
+        VariableCorrelationDetector,
+    )
+
+    rec = Recorder()
+    etd = EventTypeDetector(FakeConfig(), [rec])
+    vcd = VariableCorrelationDetector(
+        FakeConfig(), [rec], etd, disc_div_thres=0.3, num_init=100,
+        persistence_id="vc_parity",
+    )
+    rng_vals = []
+    t0 = 1700000000.0
+    b_map = {f"a{k}": f"b{k % 3}" for k in range(5)}
+    for i in range(100):
+        a = f"a{i % 5}"
+        b = b_map[a]
+        c = f"c{(i * 7) % 4}"  # co-varies with nothing deterministically
+        rng_vals.append((a, b, c))
+        # the unique uid keeps the ROOT match value (raw concat) and
+        # itself out of the discrete set on the reference side
+        etd.receive_atom(
+            _atom({"/m/a": a, "/m/b": b, "/m/c": c, "/m/uid": f"u{i}"}, t0 + i)
+        )
+    vcd.init_cor(0)
+
+    import pandas as pd
+
+    from logdata_anomaly_miner_ray.stages.correlation_rules import (
+        VarCorConfig,
+        fit_rel_rules,
+        preselect_pairs,
+        select_discrete_columns,
+    )
+
+    df = pd.DataFrame(rng_vals, columns=["a", "b", "c"])
+    cfg = VarCorConfig(num_init=100, disc_div_thres=0.3)
+    col_stats = select_discrete_columns(df, ["a", "b", "c"], cfg)
+    # discrete selection parity: same variables, same value sets
+    ref_keys = [etd.variable_key_list[0][i] for i in vcd.discrete_indices[0]]
+    assert sorted(ref_keys) == [f"/m/{c}" for c in sorted(col_stats)]
+    for idx, vals in zip(vcd.discrete_indices[0], vcd.pos_var_val[0]):
+        col = etd.variable_key_list[0][idx].rsplit("/", 1)[1]
+        assert set(map(str, vals)) == set(col_stats[col][0])
+    # no preselection → all pairs on both sides
+    assert len(vcd.pos_var_cor[0]) == len(preselect_pairs(col_stats, cfg)) == 3
+
+    # Rel rule parity per pair/direction
+    ref_rules = {}
+    for pci, (i, j) in enumerate(vcd.pos_var_cor[0]):
+        ci = etd.variable_key_list[0][vcd.discrete_indices[0][i]].rsplit("/", 1)[1]
+        cj = etd.variable_key_list[0][vcd.discrete_indices[0][j]].rsplit("/", 1)[1]
+        fwd = {str(k): (str(next(iter(v))), sum(v.values()))
+               for k, v in vcd.rel_list[0][pci][0].items()}
+        rev = {str(k): (str(next(iter(v))), sum(v.values()))
+               for k, v in vcd.rel_list[0][pci][1].items()}
+        ref_rules[(ci, cj)] = {"fwd": fwd, "rev": rev}
+    def _deterministic(left_col, right_col, left_val):
+        return df[df[left_col] == left_val][right_col].nunique() == 1
+
+    for (ci, cj), ref in ref_rules.items():
+        cooc = (
+            df.groupby([ci, cj]).size().reset_index(name="n")
+            .rename(columns={ci: "a", cj: "b"})
+        )
+        ours = fit_rel_rules(cooc)
+        # The reference's streaming pass is PATH-DEPENDENT: (i) a
+        # violated rule can be RESURRECTED by a trailing consistent
+        # run (delete → re-add, VariableCorrelationDetector.py:460ff),
+        # and (ii) the re-add branch deletes the PARTNER value's valid
+        # reverse rule (cross-talk, :465-470). Our batch fit is the
+        # order-free fixed point. Parity modulo those two artifacts:
+        # every reference rule we drop must be globally
+        # non-deterministic (a resurrect), and every rule of ours the
+        # reference dropped must have a non-deterministic partner in
+        # the opposite direction (the cross-talk precondition);
+        # agreeing rules must agree exactly, counts included.
+        def check_direction(our_d, ref_d, lc, rc):
+            for lv, (rv, n) in our_d.items():
+                if lv in ref_d:
+                    assert ref_d[lv] == (rv, n), (lc, rc, lv)
+                else:  # cross-talk: partner rv maps to ≥2 left values
+                    assert not _deterministic(rc, lc, rv), (lc, rc, lv)
+            for lv in set(ref_d) - set(our_d):  # resurrect artifact
+                assert not _deterministic(lc, rc, lv), (lc, rc, lv)
+
+        check_direction(ours["fwd"], ref["fwd"], ci, cj)
+        check_direction(ours["rev"], ref["rev"], cj, ci)
+    # sanity: OUR batch fit preserves the full seeded deterministic
+    # mapping a→b (the reference keeps a subset — a3/a4's reverse
+    # rules fall to the cross-talk artifact when the pair is stored
+    # in (b, a) orientation)
+    want = {f"a{k}": (f"b{k % 3}", 20) for k in range(5)}
+    cooc_ab = (
+        df.groupby(["a", "b"]).size().reset_index(name="n")
+    )
+    assert fit_rel_rules(cooc_ab)["fwd"] == want
+    ref_ab = ref_rules.get(("a", "b"), {}).get("fwd") or ref_rules.get(
+        ("b", "a"), {}
+    ).get("rev", {})
+    assert set(ref_ab.items()) <= set(want.items()) and len(ref_ab) >= 3
+
+
+def test_variable_correlation_preselection_parity(aminer_env):
+    """Preselection methods vs the reference's pick_cor_* on the same
+    distributions (driven directly, as the reference unit test does)."""
+    FakeConfig, Recorder = aminer_env
+    _install_scipy_stub()
+    from aminer.analysis.EventTypeDetector import EventTypeDetector
+    from aminer.analysis.VariableCorrelationDetector import (
+        VariableCorrelationDetector,
+    )
+
+    from logdata_anomaly_miner_ray.stages.correlation_rules import (
+        VarCorConfig,
+        exclude_due_distr,
+        match_disc_distr,
+        match_disc_vals,
+    )
+
+    rec = Recorder()
+    etd = EventTypeDetector(FakeConfig(), [rec])
+    vcd = VariableCorrelationDetector(
+        FakeConfig(), [rec], etd, persistence_id="vc_presel_parity",
+    )
+    cfg = VarCorConfig()
+    cases = [
+        ([0.1] * 10, [1.0 / 14] * 14),
+        ([0.5, 0.3, 0.2], [0.4, 0.35, 0.25]),
+        ([0.9, 0.1], [0.5, 0.5]),
+    ]
+    for p1, p2 in cases:
+        assert vcd.pick_cor_match_disc_distr(list(p1), list(p2)) == match_disc_distr(
+            p1, p2, cfg.match_disc_distr_threshold
+        )
+    for probs in ([0.5, 0.3, 0.2], [0.9, 0.05, 0.05], [0.25] * 4):
+        assert vcd.pick_cor_exclude_due_distr(list(probs)) == exclude_due_distr(
+            probs, cfg.exclude_due_distr_lower_limit
+        )
+    for v1, v2 in ([["x", "y", "z"], ["x", "y", "q"]], [["x"], ["y"]]):
+        assert vcd.pick_cor_match_disc_vals(v1, v2) == match_disc_vals(
+            v1, v2, cfg.match_disc_vals_sim_tresh
+        )
+    # binomial-backtracking threshold identical
+    from logdata_anomaly_miner_ray.stages.correlation_rules import bt_min_successes
+
+    assert bt_min_successes(30, 0.9, 0.1) == vcd.bt_min_successes(30, 0.9, 0.1) == 29
+    # note: the reference computes min_successes_bt at __init__:161
+    # and then OVERWRITES it with 0 at :165 (an init-order bug) — so
+    # the parity target is the bt_min_successes function itself
+    assert vcd.min_successes_bt == 0
+
+
 def test_unsorted_timestamps_parity(aminer_env):
     """TimestampsUnsortedDetector: same per-row anomaly flags as our
     inversion counting over the same sequence."""
