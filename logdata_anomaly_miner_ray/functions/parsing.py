@@ -127,6 +127,48 @@ def parse_float(col) -> pa.Array:
     return pc.cast(guarded, pa.float64())
 
 
+def parse_hex(col, upper_case: bool = False) -> pa.Array:
+    """Hex-digit string column → decoded bytes (binary, null on
+    non-hex input; odd-length strings are left-padded with '0') —
+    HexStringModelElement semantics (reference:
+    aminer/parsing/HexStringModelElement.py:19-49). RE2 validity
+    guard vectorized; the decode itself is C-speed bytes.fromhex."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rx = r"^[0-9A-F]+$" if upper_case else r"^[0-9a-f]+$"
+    valid = pc.fill_null(pc.match_substring_regex(col, rx), False).to_numpy(
+        zero_copy_only=False
+    )
+    vals = col.to_pylist()
+    out = [
+        bytes.fromhex(v if len(v) % 2 == 0 else "0" + v) if ok else None
+        for v, ok in zip(vals, valid)
+    ]
+    return pa.array(out, pa.binary())
+
+
+def parse_base64(col) -> pa.Array:
+    """Base64 string column → decoded bytes (binary, null when the
+    column value is not canonical base64) — Base64StringModelElement
+    semantics (reference:
+    aminer/parsing/Base64StringModelElement.py:21-52; the reference
+    strips the longest base64 prefix, the columnar recast validates
+    the whole value). Vectorized RE2 guard + C-speed b64decode."""
+    import base64 as _b64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rx = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+    valid = pc.fill_null(pc.match_substring_regex(col, rx), False).to_numpy(
+        zero_copy_only=False
+    )
+    vals = col.to_pylist()
+    out = [
+        _b64.b64decode(v) if ok and v else None for v, ok in zip(vals, valid)
+    ]
+    return pa.array(out, pa.binary())
+
+
 def parse_ipv4(col) -> pa.Array:
     """Dotted-quad string → int (match_object semantics of
     IpAddressDataModelElement)."""

@@ -99,6 +99,18 @@ def test_parse_datetime_int_float():
     assert f.to_pylist()[:2] == [3.5, -2000.0] and f[2].as_py() is None
 
 
+def test_parse_hex_and_base64():
+    hx = P.parse_hex(pa.array(["deadbeef", "abc", "xyz", None, "0A"]))
+    assert hx.to_pylist() == [b"\xde\xad\xbe\xef", b"\x0a\xbc", None, None, None]
+    hxu = P.parse_hex(pa.array(["0A", "0a"]), upper_case=True)
+    assert hxu.to_pylist() == [b"\x0a", None]
+    import base64
+
+    good = base64.b64encode(b"hello world!").decode()
+    b6 = P.parse_base64(pa.array([good, "not-base64!", "QQ==", None, ""]))
+    assert b6.to_pylist() == [b"hello world!", None, b"A", None, None]
+
+
 def test_parse_ipv4_and_wordlist():
     ip = P.parse_ipv4(pa.array(["10.0.0.1", "256.1.1.1", "1.2.3.4", "nope"]))
     assert ip.to_pylist() == [0x0A000001, None, 0x01020304, None]
