@@ -19,11 +19,16 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="logdata_anomaly_miner_ray")
-    ap.add_argument("--input", required=True, help="pages Parquet path/dir")
+    ap.add_argument(
+        "--config", default=None,
+        help="declarative suite YAML (validated up front; flags override) — "
+             "the YamlConfig/ConfigValidator analogue",
+    )
+    ap.add_argument("--input", default=None, help="pages Parquet path/dir")
     ap.add_argument("--ts-index", default=None, help="referential partner Parquet")
-    ap.add_argument("--out", required=True, help="output dir (violations + manifest)")
+    ap.add_argument("--out", default=None, help="output dir (violations + manifest)")
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap")
-    ap.add_argument("--window-seconds", type=int, default=600)
+    ap.add_argument("--window-seconds", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true", help="ignore checkpoint manifest")
     ap.add_argument(
         "--list-checkpoints", action="store_true",
@@ -34,6 +39,27 @@ def main(argv: list[str] | None = None) -> int:
         help="drop one check's manifest entry so the next run redoes it",
     )
     args = ap.parse_args(argv)
+
+    cfg_file: dict = {}
+    if args.config:
+        from .config import ConfigError, load_suite_yaml
+
+        try:
+            cfg_file = load_suite_yaml(args.config)
+        except ConfigError as ex:
+            print(json.dumps({"config_error": str(ex)}), file=sys.stderr)
+            return 2
+    # explicit flags override the file
+    args.input = args.input or cfg_file.get("input")
+    args.out = args.out or cfg_file.get("out")
+    args.ts_index = args.ts_index or cfg_file.get("ts_index")
+    args.num_cpus = args.num_cpus if args.num_cpus is not None else cfg_file.get("num_cpus")
+    if args.window_seconds is None:
+        args.window_seconds = cfg_file.get("window_seconds", 600)
+    if not args.no_resume and cfg_file.get("resume") is False:
+        args.no_resume = True
+    if not args.input or not args.out:
+        ap.error("--input and --out are required (flags or --config file)")
 
     if args.list_checkpoints or args.reset_check:
         from .state.checkpoint import CheckpointManifest
@@ -66,11 +92,14 @@ def main(argv: list[str] | None = None) -> int:
         tsx = rd.read_parquet(args.ts_index) if args.ts_index else None
         if args.no_resume:
             CheckpointManifest(args.out).reset()
-        cfg = SuiteConfig(window_seconds=args.window_seconds)
+        cfg = SuiteConfig(
+            checks=cfg_file.get("checks", {}), window_seconds=args.window_seconds
+        )
         state, narrow = fit_and_narrow(pages, cfg)
         out = validate(
             pages, state, ts_index=tsx, out_dir=args.out, narrow=narrow,
             resume=not args.no_resume,
+            allowed_langs=cfg_file.get("allowed_langs"),
         )
         verdicts = out["verdicts"]
         import pyarrow.parquet as pq

@@ -368,9 +368,11 @@ class BroadcastChecks:
         prob_thresh: float = 0.05,
         allowed_langs=None,
         window_seconds: int = 600,
+        enabled=("lang_domain", "charset", "entropy", "token_range"),
     ):
         # 0.05 = the reference EntropyDetector default prob_thresh
         self.window_seconds = window_seconds
+        self.enabled = set(enabled)
         st = ray.get(state_ref)
         self.allowed = pa.array(
             sorted(allowed_langs if allowed_langs is not None else st["lang_domain"]),
@@ -406,6 +408,8 @@ class BroadcastChecks:
         # lang domain
         bad = pc.invert(pc.is_in(batch["lang"], value_set=self.allowed))
         bad = pc.fill_null(bad, True).to_numpy(zero_copy_only=False)
+        if "lang_domain" not in self.enabled:
+            bad = np.zeros_like(bad)
         if bad.any():
             idx = np.flatnonzero(bad)
             out.append(
@@ -422,7 +426,7 @@ class BroadcastChecks:
 
         # charset per lang
         cps, row_id = _row_codepoints(batch["text"])
-        if len(cps) and len(self.cs_names):
+        if "charset" in self.enabled and len(cps) and len(self.cs_names):
             cps = np.minimum(cps, MAX_CP - 1)
             pos = np.clip(np.searchsorted(self.cs_names, langs), 0, len(self.cs_names) - 1)
             known_row = self.cs_names[pos] == langs
@@ -449,7 +453,11 @@ class BroadcastChecks:
         # entropy score
         probs = self.cond  # alias
         score = textfn.mean_pair_prob(batch["text"], probs.reshape(-1))
-        low = np.flatnonzero(np.nan_to_num(score, nan=1.0) < self.prob_thresh)
+        low = (
+            np.flatnonzero(np.nan_to_num(score, nan=1.0) < self.prob_thresh)
+            if "entropy" in self.enabled
+            else np.zeros(0, dtype=np.int64)
+        )
         if len(low):
             out.append(
                 violations_table(
@@ -465,7 +473,7 @@ class BroadcastChecks:
 
         # token range per lang
         ntok = textfn.token_counts(batch["text"]).astype(np.float64)
-        if len(self.r_names):
+        if "token_range" in self.enabled and len(self.r_names):
             rpos = np.clip(np.searchsorted(self.r_names, langs), 0, len(self.r_names) - 1)
             rknown = self.r_names[rpos] == langs
             oob = rknown & ((ntok < self.r_lo[rpos]) | (ntok > self.r_hi[rpos]))
@@ -611,6 +619,19 @@ def validate(
         results[name] = vds
         return n_viol
 
+    # declarative per-check parameters + toggles (YAML config path,
+    # config.py — ConfigValidator-validated upstream)
+    ck = config.checks or {}
+
+    def _on(name: str) -> bool:
+        return bool(ck.get(name, {}).get("enabled", True))
+
+    fused_enabled = tuple(
+        c for c in ("lang_domain", "charset", "entropy", "token_range") if _on(c)
+    )
+    prob_thresh = float(ck.get("entropy", {}).get("prob_thresh", 0.05))
+    confidence_factor = float(ck.get("frequency", {}).get("confidence_factor", 0.33))
+
     # ---- fused per-row pass (one read of the wide table) ----
     fused_name = "broadcast_checks"
     fused = pages.map_batches(
@@ -619,6 +640,8 @@ def validate(
             "state_ref": state_ref,
             "allowed_langs": allowed_langs,
             "window_seconds": config.window_seconds,
+            "prob_thresh": prob_thresh,
+            "enabled": fused_enabled,
         },
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
@@ -780,6 +803,8 @@ def validate(
             "EntropyDetector": "entropy",
             "ValueRangeDetector": "token_range",
         }[cname]
+        if short not in fused_enabled:
+            continue
         n = per_check_counts.get(f"Analysis.{cname}", 0)
         verdict_rows.append((short, n == 0, n, json.dumps({"fused": True})))
     results[fused_name] = real
@@ -796,11 +821,12 @@ def validate(
             _narrow, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         ).materialize()
 
-    run_check(
-        "uniqueness_url",
-        lambda: uniq_stage.uniqueness_violations(narrow.select_columns(["url"]), "url"),
-    )
-    if ts_index is not None:
+    if _on("uniqueness"):
+        run_check(
+            "uniqueness_url",
+            lambda: uniq_stage.uniqueness_violations(narrow.select_columns(["url"]), "url"),
+        )
+    if ts_index is not None and _on("referential"):
         run_check(
             "referential_url_ts",
             lambda: ref_stage.referential_violations(
@@ -827,7 +853,7 @@ def validate(
             full = np.arange(wmin, wmax + 1, dtype=np.int64)
             cnt = np.array([wins.get(int(w), 0) for w in full], dtype=np.float64)
             mean, std = float(cnt.mean()), float(cnt.std())
-            lower, upper = mean - std / 0.33, mean + std / 0.33
+            lower, upper = mean - std / confidence_factor, mean + std / confidence_factor
             anom = (cnt < lower) | (cnt > upper)
             empty = cnt == 0
             for w, c, a, em in zip(full, cnt, anom, empty):
@@ -840,11 +866,15 @@ def validate(
         return fa, fe
 
     freq_df, empty_df = _freq_tables()
-    run_check("frequency", lambda: rd.from_pandas(freq_df))
-    run_check("empty_windows", lambda: rd.from_pandas(empty_df))
+    if _on("frequency"):
+        run_check("frequency", lambda: rd.from_pandas(freq_df))
+    if _on("empty_windows"):
+        run_check("empty_windows", lambda: rd.from_pandas(empty_df))
 
     has_row_idx = "row_idx" in pages.schema().base_schema.names
-    if has_row_idx:
+    if not _on("ordering"):
+        pass
+    elif has_row_idx:
         run_check("ordering", lambda: rd.from_pandas(ord_df))
     else:
         # no global sequence column → block-local ordering would be
