@@ -786,23 +786,23 @@ def q_vartype_events(sf_dir: str):
 
 
 def q_implication_rules_events(sf_dir: str):
-    """EventCorrelationDetector rule acceptance (binomial test over
-    the support counts; rows-only)."""
-    from logdata_anomaly_miner_ray.stages.correlation import (
-        implication_rules,
-        implication_support,
-    )
+    """EventCorrelationDetector FULL lifecycle (rows-only):
+    randomized hypothesis generation from temporally-close samples,
+    support evaluation, binomial rule acceptance."""
+    from logdata_anomaly_miner_ray.stages.correlation import event_correlation_rules
 
-    support = implication_support(
+    # synthetic events are near-independent (hit rates ~2% at 1h);
+    # p0=0.01 keeps the acceptance path exercised with real output
+    return event_correlation_rules(
         _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
         ["user_id"],
         "event_type",
         "ts",
         max_delta=3600.0,
-    ).to_pandas()
-    # synthetic events are near-independent (hit rates ~2% at 1h);
-    # p0=0.01 keeps the acceptance path exercised with real output
-    return implication_rules(support, p0=0.01, alpha=0.05)
+        hypothesis_max_delta_time=3600.0,
+        p0=0.01,
+        alpha=0.05,
+    )
 
 
 def q_correlation_rules_lineitem(sf_dir: str):

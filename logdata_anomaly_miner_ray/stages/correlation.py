@@ -142,6 +142,118 @@ def implication_rules(
     )
 
 
+def generate_hypotheses(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    event_col: str,
+    ts_col: str,
+    max_delta: float = 5.0,
+    candidates_size: int = 10,
+    generation_probability: float = 1.0,
+    generation_factor: float = 1.0,
+    max_hypotheses: int = 1000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Randomized A⇒B hypothesis GENERATION — the sampled temporal
+    self-join of EventCorrelationDetector (reference:
+    aminer/analysis/EventCorrelationDetector.py:42-125): each event
+    joins the candidate set with probability ``generation_factor``
+    (bounded deque of ``candidates_size``), and each new event forms
+    forward/back hypotheses with the candidates within ``max_delta``
+    seconds with probability ``generation_probability``. Batch
+    recast: per key group (sorted), a vectorized trailing-window
+    pairing with a SEEDED rng (deterministic across runs/workers —
+    the seed is mixed with the key hash so groups draw independent
+    streams). Output: distinct (a_event, b_event, direction) rows
+    capped at ``max_hypotheses``. Evaluation of the generated
+    hypotheses is ``implication_support`` + ``implication_rules``."""
+
+    _EMPTY = pd.DataFrame(
+        {"a_event": pd.Series(dtype=object), "b_event": pd.Series(dtype=object),
+         "direction": pd.Series(dtype=object)}
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        empty = _EMPTY
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        tsi = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" else ts.astype(np.int64)
+        ev = g[event_col].to_numpy()
+        import zlib
+
+        key_str = "\x1f".join(str(g[c].iloc[0]) for c in key_cols)
+        key_mix = zlib.crc32(key_str.encode())  # stable across processes
+        rng = np.random.default_rng(seed ^ key_mix)
+        is_candidate = rng.random(len(ev)) <= generation_factor
+        d = int(max_delta * 1e6)
+        lo = np.searchsorted(tsi, tsi - d, side="left")
+        rows = []
+        cand_queue: list[int] = []  # indices, bounded deque semantics
+        for i in range(len(ev)):
+            # pair the new event with live candidates in the window
+            live = [j for j in cand_queue if j >= lo[i] and j < i]
+            if live and rng.random() <= generation_probability:
+                for j in live:
+                    if ev[j] != ev[i]:
+                        rows.append((ev[j], ev[i], "forward"))
+                        rows.append((ev[i], ev[j], "back"))
+            if is_candidate[i]:
+                cand_queue.append(i)
+                if len(cand_queue) > candidates_size:
+                    cand_queue.pop(0)
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=["a_event", "b_event", "direction"])
+        return out.drop_duplicates().reset_index(drop=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_key(sub) for _, sub in g.groupby(key_cols, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return _EMPTY
+        return pd.concat(outs).drop_duplicates().reset_index(drop=True)
+
+    from ._agg import coarse_grouped
+
+    hyps = (
+        coarse_grouped(ds, key_cols, per_bucket, n_buckets=64)
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    return hyps.head(max_hypotheses)
+
+
+def event_correlation_rules(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    event_col: str,
+    ts_col: str,
+    max_delta: float = 600.0,
+    hypothesis_max_delta_time: float = 5.0,
+    p0: float = 0.9,
+    alpha: float = 0.05,
+    min_support: int = 20,
+    **gen_kwargs,
+) -> pd.DataFrame:
+    """Full EventCorrelationDetector lifecycle: GENERATE candidate
+    implications from temporally-close samples (window
+    ``hypothesis_max_delta_time``), EVALUATE their support over the
+    whole data at ``max_delta`` (one pre-aggregated pass), ACCEPT by
+    the binomial test — generation + get_min_eval_true evaluation
+    (reference EventCorrelationDetector.py:42-175)."""
+    hyps = generate_hypotheses(
+        ds, key_cols, event_col, ts_col,
+        max_delta=hypothesis_max_delta_time, **gen_kwargs,
+    )
+    support = implication_support(ds, key_cols, event_col, ts_col, max_delta).to_pandas()
+    fwd = set(zip(hyps[hyps["direction"] == "forward"]["a_event"], hyps[hyps["direction"] == "forward"]["b_event"]))
+    keep = support[[(a, b) in fwd for a, b in zip(support["a_event"], support["b_event"])]]
+    return implication_rules(keep, p0=p0, alpha=alpha, min_support=min_support)
+
+
 def contingency_chi2(
     ds: "ray.data.Dataset", col_a: str, col_b: str
 ) -> tuple[float, int, pd.DataFrame]:

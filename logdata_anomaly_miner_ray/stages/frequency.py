@@ -144,6 +144,7 @@ def frequency_anomalies_streaming(
     confidence_factor: float = 0.33,
     count_name: str = "n",
     window_name: str = "window",
+    season_windows: int | None = None,
 ) -> tuple[pd.DataFrame, int]:
     """EXACT streaming recast of the reference's window lifecycle
     (EventFrequencyDetector.py:183-260, 340-399) over the small
@@ -160,7 +161,12 @@ def frequency_anomalies_streaming(
       reset ONCE, not skipped+1 times — faithful to the reference's
       early ``continue``);
     - fully-empty (skipped) windows emit ONE empty-window warning per
-      completion and are never band-checked themselves.
+      completion and are never band-checked themselves;
+    - with ``season_windows`` (= reference season // window_size,
+      the ``lookback``), the band comes from SEASONALLY DIFFERENCED
+      history (counts[i] − counts[i−lookback]) recentered by the
+      mean of same-phase windows (reference calculate_range seasonal
+      branch, :366-389) once ≥ lookback+3 windows are stored.
 
     Returns (anomaly rows (key..., window, n, lower, upper),
     n_empty_warnings). The batch band over all windows is
@@ -205,15 +211,36 @@ def frequency_anomalies_streaming(
             if len(lst) < 2:
                 _reset(lst)  # reset ONCE, no band check
                 continue
-            hist = lst[-num_windows - 1 : -1]
+            season_offset = 0.0
+            if season_windows is not None and len(lst) > season_windows + 2:
+                # seasonal branch (reference calculate_range:366-389):
+                # counts_tmp = lag-lookback differences (current count
+                # excluded), season_offset = mean of SAME-PHASE stored
+                # counts; stored slot of lst[i] = (w_prev−(len−1−i))
+                # mod lookback, current slot = w_prev mod lookback.
+                lb = season_windows
+                cur_slot = w_prev % lb
+                counts_tmp = [lst[i] - lst[i - lb] for i in range(lb, len(lst) - 1)]
+                phase = [
+                    lst[i]
+                    for i in range(len(lst) - 1)
+                    if (w_prev - (len(lst) - 1 - i)) % lb == cur_slot
+                ]
+                season_offset = float(np.mean(phase)) if phase else 0.0
+            else:
+                counts_tmp = lst  # full list; the slice strips current
+            hist = counts_tmp[-num_windows - 1 : -1]
+            if not hist:
+                _reset(lst)
+                continue
             mean = float(np.mean(hist))
             std = (
                 float(np.std(hist))
                 if len(hist) > 1
-                else mean * (1 - confidence_factor)
+                else float(np.mean(lst[-num_windows - 1 : -1])) * (1 - confidence_factor)
             )
-            lower = mean - std / confidence_factor
-            upper = mean + std / confidence_factor
+            lower = mean + season_offset - std / confidence_factor
+            upper = mean + season_offset + std / confidence_factor
             if lst[-1] < lower or lst[-1] > upper:
                 key = k if isinstance(k, tuple) else (k,)
                 rows.append(key + (w_prev, int(lst[-1]), lower, upper))

@@ -57,6 +57,68 @@ def score_violations(
     )
 
 
+def score_violations_weighted(
+    violations: "ray.data.Dataset",
+    weights: dict[str, float] | None = None,
+    auto_weights: bool = False,
+    score_name: str = "confidence",
+) -> "ray.data.Dataset":
+    """Per-value confidence scoring — the ScoringEventHandler's TWO
+    modes (reference: aminer/events/ScoringEventHandler.py:24-117):
+
+    - fixed ``weights``: each of a violation's affected values gets
+      its configured weight, default 0.5 when absent;
+    - ``auto_weights``: weight(value) = 10 / (10 + appearances of
+      the value across the violation set) — rarer values score
+      higher (the reference counts a rolling 1000-anomaly history, a
+      streaming artifact; the batch analogue counts the whole set —
+      callers wanting a window pre-filter by ts).
+
+    Appends ``confidence_absolut`` (sum over the row's affected
+    values) and ``<score_name>`` (the mean), matching the reference's
+    confidence_absolut/confidence_mean output fields."""
+    value_counts: dict[str, int] = {}
+    if auto_weights:
+        import pandas as _pd
+
+        def vc_partial(t: pa.Table) -> pa.Table:
+            vals = [v for row in t["affected_values"].to_pylist() for v in row]
+            s = _pd.Series(vals, dtype=object).value_counts()
+            return pa.table(
+                {"v": pa.array(s.index.astype(str)), "__pn": pa.array(s.to_numpy(np.int64))}
+            )
+
+        from ray.data.aggregate import Sum as _Sum
+
+        vc = (
+            violations.map_batches(vc_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .groupby("v")
+            .aggregate(_Sum("__pn", alias_name="n"))
+            .to_pandas()
+        )
+        if not vc.empty:
+            value_counts = dict(zip(vc["v"], vc["n"].astype(int)))
+
+    def weight(v: str) -> float:
+        if weights is not None and v in weights:
+            return float(weights[v])
+        if not auto_weights:
+            return 0.5
+        return 10.0 / (10.0 + value_counts.get(v, 0))
+
+    def add(batch: pa.Table) -> pa.Table:
+        avs = batch["affected_values"].to_pylist()
+        absolut = [sum(weight(v) for v in row) for row in avs]
+        mean = [a / max(len(row), 1) for a, row in zip(absolut, avs)]
+        return batch.append_column(
+            "confidence_absolut", pa.array(absolut, pa.float64())
+        ).append_column(score_name, pa.array(mean, pa.float64()))
+
+    return violations.map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def _counts(ds: "ray.data.Dataset") -> dict[str, int]:
     out: dict[str, int] = {}
     for b in ds.map_batches(

@@ -184,6 +184,102 @@ def ar1_outliers(
     return pd.DataFrame(out, columns=key_cols + [window_name, count_name])
 
 
+def acf(series: np.ndarray, max_lag: int) -> np.ndarray:
+    """Normalized autocorrelation function up to ``max_lag`` (biased
+    estimator, mean-centered) — the ACF the reference's TSA stage
+    derives its seasonal period from (TSAArimaDetector.py:32-560 via
+    statsmodels; hand-rolled numpy here, no statsmodels)."""
+    y = np.asarray(series, dtype=np.float64)
+    y = y - y.mean()
+    n = len(y)
+    denom = float((y * y).sum())
+    if denom == 0 or n < 2:
+        return np.zeros(max_lag + 1)
+    out = np.empty(min(max_lag, n - 1) + 1)
+    for k in range(len(out)):
+        out[k] = float((y[: n - k] * y[k:]).sum()) / denom
+    return out
+
+
+def auto_period(series: np.ndarray, max_lag: int | None = None, min_corr: float = 0.3) -> int | None:
+    """Dominant seasonal period: the lag ≥ 2 with the highest ACF
+    LOCAL PEAK above ``min_corr`` (a peak requirement rejects slow
+    trend decay masquerading as seasonality). None when aperiodic."""
+    n = len(series)
+    if n < 8:
+        return None
+    max_lag = max_lag or n // 2
+    a = acf(series, max_lag)
+    if len(a) < 4:
+        return None
+    best, best_corr = None, min_corr
+    for k in range(2, len(a) - 1):
+        if a[k] > a[k - 1] and a[k] >= a[k + 1] and a[k] > best_corr:
+            best, best_corr = k, a[k]
+    return best
+
+
+def seasonal_ar_outliers(
+    counts: pd.DataFrame,
+    key_cols: list[str],
+    band_factor: float = 3.0,
+    period: int | None = None,
+    count_name: str = "n",
+    window_name: str = "window",
+) -> pd.DataFrame:
+    """Seasonal count forecasting (TSAArimaDetector recast, upgraded
+    from plain AR(p)): per key, the period is auto-detected from the
+    ACF (or given), the series is SEASONALLY DIFFERENCED
+    (d_t = y_t − y_{t−P}) and an AR(1) prediction interval
+    ±band·resid_std flags outliers on the differenced scale —
+    equivalent to a (1,0,0)×(0,1,0)_P model, the documented
+    statsmodels-free stand-in for the reference's auto-fit ARIMA.
+    Keys with no detected period fall back to plain AR(1)
+    (``ar1_outliers`` semantics). Input is the small (key, window, n)
+    table; output includes the period used."""
+    out = []
+    for key, g in counts.groupby(key_cols):
+        g = g.sort_values(window_name)
+        wmin, wmax = int(g[window_name].min()), int(g[window_name].max())
+        full = np.arange(wmin, wmax + 1)
+        y = np.zeros(len(full))
+        y[(g[window_name].to_numpy() - wmin).astype(int)] = g[count_name].to_numpy()
+        p = period if period is not None else auto_period(y)
+        if p is None or len(y) < p + 4:
+            sub = ar1_outliers(
+                g, key_cols, band_factor=band_factor,
+                count_name=count_name, window_name=window_name,
+            )
+            for _, r in sub.iterrows():
+                rec = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+                rec[window_name] = int(r[window_name])
+                rec[count_name] = int(r[count_name])
+                rec["period"] = 0
+                out.append(rec)
+            continue
+        d = y[p:] - y[:-p]
+        if len(d) < 3:
+            continue
+        x, t = d[:-1], d[1:]
+        vx = ((x - x.mean()) ** 2).mean()
+        if vx == 0:
+            pred = np.full_like(t, t.mean())
+        else:
+            slope = ((x - x.mean()) * (t - t.mean())).mean() / vx
+            a = t.mean() - slope * x.mean()
+            pred = slope * x + a
+        resid = t - pred
+        sd = float(np.std(resid))
+        bad = np.abs(resid) > band_factor * max(sd, 1e-9)
+        for j in np.flatnonzero(bad):
+            rec = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            rec[window_name] = int(full[p + 1 + j])
+            rec[count_name] = int(y[p + 1 + j])
+            rec["period"] = int(p)
+            out.append(rec)
+    return pd.DataFrame(out, columns=key_cols + [window_name, count_name, "period"])
+
+
 def pca_outlier_windows(
     ds: "ray.data.Dataset",
     event_col: str,

@@ -146,3 +146,93 @@ def test_sessionize_and_combos():
     u0 = combos[(combos["user"] == "u") & (combos["session_id"] == 0)]
     assert u0["ev_set"].iloc[0] == "a|b"
     assert u0["n_events"].iloc[0] == 2
+
+
+def test_hypothesis_generation_and_rules():
+    """EventCorrelationDetector generation path: A→B within 5s is
+    seeded; hypotheses must include (A, B) forward, and the full
+    lifecycle must accept it as a rule; the never-adjacent (A, C)
+    implication must not be generated."""
+    from logdata_anomaly_miner_ray.stages.correlation import (
+        event_correlation_rules,
+        generate_hypotheses,
+    )
+
+    S = 1_000_000
+    rows = []
+    for k in range(40):
+        base = k * 1000 * S
+        rows.append(("u", "A", base))
+        rows.append(("u", "B", base + 2 * S))  # B always 2s after A
+        rows.append(("u", "C", base + 500 * S))  # C far from A/B
+    hyp = generate_hypotheses(
+        _ds(rows), ["user"], "ev", "ts", max_delta=5.0, seed=1
+    )
+    got = set(zip(hyp["a_event"], hyp["b_event"], hyp["direction"]))
+    assert ("A", "B", "forward") in got
+    assert not any(a == "A" and b == "C" for a, b, _ in got)
+    rules = event_correlation_rules(
+        _ds(rows), ["user"], "ev", "ts",
+        max_delta=5.0, hypothesis_max_delta_time=5.0, p0=0.9, alpha=0.05,
+        min_support=20, seed=1,
+    )
+    accepted = set(zip(rules["a_event"], rules["b_event"]))
+    assert ("A", "B") in accepted
+    assert ("A", "C") not in accepted
+
+
+def test_hypothesis_generation_sampling_caps():
+    from logdata_anomaly_miner_ray.stages.correlation import generate_hypotheses
+
+    S = 1_000_000
+    rows = [("u", f"e{i % 20}", i * S) for i in range(400)]
+    hyp_all = generate_hypotheses(
+        _ds(rows), ["user"], "ev", "ts", max_delta=3.0, seed=2
+    )
+    hyp_sampled = generate_hypotheses(
+        _ds(rows), ["user"], "ev", "ts", max_delta=3.0, seed=2,
+        generation_probability=0.2, generation_factor=0.3,
+    )
+    assert 0 < len(hyp_sampled) < len(hyp_all)
+    hyp_capped = generate_hypotheses(
+        _ds(rows), ["user"], "ev", "ts", max_delta=3.0, seed=2, max_hypotheses=5
+    )
+    assert len(hyp_capped) == 5
+
+
+def test_acf_auto_period_and_seasonal_ar():
+    """Seasonal AR upgrade (TSAArima recast): the period is detected
+    from the ACF and a season-breaking spike flags; the same spike
+    size inside the seasonal pattern does not."""
+    from logdata_anomaly_miner_ray.stages.timeseries import (
+        auto_period,
+        seasonal_ar_outliers,
+    )
+
+    base = [5.0, 20.0, 5.0, 5.0, 20.0, 5.0]  # period 3... repeated
+    y = np.array(base * 10)
+    assert auto_period(y) == 3
+    rows = [("k", w, float(v)) for w, v in enumerate(y)]
+    rows[25] = ("k", 25, 60.0)  # break the season at window 25
+    counts = pd.DataFrame(rows, columns=["key", "window", "n"])
+    out = seasonal_ar_outliers(counts, ["key"], band_factor=3.0)
+    assert (out["period"] > 0).all()
+    assert 25 in set(out["window"])
+    # a clean periodic series yields no outliers
+    clean = pd.DataFrame(
+        [("k", w, float(v)) for w, v in enumerate(y)], columns=["key", "window", "n"]
+    )
+    assert len(seasonal_ar_outliers(clean, ["key"], band_factor=3.0)) == 0
+
+
+def test_seasonal_ar_falls_back_without_period():
+    from logdata_anomaly_miner_ray.stages.timeseries import seasonal_ar_outliers
+
+    rng = np.random.default_rng(4)
+    y = rng.poisson(10, 40).astype(float)
+    y[30] = 200.0
+    counts = pd.DataFrame(
+        [("k", w, v) for w, v in enumerate(y)], columns=["key", "window", "n"]
+    )
+    out = seasonal_ar_outliers(counts, ["key"], band_factor=3.0)
+    assert 30 in set(out["window"])

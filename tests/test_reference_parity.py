@@ -290,6 +290,59 @@ def test_event_frequency_parity(aminer_env):
         assert np.ceil(max(0, r["lower"])) == lo and np.floor(r["upper"]) == hi
 
 
+def test_event_frequency_seasonal_parity(aminer_env):
+    """EventFrequencyDetector with ``season``: the seasonally
+    differenced band (lag-lookback diffs + same-phase offset) flags
+    the same (value, count) anomalies as our streaming recast."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EventFrequencyDetector import EventFrequencyDetector
+
+    rec = Recorder()
+    efd = EventFrequencyDetector(
+        FakeConfig(), [rec], target_path_list=["/m/ev"], window_size=10,
+        confidence_factor=0.5, learn_mode=True, empty_window_warnings=False,
+        season=30, num_windows=50, persistence_id="efs_parity",
+    )
+    # period-3 seasonal counts 4,8,12 repeating; window 13 breaks the
+    # season (expected 8 at phase 1, gets 30)
+    base = [4, 8, 12]
+    plan = {w: {"A": base[w % 3]} for w in range(13)}
+    plan[13] = {"A": 30}
+    for w in range(14, 17):
+        plan[w] = {"A": base[w % 3]}
+    t0 = 1700000000.0  # multiple of 10 → epoch-aligned windows
+    assert t0 % 10 == 0
+    for w in sorted(plan):
+        for ev, c in sorted(plan[w].items()):
+            for i in range(c):
+                efd.receive_atom(_atom({"/m/ev": ev}, t0 + w * 10 + i * 0.01))
+    freq_events = [e for e in rec.events if e[1] == "Frequency anomaly detected"]
+    ref_flagged = {
+        (e[2]["AnalysisComponent"]["AffectedLogAtomValues"][0],
+         int(e[2]["FrequencyData"]["LogAtomValuesFrequency"]))
+        for e in freq_events
+    }
+
+    import pandas as pd
+
+    from logdata_anomaly_miner_ray.stages.frequency import (
+        frequency_anomalies_streaming,
+    )
+
+    # our windows are epoch-based: absolute window id = t0/10 + w,
+    # so the phase (window mod lookback) matches the reference's
+    # (atom_time mod season)/window_size slots
+    w0 = int(t0) // 10
+    rows = [(ev, w0 + w, c) for w, evs in plan.items() for ev, c in evs.items()]
+    wc = pd.DataFrame(rows, columns=["ev", "window", "n"])
+    ours, _ = frequency_anomalies_streaming(
+        wc, ["ev"], num_windows=50, confidence_factor=0.5, season_windows=3
+    )
+    our_flagged = set(zip(ours["ev"], ours["n"]))
+    assert our_flagged == ref_flagged
+    assert ("A", 30) in our_flagged  # the seasonal break fires on both
+
+
 def test_event_sequence_parity(aminer_env):
     """EventSequenceDetector (seq_len=2): learned sequence set equals
     our n-gram set; a novel transition flags identically."""

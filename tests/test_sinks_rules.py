@@ -34,6 +34,32 @@ def test_score_violations():
     assert s_rare == pytest.approx(1.0)
 
 
+def test_score_violations_weighted_fixed_and_auto():
+    """ScoringEventHandler parity shapes: fixed weights (0.5 default)
+    and auto-weights 10/(10+appearances), absolut + mean fields."""
+    from logdata_anomaly_miner_ray.schema import violations_table
+    from logdata_anomaly_miner_ray.stages.sinks import score_violations_weighted
+
+    t = violations_table(
+        "C", "m", ["k1", "k2"], ["p"], [["common", "rare"], ["common"]], ""
+    )
+    common_rows = violations_table(
+        "C", "m", [str(i) for i in range(20)], ["p"], [["common"]] * 20, ""
+    )
+    ds = rd.from_arrow(pa.concat_tables([t, common_rows]))
+    # fixed weights
+    fixed = score_violations_weighted(ds, weights={"rare": 0.9}).to_pandas()
+    two = fixed[fixed["key"] == "k1"].iloc[0]
+    assert two["confidence_absolut"] == pytest.approx(0.5 + 0.9)
+    assert two["confidence"] == pytest.approx((0.5 + 0.9) / 2)
+    # auto weights: 'common' appears 22x → 10/32; 'rare' once → 10/11
+    auto = score_violations_weighted(ds, auto_weights=True).to_pandas()
+    two = auto[auto["key"] == "k1"].iloc[0]
+    assert two["confidence_absolut"] == pytest.approx(10 / 32 + 10 / 11)
+    one = auto[auto["key"] == "k2"].iloc[0]
+    assert one["confidence"] == pytest.approx(10 / 32)
+
+
 def test_render_event_text():
     from logdata_anomaly_miner_ray.stages.sinks import render_event_text
 
