@@ -699,11 +699,16 @@ def validate(
 
     # 2) sha-xor per partition: XOR-fold inside map_groups, one row
     #    per partition reaches the driver
-    def _sha_fold(g: _pd.DataFrame) -> _pd.DataFrame:
+    def _sha_fold(g: _pd.DataFrame) -> pa.Table:
         acc = np.zeros(32, dtype=np.uint8)
         for h in g["key"]:
             acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
-        return _pd.DataFrame({"partition_id": [g["partition_id"].iloc[0]], "sha": [acc.tobytes().hex()]})
+        # typed Arrow output: empty pandas object columns break Ray's
+        # block-size estimation (np.vectorize on size-0 input)
+        return pa.table(
+            {"partition_id": pa.array([str(g["partition_id"].iloc[0])], pa.string()),
+             "sha": pa.array([acc.tobytes().hex()], pa.string())}
+        )
 
     sha_df = (
         fused.map_batches(
@@ -767,15 +772,20 @@ def validate(
             }
         )
 
-    def _frag_fold(g: _pd.DataFrame) -> _pd.DataFrame:
+    _FRAG_SCHEMA = pa.schema([("domain", pa.string()), ("n_inversions", pa.int64())])
+
+    def _frag_fold(g: _pd.DataFrame) -> pa.Table:
         g = g.sort_values("first_seq", kind="mergesort")
         total = int(g["n_inv"].sum())
         lt = g["last_ts"].to_numpy()
         ft = g["first_ts"].to_numpy()
         total += int((ft[1:] < lt[:-1]).sum())  # junction inversions
         if total == 0:
-            return _pd.DataFrame({"domain": _pd.Series(dtype=object), "n_inversions": _pd.Series(dtype=np.int64)})
-        return _pd.DataFrame({"domain": [g["domain"].iloc[0]], "n_inversions": [total]})
+            return _FRAG_SCHEMA.empty_table()
+        return pa.table(
+            {"domain": pa.array([str(g["domain"].iloc[0])], pa.string()),
+             "n_inversions": pa.array([total], pa.int64())}
+        )
 
     ord_df = (
         fused.map_batches(_frag_parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
@@ -861,21 +871,40 @@ def validate(
                     rows_a.append((lang, int(w), int(c), lower, upper))
                 if em:
                     rows_e.append((lang, int(w)))
-        fa = pd.DataFrame(rows_a, columns=["lang", "window", "n", "lower", "upper"])
-        fe = pd.DataFrame(rows_e, columns=["lang", "window"])
+        # typed Arrow tables (schema survives empty results; avoids
+        # pandas object-column blocks in Ray's size estimation)
+        fa = pa.table(
+            {"lang": pa.array([r[0] for r in rows_a], pa.string()),
+             "window": pa.array([r[1] for r in rows_a], pa.int64()),
+             "n": pa.array([r[2] for r in rows_a], pa.int64()),
+             "lower": pa.array([r[3] for r in rows_a], pa.float64()),
+             "upper": pa.array([r[4] for r in rows_a], pa.float64())}
+        )
+        fe = pa.table(
+            {"lang": pa.array([r[0] for r in rows_e], pa.string()),
+             "window": pa.array([r[1] for r in rows_e], pa.int64())}
+        )
         return fa, fe
 
-    freq_df, empty_df = _freq_tables()
+    freq_tab, empty_tab = _freq_tables()
     if _on("frequency"):
-        run_check("frequency", lambda: rd.from_pandas(freq_df))
+        run_check("frequency", lambda: rd.from_arrow(freq_tab))
     if _on("empty_windows"):
-        run_check("empty_windows", lambda: rd.from_pandas(empty_df))
+        run_check("empty_windows", lambda: rd.from_arrow(empty_tab))
 
     has_row_idx = "row_idx" in pages.schema().base_schema.names
     if not _on("ordering"):
         pass
     elif has_row_idx:
-        run_check("ordering", lambda: rd.from_pandas(ord_df))
+        run_check(
+            "ordering",
+            lambda: rd.from_arrow(
+                pa.table(
+                    {"domain": pa.array(ord_df["domain"].astype(str) if len(ord_df) else [], pa.string()),
+                     "n_inversions": pa.array(ord_df["n_inversions"].to_numpy(np.int64) if len(ord_df) else [], pa.int64())}
+                )
+            ),
+        )
     else:
         # no global sequence column → block-local ordering would be
         # meaningless (ADVICE r1): record an explicit skip instead of
