@@ -859,8 +859,9 @@ def q_correlation_rules_lineitem(sf_dir: str):
 
 def q_reservoir_sample_events(sf_dir: str):
     """Deterministic per-group bottom-k priority reservoir
-    (EventTypeDetector ring-buffer recast; rows-only — priorities are
-    engine-internal hashes)."""
+    (EventTypeDetector ring-buffer recast). The md5 priority mode is
+    DuckDB-reproducible (md5(CAST(id AS VARCHAR)) ordered as hex), so
+    the exact sample membership is oracle-checked."""
     from logdata_anomaly_miner_ray.stages.sampling import reservoir_per_group
 
     return reservoir_per_group(
@@ -868,6 +869,7 @@ def q_reservoir_sample_events(sf_dir: str):
         ["event_type"],
         "event_id",
         k=50,
+        priority="md5",
     ).select_columns(["event_type", "event_id"])
 
 
@@ -1383,6 +1385,15 @@ SELECT event_type, "window" FROM p
 WHERE pn IS NOT NULL AND pn >= 10 AND n >= 10
   AND sqrt(pv/pn + var/n) > 0
   AND abs(mean - pm) / sqrt(pv/pn + var/n) > 3.0""",
+        "reservoir_sample_events": """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 50""",
         "sessions_events": """
 WITH o AS (
   SELECT user_id,

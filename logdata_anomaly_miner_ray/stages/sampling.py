@@ -33,10 +33,22 @@ def sample_fraction(ds: "ray.data.Dataset", fraction: float, seed: int = 42):
     return ds.random_sample(fraction, seed=seed)
 
 
-def _priorities(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
+def _priorities(
+    batch: pa.Table, id_col: str, seed: int, priority: str = "hash64"
+) -> np.ndarray:
     col = batch[id_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if priority == "md5":
+        # SQL-reproducible priority: md5 hex of the value's decimal /
+        # utf8 string form — DuckDB's md5(CAST(x AS VARCHAR)).
+        # Ordering the 32-char hex lexicographically equals ordering
+        # the 128-bit digest numerically.
+        from ..functions.hashing import md5_hex
+        import pyarrow.compute as pc
+
+        s = pc.cast(col, pa.string())
+        return np.array(md5_hex(s), dtype=object)
     if pa.types.is_integer(col.type):
         return hash_int64(col.to_numpy(zero_copy_only=False), seed=seed)
     data, off = flat_utf8(col)
@@ -52,14 +64,20 @@ def reservoir_per_group(
     id_col: str,
     k: int = 100,
     seed: int = 42,
+    priority: str = "hash64",
 ) -> "ray.data.Dataset":
     """Deterministic bounded sample: per key group, the k rows with
     the smallest content-hash priority. Per-block partial top-k
     bounds the shuffle to ≤ k rows per (group, block); the final
-    per-group selection is a small map_groups."""
+    per-group selection is a small map_groups.
+
+    ``priority="md5"`` uses the DuckDB-reproducible md5-hex priority
+    (md5(CAST(id AS VARCHAR)), compared lexicographically) so a SQL
+    oracle can recompute the exact sample; the default ``hash64`` is
+    the fast splitmix64 path."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        pr = _priorities(batch, id_col, seed)
+        pr = _priorities(batch, id_col, seed, priority)
         gvals = [
             np.asarray(batch[c].to_numpy(zero_copy_only=False), dtype=object).astype(str)
             for c in keys
@@ -77,7 +95,12 @@ def reservoir_per_group(
         idx = order[keep]
         out = batch.take(pa.array(np.sort(idx)))
         pr_keep = pr[np.sort(idx)]
-        return out.append_column("__pr", pa.array(pr_keep.view(np.int64), pa.int64()))
+        if pr_keep.dtype == object:  # md5 hex strings
+            return out.append_column("__pr", pa.array(pr_keep.tolist(), pa.string()))
+        # sign-bit flip: the final merge sorts __pr as int64, which
+        # must agree with the uint64 order the partial keep used
+        flipped = (pr_keep ^ np.uint64(1 << 63)).view(np.int64)
+        return out.append_column("__pr", pa.array(flipped, pa.int64()))
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True

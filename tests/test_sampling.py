@@ -40,3 +40,47 @@ def test_reservoir_small_group_keeps_all():
     t = pa.table({"g": ["x"] * 7 + ["y"] * 3, "id": pa.array(range(10), pa.int64())})
     out = reservoir_per_group(rd.from_arrow(t), ["g"], "id", k=50).to_pandas()
     assert len(out) == 10
+
+
+def test_reservoir_matches_global_uint64_order():
+    """Regression: the partial keep uses uint64 priority order and the
+    final merge sorts __pr as int64 — the sign-bit flip must make both
+    agree, else hashes ≥ 2^63 (half of all ids) sort first in the
+    merge but may have been dropped by the partials."""
+    from logdata_anomaly_miner_ray.state.sketches import hash_int64
+
+    n, k = 4000, 25
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"g": ["x"] * n, "id": pa.array(ids, pa.int64())})
+    ).repartition(16)
+    got = set(reservoir_per_group(ds, ["g"], "id", k=k, seed=42).to_pandas()["id"])
+    pr = hash_int64(ids, seed=42)  # uint64
+    want = set(ids[np.argsort(pr, kind="mergesort")[:k]].tolist())
+    assert got == want
+
+
+def test_reservoir_md5_priority_matches_duckdb():
+    """md5 priority mode reproduces DuckDB's
+    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) <= k."""
+    import duckdb
+
+    n, k = 3000, 40
+    tbl = pa.table(
+        {"g": (["a", "b"] * (n // 2)), "id": pa.array(range(n), pa.int64())}
+    )
+    got = (
+        reservoir_per_group(rd.from_arrow(tbl).repartition(8), ["g"], "id", k=k, priority="md5")
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        """
+        SELECT g, id FROM (
+          SELECT g, id, row_number() OVER (
+            PARTITION BY g ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+          FROM tbl) WHERE rn <= 40
+        """
+    ).df()
+    assert {(r.g, r.id) for r in got.itertuples()} == {
+        (r.g, r.id) for r in want.itertuples()
+    }
