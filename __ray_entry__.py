@@ -955,10 +955,17 @@ def q_minhash_pairs_documents(sf_dir: str):
 
 
 def q_simhash_pairs_documents(sf_dir: str):
+    """SimHash near-dup pairs, oracle-exact: the md5 shingle-hash
+    mode lets DuckDB recompute every 64-bit fingerprint (md5 of
+    space-joined word 2-shingles, sign-sum per bit) and take the
+    all-pairs Hamming ≤ 3 set; the engine side is the Manku
+    chunk-LSH path, so the oracle also certifies that the pigeonhole
+    bucketing loses no qualifying pair."""
     from logdata_anomaly_miner_ray.stages.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", max_hamming=3
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        max_hamming=3, hash_mode="md5",
     )
 
 
@@ -1385,6 +1392,40 @@ SELECT event_type, "window" FROM p
 WHERE pn IS NOT NULL AND pn >= 10 AND n >= 10
   AND sqrt(pv/pn + var/n) > 0
   AND abs(mean - pm) / sqrt(pv/pn + var/n) > 3.0""",
+        "simhash_pairs_documents": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS s
+  FROM toks QUALIFY s IS NOT NULL
+),
+hx AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM sh),
+bits AS (
+  SELECT doc_id, t.i,
+         CASE WHEN 2 * sum(
+           (strpos('0123456789abcdef', substr(h, CAST(16 - t.i // 4 AS INT), 1)) - 1) >> (t.i % 4) & 1
+         ) - count(*) > 0 THEN 1 ELSE 0 END AS pos
+  FROM hx, range(0, 64) t(i)
+  GROUP BY doc_id, t.i
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN pos = 1 AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo,
+         sum(CASE WHEN pos = 1 AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id
+),
+fp2 AS (
+  SELECT d.doc_id, coalesce(fp.lo, 0)::BIGINT AS lo, coalesce(fp.hi, 0)::BIGINT AS hi
+  FROM documents d LEFT JOIN fp USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
+FROM fp2 a JOIN fp2 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""",
         "reservoir_sample_events": """
 SELECT event_type, event_id FROM (
   SELECT event_type, event_id,

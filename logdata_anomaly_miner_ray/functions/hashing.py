@@ -117,6 +117,41 @@ def simhash64(arr, k: int = 2) -> np.ndarray:
     return out
 
 
+def simhash64_md5(arr, k: int = 2) -> np.ndarray:
+    """SQL-reproducible SimHash variant: word k-shingles are joined
+    with a single space and hashed with md5 (first 16 hex chars as
+    the uint64), so DuckDB can recompute the fingerprint exactly —
+    ``md5(tok || ' ' || lead(tok) OVER ...)`` over
+    ``regexp_split_to_array(text, '\\s+')``. The md5 feed is a
+    per-shingle C call (no vectorized md5 exists); use the default
+    polynomial ``simhash64`` on hot paths and this mode where an
+    exact SQL oracle is wanted."""
+    from .text import token_spans
+
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    n_rows = len(arr)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(starts) < k:
+        return out
+    valid = row_id[: len(starts) - k + 1] == row_id[k - 1 :]
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return out
+    mv = memoryview(data)
+    hashes = np.empty(len(idx), dtype=np.uint64)
+    for out_i, i in enumerate(idx):
+        s = b" ".join(bytes(mv[starts[i + j] : ends[i + j]]) for j in range(k))
+        hashes[out_i] = np.uint64(int(hashlib.md5(s).hexdigest()[:16], 16))
+    rid = row_id[idx]
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+    acc = np.zeros((n_rows, 64), dtype=np.int64)
+    np.add.at(acc, rid, bits)
+    pos = acc > 0
+    return (pos.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 fingerprints."""
     x = a ^ b

@@ -232,12 +232,20 @@ def minhash_verified_pairs(
 
 
 def simhash_fingerprints(
-    ds: "ray.data.Dataset", text_col: str, id_col: str, k_shingle: int = 2
+    ds: "ray.data.Dataset", text_col: str, id_col: str, k_shingle: int = 2,
+    hash_mode: str = "poly",
 ) -> "ray.data.Dataset":
-    """Append a 64-bit SimHash column (stored as int64 bits)."""
+    """Append a 64-bit SimHash column (stored as int64 bits).
+    ``hash_mode="md5"`` uses the DuckDB-reproducible shingle hash
+    (functions.hashing.simhash64_md5) for oracle-checked queries."""
 
     def add(batch: pa.Table) -> pa.Table:
-        sh = simhash64(batch[text_col], k=k_shingle)
+        if hash_mode == "md5":
+            from ..functions.hashing import simhash64_md5
+
+            sh = simhash64_md5(batch[text_col], k=k_shingle)
+        else:
+            sh = simhash64(batch[text_col], k=k_shingle)
         return batch.select([id_col]).append_column(
             "simhash", pa.array(sh.view(np.int64), pa.int64())
         )
@@ -253,6 +261,7 @@ def simhash_near_dup_pairs(
     k_shingle: int = 2,
     max_bucket: int = 256,
     n_sub_buckets: int = 256,
+    hash_mode: str = "poly",
 ) -> "ray.data.Dataset":
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
     Manku-style split: the 64-bit fingerprint is cut into
@@ -267,7 +276,7 @@ def simhash_near_dup_pairs(
     n_chunks = min(16, max_hamming + 1)
     chunk_bits = 64 // n_chunks
     mask = np.uint64((1 << chunk_bits) - 1)
-    fps = simhash_fingerprints(ds, text_col, id_col, k_shingle)
+    fps = simhash_fingerprints(ds, text_col, id_col, k_shingle, hash_mode=hash_mode)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

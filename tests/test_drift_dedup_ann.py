@@ -252,3 +252,41 @@ def test_multimodal_plumbing():
     assert all(np.allclose(x, y) for x, y in zip(a, b))
     with pytest.raises(NotImplementedError):
         CodecDecoder()
+
+
+def test_simhash_md5_mode_matches_duckdb_fingerprints():
+    """hash_mode='md5' fingerprints must equal DuckDB's recomputation
+    (md5 of space-joined 2-shingles over \\s+ tokens, sign-sum bits)."""
+    import duckdb
+
+    from logdata_anomaly_miner_ray.functions.hashing import simhash64_md5
+
+    texts = ["a b c d", "a b c e", " pad\t mixed\nws doc ", "single", ""]
+    arr = pa.array(texts, pa.string())
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": arr})
+    py = simhash64_md5(arr, k=2)
+    df = duckdb.sql(r"""
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM tbl)
+), sh AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS s
+  FROM toks QUALIFY s IS NOT NULL
+), hx AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM sh),
+bits AS (
+  SELECT doc_id, t.i, CASE WHEN 2 * sum(
+      (strpos('0123456789abcdef', substr(h, CAST(16 - t.i // 4 AS INT), 1)) - 1) >> (t.i % 4) & 1
+    ) - count(*) > 0 THEN 1 ELSE 0 END AS pos
+  FROM hx, range(0, 64) t(i) GROUP BY doc_id, t.i
+), fp AS (
+  SELECT doc_id,
+    sum(CASE WHEN pos = 1 AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo,
+    sum(CASE WHEN pos = 1 AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.lo, 0)::BIGINT AS lo, coalesce(fp.hi, 0)::BIGINT AS hi
+FROM tbl d LEFT JOIN fp USING (doc_id) ORDER BY doc_id
+""").df()
+    want = (df["hi"].to_numpy().astype(np.uint64) << np.uint64(32)) | df[
+        "lo"
+    ].to_numpy().astype(np.uint64)
+    assert (py == want).all()
