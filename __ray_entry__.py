@@ -785,6 +785,32 @@ def q_vartype_events(sf_dir: str):
     )
 
 
+def q_time_correlation_events(sf_dir: str):
+    """TimeCorrelationDetector recast (reference
+    TimeCorrelationDetector.py:27-265): windowed pairwise
+    cause→effect trigger tables — for each atom matching effect
+    feature g, count cause features f whose last prior trigger lies
+    within 10 s, summing the gaps. Features here are the
+    value-match rules over event_type (the deterministic feature
+    set); windows of 2000 records over the global event_id sequence
+    mirror record_count_before_event + reset. Oracle: DuckDB ASOF
+    join per (window, cause) on the same (ts, event_id) stream
+    order; deltas are exact integer microseconds."""
+    from logdata_anomaly_miner_ray.stages._agg import distinct_rows
+    from logdata_anomaly_miner_ray.stages.correlation import time_correlation_report
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts"])
+    types = sorted(distinct_rows(ds, ["event_type"]).to_pandas()["event_type"])
+    rep = time_correlation_report(
+        ds, "ts", "event_id",
+        [[("event_type", v)] for v in types],
+        record_window=2000, max_delta=10.0,
+    )
+    rep["a_event"] = rep["a_idx"].map(dict(enumerate(types)))
+    rep["b_event"] = rep["b_idx"].map(dict(enumerate(types)))
+    return rep[["window", "a_event", "b_event", "n", "delta_us"]]
+
+
 def q_implication_rules_events(sf_dir: str):
     """EventCorrelationDetector FULL lifecycle (rows-only):
     randomized hypothesis generation from temporally-close samples,
@@ -1171,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "vartype_events": q_vartype_events,
         "implication_rules_events": q_implication_rules_events,
+        "time_correlation_events": q_time_correlation_events,
         "reservoir_sample_events": q_reservoir_sample_events,
         "media_decode": q_media_decode,
         "pages_suite": q_pages_suite_sf,
@@ -1392,6 +1419,21 @@ SELECT event_type, "window" FROM p
 WHERE pn IS NOT NULL AND pn >= 10 AND n >= 10
   AND sqrt(pv/pn + var/n) > 0
   AND abs(mean - pm) / sqrt(pv/pn + var/n) > 3.0""",
+        "time_correlation_events": """
+WITH trig AS (
+  SELECT event_type, epoch_us(ts) AS tu, event_id // 2000 AS win,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+),
+feats AS (SELECT DISTINCT event_type AS a_event FROM events),
+tgt AS (SELECT t.*, f.a_event FROM trig t CROSS JOIN feats f),
+j AS (
+  SELECT g.win, g.a_event, g.event_type AS b_event, g.tu - p.tu AS d
+  FROM tgt g ASOF JOIN trig p
+    ON p.event_type = g.a_event AND p.win = g.win AND p.rn < g.rn
+)
+SELECT win AS "window", a_event, b_event, count(*)::BIGINT AS n, sum(d)::BIGINT AS delta_us
+FROM j WHERE d <= 10000000 GROUP BY ALL""",
         "simhash_pairs_documents": r"""
 WITH toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord

@@ -323,3 +323,191 @@ def count_vector_outliers(
                 rec["similarity"] = float(s)
                 out_rows.append(rec)
     return pd.DataFrame(out_rows, columns=id_cols + ["window", "similarity"])
+
+
+# ---------------------------------------------------------------------------
+# TimeCorrelationDetector recast
+# ---------------------------------------------------------------------------
+
+
+def tc_pair_tables(
+    ts_us: np.ndarray, masks: np.ndarray, max_delta_us: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pairwise cause→effect trigger tables of the reference's
+    TimeCorrelationDetector (aminer/analysis/TimeCorrelationDetector.py:
+    201-220 update_tables_for_feature): for every atom (stream order)
+    matching effect-feature g, and every cause-feature f whose LAST
+    trigger strictly before this atom lies within ``max_delta_us``,
+    count (f, g) and accumulate the delta. The reference keeps the
+    same event in two mirrored tables (forward +delta at (f, g),
+    backward −delta at (g, f)); one table carries both. Deltas are
+    integer microseconds (the reference truncates float seconds to
+    ms — exact under integer arithmetic).
+
+    ``ts_us`` must be in stream order (the order last_trigger_time is
+    updated in); ``masks`` is (n_atoms, n_features) bool. Returns
+    (count (F,F), delta_us_sum (F,F), trigger_counts (F,)). A
+    feature's own diagonal counts self-succession, as in the
+    reference. Vectorized: F² searchsorted passes, no per-atom loop.
+    """
+    n, F = masks.shape
+    count = np.zeros((F, F), dtype=np.int64)
+    delta = np.zeros((F, F), dtype=np.int64)
+    idx = [np.flatnonzero(masks[:, f]) for f in range(F)]
+    for g in range(F):
+        ig = idx[g]
+        if len(ig) == 0:
+            continue
+        tg = ts_us[ig]
+        for f in range(F):
+            jf = idx[f]
+            if len(jf) == 0:
+                continue
+            pos = np.searchsorted(jf, ig, side="left") - 1
+            valid = pos >= 0
+            if not valid.any():
+                continue
+            d = tg[valid] - ts_us[jf[pos[valid]]]
+            ok = d <= max_delta_us
+            count[f, g] = int(ok.sum())
+            delta[f, g] = int(d[ok].sum())
+    return count, delta, masks.sum(axis=0).astype(np.int64)
+
+
+def sample_feature_rules(
+    ds: "ray.data.Dataset",
+    attr_cols: list[str],
+    parallel_check_count: int = 8,
+    min_rule_attributes: int = 1,
+    max_rule_attributes: int = 2,
+    use_path_match: bool = True,
+    use_value_match: bool = True,
+    seed: int = 42,
+) -> list[list[tuple[str, object]]]:
+    """Seeded recast of create_random_rule (reference
+    TimeCorrelationDetector.py:164-199): sample
+    ``parallel_check_count`` rows deterministically (bottom-k of a
+    seeded row hash — every worker/rerun draws the same rows), then
+    per sampled row draw 1..max attributes and per attribute either a
+    value-match (col, value) or a path-match (col, None ≙ non-null)
+    sub-rule. Returns feature specs: each a list of (col, value|None)
+    conjuncts. The reference draws from ``random`` as atoms stream
+    by; the batch recast replaces that unseeded stream order with a
+    seeded content hash — same rule SHAPE distribution, reproducible.
+    """
+    import pandas as _pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(attr_cols).to_pandas()
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in attr_cols:
+            h = h * np.uint64(0x100000001B3) ^ _pd.util.hash_pandas_object(
+                df[c], index=False
+            ).to_numpy()
+        if seed:
+            h ^= np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        df = df.assign(__h=h.view(np.int64))
+        return pa.Table.from_pandas(
+            df.nsmallest(parallel_check_count, "__h"), preserve_index=False
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .to_pandas()
+        .nsmallest(parallel_check_count, "__h")
+        .reset_index(drop=True)
+    )
+    rules: list[list[tuple[str, object]]] = []
+    rng = np.random.default_rng(seed)
+    for _, row in top.iterrows():
+        n_attr = int(rng.integers(min_rule_attributes, max_rule_attributes + 1))
+        cols = list(rng.permutation(attr_cols)[:n_attr])
+        conj: list[tuple[str, object]] = []
+        for c in cols:
+            path_match = use_path_match and (
+                not use_value_match or bool(rng.integers(0, 2))
+            )
+            conj.append((c, None) if path_match else (c, row[c]))
+        if conj and conj not in rules:
+            rules.append(conj)
+    return rules
+
+
+def time_correlation_report(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    order_col: str,
+    features: list[list[tuple[str, object]]],
+    record_window: int = 10000,
+    max_delta: float = 10.0,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Windowed TimeCorrelationDetector report (reference
+    TimeCorrelationDetector.py:27-265): the stream is cut into
+    windows of ``record_window`` records (the reference emits a
+    report and resets every record_count_before_event atoms — window
+    = order // record_window over the global ``order_col`` sequence),
+    and per window the pairwise cause→effect tables are computed with
+    ``tc_pair_tables``. Batch deviation (documented): all features
+    exist from the window start (the reference grows the feature list
+    over the first atoms); pair state never crosses a window (the
+    reference's reset).
+
+    Output: one row per (window, a_idx, b_idx) with n > 0 —
+    ``n``, ``delta_us`` (sum of cause→effect gaps), ``trig_a``,
+    ``trig_b``. Shuffle: ONE coarse groupby over hashed window
+    buckets; each window's atoms are evaluated inside pandas.
+    Partitioning assumption: a window's rows fit one task — bounded
+    by record_window itself."""
+    from ._agg import coarse_grouped
+
+    max_delta_us = int(max_delta * 1e6)
+    F = len(features)
+
+    def _masks(df: pd.DataFrame) -> np.ndarray:
+        m = np.zeros((len(df), F), dtype=bool)
+        for fi, conj in enumerate(features):
+            cur = np.ones(len(df), dtype=bool)
+            for c, v in conj:
+                cur &= df[c].notna().to_numpy() if v is None else (df[c] == v).to_numpy()
+            m[:, fi] = cur
+        return m
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        wins, aidx, bidx, ns, ds_, ta, tb = [], [], [], [], [], [], []
+        for w, sub in g.groupby("__win", sort=False):
+            sub = sub.sort_values([ts_col, order_col], kind="mergesort")
+            ts = sub[ts_col].to_numpy()
+            ts_us = (
+                ts.astype("datetime64[us]").astype(np.int64)
+                if ts.dtype.kind == "M"
+                else (ts * 1e6).astype(np.int64) if ts.dtype.kind == "f" else ts.astype(np.int64)
+            )
+            masks = _masks(sub)
+            count, delta, trig = tc_pair_tables(ts_us, masks, max_delta_us)
+            a, b = np.nonzero(count)
+            wins.extend([int(w)] * len(a))
+            aidx.extend(a.tolist()); bidx.extend(b.tolist())
+            ns.extend(count[a, b].tolist()); ds_.extend(delta[a, b].tolist())
+            ta.extend(trig[a].tolist()); tb.extend(trig[b].tolist())
+        return pa.table(
+            {"window": pa.array(wins, pa.int64()), "a_idx": pa.array(aidx, pa.int64()),
+             "b_idx": pa.array(bidx, pa.int64()), "n": pa.array(ns, pa.int64()),
+             "delta_us": pa.array(ds_, pa.int64()), "trig_a": pa.array(ta, pa.int64()),
+             "trig_b": pa.array(tb, pa.int64())}
+        )
+
+    def add_win(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = pc.cast(pc.floor(pc.divide(pc.cast(b[order_col], pa.float64()), float(record_window))), pa.int64())
+        return b.append_column("__win", w)
+
+    with_win = ds.map_batches(add_win, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    out = coarse_grouped(with_win, ["__win"], per_bucket, n_buckets=n_buckets).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64)
+             for c in ["window", "a_idx", "b_idx", "n", "delta_us", "trig_a", "trig_b"]}
+        )
+    return out.sort_values(["window", "a_idx", "b_idx"]).reset_index(drop=True)

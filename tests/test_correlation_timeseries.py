@@ -236,3 +236,48 @@ def test_seasonal_ar_falls_back_without_period():
     )
     out = seasonal_ar_outliers(counts, ["key"], band_factor=3.0)
     assert 30 in set(out["window"])
+
+
+def test_time_correlation_report_and_features():
+    """Dataset path of the TimeCorrelationDetector recast: windowed
+    pair tables over a seeded A→B stream, plus deterministic seeded
+    feature-rule sampling."""
+    from logdata_anomaly_miner_ray.stages.correlation import (
+        sample_feature_rules,
+        tc_pair_tables,
+        time_correlation_report,
+    )
+
+    S = 1_000_000
+    rows = []
+    for i in range(200):
+        rows.append((i * 2, "A", (1000 + i * 20) * S))
+        rows.append((i * 2 + 1, "B", (1000 + i * 20 + 3) * S))  # B 3s after A
+    t = pa.table(
+        {"rid": pa.array([r[0] for r in rows], pa.int64()),
+         "ev": pa.array([r[1] for r in rows], pa.string()),
+         "ts": pa.array([r[2] for r in rows], pa.int64())}
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    feats = [[("ev", "A")], [("ev", "B")]]
+    rep = time_correlation_report(ds, "ts", "rid", feats, record_window=100, max_delta=10.0)
+    # A(0)→B(1): every B is 3 s after an A → 50 per window of 100 rows
+    ab = rep[(rep["a_idx"] == 0) & (rep["b_idx"] == 1)]
+    assert len(ab) == 4 and (ab["n"] == 50).all()
+    assert (ab["delta_us"] == 50 * 3 * S).all()
+    # B→A gap is 17 s > 10 s: no (1,0) rows
+    assert len(rep[(rep["a_idx"] == 1) & (rep["b_idx"] == 0)]) == 0
+    assert (ab["trig_a"] == 50).all() and (ab["trig_b"] == 50).all()
+
+    # seeded feature sampling: deterministic across calls, honors caps
+    r1 = sample_feature_rules(ds, ["ev"], parallel_check_count=3, seed=5)
+    r2 = sample_feature_rules(ds, ["ev"], parallel_check_count=3, seed=5)
+    assert r1 == r2 and 0 < len(r1) <= 3
+    for conj in r1:
+        assert all(c == "ev" for c, _ in conj)
+
+    # empty input keeps the typed schema
+    empty = time_correlation_report(
+        rd.from_arrow(t.slice(0, 0)), "ts", "rid", feats, record_window=100
+    )
+    assert list(empty.columns) == ["window", "a_idx", "b_idx", "n", "delta_us", "trig_a", "trig_b"]

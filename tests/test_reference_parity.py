@@ -721,3 +721,59 @@ def test_unsorted_timestamps_parity(aminer_env):
     )
     inv = inversion_counts(rd.from_arrow(t), ["k"], "seq", "ts").to_pandas()
     assert int(inv["n_inversions"].iloc[0]) == ref_n == 2
+
+
+def test_time_correlation_parity(aminer_env):
+    """TimeCorrelationDetector pair tables: drive the reference with
+    deterministic one-value features (create_random_rule patched to
+    first-occurrence ValueMatchRules — bypassing only the RNG, not
+    the table math) and assert our tc_pair_tables reproduces the
+    forward count/delta tables and the mirrored backward table."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis import Rules
+    from aminer.analysis.TimeCorrelationDetector import TimeCorrelationDetector
+
+    C = 4
+    tcd = TimeCorrelationDetector(
+        FakeConfig(), [Recorder()], parallel_check_count=C,
+        record_count_before_event=10**9, use_path_match=False,
+        use_value_match=True, min_rule_attributes=1, max_rule_attributes=1,
+        persistence_id="tc_parity",
+    )
+    seen = {}
+
+    def det_rule(log_atom):
+        v = log_atom.parser_match.get_match_dictionary()["/m/ev"].match_object
+        if v in seen:
+            return None
+        seen[v] = len(seen)
+        return Rules.ValueMatchRule("/m/ev", v)
+
+    tcd.create_random_rule = det_rule
+
+    rng = np.random.default_rng(11)
+    vals = np.array(["A", "B", "C"])[rng.integers(0, 3, 300)]
+    # integer-second timestamps > 10 so the initial last_trigger=0.0
+    # never counts; gaps 1-6 s keep pairs inside the 10 s bound
+    ts = 1000.0 + np.cumsum(rng.integers(1, 7, 300)).astype(float)
+    for v, t in zip(vals, ts):
+        tcd.receive_atom(_atom({"/m/ev": v}, float(t)))
+
+    feats = [f.rule.value for f in tcd.feature_list]
+    assert set(feats) == {"A", "B", "C"}
+
+    from logdata_anomaly_miner_ray.stages.correlation import tc_pair_tables
+
+    masks = np.stack([vals == f for f in feats], axis=1)
+    cnt, dlt, trig = tc_pair_tables((ts * 1e6).astype(np.int64), masks, 10_000_000)
+    F = len(feats)
+    for f in range(F):
+        for g in range(F):
+            fwd_c = tcd.event_count_table[f * 2 * C + 2 * g]
+            fwd_d = tcd.event_delta_table[f * 2 * C + 2 * g]
+            back_c = tcd.event_count_table[g * 2 * C + 2 * f + 1]
+            back_d = tcd.event_delta_table[g * 2 * C + 2 * f + 1]
+            assert cnt[f, g] == fwd_c == back_c
+            assert dlt[f, g] // 1000 == fwd_d == -back_d
+    for f in range(F):
+        assert trig[f] == tcd.feature_list[f].trigger_count
