@@ -98,38 +98,41 @@ def duplicate_keys_hashed(
             }
         )
 
-    # marked = interior dup groups + ≤2 edge groups per block — SMALL
-    # under the rare-duplicates assumption (same assumption AMiner
-    # makes emitting every anomaly as an event); finish on the
-    # driver in one execution. A pathologically all-duplicate input
-    # should use `duplicate_keys` (full aggregate) instead.
-    md = sorted_parts.map_batches(
+    # After the range sort equal hashes are contiguous, so interior
+    # dup groups are globally exact — they STAY in the Dataset (the
+    # result can itself be huge on a duplicate-heavy input). Only
+    # the ≤2 EDGE groups per block route through the driver (O(#
+    # blocks), no rare-duplicates assumption), get count-merged
+    # across block boundaries, and re-enter via union.
+    marked = sorted_parts.map_batches(
         block_dups, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    interior = marked.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.invert(t["__edge"]), pc.greater(t[count_name], 1))
+        ).select([key, count_name]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    edges = marked.map_batches(
+        lambda t: t.filter(t["__edge"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).to_pandas()
-    import pandas as pd
-
-    if md.empty or "__edge" not in md.columns:  # 0-row input
-        return rd.from_arrow(
-            pa.table({key: pa.array([], pa.string()), count_name: pa.array([], pa.int64())})
-        )
-    interior = md[~md["__edge"]][[key, count_name]]
-    edges = md[md["__edge"]]
     if len(edges):
         eg = edges.groupby("__h", as_index=False).agg(
             **{key: (key, "first"), count_name: (count_name, "sum")}
         )
         eg = eg[eg[count_name] > 1][[key, count_name]]
     else:
+        import pandas as pd
+
         eg = pd.DataFrame({key: [], count_name: []})
-    allc = pd.concat([interior, eg], ignore_index=True)
-    return rd.from_arrow(
-        pa.table(
-            {
-                key: pa.array(allc[key].tolist(), pa.string()),
-                count_name: pa.array([int(x) for x in allc[count_name].tolist()], pa.int64()),
-            }
-        )
+    edge_tab = pa.table(
+        {
+            key: pa.array(eg[key].tolist(), pa.string()),
+            count_name: pa.array([int(x) for x in eg[count_name].tolist()], pa.int64()),
+        }
     )
+    return interior.union(rd.from_arrow(edge_tab))
 
 
 def uniqueness_violations(

@@ -33,6 +33,21 @@ def test_hot_key_skew_duplicate_detection():
     assert out["n"].iloc[0] == n // 2
 
 
+def test_duplicate_heavy_input_stays_exact():
+    """Every key duplicated: the dup-group result is as large as half
+    the input — interior groups must stay in the Dataset (only block
+    EDGES cross the driver), and counts must still be exact."""
+    from logdata_anomaly_miner_ray.stages.uniqueness import duplicate_keys_hashed
+
+    n = 60_000
+    keys = [f"k{i % (n // 2)}" for i in range(n)]  # each key exactly twice
+    ds = rd.from_arrow(pa.table({"url": keys})).repartition(16)
+    out = duplicate_keys_hashed(ds, "url").to_pandas()
+    assert len(out) == n // 2
+    assert (out["n"] == 2).all()
+    assert set(out["url"]) == {f"k{i}" for i in range(n // 2)}
+
+
 def test_fit_on_day1_validate_on_day2():
     """AMiner learn_mode -> detect split across DIFFERENT datasets:
     constraints fitted on clean data flag drifted new data."""
