@@ -119,6 +119,77 @@ def score_violations_weighted(
     )
 
 
+def syslog_chunk_lines(event_id: int, text: str, max_len: int = 800) -> list[str]:
+    """The reference SyslogWriterEventHandler's line protocol
+    (aminer/events/SyslogWriterEventHandler.py:63-80): each event's
+    rendered text is split on newlines, every line is broken into
+    ``max_len``-char chunks, and chunks carry ``[id]`` (first) /
+    ``[id-serial]`` (continuations) prefixes so multi-line events can
+    be reassembled from an interleaved syslog."""
+    out: list[str] = []
+    serial = 0
+    for data_line in text.strip().split("\n"):
+        while data_line:
+            if serial == 0:
+                out.append(f"[{event_id}] {data_line[:max_len]}")
+            else:
+                out.append(f"[{event_id}-{serial}] {data_line[:max_len]}")
+            data_line = data_line[max_len:]
+            serial += 1
+    return out
+
+
+def write_syslog_sink(
+    violations: "ray.data.Dataset",
+    target: str,
+    instance_name: str = "aminer",
+    max_len: int = 800,
+) -> int:
+    """Syslog-style sink for the violations dataset — the reference's
+    SyslogWriterEventHandler recast (SyslogWriterEventHandler.py:
+    23-80): events are rendered with ``render_event_text`` and
+    emitted through the ``[id]``/``[id-serial]`` chunking protocol.
+
+    ``target``: a filesystem path ending in ``.log`` appends lines to
+    that file; any other path is treated as an AF_UNIX datagram
+    socket (the transport /dev/log actually is — stdlib ``syslog``
+    needs a live daemon, so the socket/file transports keep the
+    protocol testable in-container). Event ids are assigned in the
+    dataset's iteration order on the single writer — a syslog is a
+    serial sink by nature (same caveat the reference documents);
+    bulk output belongs in ``write_parquet``. Returns #lines."""
+    import socket as _socket
+
+    use_file = target.endswith(".log")
+    sock = None
+    fh = None
+    if use_file:
+        fh = open(target, "a", encoding="utf-8")
+    else:
+        sock = _socket.socket(_socket.AF_UNIX, _socket.SOCK_DGRAM)
+        sock.connect(target)
+    n = 0
+    try:
+        event_id = 0
+        for batch in violations.iter_batches(batch_size=1024, batch_format="pandas"):
+            for _, row in batch.iterrows():
+                text = render_event_text(row.to_dict())
+                for line in syslog_chunk_lines(event_id, text, max_len):
+                    msg = f"{instance_name}: {line}"
+                    if fh is not None:
+                        fh.write(msg + "\n")
+                    else:
+                        sock.send(msg.encode())
+                    n += 1
+                event_id += 1
+    finally:
+        if fh is not None:
+            fh.close()
+        if sock is not None:
+            sock.close()
+    return n
+
+
 def _counts(ds: "ray.data.Dataset") -> dict[str, int]:
     out: dict[str, int] = {}
     for b in ds.map_batches(

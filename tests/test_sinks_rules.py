@@ -92,3 +92,71 @@ def test_implication_rules_binomial():
     assert ("login", "session") in got       # 97/100 credibly >= 0.9
     assert ("login", "logout") not in got    # 60/100 fails
     assert ("noise", "other") not in got     # below min_support
+
+
+def test_unix_socket_line_source(tmp_path):
+    """UnixSocketLogDataResource + ByteStreamLineAtomizer recast:
+    newline atomizing, overlong-line truncation + resync, EOF tail."""
+    import socket
+    import threading
+
+    from logdata_anomaly_miner_ray.sources.streams import read_unix_socket_lines
+
+    path = str(tmp_path / "ingest.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(1)
+    big = b"X" * 150
+
+    def feed():
+        conn, _ = srv.accept()
+        conn.sendall(b"alpha\nbeta\n" + big + b"\ngamma\ntail-no-newline")
+        conn.close()
+
+    t = threading.Thread(target=feed)
+    t.start()
+    ds = read_unix_socket_lines(path, batch_rows=3, max_line_bytes=100)
+    t.join()
+    srv.close()
+    df = ds.to_pandas()
+    assert [bytes(x) for x in df["line"]] == [
+        b"alpha", b"beta", big[:100], b"gamma", b"tail-no-newline"
+    ]
+    assert df["truncated"].tolist() == [False, False, True, False, False]
+
+
+def test_syslog_chunking_protocol():
+    from logdata_anomaly_miner_ray.stages.sinks import syslog_chunk_lines
+
+    text = "line-one\n" + "A" * 1700 + "\nlast"
+    lines = syslog_chunk_lines(7, text, max_len=800)
+    assert lines[0] == "[7] line-one"
+    assert lines[1] == "[7-1] " + "A" * 800
+    assert lines[2] == "[7-2] " + "A" * 800
+    assert lines[3] == "[7-3] " + "A" * 100
+    assert lines[4] == "[7-4] last"
+
+
+def test_write_syslog_sink_file_and_socket(tmp_path):
+    import socket
+
+    from logdata_anomaly_miner_ray.schema import violations_table
+    from logdata_anomaly_miner_ray.stages.sinks import write_syslog_sink
+
+    t = violations_table("C", "m", ["k1", "k2"], ["p"], [["v1"], ["v2"]], "")
+    ds = rd.from_arrow(t)
+    # file transport
+    log = str(tmp_path / "out.log")
+    n = write_syslog_sink(ds, log, instance_name="test")
+    lines = open(log).read().strip().split("\n")
+    assert len(lines) == n and n >= 2
+    assert lines[0].startswith("test: [0] ")
+    # datagram-socket transport (what /dev/log is)
+    spath = str(tmp_path / "dev-log")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    srv.bind(spath)
+    srv.settimeout(5)
+    n2 = write_syslog_sink(ds, spath, instance_name="test")
+    got = [srv.recv(4096).decode() for _ in range(n2)]
+    srv.close()
+    assert sorted(got) == sorted(lines)
