@@ -511,3 +511,174 @@ def time_correlation_report(
              for c in ["window", "a_idx", "b_idx", "n", "delta_us", "trig_a", "trig_b"]}
         )
     return out.sort_values(["window", "a_idx", "b_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# EventCountClusterDetector recast (exact lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def manhattan_cluster_score(
+    count_vector: dict,
+    model: list[dict],
+    confidence_factor: float,
+    idf_weights: dict | None = None,
+    norm: bool = False,
+) -> float:
+    """The reference check() metric (EventCountClusterDetector.py:
+    243-279): normalized Manhattan distance of the count vector to
+    each model vector — per element |a·w/Σa − b·w/Σb| summed, divided
+    by the max-attainable sum — with the reference's EARLY ABORT: any
+    model vector at distance ≤ confidence_factor makes the sample
+    normal (returns −1, true min unknown). No model vectors → 1
+    (first window is always anomalous). ``idf_weights`` maps event →
+    log10((1+#ids)/#ids-with-event)."""
+    min_score = 1.0
+    for known in model:
+        manh = 0.0
+        manh_max = 0.0
+        norm_known = sum(known.values()) if norm else 1
+        norm_count = sum(count_vector.values()) if norm else 1
+        for element in set(list(known.keys()) + list(count_vector.keys())):
+            w = idf_weights.get(element, 1.0) if idf_weights else 1.0
+            if element not in known:
+                v = count_vector[element] * w / norm_count
+                manh += v
+                manh_max += v
+            elif element not in count_vector:
+                v = known[element] * w / norm_known
+                manh += v
+                manh_max += v
+            else:
+                a = count_vector[element] * w / norm_count
+                b = known[element] * w / norm_known
+                manh += abs(a - b)
+                manh_max += max(a, b)
+        score = manh / manh_max if manh_max != 0 else 0.0
+        if score <= confidence_factor:
+            return -1.0
+        min_score = min(min_score, score)
+    return min_score
+
+
+def event_count_cluster_anomalies(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    event_col: str,
+    ts_col: str,
+    window_size: float = 600.0,
+    num_windows: int = 50,
+    confidence_factor: float = 0.33,
+    idf: bool = False,
+    norm: bool = False,
+    add_normal: bool = False,
+    check_empty_windows: bool = True,
+    learn_mode: bool = True,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """EXACT EventCountClusterDetector lifecycle (reference:
+    aminer/analysis/EventCountClusterDetector.py:102-279), recast per
+    id group:
+
+    - windows are PER-ID, anchored at the id's first atom time
+      (next_check = t₀ + W, stepped in W multiples) — window k =
+      (t − t₀) // W; a completed window is only evaluated when a
+      later atom arrives (the trailing window never fires);
+    - a gap of skipped windows fires ONE empty-vector check (when
+      ``check_empty_windows``) before the completed window's check —
+      the reference's single detect({}) per skip;
+    - scoring is ``manhattan_cluster_score`` (early abort ≤ cf);
+      anomalies (score ≠ −1) are recorded and, in ``learn_mode``,
+      added to the FIFO model (identical vectors deduped, oldest
+      dropped past ``num_windows``); ``add_normal`` also learns
+      normal vectors;
+    - ``idf`` weights are computed from the FULL dataset (batch
+      deviation, documented: the reference grows idf sets online;
+      the batch value is their converged state).
+
+    One coarse-bucketed shuffle on the id; the per-id pass loops
+    windows (small), not atoms. Returns one row per anomalous check:
+    id cols, ``window`` (index), ``score``, ``n_events``, ``values``
+    ('|'-joined first-occurrence order), ``freqs`` ('|'-joined)."""
+    from ._agg import coarse_grouped
+
+    idf_weights = None
+    if idf:
+        import math
+
+        pairs = (
+            ds.map_batches(
+                lambda t: t.select(id_cols + [event_col]).group_by(id_cols + [event_col]).aggregate([]),
+                batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            )
+            .groupby(id_cols + [event_col])
+            .count()
+            .to_pandas()
+        )
+        n_ids = pairs.groupby(id_cols).ngroups
+        per_event = pairs.groupby(event_col).size()
+        idf_weights = {
+            e: math.log10((1 + n_ids) / c) for e, c in per_event.items()
+        }
+
+    out_cols = id_cols + ["window", "score", "n_events", "values", "freqs"]
+
+    def per_id(g: pd.DataFrame, out: list) -> None:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        tsf = (
+            ts.astype("datetime64[us]").astype(np.int64) / 1e6
+            if ts.dtype.kind == "M"
+            else ts.astype(np.float64)
+        )
+        ev = g[event_col].to_numpy()
+        key = tuple(g[c].iloc[0] for c in id_cols)
+        w = ((tsf - tsf[0]) // window_size).astype(np.int64)
+        model: list[dict] = []
+
+        def learn(vec: dict) -> None:
+            if vec in model:
+                return
+            if len(model) >= num_windows:
+                model.pop(0)
+            model.append(dict(vec))
+
+        def detect(win: int, vec: dict) -> None:
+            score = manhattan_cluster_score(
+                vec, model, confidence_factor, idf_weights, norm
+            )
+            if score == -1.0:
+                if learn_mode and add_normal:
+                    learn(vec)
+                return
+            if learn_mode:
+                learn(vec)
+            out.append(
+                key + (int(win), float(score), int(sum(vec.values())),
+                       "|".join(str(k) for k in vec), "|".join(str(v) for v in vec.values()))
+            )
+
+        starts = np.flatnonzero(np.concatenate([[True], w[1:] != w[:-1]]))
+        ends = np.concatenate([starts[1:], [len(w)]])
+        for i in range(len(starts) - 1):  # trailing window never fires
+            a, b = starts[i], ends[i]
+            vec: dict = {}
+            for e in ev[a:b]:
+                vec[e] = vec.get(e, 0) + 1
+            nxt = w[starts[i + 1]]
+            if nxt > w[a] + 1 and check_empty_windows:
+                detect(int(w[a]) + 1, {})
+            detect(int(w[a]), vec)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, sub in g.groupby(id_cols, sort=False):
+            per_id(sub, rows)
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return pd.DataFrame(rows, columns=out_cols)
+
+    res = coarse_grouped(ds, id_cols, per_bucket, n_buckets=n_buckets).to_pandas()
+    if len(res) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    return res.sort_values(id_cols + ["window"]).reset_index(drop=True)

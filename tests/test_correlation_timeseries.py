@@ -281,3 +281,29 @@ def test_time_correlation_report_and_features():
         rd.from_arrow(t.slice(0, 0)), "ts", "rid", feats, record_window=100
     )
     assert list(empty.columns) == ["window", "a_idx", "b_idx", "n", "delta_us", "trig_a", "trig_b"]
+
+
+def test_manhattan_cluster_score_modes():
+    """Hand-computed reference check() values: plain, norm, idf,
+    early abort, and the empty-model score-1 rule."""
+    import math
+
+    from logdata_anomaly_miner_ray.stages.correlation import manhattan_cluster_score
+
+    # empty model → 1 (first window always anomalous)
+    assert manhattan_cluster_score({"A": 2}, [], 0.4) == 1.0
+    # identical vector → distance 0 → early abort (-1)
+    assert manhattan_cluster_score({"A": 2}, [{"A": 2}], 0.4) == -1.0
+    # plain: vec {A:3}, known {A:1,B:2}: manh=|3-1|+2=4, max=3+2=5
+    assert manhattan_cluster_score({"A": 3}, [{"A": 1, "B": 2}], 0.1) == 4 / 5
+    # norm: {A:1,B:1} vs {A:3,B:1}: a=(.5,.5), b=(.75,.25),
+    # manh=.25+.25=.5, max=.75+.5=1.25 → 0.4
+    assert manhattan_cluster_score(
+        {"A": 1, "B": 1}, [{"A": 3, "B": 1}], 0.1, norm=True
+    ) == pytest.approx(0.4)
+    # idf: weight w halves B's contribution
+    w = {"A": 1.0, "B": math.log10(2)}
+    s = manhattan_cluster_score({"A": 3}, [{"A": 1, "B": 2}], 0.1, idf_weights=w)
+    assert s == pytest.approx((2 + 2 * w["B"]) / (3 + 2 * w["B"]))
+    # early abort: first model vector similar → -1 even though second is far
+    assert manhattan_cluster_score({"A": 2}, [{"A": 2}, {"Z": 9}], 0.4) == -1.0

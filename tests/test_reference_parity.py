@@ -777,3 +777,68 @@ def test_time_correlation_parity(aminer_env):
             assert dlt[f, g] // 1000 == fwd_d == -back_d
     for f in range(F):
         assert trig[f] == tcd.feature_list[f].trigger_count
+
+
+def test_event_count_cluster_parity(aminer_env):
+    """EventCountClusterDetector: per-id anchored windows, FIFO model,
+    normalized-Manhattan scoring with early abort, empty-window
+    checks — our batch lifecycle must emit the same anomalies
+    (id, score, values, freqs) in the same order."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EventCountClusterDetector import EventCountClusterDetector
+
+    rec = Recorder()
+    det = EventCountClusterDetector(
+        FakeConfig(), [rec], target_path_list=["/m/ev"], id_path_list=["/m/id"],
+        window_size=10, num_windows=5, confidence_factor=0.4,
+        learn_mode=True, check_empty_windows=True, persistence_id="ecc_parity",
+    )
+    rng = np.random.default_rng(3)
+    rows = []
+    t0 = 1700000000.0
+    for uid in ("u1", "u2"):
+        t = t0
+        for win in range(12):
+            t = t0 + win * 10.0
+            if uid == "u1" and win == 7:
+                continue  # empty window gap for u1
+            n = int(rng.integers(2, 6))
+            for j in range(n):
+                ev = ["A", "B", "C"][int(rng.integers(0, 3))]
+                rows.append((uid, ev, t + j * 0.5))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    for uid, ev, t in rows:
+        det.receive_atom(_atom({"/m/id": uid, "/m/ev": ev}, t))
+
+    ref = {}
+    for et, msg, data in rec.events:
+        if msg != "Frequency anomaly detected":
+            continue
+        ac = data["AnalysisComponent"]
+        uid = ac["AffectedIdValues"][0]
+        vals = tuple(v[0] for v in ac["AffectedLogAtomValues"])
+        freqs = tuple(ac["AffectedLogAtomFrequencies"])
+        ref.setdefault(uid, []).append(
+            (vals, freqs, round(data["CountData"]["Confidence"], 9))
+        )
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.correlation import (
+        event_count_cluster_anomalies,
+    )
+
+    df = pd.DataFrame(rows, columns=["id", "ev", "ts"])
+    ours = event_count_cluster_anomalies(
+        rd.from_pandas(df).repartition(4), ["id"], "ev", "ts",
+        window_size=10, num_windows=5, confidence_factor=0.4,
+        learn_mode=True, check_empty_windows=True,
+    )
+    got = {}
+    for _, r in ours.iterrows():
+        vals = tuple(r["values"].split("|")) if r["values"] else ()
+        freqs = tuple(int(x) for x in r["freqs"].split("|")) if r["freqs"] else ()
+        got.setdefault(r["id"], []).append((vals, freqs, round(r["score"], 9)))
+    assert got == ref
+    assert any(len(v) > 1 for v in ref.values())  # non-trivial fixture
