@@ -261,3 +261,75 @@ def ks_drift_by_group(
         crit = ks_critical(n, m, alpha)
         rows.append((g, d_stat, crit, d_stat > max(crit, min_effect), n))
     return pd.DataFrame(rows, columns=[group_col, "ks_stat", "critical", "drift", "n"])
+
+
+def binom_two_sided_pvalue(k: int, n: int, p: float) -> float:
+    """Exact two-sided binomial test p-value (scipy-free): the sum of
+    P(X = k') over all k' whose pmf ≤ pmf(k)·(1+1e-7) — the same
+    minlike definition scipy's binomtest uses (the reference feeds
+    bin counts to it, HistogramAnalysis.py:196-209). Vectorized: the
+    full log-pmf vector comes from one cumsum of log odds-ratio
+    increments, O(n)."""
+    if n <= 0:
+        return 1.0
+    if p <= 0.0:
+        return 1.0 if k == 0 else 0.0
+    if p >= 1.0:
+        return 1.0 if k == n else 0.0
+    ks = np.arange(n, dtype=np.float64)
+    incr = np.log((n - ks) / (ks + 1.0)) + (np.log(p) - np.log1p(-p))
+    base = n * np.log1p(-p)
+    logpmf = np.concatenate([[base], base + np.cumsum(incr)])
+    return float(np.exp(logpmf[logpmf <= logpmf[k] + 1e-7]).sum())
+
+
+def modulo_time_bins(
+    values: np.ndarray,
+    modulo_value: float,
+    time_unit: float,
+    lower_limit: float,
+    bin_size: float,
+    bin_count: int,
+    outlier_bins: bool = False,
+) -> np.ndarray:
+    """ModuloTimeBinDefinition.get_bin vectorized (reference
+    HistogramAnalysis.py:211-256 over LinearNumericBinDefinition
+    :175-194): bin((value mod modulo)/time_unit) with linear bins of
+    ``bin_size`` from ``lower_limit``. With ``outlier_bins`` bin 0 is
+    below-range and ``bin_count+1`` above-range; without, out-of-range
+    values get −1 (the reference's None)."""
+    t = (np.asarray(values, dtype=np.float64) % modulo_value) / time_unit
+    pos = np.floor((t - lower_limit) / bin_size).astype(np.int64)
+    if outlier_bins:
+        return np.clip(pos + 1, 0, bin_count + 1)
+    out = np.where((pos >= 0) & (pos < bin_count), pos, -1)
+    return out
+
+
+def histogram_bin_anomalies(
+    hist: pd.DataFrame,
+    group_col: str,
+    bin_count: int,
+    outlier_bins: bool = False,
+    significance: float = 0.05,
+    count_name: str = "n",
+) -> pd.DataFrame:
+    """Per-bin binomial significance over ``group_histograms`` output
+    (reference HistogramAnalysis bin p-values: each interior bin's
+    count is tested against the uniform expectation 1/bin_count;
+    outlier bins — 0 and bin_count+1 when ``outlier_bins`` — get no
+    p-value, as in get_bin_p_value:196-209). Returns rows with
+    ``p_value`` and ``significant`` (p < significance); the driver
+    input is the already-tiny (group × bin) table."""
+    rows = []
+    for g, sub in hist.groupby(group_col):
+        total = int(sub[count_name].sum())
+        for _, r in sub.iterrows():
+            b = int(r["bin"])
+            if outlier_bins and (b == 0 or b > bin_count):
+                continue
+            pv = binom_two_sided_pvalue(int(r[count_name]), total, 1.0 / bin_count)
+            rows.append((g, b, int(r[count_name]), pv, pv < significance))
+    return pd.DataFrame(
+        rows, columns=[group_col, "bin", count_name, "p_value", "significant"]
+    )

@@ -842,3 +842,46 @@ def test_event_count_cluster_parity(aminer_env):
         got.setdefault(r["id"], []).append((vals, freqs, round(r["score"], 9)))
     assert got == ref
     assert any(len(v) > 1 for v in ref.values())  # non-trivial fixture
+
+
+def test_histogram_modulo_time_bins_parity(aminer_env):
+    """ModuloTimeBinDefinition.get_bin vs our vectorized kernel, and
+    HistogramAnalysis accounting vs our bincount over the same
+    stream (time-of-day histogram, outlier bins off and on)."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.HistogramAnalysis import (
+        HistogramAnalysis,
+        HistogramData,
+        LinearNumericBinDefinition,
+        ModuloTimeBinDefinition,
+    )
+
+    from logdata_anomaly_miner_ray.stages.drift import modulo_time_bins
+
+    mt = ModuloTimeBinDefinition(86400, 3600, 0, 1, 24, False)
+    mt_out = ModuloTimeBinDefinition(86400, 3600, 2, 1, 20, True)
+    rng = np.random.default_rng(9)
+    vals = (rng.random(500) * 3 * 86400).tolist()
+    ours = modulo_time_bins(np.array(vals), 86400, 3600, 0, 1, 24, False)
+    ours_out = modulo_time_bins(np.array(vals), 86400, 3600, 2, 1, 20, True)
+    for i, v in enumerate(vals):
+        ref = mt.get_bin(v)
+        assert (ref if ref is not None else -1) == ours[i]
+        assert mt_out.get_bin(v) == ours_out[i]
+
+    # full HistogramData accounting parity
+    hd = HistogramData("/m/t", mt)
+    for v in vals:
+        hd.add_value(v)
+    counts = np.bincount(ours[ours >= 0], minlength=24)
+    assert hd.bin_data == counts.tolist()
+    assert hd.total_elements == int((ours >= 0).sum())
+
+    lin = LinearNumericBinDefinition(0, 10, 5, True)
+    lv = (rng.random(300) * 70 - 10).tolist()
+    hd2 = HistogramData("/m/x", lin)
+    for v in lv:
+        hd2.add_value(v)
+    edges = np.arange(0.0, 51.0, 10.0)  # 5 interior bins
+    bins = np.searchsorted(edges, np.array(lv), side="right")
+    assert hd2.bin_data == np.bincount(bins, minlength=7).tolist()

@@ -196,3 +196,24 @@ def test_min_transition_times():
     )
     assert got[("a", "b")] == pytest.approx(2.0)  # v faster than u
     assert got[("b", "a")] == pytest.approx(2.0)
+
+
+def test_histogram_bin_anomalies():
+    """Binomial per-bin significance over a skewed histogram: the
+    loaded bin is significant, uniform bins are not; outlier bins
+    carry no p-value."""
+    import pandas as pd
+
+    from logdata_anomaly_miner_ray.stages.drift import histogram_bin_anomalies
+
+    hist = pd.DataFrame(
+        {"g": ["a"] * 5, "bin": [1, 2, 3, 4, 5], "n": [20, 20, 20, 20, 45]}
+    )
+    out = histogram_bin_anomalies(hist, "g", bin_count=5, significance=0.01)
+    sig = out.set_index("bin")["significant"]
+    assert bool(sig[5]) is True
+    assert bool(sig[2]) is False
+    # outlier bins (0 and bin_count+1) are skipped when flagged
+    hist2 = pd.DataFrame({"g": ["a"] * 3, "bin": [0, 3, 6], "n": [50, 100, 7]})
+    out2 = histogram_bin_anomalies(hist2, "g", bin_count=5, outlier_bins=True)
+    assert out2["bin"].tolist() == [3]
