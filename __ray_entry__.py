@@ -980,6 +980,23 @@ def q_minhash_pairs_documents(sf_dir: str):
     )
 
 
+def q_dedup_clusters_documents(sf_dir: str):
+    """Near-dup CLUSTER assignment: SimHash pairs (md5 mode, same
+    oracle-exact pair set) fed through distributed connected
+    components (min-label). Oracle recomputes the components as a
+    recursive-CTE transitive closure over the same pairs."""
+    from logdata_anomaly_miner_ray.stages.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+
+    pairs = simhash_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        max_hamming=3, hash_mode="md5",
+    )
+    return connected_components(pairs).to_pandas()
+
+
 def q_simhash_pairs_documents(sf_dir: str):
     """SimHash near-dup pairs, oracle-exact: the md5 shingle-hash
     mode lets DuckDB recompute every 64-bit fingerprint (md5 of
@@ -1183,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_documents": q_fingerprints_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
         "ks_drift_events": q_ks_drift_events,
@@ -1434,6 +1452,48 @@ j AS (
 )
 SELECT win AS "window", a_event, b_event, count(*)::BIGINT AS n, sum(d)::BIGINT AS delta_us
 FROM j WHERE d <= 10000000 GROUP BY ALL""",
+        "dedup_clusters_documents": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+        FROM documents)
+),
+sh AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS s
+  FROM toks QUALIFY s IS NOT NULL
+),
+hx AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM sh),
+bits AS (
+  SELECT doc_id, t.i,
+         CASE WHEN 2 * sum(
+           (strpos('0123456789abcdef', substr(h, CAST(16 - t.i // 4 AS INT), 1)) - 1) >> (t.i % 4) & 1
+         ) - count(*) > 0 THEN 1 ELSE 0 END AS pos
+  FROM hx, range(0, 64) t(i)
+  GROUP BY doc_id, t.i
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN pos = 1 AND i < 32 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS lo,
+         sum(CASE WHEN pos = 1 AND i >= 32 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id
+),
+fp2 AS (
+  SELECT d.doc_id, coalesce(fp.lo, 0)::BIGINT AS lo, coalesce(fp.hi, 0)::BIGINT AS hi
+  FROM documents d LEFT JOIN fp USING (doc_id)
+),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp2 a JOIN fp2 b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+),
+e2 AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+reach AS (
+  SELECT a, b FROM e2
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a
+)
+SELECT a AS id, min(b)::BIGINT AS component FROM reach GROUP BY a""",
         "simhash_pairs_documents": r"""
 WITH toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
@@ -493,3 +494,144 @@ def embedding_near_dup_pairs(
     from ray.data.aggregate import Max as _Max
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cosine", alias_name="cosine"))
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_edge_limit: int = 5_000_000,
+    max_iterations: int = 50,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Connected components over a near-dup pair list → per-doc
+    cluster labels (component = min id in the cluster) — the cluster
+    step that turns pairwise candidates (MinHash/SimHash/embedding
+    pairs) into keep-one-per-cluster dedup decisions.
+
+    Two paths by pair count:
+
+    - ≤ ``driver_edge_limit``: union-find with path compression on
+      the driver. The edge list is the minority product of dedup
+      (dup-pair rate ≪ corpus size), so collecting IT — never the
+      corpus — is the right call at this size: exact, one pass,
+      O(E·α).
+    - larger: distributed min-label propagation — per round ONE hash
+      join (neighbor labels reach each node) + ONE groupby-min;
+      labels only decrease, so the integer label sum is the
+      convergence certificate. Rounds = graph diameter (near-dup
+      clusters are small/star-like). Set ``num_partitions`` to the
+      cluster's shuffle width at real scale.
+
+    Returns (``id``, ``component``) for every node in a pair;
+    singletons keep their own id by definition and need no rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    n_edges = pairs.count()
+    if n_edges <= driver_edge_limit:
+        df = pairs.map_batches(
+            lambda t: pa.table(
+                {"a": pc.cast(t[id_a], pa.int64()), "b": pc.cast(t[id_b], pa.int64())}
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).to_pandas()
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        ia, ib = inv[: len(a)], inv[len(a):]
+        for i in range(len(ia)):
+            ra, rbt = find(int(ia[i])), find(int(ib[i]))
+            if ra != rbt:
+                # union by smaller NODE ID so the root is the min id
+                if nodes[ra] < nodes[rbt]:
+                    parent[rbt] = ra
+                else:
+                    parent[ra] = rbt
+        comp = np.array([nodes[find(i)] for i in range(len(nodes))], dtype=np.int64)
+        return rd.from_arrow(
+            pa.table({"id": pa.array(nodes), "component": pa.array(comp)})
+        )
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [pc.cast(t[id_a], pa.int64()).combine_chunks(),
+                     pc.cast(t[id_b], pa.int64()).combine_chunks()]
+                ),
+                "lbl": pa.concat_arrays(
+                    [pc.cast(t[id_b], pa.int64()).combine_chunks(),
+                     pc.cast(t[id_a], pa.int64()).combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).materialize()
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "lbl": pc.min_element_wise(t["src"], t["lbl"])}
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        .groupby("src")
+        .aggregate(Min("lbl", alias_name="component"))
+        .materialize()
+    )
+
+    def label_sum(l) -> int:
+        s = 0
+        for bt in l.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([pc.sum(t["component"]).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow"):
+            s += sum(x.as_py() for x in bt["s"])
+        return s
+
+    prev = label_sum(labels)
+    for _ in range(max_iterations):
+        lab = labels.map_batches(
+            lambda t: pa.table({"lbl": t["src"], "nc": t["component"]}),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        prop = edges.join(
+            lab, join_type="inner", num_partitions=num_partitions,
+            on=("lbl",), right_on=("lbl",),
+        ).map_batches(
+            lambda t: pa.table({"src": t["src"], "lbl": t["nc"]}),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        merged = (
+            prop.union(
+                labels.map_batches(
+                    lambda t: pa.table({"src": t["src"], "lbl": t["component"]}),
+                    batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+                )
+            )
+            .groupby("src")
+            .aggregate(Min("lbl", alias_name="component"))
+            .materialize()
+        )
+        cur = label_sum(merged)
+        labels = merged
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"id": t["src"], "component": t["component"]}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )

@@ -290,3 +290,54 @@ FROM tbl d LEFT JOIN fp USING (doc_id) ORDER BY doc_id
         "lo"
     ].to_numpy().astype(np.uint64)
     assert (py == want).all()
+
+
+def test_connected_components_clusters():
+    """Min-label propagation over a pair list: chain, triangle,
+    disjoint pair, converging to component = min id."""
+    from logdata_anomaly_miner_ray.stages.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+            "id_a": pa.array([1, 2, 3, 10, 11, 10, 20], pa.int64()),
+            "id_b": pa.array([2, 3, 4, 11, 12, 12, 21], pa.int64()),
+        }
+    )
+    out = (
+        connected_components(rd.from_arrow(pairs).repartition(3))
+        .to_pandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges():
+    from logdata_anomaly_miner_ray.stages.dedup import connected_components
+
+    n = 200  # long chain, driver union-find path
+    pairs = pa.table(
+        {"id_a": pa.array(range(n - 1), pa.int64()),
+         "id_b": pa.array(range(1, n), pa.int64())}
+    )
+    out = connected_components(rd.from_arrow(pairs)).to_pandas()
+    assert (out["component"] == 0).all() and len(out) == n
+
+
+def test_connected_components_distributed_path():
+    """driver_edge_limit=0 forces the join-based min-label rounds;
+    must agree with the union-find answer."""
+    from logdata_anomaly_miner_ray.stages.dedup import connected_components
+
+    pairs = pa.table(
+        {"id_a": pa.array([1, 2, 10, 11, 20], pa.int64()),
+         "id_b": pa.array([2, 3, 11, 12, 21], pa.int64())}
+    )
+    ds = rd.from_arrow(pairs).repartition(2)
+    want = connected_components(ds).to_pandas().sort_values("id").reset_index(drop=True)
+    got = (
+        connected_components(ds, driver_edge_limit=0, num_partitions=2)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got.equals(want)
