@@ -997,6 +997,16 @@ def q_dedup_clusters_documents(sf_dir: str):
     return connected_components(pairs).to_pandas()
 
 
+def q_repetition_stats_documents(sf_dir: str):
+    """Gopher-style repetition counters (dup lines, top 2-gram) as
+    exact integers; oracle recomputes via string_split + lead."""
+    from logdata_anomaly_miner_ray.stages.text_analysis import repetition_stats
+
+    return repetition_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"
+    )
+
+
 def q_simhash_pairs_documents(sf_dir: str):
     """SimHash near-dup pairs, oracle-exact: the md5 shingle-hash
     mode lets DuckDB recompute every 64-bit fingerprint (md5 of
@@ -1200,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_documents": q_fingerprints_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
+        "repetition_stats_documents": q_repetition_stats_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -1452,6 +1463,34 @@ j AS (
 )
 SELECT win AS "window", a_event, b_event, count(*)::BIGINT AS n, sum(d)::BIGINT AS delta_us
 FROM j WHERE d <= 10000000 GROUP BY ALL""",
+        "repetition_stats_documents": r"""
+WITH l AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+  FROM documents
+),
+lc AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) - count(DISTINCT line) AS n_dup_lines
+  FROM l GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) AS ord
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tl
+        FROM documents)
+),
+sh AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS s
+  FROM toks QUALIFY s IS NOT NULL
+),
+sc AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s),
+g AS (SELECT doc_id, sum(c) AS n_2grams, max(c) AS top_2gram_n FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(lc.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(lc.n_dup_lines, 0)::BIGINT AS n_dup_lines,
+       coalesce(g.n_2grams, 0)::BIGINT AS n_2grams,
+       coalesce(g.top_2gram_n, 0)::BIGINT AS top_2gram_n
+FROM documents d LEFT JOIN lc USING (doc_id) LEFT JOIN g USING (doc_id)""",
         "dedup_clusters_documents": r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord

@@ -139,3 +139,59 @@ def with_fingerprints(
         ).append_column("simhash", pa.array(sh.view(np.int64), pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def repetition_stats(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Gopher/C4-style repetition quality counters per document —
+    the duplicate-line and most-common-2-gram filters of web-corpus
+    cleaning (Rae et al. 2021 "Scaling Language Models" quality
+    heuristics; MassiveText filter family), emitted as EXACT
+    integers so downstream fractions (dup_line_frac = n_dup_lines /
+    n_lines, top_2gram_frac = top_2gram_n / n_2grams) carry no
+    float-rounding ambiguity:
+
+    - ``n_lines`` / ``n_dup_lines``: non-empty ``\\n``-split lines
+      and how many of them are repeats of an earlier line;
+    - ``n_2grams`` / ``top_2gram_n``: word 2-grams over ``\\s+``
+      tokens and the multiplicity of the most frequent one.
+
+    Embarrassingly parallel (no shuffle): pandas value_counts per
+    block. Matches the SQL oracle's string_split/lead shingles."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        import pandas as _pd
+
+        # ASCII \s+ to match RE2's regexp_split_to_array in the
+        # oracle (str.split() would also split on unicode spaces)
+        ws = _re.compile(r"\s+", _re.ASCII)
+        texts = batch[text_col].to_pandas().fillna("")
+        n_lines = np.zeros(len(texts), dtype=np.int64)
+        n_dup = np.zeros(len(texts), dtype=np.int64)
+        n_grams = np.zeros(len(texts), dtype=np.int64)
+        top_gram = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            lines = [l for l in t.split("\n") if l != ""]
+            if lines:
+                vc = _pd.Series(lines).value_counts()
+                n_lines[i] = len(lines)
+                n_dup[i] = len(lines) - len(vc)
+            toks = [x for x in ws.split(t) if x != ""]
+            if len(toks) >= 2:
+                grams = _pd.Series(list(zip(toks[:-1], toks[1:]))).value_counts()
+                n_grams[i] = len(toks) - 1
+                top_gram[i] = int(grams.iloc[0])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dup_lines": pa.array(n_dup, pa.int64()),
+                "n_2grams": pa.array(n_grams, pa.int64()),
+                "top_2gram_n": pa.array(top_gram, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

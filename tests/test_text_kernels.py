@@ -144,3 +144,26 @@ def test_window_id_integer_exact():
     )
     assert window_id(ts).to_pylist() == [0, 0, 1, 3]
     assert modulo_seconds(ts, 600).to_pylist() == [0, 599, 0, 0]
+
+
+def test_repetition_stats_unit():
+    """Hand-built docs: duplicate lines and repeated 2-grams count
+    exactly; unicode NBSP is NOT a token separator (ASCII \\s only,
+    matching the RE2 oracle)."""
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import repetition_stats
+
+    docs = [
+        "a b\na b\nc d",          # 3 lines, 1 dup; grams: (a,b)x2,(b,a),(b,c),(c,d)
+        "x y z",              # NBSP binds: tokens ["x\xa0y","z"] → 1 gram
+        "",                        # empty
+        "one",                     # 1 token → 0 grams, 1 line
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": docs})
+    out = repetition_stats(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_dup_lines"] == 1
+    assert out.loc[0, "n_2grams"] == 5 and out.loc[0, "top_2gram_n"] == 2
+    assert out.loc[1, "n_2grams"] == 1
+    assert out.loc[2].tolist() == [0, 0, 0, 0]
+    assert out.loc[3].tolist() == [1, 0, 0, 0]
