@@ -997,6 +997,25 @@ def q_dedup_clusters_documents(sf_dir: str):
     return connected_components(pairs).to_pandas()
 
 
+def q_pretoken_counts_documents(sf_dir: str):
+    """BPE-style pretokenizer counts (letters/digits/other runs —
+    GPT-2-family pretokenization, RE2-safe) per document; oracle is
+    len(regexp_extract_all(...))."""
+    from logdata_anomaly_miner_ray.functions.text import pretoken_counts
+
+    def add(t):
+        import pyarrow as _pa
+
+        return _pa.table(
+            {"doc_id": t["doc_id"],
+             "n_pretokens": _pa.array(pretoken_counts(t["text"]), _pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def q_repetition_stats_documents(sf_dir: str):
     """Gopher-style repetition counters (dup lines, top 2-gram) as
     exact integers; oracle recomputes via string_split + lead."""
@@ -1211,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
+        "pretoken_counts_documents": q_pretoken_counts_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -1463,6 +1483,10 @@ j AS (
 )
 SELECT win AS "window", a_event, b_event, count(*)::BIGINT AS n, sum(d)::BIGINT AS delta_us
 FROM j WHERE d <= 10000000 GROUP BY ALL""",
+        "pretoken_counts_documents": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS n_pretokens
+FROM documents""",
         "repetition_stats_documents": r"""
 WITH l AS (
   SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line

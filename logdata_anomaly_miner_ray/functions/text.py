@@ -323,3 +323,29 @@ def codepoint_set(arr, max_codepoint: int = 0x10000) -> np.ndarray:
         cps = cps[cps < max_codepoint]
         bitmap[cps] = True
     return bitmap
+
+
+def pretoken_counts(arr) -> np.ndarray:
+    """BPE-style pretokenizer token count per row: maximal runs of
+    letters / digits / other-non-space — the RE2-safe GPT-2-family
+    pretokenization ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+`` (count
+    equals ``len(regexp_extract_all(...))`` in the SQL oracle).
+    Byte-level: UTF-8 continuation bytes extend the 'other' class, so
+    multi-byte runs count once, exactly like the char-level regex.
+    One vectorized class-transition pass, no materialized tokens."""
+    data, offsets = flat_utf8(arr)
+    n = len(data)
+    if n == 0:
+        return np.zeros(len(offsets) - 1, dtype=np.int64)
+    cls = np.full(n, 3, dtype=np.int8)  # other (incl. non-ASCII)
+    cls[np.isin(data, _WS_BYTES)] = 0
+    letter = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+    cls[letter] = 1
+    cls[(data >= 48) & (data <= 57)] = 2
+    prev = np.empty(n, dtype=np.int8)
+    prev[:1] = 0
+    prev[1:] = cls[:-1]
+    prev[offsets[:-1][offsets[:-1] < n]] = 0  # row boundary breaks runs
+    starts = (cls != 0) & (cls != prev)
+    cs = _excl_cumsum(starts)
+    return _row_sums(cs, offsets)

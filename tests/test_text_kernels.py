@@ -167,3 +167,18 @@ def test_repetition_stats_unit():
     assert out.loc[1, "n_2grams"] == 1
     assert out.loc[2].tolist() == [0, 0, 0, 0]
     assert out.loc[3].tolist() == [1, 0, 0, 0]
+
+
+def test_pretoken_counts_matches_duckdb():
+    import duckdb
+
+    from logdata_anomaly_miner_ray.functions.text import pretoken_counts
+
+    texts = ["Hello's  world, 42 cats!", "café—rocks 2x", "", "  \n ",
+             "abc123def", "日本語 text", "a", "!!!"]
+    tbl = pa.table({"t": pa.array(texts, pa.string())})
+    py = pretoken_counts(tbl["t"])
+    want = duckdb.sql(
+        r"SELECT len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n FROM tbl"
+    ).df()["n"].to_numpy()
+    assert (py == want).all()
