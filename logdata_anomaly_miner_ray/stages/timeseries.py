@@ -364,3 +364,134 @@ def time_of_period_outliers(
         return out
 
     return ds.groupby(value_cols).map_groups(per_value, batch_format="pandas")
+
+
+def pca_detector_exact(
+    ds: "ray.data.Dataset",
+    event_col: str,
+    ts_col: str,
+    window_seconds: float = 600.0,
+    num_windows: int = 50,
+    min_anomaly_score: float = 0.3,
+    min_variance: float = 0.98,
+    learn_mode: bool = True,
+) -> pd.DataFrame:
+    """EXACT PCADetector replay (reference:
+    aminer/analysis/PCADetector.py:95-290), including its quirks:
+
+    - windows anchored at the stream's first timestamp; EVERY elapsed
+      window (including empty ones — the reset vector keeps its keys
+      with zero counts) is scored then learned; the trailing window
+      never fires;
+    - scoring requires ≥3 matrix vectors whose dicts all hold ≥2
+      keys (keys accumulate: once seen, a value stays with count 0);
+      learning recomputes PCA under the same `>1` condition after
+      repair_dict back-fills missing keys;
+    - normalization is by the SCALAR mean/std of the whole learned
+      matrix; covariance via np.cov(·.T) (ddof=1); components from
+      eigh ASCENDING order, n_comp = first index where cumulative
+      DESCENDING explained variance > min_variance — and the
+      reconstruction uses eigen_vectors[:n_comp, :] exactly as the
+      reference writes it (row slice, not the transposed column
+      slice);
+    - the reconstruction error is min-max scaled by the training
+      loss vector.
+
+    Distributed part: ONE pre-aggregated (window, value) count
+    shuffle; the replay loop runs over the tiny window×value matrix
+    on the driver (sequential model evolution is inherent to the
+    semantics). Returns scored windows: (window, score, anomaly)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            tsf = pc.cast(pc.cast(ts, pa.int64()), pa.float64())
+            tsf = pc.divide(tsf, 1e6)
+        else:
+            tsf = pc.cast(ts, pa.float64())
+        return pa.table({"__tsf": tsf, "ev": pc.cast(t[event_col], pa.string())})
+
+    flat = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).materialize()
+    t0 = flat.min("__tsf")
+    if t0 is None:
+        return pd.DataFrame({"window": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64),
+                             "anomaly": pd.Series(dtype=bool)})
+
+    def add_win(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = pc.cast(pc.floor(pc.divide(pc.subtract(t["__tsf"], t0), float(window_seconds))), pa.int64())
+        return pa.table({"window": w, "ev": t["ev"], "__pn": pa.array(np.ones(len(t), np.int64))})
+
+    wc = (
+        flat.map_batches(add_win, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["window", "ev"])
+        .aggregate(_Sum("__pn", alias_name="n"))
+        .to_pandas()
+    )
+    if len(wc) == 0:
+        return pd.DataFrame({"window": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64),
+                             "anomaly": pd.Series(dtype=bool)})
+    last_win = int(wc["window"].max())
+    by_win: dict[int, dict] = {}
+    first_seen: list[str] = []
+    seen = set()
+    for _, r in wc.sort_values(["window", "ev"]).iterrows():
+        by_win.setdefault(int(r["window"]), {})[r["ev"]] = int(r["n"])
+
+    # sequential replay (driver): the model is inherently online
+    ecv: dict = {}
+    matrix: list[dict] = []
+    state = {"ecm": None, "eig": None, "n_comp": None, "loss": None}
+
+    def compute_pca():
+        feats = list(matrix[0].keys())
+        m = np.array([[w.get(f, 0) for f in feats] for w in matrix], dtype=np.float64)
+        norm = (m - m.mean()) / m.std()
+        cov = np.cov(norm.T)
+        ev, evec = np.linalg.eigh(cov)
+        state["ecm"], state["eig"] = m, evec
+        var_exp = [(i / ev.sum()) * 100 for i in ev[::-1]]
+        cum = np.cumsum(var_exp)
+        state["n_comp"] = next((n for n, c in enumerate(cum) if c > min_variance * 100), None)
+        pca = norm @ evec
+        inv = pca[:, : state["n_comp"]] @ evec[: state["n_comp"], :]
+        state["loss"] = np.sum((norm - inv) ** 2, axis=1)
+
+    def score_now(vec: dict) -> float:
+        feats = list(matrix[0].keys())
+        v = np.array([vec.get(f, 0) for f in feats], dtype=np.float64)
+        norm = ((v - state["ecm"].mean()) / state["ecm"].std()).reshape(1, -1)
+        pca = norm @ state["eig"]
+        inv = pca[:, : state["n_comp"]] @ state["eig"][: state["n_comp"], :]
+        loss = float(np.sum((norm - inv) ** 2, axis=1)[0])
+        lo, hi = float(np.min(state["loss"])), float(np.max(state["loss"]))
+        return (loss - lo) / (hi - lo)
+
+    out = []
+    for win in range(0, last_win):  # trailing window never fires
+        for ev, c in by_win.get(win, {}).items():
+            ecv[ev] = ecv.get(ev, 0) + c  # keys persist; counts reset below
+        if len(matrix) >= 3 and all(len(x) >= 2 for x in matrix) and state["eig"] is not None:
+            s = score_now(ecv)
+            out.append((win, s, s > min_anomaly_score))
+        if learn_mode:
+            if len(matrix) >= num_windows:
+                del matrix[0]
+            matrix.append(dict(ecv))
+            if len(matrix) >= 3 and all(len(x) > 1 for x in matrix):
+                # repair_dict: back-fill current keys into old vectors
+                for old in matrix:
+                    for k in ecv:
+                        old.setdefault(k, 0)
+                compute_pca()
+        for k in ecv:
+            ecv[k] = 0
+    return pd.DataFrame(out, columns=["window", "score", "anomaly"]).astype(
+        {"window": np.int64, "score": np.float64, "anomaly": bool}
+    )

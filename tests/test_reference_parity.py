@@ -885,3 +885,53 @@ def test_histogram_modulo_time_bins_parity(aminer_env):
     edges = np.arange(0.0, 51.0, 10.0)  # 5 interior bins
     bins = np.searchsorted(edges, np.array(lv), side="right")
     assert hd2.bin_data == np.bincount(bins, minlength=7).tolist()
+
+
+def test_pca_detector_parity(aminer_env):
+    """PCADetector: exact replay of the scoring/learning lifecycle —
+    same scored windows, same reconstruction-error scores (including
+    the reference's scalar-normalization and eigh-slice quirks)."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.PCADetector import PCADetector
+
+    rec = Recorder()
+    det = PCADetector(
+        FakeConfig(), ["/m/v"], [rec], window_size=10, min_anomaly_score=1e-9,
+        min_variance=0.9, num_windows=8, learn_mode=True,
+        persistence_id="pca_parity",
+    )
+    rng = np.random.default_rng(5)
+    rows = []
+    t0 = 1700000000.0
+    for win in range(16):
+        if win == 6:
+            continue  # empty window (zero vector scored + learned)
+        na = int(rng.integers(3, 8))
+        nb = int(rng.integers(3, 8)) if win != 12 else 30  # window 12 breaks pattern
+        rows += [("A", t0 + win * 10 + 0.01 * i) for i in range(na)]
+        rows += [("B", t0 + win * 10 + 5 + 0.01 * i) for i in range(nb)]
+    rows.sort(key=lambda r: r[1])
+    for v, t in rows:
+        det.receive_atom(_atom({"/m/v": v}, t))
+    ref_scores = [
+        float(d["AnalysisComponent"]["AnomalyScore"])
+        for _, m, d in rec.events
+        if m == "PCA anomaly detected"
+    ]
+    assert len(ref_scores) >= 5
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.timeseries import pca_detector_exact
+
+    df = pd.DataFrame(rows, columns=["v", "ts"])
+    ours = pca_detector_exact(
+        rd.from_pandas(df).repartition(3), "v", "ts",
+        window_seconds=10, num_windows=8, min_anomaly_score=1e-9, min_variance=0.9,
+    )
+    ours = ours[ours["score"] > 1e-9].reset_index(drop=True)
+    assert len(ours) == len(ref_scores)
+    assert np.allclose(ours["score"].to_numpy(), np.array(ref_scores), atol=1e-9)
+    # the pattern-breaking window scores highest
+    assert int(ours.loc[ours["score"].idxmax(), "window"]) == 12
