@@ -134,3 +134,93 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+class ResizeStage:
+    """Actor-pool image-resize stage — plumbing real, kernel stubbed
+    (no PIL in the container): output rows carry the target
+    ``width``/``height`` and a payload whose length is exactly
+    ``width·height·3`` bytes, produced deterministically from the
+    input bytes (truncate/cycle) so tests can assert the contract.
+    Inject ``resize_fn(payload, w, h) -> bytes`` for a real codec."""
+
+    def __init__(self, width: int, height: int, resize_fn=None):
+        self.width, self.height = width, height
+        self.resize_fn = resize_fn
+
+    def _fake(self, payload: bytes) -> bytes:
+        need = self.width * self.height * 3
+        if not payload:
+            return b"\x00" * need
+        reps = -(-need // len(payload))
+        return (payload * reps)[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = self.resize_fn or self._fake
+        payloads = batch["payload"]
+        out = [fn(payloads[i].as_py() or b"", ) if self.resize_fn is None
+               else fn(payloads[i].as_py() or b"", self.width, self.height)
+               for i in range(len(payloads))]
+        n = len(batch)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.large_binary()),
+                "width": pa.array([self.width] * n, pa.int32()),
+                "height": pa.array([self.height] * n, pa.int32()),
+            }
+        )
+
+
+def resize_images(
+    ds: "ray.data.Dataset", width: int, height: int,
+    batch_size: int = 16, concurrency=(1, 8), resize_fn=None,
+) -> "ray.data.Dataset":
+    """Image resize as a SMALL-batch actor pool (payloads are MBs:
+    batch × concurrency sized to worker heaps)."""
+    return ds.map_batches(
+        ResizeStage, fn_constructor_args=(width, height, resize_fn),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    ds: "ray.data.Dataset", every_ms: int = 1000,
+    batch_size: int = 8, concurrency: int = 8,
+) -> "ray.data.Dataset":
+    """Video frame sampling: one output row per sampled timestamp
+    (``duration_ms // every_ms`` frames, t = k·every_ms). Row
+    explosion happens inside ``map_batches`` (never on the driver);
+    the stubbed frame payload is a deterministic slice of the input
+    bytes (a real decoder would seek; the slice keeps byte-level
+    lineage testable). Non-video rows are dropped."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fidx, tms, frames = [], [], [], []
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        payloads = batch["payload"]
+        for i in range(len(batch)):
+            if kinds[i] != "video" or not durs[i]:
+                continue
+            payload = payloads[i].as_py() or b""
+            n_frames = max(int(durs[i]) // every_ms, 1)
+            chunk = max(len(payload) // n_frames, 1)
+            mid = batch["media_id"][i].as_py()
+            for k in range(n_frames):
+                ids.append(mid)
+                fidx.append(k)
+                tms.append(k * every_ms)
+                frames.append(payload[k * chunk : (k + 1) * chunk])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "t_ms": pa.array(tms, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -341,3 +341,29 @@ def test_connected_components_distributed_path():
         .to_pandas().sort_values("id").reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_multimodal_resize_and_frame_sample():
+    """Resize/frame-sample plumbing: schema, per-frame explosion
+    count, deterministic stub payloads, non-video rows dropped."""
+    from logdata_anomaly_miner_ray.stages.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(24, seed=1))
+    rs = resize_images(media, 8, 6, batch_size=4).to_pandas()
+    assert len(rs) == 24
+    assert (rs["payload"].map(len) == 8 * 6 * 3).all()
+    assert (rs["width"] == 8).all() and (rs["height"] == 6).all()
+
+    src = synth_media_table(24, seed=1).to_pandas()
+    fr = sample_frames(media, every_ms=500, batch_size=4).to_pandas()
+    vids = src[src["kind"] == "video"]
+    want = int(sum(max(int(d) // 500, 1) for d in vids["duration_ms"]))
+    assert len(fr) == want and want > 0
+    assert set(fr["media_id"]).issubset(set(vids["media_id"]))
+    one = fr[fr["media_id"] == fr["media_id"].iloc[0]]
+    assert one["frame_idx"].tolist() == list(range(len(one)))
+    assert (one["t_ms"] == one["frame_idx"] * 500).all()
