@@ -9,6 +9,19 @@ the driver-provided testdata tables; the matching oracle_sql() entry
 is the ANSI-SQL equivalent DuckDB runs on the same parquet. Column
 names match exactly; float aggregates are rounded identically on
 both sides (half away from zero).
+
+Five queries intentionally have no oracle_sql() entry (the driver
+records the weaker rows-only check):
+- pages_suite — the flagship multi-check suite; its constituent
+  checks are each oracle-checked as standalone queries instead;
+- implication_rules_events — seeded-RNG hypothesis GENERATION
+  (EventCorrelationDetector) is not SQL-expressible; evaluation and
+  acceptance are oracle-checked via implication_support_events;
+- vartype_events — the continuous-GoF battery (KS/CM, beta
+  families) has no SQL form; covered by reference parity tests;
+- pca_windows_events — eigendecomposition; the exact PCADetector
+  replay is covered by a reference parity test to 1e-9;
+- media_decode — documented codec-absent stub.
 """
 
 from __future__ import annotations
