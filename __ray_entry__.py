@@ -1105,6 +1105,30 @@ def q_hll_distinct_documents(sf_dir: str):
     )
 
 
+def q_cm_drift_events(sf_dir: str):
+    """Exact two-sample Cramér–von Mises criterion of each
+    event_type vs the pooled-all distribution (integral form,
+    tie-robust), computed as an exact rational and scaled to e6 in
+    INTEGER math — the oracle's HUGEINT arithmetic matches
+    bit-for-bit (a float Σ would be summation-order sensitive)."""
+    from logdata_anomaly_miner_ray.stages.drift import cm_exact_by_group
+
+    out = cm_exact_by_group(
+        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    )
+    cm_e6 = [
+        (int(nu) * 2_000_000 + int(de)) // (2 * int(de))
+        for nu, de in zip(out["cm_num"], out["cm_den"])
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "cm_e6": pa.array(cm_e6, pa.int64()),
+        }
+    )
+
+
 def q_ks_drift_events(sf_dir: str):
     """Exact two-sample KS of each event_type vs the pooled-all
     distribution; oracle recomputes both ECDFs with an ASOF join.
@@ -1248,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
         "ks_drift_events": q_ks_drift_events,
+        "cm_drift_events": q_cm_drift_events,
         "entropy_scores_documents": q_entropy_scores_documents,
         "pca_windows_events": q_pca_windows_events,
         "ar_outliers_events": q_ar_outliers_events,
@@ -1796,6 +1821,26 @@ f AS (SELECT t.doc_id, min(md5(array_to_string(toks[i:i+2], ' '))) AS fp_min
       FROM t, unnest(generate_series(1, len(toks) - 2)) g(i)
       GROUP BY t.doc_id)
 SELECT d.doc_id, f.fp_min FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id""",
+        "cm_drift_events": """
+WITH v AS (SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
+ng AS (SELECT g, count(*)::HUGEINT AS ni FROM v GROUP BY 1),
+mt AS (SELECT count(*)::HUGEINT AS mi FROM v),
+pts AS (SELECT value, count(*)::HUGEINT AS w FROM v GROUP BY 1),
+ac AS (SELECT g, value, count(*) AS c FROM v GROUP BY 1, 2),
+ac2 AS (SELECT g, value, sum(c) OVER (PARTITION BY g ORDER BY value) AS ca FROM ac),
+bc2 AS (SELECT value, w, sum(w) OVER (ORDER BY value) AS cb FROM pts),
+grid AS (SELECT ng.g, ng.ni, p.value, p.w FROM ng CROSS JOIN pts p),
+fa AS (SELECT grid.g, grid.ni, grid.value, grid.w, coalesce(a.ca, 0)::HUGEINT AS ca
+       FROM grid ASOF LEFT JOIN ac2 a ON grid.g = a.g AND grid.value >= a.value),
+j AS (SELECT fa.g, fa.ni, fa.w,
+             (fa.ca * mt.mi - b.cb::HUGEINT * fa.ni) AS diff
+      FROM fa JOIN bc2 b ON fa.value = b.value CROSS JOIN mt),
+agg AS (SELECT g, ni, sum(w * diff * diff)::HUGEINT AS num FROM j GROUP BY g, ni),
+fin AS (SELECT g, ni, num, (ni * mt.mi * (ni + mt.mi) * (ni + mt.mi))::HUGEINT AS den
+        FROM agg CROSS JOIN mt)
+SELECT g AS event_type, CAST(ni AS BIGINT) AS n,
+       CAST((num * 2000000 + den) // (2 * den) AS BIGINT) AS cm_e6
+FROM fin""",
         "ks_drift_events": """
 WITH v AS (SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
 ng AS (SELECT g, count(*)::DOUBLE AS n FROM v GROUP BY 1),

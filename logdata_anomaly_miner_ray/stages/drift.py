@@ -333,3 +333,49 @@ def histogram_bin_anomalies(
     return pd.DataFrame(
         rows, columns=[group_col, "bin", count_name, "p_value", "significant"]
     )
+
+
+def cm_exact_by_group(
+    ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> pd.DataFrame:
+    """EXACT two-sample Cramér–von Mises criterion of each group vs
+    the POOLED-ALL reference (integral form, tie-robust):
+
+        T_g = n·m/N² · Σ_k w_k (F_g(x_k) − F_pool(x_k))²
+
+    over the pooled distinct points x_k with pooled multiplicities
+    w_k (N = m = pooled size, n = group size). Computed as an exact
+    RATIONAL — numerator Σ w·(ca·m − cb·n)² and denominator
+    n·m·(n+m)² in arbitrary-precision ints — so a SQL oracle using
+    HUGEINT arithmetic matches bit-for-bit with no float-summation
+    order sensitivity (the KS query gets away with floats because
+    max() is order-free; a Σ does not). Same one pre-aggregated
+    (group, value) shuffle as ``ks_exact_by_group``. Returns
+    (group, n, cm_num, cm_den) — downstream scales
+    round(1e6·num/den) in exact integer math."""
+    from ._agg import grouped_counts
+
+    counts = grouped_counts(ds, [group_col, value_col]).to_pandas()
+    counts = counts.dropna(subset=[value_col]).sort_values(value_col, kind="mergesort")
+    vals = counts[value_col].to_numpy(np.float64)
+    grp = counts[group_col].astype(str).to_numpy()
+    cnt = counts["n"].to_numpy(np.int64)
+    pooled_vals, inv = np.unique(vals, return_inverse=True)
+    pooled_cnt = np.bincount(inv, weights=cnt).astype(np.int64)
+    cb = np.cumsum(pooled_cnt)
+    m = int(cb[-1]) if len(cb) else 0
+    rows = []
+    for g in np.unique(grp):
+        sel = grp == g
+        gv = vals[sel]
+        gc = np.cumsum(cnt[sel])
+        n = int(gc[-1])
+        pos = np.searchsorted(gv, pooled_vals, side="right")
+        ca = np.where(pos > 0, gc[np.maximum(pos - 1, 0)], 0)
+        num = 0
+        for k in range(len(pooled_vals)):  # python ints: exact, no overflow
+            diff = int(ca[k]) * m - int(cb[k]) * n
+            num += int(pooled_cnt[k]) * diff * diff
+        den = n * m * (n + m) ** 2
+        rows.append((g, n, num, den))
+    return pd.DataFrame(rows, columns=[group_col, "n", "cm_num", "cm_den"])

@@ -367,3 +367,33 @@ def test_multimodal_resize_and_frame_sample():
     one = fr[fr["media_id"] == fr["media_id"].iloc[0]]
     assert one["frame_idx"].tolist() == list(range(len(one)))
     assert (one["t_ms"] == one["frame_idx"] * 500).all()
+
+
+def test_cm_exact_by_group():
+    """Exact rational CvM vs a brute-force ECDF computation; a group
+    drawn from a different distribution scores far higher than a
+    same-distribution group of equal size."""
+    from logdata_anomaly_miner_ray.stages.drift import cm_exact_by_group
+
+    rng = np.random.default_rng(3)
+    a = np.round(rng.normal(0, 1, 1500), 2)
+    b = np.round(rng.normal(0, 1, 1500), 2)
+    t = pa.table({"g": ["a"] * 1500 + ["b"] * 1500, "v": np.concatenate([a, b])})
+    out = cm_exact_by_group(rd.from_arrow(t), "g", "v").set_index("g")
+
+    pool = np.sort(np.concatenate([a, b]))
+    pts, w = np.unique(pool, return_counts=True)
+    n, m = 1500, 3000
+    Fa = np.searchsorted(np.sort(a), pts, side="right")
+    Fp = np.searchsorted(pool, pts, side="right")
+    num = sum(int(w[k]) * (int(Fa[k]) * m - int(Fp[k]) * n) ** 2 for k in range(len(pts)))
+    assert out.loc["a", "cm_num"] == num
+    assert out.loc["a", "cm_den"] == n * m * (n + m) ** 2
+
+    # shifted group dominates
+    c = np.round(rng.normal(2, 1, 1500), 2)
+    t2 = pa.table({"g": ["a"] * 1500 + ["b"] * 1500 + ["c"] * 1500,
+                   "v": np.concatenate([a, b, c])})
+    o2 = cm_exact_by_group(rd.from_arrow(t2), "g", "v")
+    o2 = o2.assign(T=[nu / de for nu, de in zip(o2["cm_num"], o2["cm_den"])]).set_index("g")
+    assert o2.loc["c", "T"] > 2 * o2.loc["a", "T"]
