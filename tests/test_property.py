@@ -108,3 +108,41 @@ def test_row_hash_injective_on_sample(rows):
         else:
             seen[s] = hv
     assert len(set(seen.values())) == len(seen)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=2, max_size=60
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_tc_pair_tables_matches_stream_simulation(events):
+    """tc_pair_tables == a direct simulation of the reference's
+    last-trigger update loop (update_tables_for_feature) on random
+    streams with duplicate timestamps."""
+    import numpy as np
+
+    from logdata_anomaly_miner_ray.stages.correlation import tc_pair_tables
+
+    events.sort(key=lambda e: e[1])
+    ts = np.array([t * 1_000_000 for _, t in events], dtype=np.int64)
+    ev = np.array([e for e, _ in events])
+    F = 4
+    masks = np.stack([ev == f for f in range(F)], axis=1)
+    max_delta_us = 5_000_000
+
+    # stream simulation: last_trigger updated AFTER the atom's checks
+    last = [None] * F
+    cnt = np.zeros((F, F), dtype=np.int64)
+    dlt = np.zeros((F, F), dtype=np.int64)
+    for i in range(len(ev)):
+        g = int(ev[i])
+        for f in range(F):
+            if last[f] is not None and ts[i] - last[f] <= max_delta_us:
+                cnt[f, g] += 1
+                dlt[f, g] += ts[i] - last[f]
+        last[g] = ts[i]
+
+    c2, d2, trig = tc_pair_tables(ts, masks, max_delta_us)
+    assert (c2 == cnt).all() and (d2 == dlt).all()
+    assert (trig == masks.sum(axis=0)).all()
