@@ -310,3 +310,86 @@ def sliding_count_exceed(
         return out
 
     return ds.groupby(key_cols).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_frequency_lifecycle(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    ts_col: str,
+    window_seconds: float,
+    set_upper_limit: int,
+    local_maximum_threshold: float = 0.2,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """EXACT SlidingEventFrequencyDetector event lifecycle
+    (reference: aminer/analysis/SlidingEventFrequencyDetector.py:
+    135-259): per event key, the trailing-window frequency at each
+    atom is #same-key atoms in [t−W, t] among stream predecessors
+    (ties: only earlier atoms count — this is the reference's deque
+    semantics, deliberately different from a SQL RANGE frame that
+    includes later same-ts peers); the state machine emits
+
+    - ``first_exceeded``: frequency first crosses ABOVE the limit,
+      rate-limited to one per window;
+    - ``local_maximum``: the tracked maximum is reported when it ages
+      one window, the frequency returns into range, or drops more
+      than threshold·limit below the maximum;
+
+    exactly as receive_atom sequences them (max tracked only at
+    frequency ≥ limit ∧ ≥ running max). Batch recast: atoms are
+    pre-sorted per key by (ts, stream order) — the reference scans
+    its deque so unsorted input degrades to the same counts only
+    when sorted; the engine's canonical order is the sort. One
+    coarse-bucketed shuffle; the per-key pass is a vectorized
+    searchsorted for frequencies + a small state loop over atoms.
+
+    Returns (key..., ts, kind, frequency)."""
+    from ._agg import coarse_grouped
+
+    W = window_seconds
+    out_cols = key_cols + ["ts", "kind", "frequency"]
+
+    def per_key(g: pd.DataFrame, out: list) -> None:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        tsf = (
+            ts.astype("datetime64[us]").astype(np.int64) / 1e6
+            if ts.dtype.kind == "M"
+            else ts.astype(np.float64)
+        )
+        key = tuple(g[c].iloc[0] for c in key_cols)
+        lo = np.searchsorted(tsf, tsf - W, side="left")
+        freq = np.arange(len(tsf)) - lo + 1  # predecessors (incl. self) in [t-W, t]
+        max_f, max_t = 0, 0.0
+        exceeded, exceeded_t = False, 0.0
+        for i in range(len(tsf)):
+            f, t = int(freq[i]), float(tsf[i])
+            if f >= set_upper_limit and f >= max_f:
+                max_f, max_t = f, t
+            if not exceeded and f > set_upper_limit:
+                if exceeded_t + W < t:
+                    out.append(key + (t, "first_exceeded", f))
+                    exceeded_t = t
+                exceeded = True
+            elif exceeded and (
+                max_t + W < t
+                or f <= set_upper_limit
+                or f < max_f - local_maximum_threshold * set_upper_limit
+            ):
+                out.append(key + (t, "local_maximum", max_f))
+                max_f, max_t = 0, 0.0
+                if f <= set_upper_limit:
+                    exceeded = False
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, sub in g.groupby(key_cols, sort=False):
+            per_key(sub, rows)
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return pd.DataFrame(rows, columns=out_cols)
+
+    res = coarse_grouped(ds, key_cols, per_bucket, n_buckets=n_buckets).to_pandas()
+    if len(res) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    return res.sort_values(key_cols + ["ts"]).reset_index(drop=True)

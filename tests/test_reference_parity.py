@@ -935,3 +935,202 @@ def test_pca_detector_parity(aminer_env):
     assert np.allclose(ours["score"].to_numpy(), np.array(ref_scores), atol=1e-9)
     # the pattern-breaking window scores highest
     assert int(ours.loc[ours["score"].idxmax(), "window"]) == 12
+
+
+def test_sliding_event_frequency_parity(aminer_env):
+    """SlidingEventFrequencyDetector: first-exceed + local-maximum
+    state machine over a burst/decay stream — identical event kinds,
+    frequencies, and order."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.SlidingEventFrequencyDetector import (
+        SlidingEventFrequencyDetector,
+    )
+
+    rec = Recorder()
+    det = SlidingEventFrequencyDetector(
+        FakeConfig(), [rec], set_upper_limit=5, target_path_list=["/m/ev"],
+        window_size=10, local_maximum_threshold=0.2, persistence_id="sef_parity",
+    )
+    t0 = 1700000000.0
+    times = []
+    # calm phase: 1 atom per 3 s
+    times += [t0 + 3 * i for i in range(10)]
+    # burst: 12 atoms in 4 s (frequency climbs past the limit)
+    tb = times[-1] + 3
+    times += [tb + 0.3 * i for i in range(12)]
+    # decay: back to sparse (local maximum must be reported)
+    td = times[-1]
+    times += [td + 6, td + 13, td + 26, td + 40]
+    for t in times:
+        det.receive_atom(_atom({"/m/ev": "A"}, t))
+    ref = [
+        ("first_exceeded" if m == "Frequency exceeds range for the first time" else "local_maximum",
+         int(d["FrequencyData"]["LogAtomValuesFrequency"]))
+        for _, m, d in rec.events
+        if m in ("Frequency exceeds range for the first time", "Frequency anomaly detected")
+    ]
+    assert len(ref) >= 2
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.frequency import sliding_frequency_lifecycle
+
+    df = pd.DataFrame({"ev": ["A"] * len(times), "ts": times})
+    ours = sliding_frequency_lifecycle(
+        rd.from_pandas(df).repartition(3), ["ev"], "ts",
+        window_seconds=10, set_upper_limit=5, local_maximum_threshold=0.2,
+    )
+    got = list(zip(ours["kind"], ours["frequency"].astype(int)))
+    assert got == ref
+
+
+def test_time_correlation_violation_parity(aminer_env):
+    """TimeCorrelationViolationDetector: A events whose B does not
+    arrive within [min,max] — the reference's check_status flags the
+    same A set our interval join reports (fixture keeps one B per A,
+    no early Bs, so the greedy matcher and the window-existence
+    check agree by construction)."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis import Rules
+    from aminer.analysis.TimeCorrelationViolationDetector import (
+        CorrelationRule,
+        EventClassSelector,
+        TimeCorrelationViolationDetector,
+    )
+
+    rec = Recorder()
+    cr = CorrelationRule("r", 1, 10)
+    ra = Rules.PathExistsMatchRule("/m/a", EventClassSelector("A", [cr], None))
+    rb = Rules.PathExistsMatchRule("/m/b", EventClassSelector("B", None, [cr]))
+    det = TimeCorrelationViolationDetector(FakeConfig(), [ra, rb], [rec])
+
+    t0 = 1700000000.0
+    unmatched = {2, 5, 7}
+    rows = []
+    for i in range(10):
+        ta = t0 + 100 * i
+        rows.append(("a", f"A{i}", ta))
+        if i not in unmatched:
+            rows.append(("b", f"B{i}", ta + 5))
+    rows.sort(key=lambda r: r[2])
+    # the detector is a REALTIME-timer component: check_status is
+    # meant to run with short histories — drive the timer after
+    # every atom (batch-flushing a long history exercises the
+    # matcher's cascading-deletion quirks instead of the semantics)
+    for kind, name, t in rows:
+        det.receive_atom(_atom({f"/m/{kind}": name}, t))
+        det.do_timer(t)
+    for k in range(3):  # flush trailing dangling As
+        det.do_timer(t0 + 10000 + k)
+    ref_flagged = set()
+    for _, m, d in rec.events:
+        if m.startswith("Correlation rule"):
+            for line in d["AnalysisComponent"]["CheckResult"][1]:
+                ref_flagged.add(line)
+    assert ref_flagged == {f"A{i}" for i in unmatched}
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.correlation import interval_join_violations
+
+    df = pd.DataFrame(
+        [("k", "A" if k == "a" else "B", int(t * 1e6)) for k, n, t in rows],
+        columns=["key", "ev", "ts"],
+    )
+    ours = interval_join_violations(
+        rd.from_pandas(df).repartition(2), ["key"], "ev", "ts", "A", "B", 1.0, 10.0
+    ).to_pandas()
+    our_ts = sorted(int(x) for x in ours["ts"])
+    want_ts = sorted(int((t0 + 100 * i) * 1e6) for i in unmatched)
+    assert our_ts == want_ts
+
+
+def test_path_value_time_interval_parity(aminer_env):
+    """PathValueTimeIntervalDetector: learned times-of-period, then
+    probes — 'out of range' flags (circular max_time_diff) identical
+    to our batch circular-NN check under a learn/detect split."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.PathValueTimeIntervalDetector import (
+        PathValueTimeIntervalDetector,
+    )
+
+    rec = Recorder()
+    det = PathValueTimeIntervalDetector(
+        FakeConfig(), [rec], target_path_list=["/m/id"], learn_mode=True,
+        time_period_length=86400, max_time_diff=600, persistence_id="pvti_parity",
+    )
+    day = 86400
+    learn = [d * day + 3600 + 30 * d for d in range(5)]  # ~01:00 daily
+    for t in learn:
+        det.receive_atom(_atom({"/m/id": "job"}, float(t)))
+    det.learn_mode = False
+    probes = [5 * day + 12 * 3600, 5 * day + 3660]  # noon (flag), 01:01 (dup, ok)
+    for t in probes:
+        det.receive_atom(_atom({"/m/id": "job"}, float(t)))
+    ref_flagged = [
+        int(m.split("(")[1].split(")")[0])
+        for _, m, d in rec.events
+        if m.startswith("New time (")
+    ]
+    assert ref_flagged == [12 * 3600]
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.timeseries import time_of_period_outliers
+
+    rows = [("job", int(t * 1e6)) for t in learn + probes]
+    df = pd.DataFrame(rows, columns=["user", "ts"])
+    ours = time_of_period_outliers(
+        rd.from_pandas(df).repartition(2), ["user"], "ts", 86400, max_time_diff=600.0
+    ).to_pandas()
+    assert [int(x) // 1_000_000 % 86400 for x in ours["ts"]] == [12 * 3600]
+
+
+def test_average_change_parity(aminer_env):
+    """MatchValueAverageChangeDetector (count-based bins): same
+    flagged bins and same new/old avg/var values as the reference's
+    delta-accumulated bin statistics."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.MatchValueAverageChangeDetector import (
+        MatchValueAverageChangeDetector,
+    )
+
+    rec = Recorder()
+    det = MatchValueAverageChangeDetector(
+        FakeConfig(), [rec], None, ["/m/v"], min_bin_elements=20, min_bin_time=1,
+        learn_mode=True, avg_factor=1.0, var_factor=2.0, persistence_id="avg_parity",
+    )
+    rng = np.random.default_rng(7)
+    vals = []
+    for b in range(8):
+        base = 100.0 if b != 5 else 160.0  # bin 5 shifts the level
+        vals += list(base + rng.normal(0, 3, 20))
+    t0 = 1700000000.0
+    for i, v in enumerate(vals):
+        det.receive_atom(_atom({"/m/v": float(v)}, t0 + i))
+    ref = []
+    for _, m, d in rec.events:
+        for sc in d["AnalysisComponent"]["AnomalyScores"]:
+            a = sc["AnalysisData"]
+            ref.append((a["New"]["Avg"], a["New"]["Var"], a["Old"]["Avg"], a["Old"]["Var"]))
+    assert len(ref) >= 1
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.timeseries import average_change_exact
+
+    df = pd.DataFrame({"k": ["x"] * len(vals), "v": vals, "i": range(len(vals))})
+    ours = average_change_exact(
+        rd.from_pandas(df).repartition(2), ["k"], "v", "i",
+        min_bin_elements=20, avg_factor=1.0, var_factor=2.0, learn_mode=True,
+    )
+    flagged = ours[ours["flagged"]]
+    assert len(flagged) == len(ref)
+    got = list(zip(flagged["new_avg"], flagged["new_var"], flagged["old_avg"], flagged["old_var"]))
+    assert np.allclose(np.array(got), np.array(ref), rtol=0, atol=1e-9)
+    # the shifted bin is among the flagged ones
+    assert any(abs(r[0] - 160) < 5 for r in got)
