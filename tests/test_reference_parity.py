@@ -1134,3 +1134,66 @@ def test_average_change_parity(aminer_env):
     assert np.allclose(np.array(got), np.array(ref), rtol=0, atol=1e-9)
     # the shifted bin is among the flagged ones
     assert any(abs(r[0] - 160) < 5 for r in got)
+
+
+def test_parser_count_parity(aminer_env):
+    """ParserCount: per-path atom counts equal our grouped counts on
+    a presence-indicator projection."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.ParserCount import ParserCount
+
+    det = ParserCount(FakeConfig(), ["/m/user", "/m/url"], [Recorder()])
+    rng = np.random.default_rng(13)
+    rows = []
+    t0 = 1700000000.0
+    for i in range(300):
+        pv = {}
+        if rng.random() < 0.8:
+            pv["/m/user"] = f"u{int(rng.integers(0, 9))}"
+        if rng.random() < 0.5:
+            pv["/m/url"] = f"p{int(rng.integers(0, 5))}"
+        if not pv:
+            pv["/m/other"] = "x"
+        rows.append(pv)
+        det.receive_atom(_atom(pv, t0 + i))
+    from aminer.analysis.ParserCount import total_processed_lines_str
+
+    ref = {p: det.count_dict[p][total_processed_lines_str] for p in det.count_dict}
+
+    from logdata_anomaly_miner_ray.stages._agg import grouped_counts
+
+    t = pa.table(
+        {"path": [p for pv in rows for p in pv if p in ("/m/user", "/m/url")]}
+    )
+    ours = grouped_counts(rd.from_arrow(t).repartition(3), ["path"]).to_pandas()
+    got = dict(zip(ours["path"], ours["n"].astype(int)))
+    assert got == {k: v for k, v in ref.items() if v > 0}
+
+
+def test_new_match_path_parity(aminer_env):
+    """NewMatchPathDetector: the learned set of known parser paths
+    equals our distinct path set; a novel path flags identically."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.NewMatchPathDetector import NewMatchPathDetector
+
+    rec = Recorder()
+    det = NewMatchPathDetector(FakeConfig(), [rec], learn_mode=True, persistence_id="nmp_parity")
+    t0 = 1700000000.0
+    det.receive_atom(_atom({"/m/a": "1", "/m/b": "2"}, t0))
+    det.receive_atom(_atom({"/m/a": "3"}, t0 + 1))
+    det.learn_mode = False
+    n0 = len(rec.events)
+    det.receive_atom(_atom({"/m/a": "4", "/m/c": "5"}, t0 + 2))  # /m/c is new
+    assert len(rec.events) == n0 + 1
+    ref_known = {p for p in det.known_path_set if p.startswith("/m/")}
+
+    import ray as _ray
+
+    from logdata_anomaly_miner_ray.stages.domain import distinct_values, domain_violations
+
+    fit = rd.from_arrow(pa.table({"path": ["/m/a", "/m/b", "/m/a"]}))
+    ours = sorted(r["path"] for r in distinct_values(fit, ["path"]).take_all())
+    assert set(ours) == ref_known
+    probe = rd.from_arrow(pa.table({"path": ["/m/a", "/m/c"]}))
+    viol = domain_violations(probe, "path", _ray.put(ours)).to_pandas()
+    assert [v[0] for v in viol["affected_values"]] == ["/m/c"]
