@@ -215,3 +215,68 @@ def render_event_text(row: dict) -> str:
         f"  affected: [{vals}]\n"
         f"  expected: {row.get('expected', '')}\n"
     )
+
+
+def render_event_json(
+    row: dict,
+    component_id: int = 0,
+    component_name: str | None = None,
+    pretty_print: bool = False,
+) -> str:
+    """JsonConverterHandler-shaped JSON rendering of one violation
+    row (reference: aminer/events/JsonConverterHandler.py:36-120):
+    ``AnalysisComponent`` carries identifier / type / name / message
+    / affected paths+values (type = the class part of
+    ``Analysis.<Class>``), ``LogData`` carries the key as the raw
+    line with its timestamp and line count. Deterministic (no
+    DetectionTimestamp wall-clock field — a batch engine's outputs
+    must be replayable; callers wanting it can inject one)."""
+    import json as _json
+
+    et = row["event_type"]
+    cls = et.split(".", 1)[1] if "." in et else et
+    ts = row.get("ts")
+    if ts is not None and hasattr(ts, "timestamp"):
+        ts = round(ts.timestamp(), 2)
+    doc = {
+        "AnalysisComponent": {
+            "AnalysisComponentIdentifier": component_id,
+            "AnalysisComponentType": cls,
+            "AnalysisComponentName": component_name or cls,
+            "Message": row.get("message", ""),
+            "AffectedLogAtomPaths": list(row.get("affected_paths", [])),
+            "AffectedLogAtomValues": list(row.get("affected_values", [])),
+        },
+        "LogData": {
+            "RawLogData": [row.get("key", "")],
+            "Timestamps": [ts] if ts is not None else [],
+            "LogLinesCount": 1,
+        },
+    }
+    if row.get("expected"):
+        doc["AnalysisComponent"]["Expected"] = row["expected"]
+    if pretty_print:
+        return _json.dumps(doc, indent=2, sort_keys=False)
+    return _json.dumps(doc, separators=(",", ":"))
+
+
+def write_json_events(
+    violations: "ray.data.Dataset", out_dir: str, component_name: str | None = None
+) -> int:
+    """Stream the violations dataset to newline-delimited JSON files
+    (one per block — the JsonConverterHandler fan-out as a
+    partitioned sink). Returns the row count."""
+    import pyarrow.dataset  # noqa: F401
+
+    def to_json(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table(
+            {"json": pa.array(
+                [render_event_json(r, component_id=i, component_name=component_name)
+                 for i, r in enumerate(rows)], pa.string()
+            )}
+        )
+
+    js = violations.map_batches(to_json, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    js.write_json(out_dir)
+    return js.count()

@@ -160,3 +160,29 @@ def test_write_syslog_sink_file_and_socket(tmp_path):
     got = [srv.recv(4096).decode() for _ in range(n2)]
     srv.close()
     assert sorted(got) == sorted(lines)
+
+
+def test_render_event_json_shape(tmp_path):
+    import json
+
+    from logdata_anomaly_miner_ray.schema import violations_table
+    from logdata_anomaly_miner_ray.stages.sinks import (
+        render_event_json,
+        write_json_events,
+    )
+
+    t = violations_table(
+        "CharsetDetector", "bad char", ["k1"], ["/m/v"], [["#"]], '{"set": "abc"}'
+    )
+    row = t.to_pylist()[0]
+    doc = json.loads(render_event_json(row, component_id=3, component_name="cs1"))
+    ac = doc["AnalysisComponent"]
+    assert ac["AnalysisComponentIdentifier"] == 3
+    assert ac["AnalysisComponentType"] == "CharsetDetector"
+    assert ac["AnalysisComponentName"] == "cs1"
+    assert ac["AffectedLogAtomValues"] == [["#"]] or ac["AffectedLogAtomValues"] == ["#"]
+    assert doc["LogData"]["RawLogData"] == ["k1"]
+    # ndjson sink round-trips
+    out = str(tmp_path / "json_events")
+    n = write_json_events(rd.from_arrow(t), out)
+    assert n == 1
