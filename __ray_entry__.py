@@ -1029,6 +1029,20 @@ def q_pretoken_counts_documents(sf_dir: str):
     )
 
 
+def q_clean_corpus_documents(sf_dir: str):
+    """Composed C4/Gopher-style cleaning pass — length + token +
+    exact-rational repetition gates fused in one pass, exact-dedup
+    keep-set broadcast; kept doc ids. Oracle recomputes every gate
+    in SQL (the component oracles composed)."""
+    from logdata_anomaly_miner_ray.pipelines.clean import clean_corpus
+
+    return clean_corpus(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_chars=200, max_chars=100_000, min_tokens=25,
+        max_dup_line_frac=(1, 4), max_top_2gram_frac=(1, 5),
+    )
+
+
 def q_repetition_stats_documents(sf_dir: str):
     """Gopher-style repetition counters (dup lines, top 2-gram) as
     exact integers; oracle recomputes via string_split + lead."""
@@ -1267,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
+        "clean_corpus_documents": q_clean_corpus_documents,
         "pretoken_counts_documents": q_pretoken_counts_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1525,6 +1540,45 @@ FROM j WHERE d <= 10000000 GROUP BY ALL""",
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS n_pretokens
 FROM documents""",
+        "clean_corpus_documents": r"""
+WITH l AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+  FROM documents
+),
+lc AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) - count(DISTINCT line) AS n_dup_lines
+  FROM l GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(tl) AS tok, generate_subscripts(tl, 1) AS ord
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tl
+        FROM documents)
+),
+sh AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS s
+  FROM toks QUALIFY s IS NOT NULL
+),
+sc AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s),
+g AS (SELECT doc_id, sum(c) AS n_2grams, max(c) AS top_2gram_n FROM sc GROUP BY doc_id),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id FROM documents d
+JOIN tok USING (doc_id)
+LEFT JOIN lc USING (doc_id)
+LEFT JOIN g USING (doc_id)
+WHERE tok.n_chars BETWEEN 200 AND 100000
+  AND tok.n_tokens >= 25
+  AND coalesce(lc.n_dup_lines, 0) * 4 <= 1 * coalesce(lc.n_lines, 0)
+  AND coalesce(g.top_2gram_n, 0) * 5 <= 1 * coalesce(g.n_2grams, 0)
+  AND d.doc_id IN (SELECT keep_id FROM keep)""",
         "repetition_stats_documents": r"""
 WITH l AS (
   SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line

@@ -161,29 +161,7 @@ def repetition_stats(
     block. Matches the SQL oracle's string_split/lead shingles."""
 
     def add(batch: pa.Table) -> pa.Table:
-        import re as _re
-
-        import pandas as _pd
-
-        # ASCII \s+ to match RE2's regexp_split_to_array in the
-        # oracle (str.split() would also split on unicode spaces)
-        ws = _re.compile(r"\s+", _re.ASCII)
-        texts = batch[text_col].to_pandas().fillna("")
-        n_lines = np.zeros(len(texts), dtype=np.int64)
-        n_dup = np.zeros(len(texts), dtype=np.int64)
-        n_grams = np.zeros(len(texts), dtype=np.int64)
-        top_gram = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            lines = [l for l in t.split("\n") if l != ""]
-            if lines:
-                vc = _pd.Series(lines).value_counts()
-                n_lines[i] = len(lines)
-                n_dup[i] = len(lines) - len(vc)
-            toks = [x for x in ws.split(t) if x != ""]
-            if len(toks) >= 2:
-                grams = _pd.Series(list(zip(toks[:-1], toks[1:]))).value_counts()
-                n_grams[i] = len(toks) - 1
-                top_gram[i] = int(grams.iloc[0])
+        n_lines, n_dup, n_grams, top_gram = repetition_arrays(batch[text_col])
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -195,3 +173,32 @@ def repetition_stats(
         )
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def repetition_arrays(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row repetition counters for one Arrow string column:
+    (n_lines, n_dup_lines, n_2grams, top_2gram_n). ASCII \s+
+    tokenization matching RE2 (str.split() would also split unicode
+    spaces)."""
+    import re as _re
+
+    import pandas as _pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    texts = col.to_pandas().fillna("")
+    n_lines = np.zeros(len(texts), dtype=np.int64)
+    n_dup = np.zeros(len(texts), dtype=np.int64)
+    n_grams = np.zeros(len(texts), dtype=np.int64)
+    top_gram = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        lines = [l for l in t.split("\n") if l != ""]
+        if lines:
+            vc = _pd.Series(lines).value_counts()
+            n_lines[i] = len(lines)
+            n_dup[i] = len(lines) - len(vc)
+        toks = [x for x in ws.split(t) if x != ""]
+        if len(toks) >= 2:
+            grams = _pd.Series(list(zip(toks[:-1], toks[1:]))).value_counts()
+            n_grams[i] = len(toks) - 1
+            top_gram[i] = int(grams.iloc[0])
+    return n_lines, n_dup, n_grams, top_gram

@@ -112,3 +112,38 @@ def test_violation_rows_schema(suite_out):
         "expected",
         "key",
     }
+
+
+def test_clean_corpus_gates_and_flags():
+    """Composed cleaning pass: each gate drops its target doc; flag
+    mode accounts for every row."""
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.pipelines.clean import clean_corpus
+
+    good = " ".join(f"w{i}" for i in range(60)) + " "
+    docs = [
+        (0, good + "unique tail zero"),
+        (1, "short"),                              # fails len+tok
+        (2, ("dup line\n" * 10) + good),           # fails dup-line gate
+        (3, "spam ham " * 80),                     # fails top-2gram gate
+        (4, good + "unique tail zero"),            # exact dup of 0 → dropped
+        (5, good + "another unique tail"),
+    ]
+    t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": [d[1] for d in docs]})
+    ds = rd.from_arrow(t).repartition(2)
+    kept = sorted(clean_corpus(
+        ds, min_chars=50, max_chars=10_000, min_tokens=10,
+        max_dup_line_frac=(1, 4), max_top_2gram_frac=(1, 5),
+    ).to_pandas()["doc_id"])
+    assert kept == [0, 5]
+    flags = clean_corpus(
+        ds, min_chars=50, max_chars=10_000, min_tokens=10,
+        max_dup_line_frac=(1, 4), max_top_2gram_frac=(1, 5), keep_only=False,
+    ).to_pandas().set_index("doc_id")
+    assert len(flags) == 6
+    assert not flags.loc[1, "ok_len"]
+    assert not flags.loc[2, "ok_rep"]
+    assert not flags.loc[3, "ok_rep"]
+    assert not flags.loc[4, "ok_dedup"] and flags.loc[0, "ok_dedup"]
