@@ -142,3 +142,65 @@ def test_parse_datetime_multi():
     assert out[0].as_py().isoformat() == "2024-01-02T03:04:05"
     assert out[1].as_py().isoformat() == "2024-01-02T03:04:00"
     assert out[2].as_py() is None
+
+
+def test_line_model_parse_and_first_match(tmp_path):
+    """Declarative line model (Sequence of leaves → one RE2 pattern)
+    and FirstMatch over two models; unparsed rows keep parse_ok /
+    model null semantics. End-to-end from the unix-socket source."""
+    import socket
+    import threading
+
+    import ray.data as rdata
+
+    from logdata_anomaly_miner_ray.functions.parsing import (
+        parse_lines,
+        parse_lines_first_match,
+    )
+    from logdata_anomaly_miner_ray.sources.streams import read_unix_socket_lines
+
+    spec_auth = [
+        ("ts", "datetime", "%Y-%m-%d %H:%M:%S"),
+        ("s1", "fixed", " login user="),
+        ("user", "alnum"),
+        ("s2", "fixed", " from "),
+        ("ip", "ipv4"),
+    ]
+    spec_metric = [
+        ("name", "word"),
+        ("s1", "fixed", "="),
+        ("value", "float"),
+    ]
+    lines = [
+        b"2024-03-04 10:00:01 login user=alice from 10.0.0.5",
+        b"cpu_load=1.25",
+        b"2024-03-04 10:00:02 login user=bob from 192.168.1.9",
+        b"not a known format",
+    ]
+    path = str(tmp_path / "lines.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(1)
+
+    def feed():
+        conn, _ = srv.accept()
+        conn.sendall(b"\n".join(lines) + b"\n")
+        conn.close()
+
+    th = threading.Thread(target=feed)
+    th.start()
+    ds = read_unix_socket_lines(path)
+    th.join()
+    srv.close()
+
+    one = parse_lines(ds, spec_auth).to_pandas()
+    assert one["parse_ok"].tolist() == [True, False, True, False]
+    assert one.loc[0, "user"] == "alice"
+    assert int(one.loc[2, "ip"]) == (192 << 24) + (168 << 16) + (1 << 8) + 9
+
+    fm = parse_lines_first_match(
+        ds, {"auth": spec_auth, "metric": spec_metric}
+    ).to_pandas()
+    assert fm["model"].tolist() == ["auth", "metric", "auth", None]
+    assert fm.loc[1, "metric.value"] == 1.25
+    assert fm.loc[0, "auth.user"] == "alice" and fm["auth.user"].isna().tolist() == [False, True, False, True]
