@@ -304,6 +304,22 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
             inner = arg
             name, kind = inner[0], inner[1]
             arg = inner[2] if len(inner) > 2 else None
+        if kind == "repeated":
+            # RepeatedElementDataModelElement (min..max reps of a
+            # leaf, separator-joined) — capture the whole run, split
+            # to a list column in the typed-cast phase
+            inner_kind, sep, lo_n, hi_n = arg
+            inner_frag = _LINE_KINDS[inner_kind][0]
+            import re as _re2
+
+            frag = (
+                f"(?:{inner_frag}(?:{_re2.escape(sep)}{inner_frag})"
+                + "{%d,%d})" % (max(lo_n - 1, 0), hi_n - 1)
+            )
+            group = f"(?P<{name}>{frag})"
+            parts.append(f"(?:{group})?" if optional else group)
+            fields.append((name, "repeated", (inner_kind, sep)))
+            continue
         if kind == "fixed":
             frag = _re.escape(arg)
             parts.append(f"(?:{frag})?" if optional else frag)
@@ -359,10 +375,25 @@ def parse_lines(
                 vals = parse_hex(vals)
             elif tag == "datetime":
                 vals = parse_datetime(vals, arg or "%Y-%m-%d %H:%M:%S")
+            elif tag == "repeated":
+                vals = _split_repeated(vals, arg)
             out = out.append_column(name, vals)
         return out
 
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _split_repeated(vals, arg) -> pa.Array:
+    """Split a captured repeated-run string into a typed LIST column
+    (int/float lists cast element-wise; others stay list<string>).
+    Unmatched rows (null capture) stay null lists."""
+    inner_kind, sep = arg
+    lst = pc.split_pattern(vals, sep)
+    if inner_kind == "int":
+        return pc.cast(lst, pa.list_(pa.int64()), safe=False)
+    if inner_kind == "float":
+        return pc.cast(lst, pa.list_(pa.float64()), safe=False)
+    return lst
 
 
 def parse_lines_first_match(

@@ -204,3 +204,26 @@ def test_line_model_parse_and_first_match(tmp_path):
     assert fm["model"].tolist() == ["auth", "metric", "auth", None]
     assert fm.loc[1, "metric.value"] == 1.25
     assert fm.loc[0, "auth.user"] == "alice" and fm["auth.user"].isna().tolist() == [False, True, False, True]
+
+
+def test_line_model_repeated_lists():
+    """Repeated leaf element → typed list column with min/max rep
+    bounds enforced by the pattern."""
+    import ray.data as rdata
+
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    spec = [
+        ("tag", "word"),
+        ("s", "fixed", " vals="),
+        ("xs", "repeated", ("int", ",", 2, 5)),
+    ]
+    lines = ["m vals=1,2,3", "m vals=9,8", "m vals=5", "m vals=1,2,3,4,5,6"]
+    parts = list(
+        parse_lines(rdata.from_arrow(pa.table({"line": lines})), spec).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    out = pa.concat_tables(parts)
+    assert out["parse_ok"].to_pylist() == [True, True, False, False]
+    assert out["xs"].to_pylist()[:2] == [[1, 2, 3], [9, 8]]
