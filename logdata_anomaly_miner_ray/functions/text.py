@@ -204,8 +204,14 @@ def _boundary_stream(data: np.ndarray, offsets: np.ndarray):
     s = np.full(total + n_rows + 1, _BOUND, dtype=np.int32)
     if total:
         rel = offsets - lo
-        row_of_byte = np.searchsorted(rel, np.arange(total), side="right") - 1
-        s[np.arange(total) + row_of_byte + 1] = data[lo:hi]
+        # per-row slice assignment: memcpy-bound O(total) — the
+        # per-BYTE searchsorted this replaces was the fused pass's
+        # hottest kernel (O(total·log n_rows) over ~2 KB/row text)
+        for i in range(n_rows):
+            a, b = int(offsets[i]), int(offsets[i + 1])
+            if b > a:
+                dst = int(rel[i]) + i + 1
+                s[dst : dst + (b - a)] = data[a:b]
     return s, offsets - lo
 
 
