@@ -111,3 +111,49 @@ def reservoir_per_group(
         return g.drop(columns=["__pr"])
 
     return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def tail_values_per_group(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+    max_num_vals: int = 1500,
+    min_num_vals: int = 1000,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT EventTypeDetector ring-buffer semantics (reference:
+    aminer/analysis/EventTypeDetector.py:276-285): values append per
+    group and, whenever the list exceeds ``max_num_vals``, it is cut
+    to the LAST ``min_num_vals``. The surviving set is a
+    deterministic function of the ordered sequence, computed in
+    closed form per group: reductions fire at fixed positions
+    (max+1, then every max−min values), so the final window is one
+    slice — no per-value loop. The deterministic bottom-k
+    ``reservoir_per_group`` remains the order-free distributed
+    alternative; this operator is the faithful recast and needs the
+    global ``order_col``."""
+    import pandas as pd
+
+    from ._agg import coarse_grouped
+
+    step = max_num_vals - min_num_vals + 1  # appends between cuts
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(keys, sort=False):
+            sub = sub.sort_values(order_col, kind="mergesort")
+            n = len(sub)
+            if n <= max_num_vals:
+                outs.append(sub)
+                continue
+            # cuts fire when the list EXCEEDS max: first after
+            # max+1 values, then every max−min+1 further appends
+            # (each cut resets the length to min).
+            n_reds = 1 + (n - max_num_vals - 1) // step
+            last_red = (max_num_vals + 1) + (n_reds - 1) * step  # values seen at last cut
+            keep_from = last_red - min_num_vals
+            outs.append(sub.iloc[keep_from:])
+        return pd.concat(outs) if outs else g.iloc[0:0]
+
+    return coarse_grouped(ds, keys, per_bucket, n_buckets=n_buckets)

@@ -1197,3 +1197,50 @@ def test_new_match_path_parity(aminer_env):
     probe = rd.from_arrow(pa.table({"path": ["/m/a", "/m/c"]}))
     viol = domain_violations(probe, "path", _ray.put(ours)).to_pandas()
     assert [v[0] for v in viol["affected_values"]] == ["/m/c"]
+
+
+def test_event_type_detector_parity(aminer_env):
+    """EventTypeDetector: event types keyed by path-set, per-type
+    line counters and per-variable value lists (incl. the
+    max→min_num_vals tail reduction) vs our grouped counts and an
+    equivalent tail-keep recast of the ring buffer."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.EventTypeDetector import EventTypeDetector
+
+    det = EventTypeDetector(
+        FakeConfig(), [Recorder()], min_num_vals=5, max_num_vals=8,
+        save_values=True, persistence_id="etd_parity",
+    )
+    t0 = 1700000000.0
+    # type A: paths {/m/x}; type B: paths {/m/x, /m/y}
+    stream = []
+    for i in range(12):
+        stream.append({"/m/x": f"a{i}"})
+    for i in range(4):
+        stream.append({"/m/x": f"b{i}", "/m/y": i})
+    for i, pv in enumerate(stream):
+        det.receive_atom(_atom(pv, t0 + i))
+
+    assert det.num_events == 2
+    assert det.num_event_lines == [12, 4]
+    # type A's /m/x values: 12 appends crossed max_num_vals=8 → the
+    # reference reduced to the LAST min_num_vals=5 then kept appending
+    ax = det.values[0][det.variable_key_list[0].index("/m/x")]
+    a_vals = [f"a{i}" for i in range(12)]
+    # tail-keep recast: replay the same reduction rule
+    tail = []
+    for v in a_vals:
+        tail.append(v)
+        if len(tail) > 8:
+            tail = tail[-5:]
+    assert ax == tail
+    # type B under the cap: exact arrival-order list
+    bx = det.values[1][det.variable_key_list[1].index("/m/x")]
+    assert bx == [f"b{i}" for i in range(4)]
+
+    # our side: counts per path-set event type from grouped_counts
+    from logdata_anomaly_miner_ray.stages._agg import grouped_counts
+
+    t = pa.table({"etype": ["A"] * 12 + ["B"] * 4})
+    ours = grouped_counts(rd.from_arrow(t), ["etype"]).to_pandas().set_index("etype")["n"]
+    assert ours["A"] == 12 and ours["B"] == 4

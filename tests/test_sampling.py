@@ -84,3 +84,29 @@ def test_reservoir_md5_priority_matches_duckdb():
     assert {(r.g, r.id) for r in got.itertuples()} == {
         (r.g, r.id) for r in want.itertuples()
     }
+
+
+def test_tail_values_matches_reference_reduction():
+    """Closed-form tail window equals the append/reduce replay for
+    many (n, max, min) combinations."""
+    from logdata_anomaly_miner_ray.stages.sampling import tail_values_per_group
+
+    for n, mx, mn in [(12, 8, 5), (8, 8, 5), (9, 8, 5), (100, 20, 7), (21, 20, 7), (47, 20, 7)]:
+        vals = [f"v{i}" for i in range(n)]
+        tail = []
+        for v in vals:
+            tail.append(v)
+            if len(tail) > mx:
+                tail = tail[-mn:]
+        t = pa.table(
+            {"g": ["k"] * n, "v": vals, "i": pa.array(range(n), pa.int64())}
+        )
+        out = (
+            tail_values_per_group(
+                rd.from_arrow(t).repartition(3), ["g"], "v", "i",
+                max_num_vals=mx, min_num_vals=mn,
+            )
+            .to_pandas()
+            .sort_values("i")
+        )
+        assert out["v"].tolist() == tail, (n, mx, mn)
