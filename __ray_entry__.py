@@ -896,6 +896,20 @@ def q_correlation_rules_lineitem(sf_dir: str):
     )
 
 
+def q_tail_values_events(sf_dir: str):
+    """EventTypeDetector ring-buffer tail recast: the surviving
+    value window per event_type after max->min cuts (max=40, min=25
+    here so several cuts fire at sf scale); the closed-form cut
+    position is recomputed by the oracle in integer SQL."""
+    from logdata_anomaly_miner_ray.stages.sampling import tail_values_per_group
+
+    return tail_values_per_group(
+        _read(sf_dir, "events", ["event_type", "event_id"]),
+        ["event_type"], "event_id", "event_id",
+        max_num_vals=40, min_num_vals=25,
+    ).select_columns(["event_type", "event_id"])
+
+
 def q_reservoir_sample_events(sf_dir: str):
     """Deterministic per-group bottom-k priority reservoir
     (EventTypeDetector ring-buffer recast). The md5 priority mode is
@@ -1301,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "implication_rules_events": q_implication_rules_events,
         "time_correlation_events": q_time_correlation_events,
         "reservoir_sample_events": q_reservoir_sample_events,
+        "tail_values_events": q_tail_values_events,
         "media_decode": q_media_decode,
         "pages_suite": q_pages_suite_sf,
     }
@@ -1683,6 +1698,16 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
 FROM fp2 a JOIN fp2 b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""",
+        "tail_values_events": """
+WITH o AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn0,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, event_id FROM o
+WHERE n <= 40
+   OR rn0 >= (41 + ((n - 41) // 16) * 16) - 25""",
         "reservoir_sample_events": """
 SELECT event_type, event_id FROM (
   SELECT event_type, event_id,
