@@ -157,3 +157,36 @@ def tail_values_per_group(
         return pd.concat(outs) if outs else g.iloc[0:0]
 
     return coarse_grouped(ds, keys, per_bucket, n_buckets=n_buckets)
+
+
+def log_backoff_history(
+    values, max_items: int, draws=None, seed: int = 42
+) -> list:
+    """LogarithmicBackoffHistory recast (reference:
+    aminer/util/History.py:49-80): the list fills to ``max_items``;
+    each further value drops ONE element — position
+    ``max_items − k − 1`` where k is a geometric draw (P(k) ∝ 2^−k,
+    the reference's get_log_int) — and appends the new value, so the
+    kept set spans ~2^max_items items with holes growing toward the
+    oldest. ``draws``: injectable iterator of k values (parity
+    tests / reproducibility); default is a seeded numpy geometric
+    stream truncated at max_items−1."""
+    hist: list = []
+    if draws is None:
+        rng = np.random.default_rng(seed)
+
+        def gen():
+            while True:
+                # geometric over 0..max_items-1 with P(k) ∝ 2^-k
+                k = int(rng.geometric(0.5)) - 1
+                yield min(k, max_items - 1)
+
+        draws = gen()
+    it = iter(draws)
+    for v in values:
+        if len(hist) < max_items:
+            hist.append(v)
+        else:
+            move_pos = next(it)
+            hist = hist[: max_items - move_pos - 1] + hist[max_items - move_pos:] + [v]
+    return hist

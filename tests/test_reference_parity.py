@@ -1244,3 +1244,33 @@ def test_event_type_detector_parity(aminer_env):
     t = pa.table({"etype": ["A"] * 12 + ["B"] * 4})
     ours = grouped_counts(rd.from_arrow(t), ["etype"]).to_pandas().set_index("etype")["n"]
     assert ours["A"] == 12 and ours["B"] == 4
+
+
+def test_log_backoff_history_parity(aminer_env):
+    """LogarithmicBackoffHistory: with an identical injected draw
+    schedule, the kept history equals the reference's slice rule
+    exactly (the structural recast; the draw distribution itself is
+    the documented geometric)."""
+    import aminer.util.History as H
+
+    draws = [0, 2, 1, 4, 0, 3, 2, 0, 1, 5, 2, 0, 4, 1, 3]
+    seq = iter(draws)
+    orig = H.get_log_int
+    H.get_log_int = lambda max_v: min(next(seq), max_v)
+    try:
+        ref = H.LogarithmicBackoffHistory(6)
+        vals = [f"v{i}" for i in range(6 + len(draws))]
+        for v in vals:
+            ref.add_object(v)
+        ref_hist = list(ref.get_history())
+    finally:
+        H.get_log_int = orig
+
+    from logdata_anomaly_miner_ray.stages.sampling import log_backoff_history
+
+    ours = log_backoff_history(vals, 6, draws=iter(draws))
+    assert ours == ref_hist
+    # seeded default is deterministic and bounded
+    a = log_backoff_history(vals, 6, seed=9)
+    b = log_backoff_history(vals, 6, seed=9)
+    assert a == b and len(a) == 6 and a[-1] == vals[-1]
