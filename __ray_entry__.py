@@ -1176,6 +1176,37 @@ def q_ks_drift_events(sf_dir: str):
     )
 
 
+def q_psi_drift_events(sf_dir: str):
+    """PSI (population stability index) of each event_type's binned
+    value distribution vs the median-of-groups reference — the north
+    rule's "KS/PSI distribution-drift tests per partition" PSI half
+    (reference behavior: VariableTypeDetector drift re-tests,
+    analysis/VariableTypeDetector.py:1605-1660, recast as a binned
+    stability score). Fixed HIST_EDGES bins (the oracle-proven
+    histogram_events scheme), Laplace +0.5 smoothing, per-bin median
+    reference renormalized, psi() clip at 1e-6; the oracle replays
+    the identical arithmetic in SQL and compares at 1e-6 scaling."""
+    from logdata_anomaly_miner_ray.stages.drift import (
+        group_histograms,
+        psi_drift_by_group,
+    )
+
+    hist = group_histograms(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        "value",
+        np.array(HIST_EDGES),
+    ).to_pandas()
+    out = psi_drift_by_group(hist, "event_type", len(HIST_EDGES) + 1, count_name="n")
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+            "psi_e6": _scaled_int(pa.array(out["psi"].to_numpy(np.float64)), 1_000_000),
+            "drift": pa.array(out["drift"].astype(bool).tolist(), pa.bool_()),
+        }
+    )
+
+
 def q_entropy_scores_documents(sf_dir: str):
     """Per-document character Shannon entropy (base 2) — the
     EntropyDetector's randomness signal in an oracle-recomputable
@@ -1302,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_documents": q_hll_distinct_documents,
         "ks_drift_events": q_ks_drift_events,
         "cm_drift_events": q_cm_drift_events,
+        "psi_drift_events": q_psi_drift_events,
         "entropy_scores_documents": q_entropy_scores_documents,
         "pca_windows_events": q_pca_windows_events,
         "ar_outliers_events": q_ar_outliers_events,
@@ -1920,6 +1952,31 @@ fin AS (SELECT g, ni, num, (ni * mt.mi * (ni + mt.mi) * (ni + mt.mi))::HUGEINT A
 SELECT g AS event_type, CAST(ni AS BIGINT) AS n,
        CAST((num * 2000000 + den) // (2 * den) AS BIGINT) AS cm_e6
 FROM fin""",
+        "psi_drift_events": f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN value < {HIST_EDGES[0]} THEN 0
+              WHEN value >= {HIST_EDGES[-1]} THEN {len(HIST_EDGES)}
+              ELSE CAST(floor(value/40) AS BIGINT) + 1 END AS bin
+  FROM events WHERE value IS NOT NULL),
+counts AS (SELECT event_type, bin, count(*)::BIGINT AS n FROM binned GROUP BY 1, 2),
+ets AS (SELECT DISTINCT event_type FROM counts),
+bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range({len(HIST_EDGES) + 1})),
+grid AS (
+  SELECT e.event_type, b.bin, COALESCE(c.n, 0)::DOUBLE + 0.5 AS c
+  FROM ets e CROSS JOIN bins b
+  LEFT JOIN counts c ON c.event_type = e.event_type AND c.bin = b.bin),
+fr AS (SELECT event_type, bin, c / sum(c) OVER (PARTITION BY event_type) AS f FROM grid),
+md AS (SELECT bin, median(f) AS m FROM fr GROUP BY 1),
+rf AS (SELECT bin, m / (SELECT sum(m) FROM md) AS r FROM md),
+qc AS (SELECT event_type, bin, greatest(f, 0.000001) AS q FROM fr),
+qn AS (SELECT event_type, bin, q / sum(q) OVER (PARTITION BY event_type) AS q FROM qc),
+pc0 AS (SELECT bin, greatest(r, 0.000001) AS p FROM rf),
+pn AS (SELECT bin, p / (SELECT sum(p) FROM pc0) AS p FROM pc0),
+ps AS (SELECT qn.event_type, sum((qn.q - pn.p) * ln(qn.q / pn.p)) AS psi
+       FROM qn JOIN pn ON qn.bin = pn.bin GROUP BY 1)
+SELECT event_type, CAST(ROUND(psi * 1000000) AS BIGINT) AS psi_e6, psi > 0.2 AS drift
+FROM ps""",
         "ks_drift_events": """
 WITH v AS (SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
 ng AS (SELECT g, count(*)::DOUBLE AS n FROM v GROUP BY 1),
