@@ -1274,3 +1274,96 @@ def test_log_backoff_history_parity(aminer_env):
     a = log_backoff_history(vals, 6, seed=9)
     b = log_backoff_history(vals, 6, seed=9)
     assert a == b and len(a) == 6 and a[-1] == vals[-1]
+
+
+def test_new_value_combo_parity(aminer_env):
+    """NewMatchPathValueComboDetector: learned set of value TUPLES
+    equals our multi-column distinct set; unseen-combo probes flag
+    identically (known single values in a new combination still
+    flag — the combo, not the marginals, is the learned unit)."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.NewMatchPathValueComboDetector import (
+        NewMatchPathValueComboDetector,
+    )
+
+    rec = Recorder()
+    det = NewMatchPathValueComboDetector(
+        FakeConfig(), ["/m/lang", "/m/tld"], [rec], learn_mode=True,
+        persistence_id="nvc_parity",
+    )
+    learn = [("en", "com"), ("de", "de"), ("en", "org"), ("en", "com")]
+    t0 = 1700000000.0
+    for i, (a, b) in enumerate(learn):
+        det.receive_atom(_atom({"/m/lang": a, "/m/tld": b}, t0 + i))
+    det.learn_mode = False
+    probes = [("en", "com"), ("en", "de"), ("de", "com"), ("de", "de")]
+    flags = []
+    n = len(rec.events)
+    for a, b in probes:
+        det.receive_atom(_atom({"/m/lang": a, "/m/tld": b}, t0 + 50))
+        flags.append(len(rec.events) > n)
+        n = len(rec.events)
+
+    from logdata_anomaly_miner_ray.stages.domain import distinct_values
+
+    fit = rd.from_arrow(
+        pa.table({"lang": [a for a, _ in learn], "tld": [b for _, b in learn]})
+    )
+    ours = {(r["lang"], r["tld"]) for r in distinct_values(fit, ["lang", "tld"]).take_all()}
+    refs = {tuple(str(v) for v in t) for t in det.known_values_set}
+    assert ours == refs == {("en", "com"), ("de", "de"), ("en", "org")}
+    our_flags = [p not in ours for p in probes]
+    assert our_flags == flags == [False, True, True, False]
+
+
+def test_new_match_id_value_combo_parity(aminer_env):
+    """NewMatchIdValueComboDetector: combos assembled across multiple
+    atoms sharing an id path equal our per-id session value sets, and
+    a probe id completing an unseen combination flags identically."""
+    FakeConfig, Recorder = aminer_env
+    from aminer.analysis.NewMatchIdValueComboDetector import (
+        NewMatchIdValueComboDetector,
+    )
+
+    rec = Recorder()
+    det = NewMatchIdValueComboDetector(
+        FakeConfig(), ["/m/a", "/m/b"], [rec], id_path_list=["/m/id"],
+        min_allowed_time_diff=3600.0, learn_mode=True,
+        persistence_id="nivc_parity",
+    )
+    # each id's combo arrives split across TWO atoms (a first, b later)
+    learn = {"s1": ("get", "200"), "s2": ("post", "404"), "s3": ("get", "500")}
+    t0 = 1700000000.0
+    for i, (sid, (a, b)) in enumerate(sorted(learn.items())):
+        det.receive_atom(_atom({"/m/id": sid, "/m/a": a}, t0 + 2 * i))
+        det.receive_atom(_atom({"/m/id": sid, "/m/b": b}, t0 + 2 * i + 1))
+    refs = {(d["/m/a"], d["/m/b"]) for d in det.known_values}
+    assert refs == set(learn.values())
+
+    det.learn_mode = False
+    n = len(rec.events)
+    det.receive_atom(_atom({"/m/id": "s9", "/m/a": "post"}, t0 + 100))
+    det.receive_atom(_atom({"/m/id": "s9", "/m/b": "500"}, t0 + 101))
+    ref_probe_flag = len(rec.events) > n  # (post, 500): marginals known, combo new
+
+    from logdata_anomaly_miner_ray.stages.session import session_combos
+
+    rows = []
+    for i, (sid, (a, b)) in enumerate(sorted(learn.items())):
+        base = np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(2 * i, "s")
+        rows.append((sid, base, a, None))
+        rows.append((sid, base + np.timedelta64(1, "s"), None, b))
+    fit = rd.from_arrow(
+        pa.table(
+            {
+                "sid": pa.array([r[0] for r in rows]),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "a": pa.array([r[2] for r in rows]),
+                "b": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+    combos = session_combos(fit, ["sid"], ["a", "b"], "ts", gap_seconds=3600.0).to_pandas()
+    ours = {(r.a_set, r.b_set) for r in combos.itertuples()}
+    assert ours == refs == {("get", "200"), ("post", "404"), ("get", "500")}
+    assert (("post", "500") not in ours) == ref_probe_flag is True
