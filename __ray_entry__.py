@@ -825,14 +825,22 @@ def q_time_correlation_events(sf_dir: str):
 
 
 def q_implication_rules_events(sf_dir: str):
-    """EventCorrelationDetector FULL lifecycle (rows-only):
-    randomized hypothesis generation from temporally-close samples,
-    support evaluation, binomial rule acceptance."""
+    """EventCorrelationDetector FULL lifecycle, now ORACLE-exact:
+    hypothesis generation from temporally-close samples, support
+    evaluation, binomial rule acceptance. At the gate parameters
+    (generation_probability = generation_factor = 1.0) every RNG
+    draw is accepted, so generation is deterministic: each event
+    pairs with its last ≤10 predecessors (bounded candidate deque)
+    within the window — a window-function join in SQL. The binomial
+    acceptance threshold (get_min_eval_true recast) is replayed
+    step-for-step by a recursive CTE walking the same log-space
+    float path. The 1000-hypothesis cap never binds at 5 event
+    types (≤20 ordered pairs), keeping head() order irrelevant."""
     from logdata_anomaly_miner_ray.stages.correlation import event_correlation_rules
 
     # synthetic events are near-independent (hit rates ~2% at 1h);
     # p0=0.01 keeps the acceptance path exercised with real output
-    return event_correlation_rules(
+    out = event_correlation_rules(
         _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
         ["user_id"],
         "event_type",
@@ -841,6 +849,18 @@ def q_implication_rules_events(sf_dir: str):
         hypothesis_max_delta_time=3600.0,
         p0=0.01,
         alpha=0.05,
+    )
+    return pa.table(
+        {
+            "a_event": pa.array(out["a_event"].astype(str), pa.string()),
+            "b_event": pa.array(out["b_event"].astype(str), pa.string()),
+            "n_a": pa.array(out["n_a"].to_numpy(np.int64)),
+            "n_hit": pa.array(out["n_hit"].to_numpy(np.int64)),
+            "conf_e6": _scaled_int(
+                pa.array(out["confidence"].to_numpy(np.float64)), 1_000_000
+            ),
+            "min_hits": pa.array(out["min_hits"].to_numpy(np.int64)),
+        }
     )
 
 
@@ -1319,7 +1339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monotonic_adjust_events": q_monotonic_adjust_events,
         "topk_orders": q_topk_orders,
         "schema_conformance_events": q_schema_conformance_events,
-        # rows-only (non-SQL-expressible)
+        # oracle status lives in oracle_sql(): every key present there
+        # is SQL-exact-checked; the rows-only remainder is pages_suite,
+        # vartype (GoF battery), pca_windows (eigen), media_decode (stub)
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
         "fingerprints_documents": q_fingerprints_documents,
@@ -1552,6 +1574,44 @@ SELECT a.a_event, t.event_type AS b_event,
           ) THEN 1 ELSE 0 END)::BIGINT AS n_hit
 FROM a CROSS JOIN types t
 GROUP BY 1, 2""",
+        "implication_rules_events": """
+WITH RECURSIVE
+e AS (SELECT user_id, event_type AS ev, epoch_us(ts) AS uts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events),
+fwd AS (SELECT DISTINCT p.ev AS a_event, c.ev AS b_event
+        FROM e c JOIN e p ON p.user_id = c.user_id
+          AND p.rn >= c.rn - 10 AND p.rn <= c.rn - 1
+          AND p.uts >= c.uts - 3600000000
+          AND p.ev <> c.ev),
+a AS (SELECT user_id, event_type AS a_event, epoch_us(ts) AS ats FROM events),
+sup AS (SELECT a.a_event, t.event_type AS b_event,
+               count(*)::BIGINT AS n_a,
+               sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM events b
+                    WHERE b.user_id = a.user_id AND b.event_type = t.event_type
+                      AND epoch_us(b.ts) > a.ats
+                      AND epoch_us(b.ts) <= a.ats + 3600000000
+                  ) THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM a CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        GROUP BY 1, 2),
+r0 AS (SELECT s.a_event, s.b_event, s.n_a, s.n_hit
+       FROM sup s JOIN fwd f ON s.a_event = f.a_event AND s.b_event = f.b_event
+       WHERE s.n_a >= 20 AND s.a_event <> s.b_event),
+bin AS (
+  SELECT a_event, b_event, n_a, n_hit, 0::BIGINT AS k,
+         n_a * ln(0.99) AS lp, exp(n_a * ln(0.99)) AS cdf
+  FROM r0
+  UNION ALL
+  SELECT a_event, b_event, n_a, n_hit, k + 1,
+         lp + ln((n_a - k)::DOUBLE / (k + 1)) + ln(0.01) - ln(0.99),
+         cdf + exp(lp + ln((n_a - k)::DOUBLE / (k + 1)) + ln(0.01) - ln(0.99))
+  FROM bin WHERE cdf < 0.05 AND k < n_a),
+thr AS (SELECT a_event, b_event, n_a, n_hit, max(k) AS min_hits
+        FROM bin GROUP BY 1, 2, 3, 4)
+SELECT a_event, b_event, n_a, n_hit,
+       CAST(ROUND(n_hit / n_a * 1000000) AS BIGINT) AS conf_e6, min_hits
+FROM thr WHERE n_hit >= min_hits""",
         "mean_shift_events": """
 WITH s AS (
   SELECT event_type, CAST(floor(epoch(ts)/21600) AS BIGINT) AS "window",

@@ -116,7 +116,9 @@ def implication_rules(
 
     def min_eval_true(n: int, p: float, a: float) -> int:
         # smallest k such that sum_{i<=k} C(n,i) p^i (1-p)^(n-i) >= a
-        logp, log1p = np.log(p), np.log1p(-p)
+        # np.log(1-p), NOT log1p: the SQL oracle replays this loop
+        # with ln(1-p) and the two must walk the same float path
+        logp, log1p = np.log(p), np.log(1.0 - p)
         # iterative log-pmf to avoid overflow
         lp = n * log1p  # i = 0
         cdf = np.exp(lp)
