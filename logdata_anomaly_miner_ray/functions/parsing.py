@@ -304,6 +304,22 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
             inner = arg
             name, kind = inner[0], inner[1]
             arg = inner[2] if len(inner) > 2 else None
+        if kind == "debug":
+            # DebugModelElement (reference: aminer/parsing/
+            # DebugModelElement.py:22-50): zero-width, always matches,
+            # reports the parse position + unmatched remainder to
+            # stderr. RE2 has no zero-width capture (no lookahead), so
+            # the tap contributes NOTHING to the main pattern; instead
+            # we record the prefix compiled so far and parse_lines runs
+            # one auxiliary `prefix(?P<name>.*)` extraction per block,
+            # logging the reach count and a remainder sample — the
+            # per-block analogue of the reference's per-atom print.
+            import sys as _sys
+
+            msg = f"DebugModelElement {name} added"
+            print(msg, file=_sys.stderr)
+            fields.append((name, "debug", "".join(parts)))
+            continue
         if kind == "repeated":
             # RepeatedElementDataModelElement (min..max reps of a
             # leaf, separator-joined) — capture the whole run, split
@@ -364,6 +380,27 @@ def parse_lines(
         ok = pc.is_valid(ex)
         out = batch.append_column("parse_ok", ok)
         for name, tag, arg in fields:
+            if tag == "debug":
+                # auxiliary extraction against the prefix up to the
+                # debug tap; always matches when the prefix does
+                import sys as _sys
+
+                aux = pc.extract_regex(s, arg + f"(?P<{name}>.*)$")
+                vals = pc.struct_field(aux, name)
+                reached = pc.sum(
+                    pc.cast(pc.is_valid(vals), pa.int64())
+                ).as_py() or 0
+                sample = next(
+                    (v for v in vals.slice(0, 8).to_pylist() if v is not None),
+                    None,
+                )
+                msg = (
+                    f'DebugModelElement path = "{name}", reached = '
+                    f"{reached}/{len(s)}, unmatched = {sample!r}"
+                )
+                print(msg, file=_sys.stderr)
+                out = out.append_column(name, vals)
+                continue
             vals = pc.struct_field(ex, name)
             if tag == "int":
                 vals = pc.cast(vals, pa.int64(), safe=False)
@@ -427,6 +464,17 @@ def parse_lines_first_match(
             model[win] = name
             win_arr = pa.array(win)
             for fname, tag, arg in fields:
+                if tag == "debug":
+                    # debug tap inside a FirstMatch branch: remainder
+                    # only meaningful on rows this model wins
+                    aux = pc.extract_regex(s, arg + f"(?P<{fname}>.*)$")
+                    dv = pc.if_else(
+                        win_arr,
+                        pc.struct_field(aux, fname),
+                        pa.nulls(n, type=pa.string()),
+                    )
+                    out = out.append_column(f"{name}.{fname}", dv)
+                    continue
                 vals = pc.struct_field(ex, fname)
                 if tag == "int":
                     vals = pc.cast(vals, pa.int64(), safe=False)

@@ -206,6 +206,37 @@ def test_line_model_parse_and_first_match(tmp_path):
     assert fm.loc[0, "auth.user"] == "alice" and fm["auth.user"].isna().tolist() == [False, True, False, True]
 
 
+def test_line_model_debug_tap(capfd):
+    """DebugModelElement recast (reference: aminer/parsing/
+    DebugModelElement.py:22-50): zero-width tap that never alters the
+    parse, reports reach count + unmatched remainder per block to
+    stderr, and emits the remainder as a column for inspection."""
+    import ray.data as rdata
+
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    spec = [
+        ("tag", "word"),
+        ("s", "fixed", " v="),
+        ("here", "debug"),
+        ("value", "int"),
+    ]
+    lines = ["m v=42", "m v=notanint", "nomatch"]
+    out = pa.concat_tables(
+        parse_lines(rdata.from_arrow(pa.table({"line": lines})), spec).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    # the tap does not alter parse flow: same parse_ok as without it
+    assert out["parse_ok"].to_pylist() == [True, False, False]
+    assert out["value"].to_pylist() == [42, None, None]
+    # remainder column: what was unmatched at the tap position
+    assert out["here"].to_pylist() == ["42", "notanint", None]
+    err = capfd.readouterr().err
+    assert "DebugModelElement here added" in err
+    assert 'path = "here", reached = 2/3' in err
+
+
 def test_line_model_repeated_lists():
     """Repeated leaf element → typed list column with min/max rep
     bounds enforced by the pattern."""
