@@ -101,12 +101,19 @@ def run_bench() -> dict:
             _consume(qs[name](sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
-    # headline: full validation suite over the pages table
-    t0 = time.time()
-    pages = rd.read_parquet(PAGES_DIR, include_paths=True)
-    run_suite(pages)
-    suite_sec = time.time() - t0
-    timings["pages_suite"] = round(suite_sec, 3)
+    # headline: full validation suite over the pages table.
+    # The host is SHARED (load-average swings 1->22 with no local
+    # processes; CLAUDE.md); a single rep can be 2-3x off. Standard
+    # discipline: best of GRAFT_SUITE_REPS reps (default 2), all reps
+    # reported so the spread is visible.
+    suite_reps = []
+    for _ in range(max(1, int(os.environ.get("GRAFT_SUITE_REPS", "2")))):
+        t0 = time.time()
+        pages = rd.read_parquet(PAGES_DIR, include_paths=True)
+        run_suite(pages)
+        suite_reps.append(round(time.time() - t0, 3))
+    suite_sec = min(suite_reps)
+    timings["pages_suite"] = suite_sec
 
     # compute-bound reference stage for the scaling comparison:
     # MinHash signatures (128 perms) — high FLOPs/byte, so it tracks
@@ -136,6 +143,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "pages_rows": PAGES_ROWS,
         "pages_docs_per_sec": round(PAGES_ROWS / suite_sec, 1),
+        "pages_suite_reps": suite_reps,
         "minhash_docs_per_sec": round(PAGES_ROWS / minhash_sec, 1),
     }
     ray.shutdown()

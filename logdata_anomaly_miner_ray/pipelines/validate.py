@@ -49,6 +49,7 @@ from ..functions import text as textfn
 from ..schema import VERDICT_SCHEMA, SuiteConfig, violations_table
 from ..stages import referential as ref_stage
 from ..stages import uniqueness as uniq_stage
+from ..stages._taskcache import cached_task_fn
 from ..stages.charset import MAX_CP, _row_codepoints
 from ..stages.column_stats import _ColPartial, _partial_for_column
 from ..state.checkpoint import CheckpointManifest
@@ -634,18 +635,20 @@ def validate(
 
     # ---- fused per-row pass (one read of the wide table) ----
     fused_name = "broadcast_checks"
+    # task-based with per-worker state cache — measured 3x faster
+    # than the autoscaling actor pool on the 400k-row bench input
+    # (see stages/_taskcache.py for the why)
     fused = pages.map_batches(
-        BroadcastChecks,
-        fn_constructor_kwargs={
-            "state_ref": state_ref,
-            "allowed_langs": allowed_langs,
-            "window_seconds": config.window_seconds,
-            "prob_thresh": prob_thresh,
-            "enabled": fused_enabled,
-        },
+        cached_task_fn(
+            BroadcastChecks,
+            state_ref=state_ref,
+            allowed_langs=allowed_langs,
+            window_seconds=config.window_seconds,
+            prob_thresh=prob_thresh,
+            enabled=fused_enabled,
+        ),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-        concurrency=(1, 32),
     ).materialize()
     # Meta rows reduce INSIDE the dataset (per-block partials + one
     # tiny groupby each) — the driver touches only the aggregated
@@ -654,7 +657,6 @@ def validate(
     # pipeline). The fused output is materialized once; each
     # reduction below re-reads the stored blocks.
     import pandas as _pd
-    from ray.data.aggregate import Sum as _Sum
 
     META = [
         "Analysis.__ShaXor",
@@ -664,16 +666,18 @@ def validate(
     ]
     meta_set = pa.array(META)
 
-    # 1) violation counts per (check, partition): block-local groupby
-    #    partial, then a groupby over the tiny (check × partition) key
-    def _count_partial(t: pa.Table) -> pa.Table:
-        t2 = t.filter(pc.invert(pc.is_in(t["event_type"], value_set=meta_set)))
-        g = (
-            t2.select(["event_type", "partition_id"])
-            .group_by(["event_type", "partition_id"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["event_type", "partition_id", "__pn"])
+    # ONE reduction job computes all four driver tables (violation
+    # counts, per-partition sha-xor, window counts, ordering
+    # fragments). Four separate groupby jobs over the same fused
+    # output cost ~3-4 s of fixed executor/shuffle overhead EACH
+    # (measured: ~17 s of a 31 s validate); one pass + one shuffle
+    # does the same work. Keys are folded under a composite
+    # (kind, crc32(key) % N_META_BUCKETS) group key — bounded group
+    # count for map_groups, bounded per-group size at scale (each
+    # group holds ~1/N of one kind's keys, never the whole dataset).
+    import zlib
+
+    N_META_BUCKETS = 32
 
     def _typed(df: _pd.DataFrame, cols: dict) -> _pd.DataFrame:
         # empty Datasets lose their schema through to_pandas — give
@@ -682,118 +686,123 @@ def validate(
             return _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in cols.items()})
         return df
 
-    counts_df = _typed(
-        fused.map_batches(_count_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby(["event_type", "partition_id"])
-        .aggregate(_Sum("__pn", alias_name="n"))
-        .to_pandas(),
-        {"event_type": object, "partition_id": object, "n": np.int64},
-    )
-    per_check_counts: dict[str, int] = (
-        counts_df.groupby("event_type")["n"].sum().astype(int).to_dict()
-    )
-    per_part_counts: dict[tuple[str, str], int] = {
-        (e, p): int(n)
-        for e, p, n in zip(counts_df["event_type"], counts_df["partition_id"], counts_df["n"])
-    }
+    def _meta_partial(t: pa.Table) -> pa.Table:
+        kinds: list[str] = []
+        keys: list[str] = []
+        i1: list[int] = []; i2: list[int] = []; i3: list[int] = []; i4: list[int] = []
+        s1: list[str] = []
 
-    # 2) sha-xor per partition: XOR-fold inside map_groups, one row
-    #    per partition reaches the driver
-    def _sha_fold(g: _pd.DataFrame) -> pa.Table:
-        acc = np.zeros(32, dtype=np.uint8)
-        for h in g["key"]:
-            acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
-        # typed Arrow output: empty pandas object columns break Ray's
-        # block-size estimation (np.vectorize on size-0 input)
+        def emit(kind, key, a=0, b=0, c=0, d=0, s=""):
+            kinds.append(kind); keys.append(key)
+            i1.append(a); i2.append(b); i3.append(c); i4.append(d); s1.append(s)
+
+        et = t["event_type"]
+        # violation counts partial per (check, partition)
+        t2 = t.filter(pc.invert(pc.is_in(et, value_set=meta_set)))
+        g = (
+            t2.select(["event_type", "partition_id"])
+            .group_by(["event_type", "partition_id"])
+            .aggregate([([], "count_all")])
+        )
+        for e, p, n in zip(
+            g.column(0).to_pylist(), g.column(1).to_pylist(), g.column(2).to_pylist()
+        ):
+            emit("cnt", f"{e}\x1f{p}", int(n))
+        # sha meta rows (already one per partition per block)
+        sh = t.filter(pc.equal(et, "Analysis.__ShaXor"))
+        for p, h in zip(sh["partition_id"].to_pylist(), sh["key"].to_pylist()):
+            emit("sha", p, s=h)
+        # (lang, window) counts
+        w = t.filter(pc.equal(et, "Analysis.__WinCount"))
+        for k, av in zip(w["key"].to_pylist(), w["affected_values"].to_pylist()):
+            emit("win", k, int(av[0]))
+        # per-domain ordering fragments
+        o = t.filter(pc.equal(et, "Analysis.__OrdFrag"))
+        for k, av in zip(o["key"].to_pylist(), o["affected_values"].to_pylist()):
+            emit("frag", k, int(av[0]), int(av[1]), int(av[2]), int(av[3]))
+
+        # crc32, not hash(): Python's str hash is salted per process
+        bucket = [zlib.crc32(k.encode()) % N_META_BUCKETS for k in keys]
         return pa.table(
-            {"partition_id": pa.array([str(g["partition_id"].iloc[0])], pa.string()),
-             "sha": pa.array([acc.tobytes().hex()], pa.string())}
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(keys, pa.string()),
+                "i1": pa.array(i1, pa.int64()),
+                "i2": pa.array(i2, pa.int64()),
+                "i3": pa.array(i3, pa.int64()),
+                "i4": pa.array(i4, pa.int64()),
+                "s1": pa.array(s1, pa.string()),
+            }
         )
 
-    sha_df = (
-        fused.map_batches(
-            lambda t: t.filter(pc.equal(t["event_type"], "Analysis.__ShaXor")).select(
-                ["key", "partition_id"]
-            ),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        )
-        .groupby("partition_id")
-        .map_groups(_sha_fold, batch_format="pandas")
-        .to_pandas()
+    _META_OUT = pa.schema(
+        [("kind", pa.string()), ("key", pa.string()), ("n", pa.int64()), ("s", pa.string())]
     )
-    sha_df = _typed(sha_df, {"partition_id": object, "sha": object})
+
+    def _meta_fold(g: _pd.DataFrame) -> pa.Table:
+        ok, oky, on, os_ = [], [], [], []
+        for (kind, key), sub in g.groupby(["kind", "key"], sort=False):
+            if kind in ("cnt", "win"):
+                ok.append(kind); oky.append(key); on.append(int(sub["i1"].sum())); os_.append("")
+            elif kind == "sha":
+                acc = np.zeros(32, dtype=np.uint8)
+                for h in sub["s1"]:
+                    acc ^= np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
+                ok.append(kind); oky.append(key); on.append(0); os_.append(acc.tobytes().hex())
+            else:  # frag: stitch by first_seq, count junction inversions
+                sub = sub.sort_values("i2", kind="mergesort")
+                total = int(sub["i1"].sum())
+                lt = sub["i4"].to_numpy()
+                ft = sub["i3"].to_numpy()
+                total += int((ft[1:] < lt[:-1]).sum())
+                if total == 0:
+                    continue
+                ok.append(kind); oky.append(key); on.append(total); os_.append("")
+        if not ok:
+            return _META_OUT.empty_table()
+        return pa.table(
+            {"kind": pa.array(ok, pa.string()), "key": pa.array(oky, pa.string()),
+             "n": pa.array(on, pa.int64()), "s": pa.array(os_, pa.string())}
+        )
+
+    meta_df = _typed(
+        fused.map_batches(
+            _meta_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby(["kind", "bucket"])
+        .map_groups(_meta_fold, batch_format="pandas")
+        .to_pandas(),
+        {"kind": object, "key": object, "n": np.int64, "s": object},
+    )
+
+    cnt_rows = meta_df[meta_df["kind"] == "cnt"]
+    per_check_counts: dict[str, int] = {}
+    per_part_counts: dict[tuple[str, str], int] = {}
+    for k, n in zip(cnt_rows["key"], cnt_rows["n"]):
+        e, p = k.split("\x1f", 1)
+        per_part_counts[(e, p)] = int(n)
+        per_check_counts[e] = per_check_counts.get(e, 0) + int(n)
+
+    sha_rows = meta_df[meta_df["kind"] == "sha"]
     sha_parts_after: dict[str, np.ndarray] = {
         p: np.frombuffer(bytes.fromhex(h), dtype=np.uint8)
-        for p, h in zip(sha_df["partition_id"], sha_df["sha"])
+        for p, h in zip(sha_rows["key"], sha_rows["s"])
     }
     sha_after = np.zeros(32, dtype=np.uint8)
     for v in sha_parts_after.values():
         sha_after = sha_after ^ v
 
-    # 3) (lang, window) counts: parse block meta rows to typed
-    #    columns, one groupby-sum over the small (lang × window) key
-    def _win_parse(t: pa.Table) -> pa.Table:
-        w = t.filter(pc.equal(t["event_type"], "Analysis.__WinCount"))
-        keys = w["key"].to_pylist()
-        avs = w["affected_values"].to_pylist()
-        langs, wins, ns = [], [], []
-        for k, av in zip(keys, avs):
-            lang, win = k.rsplit("\x1f", 1)
-            langs.append(lang); wins.append(int(win)); ns.append(int(av[0]))
-        return pa.table(
-            {"lang": pa.array(langs, pa.string()), "window": pa.array(wins, pa.int64()),
-             "__pn": pa.array(ns, pa.int64())}
-        )
+    win_rows = meta_df[meta_df["kind"] == "win"]
+    win_counts: dict[tuple[str, int], int] = {}
+    for k, n in zip(win_rows["key"], win_rows["n"]):
+        lang, win = k.rsplit("\x1f", 1)
+        win_counts[(lang, int(win))] = int(n)
 
-    win_df = (
-        fused.map_batches(_win_parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby(["lang", "window"])
-        .aggregate(_Sum("__pn", alias_name="n"))
-        .to_pandas()
-    )
-    win_df = _typed(win_df, {"lang": object, "window": np.int64, "n": np.int64})
-    win_counts: dict[tuple[str, int], int] = {
-        (l, int(w)): int(n) for l, w, n in zip(win_df["lang"], win_df["window"], win_df["n"])
-    }
-
-    # 4) ordering fragments: parse → groupby(domain) junction fixup
-    #    inside map_groups → one (domain, n_inversions) row each
-    def _frag_parse(t: pa.Table) -> pa.Table:
-        o = t.filter(pc.equal(t["event_type"], "Analysis.__OrdFrag"))
-        keys = o["key"].to_pylist()
-        avs = o["affected_values"].to_pylist()
-        return pa.table(
-            {
-                "domain": pa.array(keys, pa.string()),
-                "first_seq": pa.array([int(a[1]) for a in avs], pa.int64()),
-                "n_inv": pa.array([int(a[0]) for a in avs], pa.int64()),
-                "first_ts": pa.array([int(a[2]) for a in avs], pa.int64()),
-                "last_ts": pa.array([int(a[3]) for a in avs], pa.int64()),
-            }
-        )
-
-    _FRAG_SCHEMA = pa.schema([("domain", pa.string()), ("n_inversions", pa.int64())])
-
-    def _frag_fold(g: _pd.DataFrame) -> pa.Table:
-        g = g.sort_values("first_seq", kind="mergesort")
-        total = int(g["n_inv"].sum())
-        lt = g["last_ts"].to_numpy()
-        ft = g["first_ts"].to_numpy()
-        total += int((ft[1:] < lt[:-1]).sum())  # junction inversions
-        if total == 0:
-            return _FRAG_SCHEMA.empty_table()
-        return pa.table(
-            {"domain": pa.array([str(g["domain"].iloc[0])], pa.string()),
-             "n_inversions": pa.array([total], pa.int64())}
-        )
-
-    ord_df = (
-        fused.map_batches(_frag_parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby("domain")
-        .map_groups(_frag_fold, batch_format="pandas")
-        .to_pandas()
-    )
-    ord_df = _typed(ord_df, {"domain": object, "n_inversions": np.int64})
+    frag_rows = meta_df[meta_df["kind"] == "frag"]
+    ord_df = _pd.DataFrame(
+        {"domain": frag_rows["key"].astype(str), "n_inversions": frag_rows["n"].astype(np.int64)}
+    ).reset_index(drop=True)
 
     real = fused.map_batches(
         lambda t: t.filter(
