@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from ..stages._taskcache import cached_task_fn
 
 
 def clean_corpus(
@@ -99,6 +100,10 @@ def clean_corpus(
             return out
 
     return ds.map_batches(
-        Gates, batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True, concurrency=(1, 8),
+        cached_task_fn(
+            Gates,
+            cache_on=(keep_ref, text_col, id_col, min_chars, max_chars, min_tokens,
+                      dl_num, dl_den, tg_num, tg_den, keep_only),
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )

@@ -26,6 +26,7 @@ import ray
 import ray.data
 
 from ..state.sketches import splitmix64
+from ._taskcache import cached_task_fn
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -106,7 +107,8 @@ def cosine_topk(
             )
 
     partials = ds.map_batches(
-        BlockTopK, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(BlockTopK, cache_on=(queries_ref, emb_col, id_col, k)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     return _merge_topk(partials, id_col, k)
 
@@ -220,6 +222,7 @@ def ivf_topk(
             )
 
     partials = ds.map_batches(
-        BlockIvf, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(BlockIvf, cache_on=(queries_ref, cref, emb_col, id_col, k, nprobe)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     return _merge_topk(partials, id_col, k)

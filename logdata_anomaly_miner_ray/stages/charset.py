@@ -22,6 +22,7 @@ import ray.data
 
 from ..functions.text import flat_utf8
 from ..schema import violations_table
+from ._taskcache import cached_task_fn
 
 MAX_CP = 0x10000
 
@@ -156,5 +157,6 @@ def charset_violations(
             )
 
     return ds.map_batches(
-        CharsetCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(CharsetCheck, cache_on=(charsets_ref, group_col, value_col, key_col, check_name)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )

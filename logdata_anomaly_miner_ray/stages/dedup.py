@@ -27,6 +27,7 @@ from ..functions.hashing import (
     minhash_signatures,
     simhash64,
 )
+from ._taskcache import cached_task_fn
 
 
 def with_content_hash(
@@ -404,8 +405,8 @@ def embedding_near_dup_pairs_exact(
             )
 
     pairs = ds.map_batches(
-        BlockPairs, batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True, concurrency=(1, 8),
+        cached_task_fn(BlockPairs, cache_on=(ref, emb_col, id_col, cosine_threshold)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).to_pandas()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -31,6 +31,7 @@ import ray.data
 
 from ..schema import violations_table
 from ._agg import distinct_rows, grouped_counts, grouped_span_count
+from ._taskcache import cached_task_fn
 
 
 def value_domain(ds: "ray.data.Dataset", cols: list[str]) -> "ray.data.Dataset":
@@ -89,7 +90,8 @@ def domain_violations(
             )
 
     return ds.map_batches(
-        DomainCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(DomainCheck, cache_on=(allowed_ref, col, key_col, check_name)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
 

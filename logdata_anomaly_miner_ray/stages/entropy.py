@@ -21,6 +21,7 @@ import ray.data
 
 from ..functions.text import bigram_counts, mean_pair_prob
 from ..schema import violations_table
+from ._taskcache import cached_task_fn
 
 
 def fit_bigram_table(ds: "ray.data.Dataset", value_col: str) -> np.ndarray:
@@ -58,7 +59,8 @@ def entropy_scores(
             return batch.append_column(score_name, pa.array(score, pa.float64(), from_pandas=True))
 
     return ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(Scorer, cache_on=(table_ref, value_col, score_name)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
 
@@ -100,5 +102,6 @@ def entropy_violations(
             )
 
     return ds.map_batches(
-        EntropyCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(EntropyCheck, cache_on=(table_ref, value_col, prob_thresh, key_col, check_name)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )

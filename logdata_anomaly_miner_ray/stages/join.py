@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+from ._taskcache import cached_task_fn
 
 
 def hash_join(
@@ -71,6 +72,6 @@ def broadcast_join(
             return out
 
     return ds.map_batches(
-        Lookup, batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        concurrency=(1, 8),
+        cached_task_fn(Lookup, cache_on=(lookup_ref, key, out_col, drop_unmatched)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )

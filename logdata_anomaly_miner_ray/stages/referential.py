@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+from ._taskcache import cached_task_fn
 from ray.data.aggregate import Sum
 
 
@@ -85,7 +86,8 @@ def filter_not_in(
             return batch.filter(mask)
 
     return ds.map_batches(
-        NotInFilter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(NotInFilter, cache_on=(valid_keys_ref, key)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
 

@@ -21,6 +21,7 @@ import ray.data
 
 from ..schema import violations_table
 from ._agg import grouped_min_max
+from ._taskcache import cached_task_fn
 
 
 def fit_ranges(
@@ -84,5 +85,6 @@ def range_violations(
             )
 
     return ds.map_batches(
-        RangeCheck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 8)
+        cached_task_fn(RangeCheck, cache_on=(ranges_ref, tuple(id_cols), value_col, check_name)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
