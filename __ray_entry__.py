@@ -1044,6 +1044,21 @@ def q_dedup_clusters_documents(sf_dir: str):
     return connected_components(pairs).to_pandas()
 
 
+def q_heavy_hitters_documents(sf_dir: str):
+    """Exact heavy-hitter tokens (count > total/32) via per-block
+    Misra-Gries sketch partials + broadcast exact recount — the
+    bounded-memory recast of EventTypeDetector's exact value-count
+    dicts (reference: aminer/analysis/EventTypeDetector.py) for
+    unbounded vocabularies. Provably exact: the candidate rule keeps
+    every true heavy hitter (stages/heavy_hitters.py docstring)."""
+    from logdata_anomaly_miner_ray.stages.heavy_hitters import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(
+        _read(sf_dir, "documents", ["text"]), "text", phi_den=32
+    )
+
+
+
 def q_pretoken_counts_documents(sf_dir: str):
     """BPE-style pretokenizer counts (letters/digits/other runs —
     GPT-2-family pretokenization, RE2-safe) per document; oracle is
@@ -1350,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": q_repetition_stats_documents,
         "clean_corpus_documents": q_clean_corpus_documents,
         "pretoken_counts_documents": q_pretoken_counts_documents,
+        "heavy_hitters_documents": q_heavy_hitters_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -1481,6 +1497,14 @@ SELECT 'lineitem->part',
         "exact_dedup_documents": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n
 FROM documents GROUP BY md5(text)""",
+        "heavy_hitters_documents": r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), t2 AS (SELECT token FROM tok WHERE token <> ''),
+   c AS (SELECT token, count(*)::BIGINT AS n FROM t2 GROUP BY token)
+SELECT token, n FROM c
+WHERE n * 32 > (SELECT count(*) FROM t2)
+ORDER BY n DESC, token""",
         "token_stats_documents": r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0

@@ -302,3 +302,55 @@ class TDigest:
         cum = np.cumsum(self.weights) - self.weights / 2.0
         total = self.weights.sum()
         return np.clip(np.interp(xs, self.means, cum / total), 0.0, 1.0)
+
+
+class MisraGries:
+    """Mergeable heavy-hitters counter sketch (Misra-Gries).
+
+    Holds at most ``capacity`` (value, count) entries. Guarantees
+    after any sequence of ``add``/``merge`` folding a stream of N
+    items: every value with true frequency > N/(capacity+1) is
+    retained, and each retained count undercounts its true frequency
+    by at most N/(capacity+1). Both properties survive merging
+    (Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Reference parity note: AMiner keeps exact per-path value counts
+    in EventTypeDetector (analysis/EventTypeDetector.py:configured
+    count dicts); this is the bounded-memory recast used when the
+    value domain is unbounded at 100 TB scale. The exact answer is
+    recovered by a second broadcast recount pass (see
+    stages/heavy_hitters.py).
+    """
+
+    def __init__(self, capacity: int):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+
+    def add(self, values, counts) -> "MisraGries":
+        """Fold pre-aggregated (values, counts) pairs (e.g. the
+        output of np.unique(..., return_counts=True))."""
+        c = self.counts
+        for v, n in zip(values, counts):
+            c[v] = c.get(v, 0) + int(n)
+        self._shrink()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.add(list(other.counts.keys()), list(other.counts.values()))
+        return self
+
+    def _shrink(self) -> None:
+        m = len(self.counts)
+        if m <= self.capacity:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64, count=m)
+        # subtract the (capacity+1)-th largest count from everything,
+        # drop non-positive — the batched form of the one-at-a-time
+        # MG decrement (same invariant, one pass)
+        cut = int(np.partition(vals, m - self.capacity - 1)[m - self.capacity - 1])
+        self.counts = {v: c - cut for v, c in self.counts.items() if c > cut}
+
+    def items(self):
+        return self.counts.items()

@@ -1,0 +1,77 @@
+"""Misra-Gries sketch guarantees + exact two-pass heavy hitters."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from logdata_anomaly_miner_ray.stages.heavy_hitters import heavy_hitter_tokens
+from logdata_anomaly_miner_ray.state.sketches import MisraGries
+
+
+def _zipf_stream(rng, n, vocab):
+    ranks = np.arange(1, vocab + 1)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    return rng.choice(vocab, size=n, p=p)
+
+
+@pytest.mark.parametrize("capacity", [4, 16, 64])
+def test_mg_guarantees(capacity):
+    rng = np.random.default_rng(7)
+    stream = _zipf_stream(rng, 20_000, 500)
+    true = pd.Series(stream).value_counts()
+    n = len(stream)
+    # fold in chunks through add() and merge() to exercise both paths
+    mg = MisraGries(capacity)
+    for chunk in np.array_split(stream, 13):
+        vals, counts = np.unique(chunk, return_counts=True)
+        other = MisraGries(capacity).add(vals.tolist(), counts)
+        mg.merge(other)
+    bound = n / (capacity + 1)
+    for v, c in true.items():
+        if c > bound:  # every heavy value retained
+            assert v in mg.counts, (v, c, bound)
+        if v in mg.counts:  # undercount bounded, never overcount
+            assert mg.counts[v] <= c
+            assert c - mg.counts[v] <= bound + 1e-9
+    assert len(mg.counts) <= capacity
+
+
+def test_mg_small_domain_is_exact():
+    mg = MisraGries(10)
+    mg.add(["a", "b", "c"], [5, 3, 2])
+    mg.add(["a", "c"], [1, 1])
+    assert mg.counts == {"a": 6, "b": 3, "c": 3}
+
+
+def test_heavy_hitter_tokens_exact_vs_pandas(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for _ in range(400):
+        ids = _zipf_stream(rng, 40, len(vocab))
+        docs.append(" ".join(vocab[i] for i in ids))
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())})).repartition(8)
+
+    got = heavy_hitter_tokens(ds, "text", phi_den=32, capacity=128)
+
+    toks = pd.Series(" ".join(docs).split())
+    counts = toks.value_counts()
+    total = len(toks)
+    want = counts[counts * 32 > total].reset_index()
+    want.columns = ["token", "n"]
+    want = want.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["n"]) == list(want["n"])
+    assert len(got) > 0  # zipf head must fire
+
+
+def test_heavy_hitter_tokens_empty_and_whitespace(ray_session):
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(["   ", "", "\t\n"], pa.string())})
+    )
+    got = heavy_hitter_tokens(ds, "text", phi_den=8)
+    assert len(got) == 0
+    assert list(got.columns) == ["token", "n"]
