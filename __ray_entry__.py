@@ -1044,6 +1044,24 @@ def q_dedup_clusters_documents(sf_dir: str):
     return connected_components(pairs).to_pandas()
 
 
+def q_exact_quantiles_lineitem(sf_dir: str):
+    """Exact order statistics of l_extendedprice with NO global sort:
+    t-digest window + count/refine rounds + bounded gather
+    (stages/quantiles.py). Values are selected input elements —
+    bit-exact vs DuckDB quantile_disc."""
+    from logdata_anomaly_miner_ray.stages.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+            lambda t: t.rename_columns(["x"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ),
+        "x",
+        [0.01, 0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+
+
+
 def q_heavy_hitters_documents(sf_dir: str):
     """Exact heavy-hitter tokens (count > total/32) via per-block
     Misra-Gries sketch partials + broadcast exact recount — the
@@ -1366,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_documents": q_clean_corpus_documents,
         "pretoken_counts_documents": q_pretoken_counts_documents,
         "heavy_hitters_documents": q_heavy_hitters_documents,
+        "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -1497,6 +1516,14 @@ SELECT 'lineitem->part',
         "exact_dedup_documents": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n
 FROM documents GROUP BY md5(text)""",
+        "exact_quantiles_lineitem": r"""
+SELECT 0.01::DOUBLE AS q, quantile_disc(l_extendedprice, 0.01)::DOUBLE AS value FROM lineitem
+UNION ALL SELECT 0.25::DOUBLE, quantile_disc(l_extendedprice, 0.25)::DOUBLE FROM lineitem
+UNION ALL SELECT 0.50::DOUBLE, quantile_disc(l_extendedprice, 0.50)::DOUBLE FROM lineitem
+UNION ALL SELECT 0.75::DOUBLE, quantile_disc(l_extendedprice, 0.75)::DOUBLE FROM lineitem
+UNION ALL SELECT 0.90::DOUBLE, quantile_disc(l_extendedprice, 0.90)::DOUBLE FROM lineitem
+UNION ALL SELECT 0.99::DOUBLE, quantile_disc(l_extendedprice, 0.99)::DOUBLE FROM lineitem
+ORDER BY q""",
         "heavy_hitters_documents": r"""
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents

@@ -1,0 +1,60 @@
+"""exact_quantiles: DuckDB quantile_disc parity without global sort."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from logdata_anomaly_miner_ray.stages.quantiles import exact_quantiles
+
+QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _oracle(vals, qs):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    return [
+        con.execute(f"SELECT quantile_disc(x, {q}) FROM t WHERE x IS NOT NULL").fetchone()[0]
+        for q in qs
+    ]
+
+
+def _check(ds, vals, qs, **kw):
+    got = exact_quantiles(ds, "x", qs, **kw)
+    want = _oracle(vals, qs)
+    assert list(got["q"]) == [float(q) for q in qs]
+    for g, w in zip(got["value"], want):
+        assert g == w, (g, w)
+
+
+def test_continuous_uniform(ray_session):
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100.0, 15.0, size=20_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(16)
+    _check(ds, vals, QS)
+
+
+def test_duplicate_heavy_forces_bisection(ray_session):
+    # one value carries 90% of the mass — the digest window around
+    # the median is huge; a tiny max_gather forces bisection rounds
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([np.full(18_000, 42.0), rng.uniform(0, 100, 2_000)])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(8)
+    _check(ds, vals, [0.1, 0.5, 0.95], max_gather=500)
+
+
+def test_nulls_ignored_and_small_n(ray_session):
+    vals = [None, 3.0, 1.0, None, 2.0]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    got = exact_quantiles(ds, "x", [0.0, 0.5, 1.0])
+    assert list(got["value"]) == [1.0, 2.0, 3.0]
+
+
+def test_empty(ray_session):
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    got = exact_quantiles(ds, "x", [0.5])
+    assert len(got) == 0
