@@ -1062,6 +1062,45 @@ def q_exact_quantiles_lineitem(sf_dir: str):
 
 
 
+def q_asof_join_events(sf_dir: str):
+    """Backward as-of join (purchase -> latest prior-or-equal click
+    per user) via ONE bounded-bucket shuffle + in-bucket merge_asof
+    (stages/join.asof_join); inner projection with integer-us delta.
+    Oracle: DuckDB ASOF JOIN."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from logdata_anomaly_miner_ray.stages.join import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    a = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    b = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    joined = asof_join(a, b, on="ts", by="user_id", right_cols=["event_id", "ts", "value"])
+
+    def fin(t: _pa.Table) -> _pa.Table:
+        t = t.filter(_pc.is_valid(t["event_id_r"]))
+        delta = _pc.subtract(
+            _pc.cast(t["ts"], _pa.int64()), _pc.cast(t["ts_r"], _pa.int64())
+        )
+        return _pa.table(
+            {
+                "event_id": t["event_id"],
+                "m_event_id": _pc.cast(t["event_id_r"], _pa.int64()),
+                "delta_us": _pc.cast(delta, _pa.int64()),
+                "m_value": t["value_r"],
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+
 def q_heavy_hitters_documents(sf_dir: str):
     """Exact heavy-hitter tokens (count > total/32) via per-block
     Misra-Gries sketch partials + broadcast exact recount — the
@@ -1385,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretoken_counts_documents": q_pretoken_counts_documents,
         "heavy_hitters_documents": q_heavy_hitters_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
+        "asof_join_events": q_asof_join_events,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -1524,6 +1564,14 @@ UNION ALL SELECT 0.75::DOUBLE, quantile_disc(l_extendedprice, 0.75)::DOUBLE FROM
 UNION ALL SELECT 0.90::DOUBLE, quantile_disc(l_extendedprice, 0.90)::DOUBLE FROM lineitem
 UNION ALL SELECT 0.99::DOUBLE, quantile_disc(l_extendedprice, 0.99)::DOUBLE FROM lineitem
 ORDER BY q""",
+        "asof_join_events": r"""
+WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+     b AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='click')
+SELECT a.event_id AS event_id, b.event_id AS m_event_id,
+       (epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS delta_us,
+       b.value AS m_value
+FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY event_id""",
         "heavy_hitters_documents": r"""
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents

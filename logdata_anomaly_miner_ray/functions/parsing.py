@@ -360,6 +360,14 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
     return "".join(parts), fields
 
 
+def line_model_parse_fn(spec: list[tuple], line_col: str = "line"):
+    """The per-batch parse callable used by ``parse_lines`` —
+    exposed so the debug-tap stderr contract can be exercised
+    deterministically in-process (worker stderr reaches the driver
+    only via Ray's async log forwarding)."""
+    return _make_parse(spec, line_col)
+
+
 def parse_lines(
     ds: "ray.data.Dataset", spec: list[tuple], line_col: str = "line"
 ) -> "ray.data.Dataset":
@@ -369,6 +377,13 @@ def parse_lines(
     ipv4 → uint32 int, hex → parsed bytes length-checked, datetime →
     timestamp[us]. Rows that do not match the model keep nulls and
     ``parse_ok = false`` (the reference's unparsed-atom path)."""
+    return ds.map_batches(
+        _make_parse(spec, line_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
+def _make_parse(spec: list[tuple], line_col: str):
     pattern, fields = line_model_regex(spec)
 
     def parse(batch: pa.Table) -> pa.Table:
@@ -417,7 +432,7 @@ def parse_lines(
             out = out.append_column(name, vals)
         return out
 
-    return ds.map_batches(parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return parse
 
 
 def _split_repeated(vals, arg) -> pa.Array:

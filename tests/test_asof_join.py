@@ -1,0 +1,63 @@
+"""asof_join: backward as-of semantics vs a pandas reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from logdata_anomaly_miner_ray.stages.join import asof_join
+
+
+def _mk(df):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+
+
+def test_asof_backward_matches_pandas(ray_session):
+    rng = np.random.default_rng(2)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(500, dtype=np.int64),
+            "k": rng.integers(0, 20, 500).astype(np.int64),
+            "t": rng.integers(0, 10_000, 500).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(300, dtype=np.int64) + 1000,
+            "k": rng.integers(0, 25, 300).astype(np.int64),  # some keys absent left/right
+            "t": rng.integers(0, 10_000, 300).astype(np.int64),
+            "payload": rng.normal(size=300),
+        }
+    )
+    got = (
+        asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid", "payload"])
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="backward", suffixes=("", "_r"),
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(want) == 500
+    assert (got["lid"].values == want["lid"].values).all()
+    gm, wm = got["rid_r"], want["rid"]
+    assert ((gm.isna() & wm.isna()) | (gm == wm)).all()
+    gp, wp = got["payload_r"], want["payload"]
+    assert ((gp.isna() & wp.isna()) | (gp == wp)).all()
+
+
+def test_asof_null_keys_dropped_and_empty_right(ray_session):
+    left = pd.DataFrame(
+        {"lid": [1, 2, 3], "k": pd.array([1, None, 2], dtype="Int64"),
+         "t": pd.array([10, 20, 30], dtype="Int64")}
+    )
+    right = pd.DataFrame(
+        {"rid": pd.array([], dtype="Int64"), "k": pd.array([], dtype="Int64"),
+         "t": pd.array([], dtype="Int64")}
+    )
+    got = asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid"]).to_pandas()
+    assert sorted(got["lid"]) == [1, 3]  # null-key row dropped (documented)
+    assert got["rid_r"].isna().all()

@@ -234,6 +234,15 @@ def test_line_model_debug_tap(capfd):
     assert out["here"].to_pylist() == ["42", "notanint", None]
     err = capfd.readouterr().err
     assert "DebugModelElement here added" in err
+    # the per-block reach report prints on the WORKER's stderr and
+    # only reaches the driver via Ray's async log forwarding (flaky
+    # to capture) — assert it deterministically by running the batch
+    # fn in-process instead
+    from logdata_anomaly_miner_ray.functions.parsing import line_model_parse_fn
+
+    out2 = line_model_parse_fn(spec)(pa.table({"line": pa.array(lines, pa.string())}))
+    assert out2["here"].to_pylist() == ["42", "notanint", None]
+    err = capfd.readouterr().err
     assert 'path = "here", reached = 2/3' in err
 
 
