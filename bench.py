@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "exact_dedup_documents",
     "minhash_pairs_documents",
     "ann_topk_embeddings",
+    "asof_join_events",
+    "exact_quantiles_lineitem",
+    "heavy_hitters_documents",
 ]
 
 

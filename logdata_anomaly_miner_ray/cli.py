@@ -38,7 +38,26 @@ def main(argv: list[str] | None = None) -> int:
         "--reset-check", default=None, metavar="CHECK",
         help="drop one check's manifest entry so the next run redoes it",
     )
+    # AMiner learn-mode lifecycle (aminer runs learn_mode=True to
+    # build detector state, persists it, then detects against the
+    # frozen state — aminer/util/PersistenceUtil.py):
+    ap.add_argument(
+        "--save-state", default=None, metavar="PATH",
+        help="persist the fit pass's merged constraint state to PATH",
+    )
+    ap.add_argument(
+        "--fit-only", action="store_true",
+        help="learn-mode: fit + save state (requires --save-state), skip validation",
+    )
+    ap.add_argument(
+        "--state", default=None, metavar="PATH",
+        help="detect-mode: validate against a FROZEN persisted state instead of re-fitting",
+    )
     args = ap.parse_args(argv)
+    if args.fit_only and not args.save_state:
+        ap.error("--fit-only requires --save-state")
+    if args.state and (args.fit_only or args.save_state):
+        ap.error("--state (detect-mode) conflicts with --fit-only/--save-state")
 
     cfg_file: dict = {}
     if args.config:
@@ -58,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         args.window_seconds = cfg_file.get("window_seconds", 600)
     if not args.no_resume and cfg_file.get("resume") is False:
         args.no_resume = True
-    if not args.input or not args.out:
+    if not args.input or (not args.out and not args.fit_only):
         ap.error("--input and --out are required (flags or --config file)")
 
     if args.list_checkpoints or args.reset_check:
@@ -90,12 +109,29 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = rd.read_parquet(args.input, include_paths=True)
         tsx = rd.read_parquet(args.ts_index) if args.ts_index else None
-        if args.no_resume:
+        if args.no_resume and args.out:
             CheckpointManifest(args.out).reset()
         cfg = SuiteConfig(
             checks=cfg_file.get("checks", {}), window_seconds=args.window_seconds
         )
-        state, narrow = fit_and_narrow(pages, cfg)
+        if args.state:  # detect-mode: frozen persisted constraints
+            from .state.checkpoint import load_state
+
+            state = load_state(args.state)
+            state["config"] = cfg
+            narrow = None  # validate() derives its own narrow projection
+        else:
+            state, narrow = fit_and_narrow(pages, cfg)
+            if args.save_state:
+                from .state.checkpoint import save_state
+
+                save_state(state, args.save_state)
+            if args.fit_only:
+                print(json.dumps({
+                    "fit_only": True, "state": args.save_state,
+                    "n_rows": int(state.get("n_rows", 0)),
+                }))
+                return 0
         out = validate(
             pages, state, ts_index=tsx, out_dir=args.out, narrow=narrow,
             resume=not args.no_resume,

@@ -57,3 +57,35 @@ class CheckpointManifest:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+
+
+STATE_FORMAT_VERSION = 1
+
+
+def save_state(state: dict, path: str) -> None:
+    """Persist a fit pass's merged constraint state (the engine's
+    analogue of AMiner's PersistenceUtil store of learned detector
+    state, aminer/util/PersistenceUtil.py) — written atomically
+    (tmp + rename) so a crash never leaves a torn state file."""
+    import os
+    import pickle
+
+    payload = {"format": STATE_FORMAT_VERSION, "state": state}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=5)
+    os.replace(tmp, path)
+
+
+def load_state(path: str) -> dict:
+    """Load a persisted constraint state; refuses unknown format
+    versions instead of mis-validating with half-read constraints."""
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if not isinstance(payload, dict) or payload.get("format") != STATE_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported state file format: {payload.get('format') if isinstance(payload, dict) else type(payload)}"
+        )
+    return payload["state"]

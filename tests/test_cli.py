@@ -48,3 +48,43 @@ def test_cli_end_to_end(tmp_path):
     assert (v[v.partition_id == "all"]["check"] == "text_byte_identity").any()
     # per-partition verdicts present (one per input file)
     assert set(v[v.partition_id != "all"]["partition_id"]) == {"p0.parquet", "p1.parquet"}
+
+
+@pytest.mark.slow
+def test_cli_learn_then_detect(tmp_path):
+    """AMiner learn-mode lifecycle: fit-only persists the constraint
+    state; detect-mode validates against the FROZEN state — same
+    verdicts as a combined run on the same input, and the persisted
+    byte-identity evidence flags when the data changes."""
+    from logdata_anomaly_miner_ray.sources.pages import make_pages_block
+
+    inp = tmp_path / "pages"
+    inp.mkdir()
+    pq.write_table(make_pages_block(0, 1500), str(inp / "p0.parquet"))
+    state_file = tmp_path / "state.pkl"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run(*extra):
+        p = subprocess.run(
+            [sys.executable, "-m", "logdata_anomaly_miner_ray",
+             "--input", str(inp), "--num-cpus", "4", *extra],
+            capture_output=True, text=True, timeout=280, cwd="/root/repo", env=env,
+        )
+        assert p.returncode in (0, 1), p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    rep_fit = run("--fit-only", "--save-state", str(state_file))
+    assert rep_fit["fit_only"] and state_file.exists()
+
+    out_combined = tmp_path / "out_combined"
+    rep_c = run("--out", str(out_combined))
+    out_frozen = tmp_path / "out_frozen"
+    rep_f = run("--out", str(out_frozen), "--state", str(state_file))
+    assert rep_f["checks"] == rep_c["checks"]  # frozen == refit on same data
+
+    # changed data under the frozen state → byte-identity flags
+    pq.write_table(make_pages_block(9000, 1500), str(inp / "p0.parquet"))
+    out_changed = tmp_path / "out_changed"
+    rep_x = run("--out", str(out_changed), "--state", str(state_file))
+    assert rep_x["checks"]["text_byte_identity"]["pass"] is False
