@@ -1062,6 +1062,20 @@ def q_exact_quantiles_lineitem(sf_dir: str):
 
 
 
+def q_topk_per_group_orders(sf_dir: str):
+    """Top-3 orders by totalprice per customer — group-wise top-k
+    with no global sort: per-block local top-k partials (mergeable)
+    folded under a bounded bucket key (stages/_agg.topk_per_group).
+    SQL analogue: row_number() OVER (PARTITION BY ...) <= 3."""
+    from logdata_anomaly_miner_ray.stages._agg import topk_per_group
+
+    return topk_per_group(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+        ["o_custkey"], "o_totalprice", k=3, tiebreak_cols=("o_orderkey",),
+    )
+
+
+
 def q_asof_join_events(sf_dir: str):
     """Backward as-of join (purchase -> latest prior-or-equal click
     per user) via ONE bounded-bucket shuffle + in-bucket merge_asof
@@ -1425,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_documents": q_heavy_hitters_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
+        "topk_per_group_orders": q_topk_per_group_orders,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "embedding_near_dups": q_embedding_near_dups,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -1564,6 +1579,14 @@ UNION ALL SELECT 0.75::DOUBLE, quantile_disc(l_extendedprice, 0.75)::DOUBLE FROM
 UNION ALL SELECT 0.90::DOUBLE, quantile_disc(l_extendedprice, 0.90)::DOUBLE FROM lineitem
 UNION ALL SELECT 0.99::DOUBLE, quantile_disc(l_extendedprice, 0.99)::DOUBLE FROM lineitem
 ORDER BY q""",
+        "topk_per_group_orders": r"""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders) WHERE rn <= 3
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
         "asof_join_events": r"""
 WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
      b AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='click')

@@ -175,3 +175,37 @@ def distinct_rows(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset"
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby(keys).aggregate(Count(alias_name="__c")).drop_columns(["__c"])
+
+
+def topk_per_group(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: tuple = (),
+    ascending: bool = False,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Top-k rows per group (SQL ``row_number() OVER (PARTITION BY
+    ... ORDER BY ...) <= k``) with NO global sort: a per-block
+    partial keeps each block's local top-k per group (output bounded
+    by k x groups-in-block — top-k is a mergeable semigroup), then
+    ``coarse_grouped`` folds the partials under a bounded bucket key.
+    Ties on ``order_col`` break by ``tiebreak_cols`` ascending, so
+    the result is deterministic and SQL-reproducible."""
+    import pandas as pd
+
+    sort_cols = [order_col, *tiebreak_cols]
+    asc = [ascending] + [True] * len(tiebreak_cols)
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (
+            df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+            .groupby(list(group_cols), sort=False)
+            .head(k)
+        )
+
+    partials = ds.map_batches(head_k, batch_format="pandas", batch_size=None)
+    return coarse_grouped(partials, list(group_cols), head_k, n_buckets=n_buckets)

@@ -75,3 +75,34 @@ def test_heavy_hitter_tokens_empty_and_whitespace(ray_session):
     got = heavy_hitter_tokens(ds, "text", phi_den=8)
     assert len(got) == 0
     assert list(got.columns) == ["token", "n"]
+
+
+def test_topk_per_group_matches_pandas(ray_session):
+    import ray.data as rdd
+
+    from logdata_anomaly_miner_ray.stages._agg import topk_per_group
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 120, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 50, n).astype(np.int64),  # many ties
+        }
+    )
+    ds = rdd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(8)
+    got = (
+        topk_per_group(ds, ["g"], "v", k=3, tiebreak_cols=("id",))
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(3)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "id", "v"]], want[["g", "id", "v"]])
