@@ -115,12 +115,15 @@ class LangIdScorer:
         )
 
     @staticmethod
-    def apply(ds: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 4096):
+    def apply(ds: "ray.data.Dataset", batch_size: int = 4096):
+        # task-based with per-worker construction cache (regex state
+        # is cheap): see stages/_taskcache.py for why not a pool
+        from ._taskcache import cached_task_fn
+
         return ds.map_batches(
-            LangIdScorer,
+            cached_task_fn(LangIdScorer),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=concurrency,
             batch_size=batch_size,
         )
 
