@@ -635,6 +635,40 @@ def validate(
 
     # ---- fused per-row pass (one read of the wide table) ----
     fused_name = "broadcast_checks"
+    # ---- keyed checks (uniqueness/referential) overlap the fused
+    # pass: they read the already-materialized NARROW projection and
+    # are shuffle-bound, while the fused pass is compute-bound — two
+    # concurrent streaming jobs share the CPUs without contending on
+    # the same bottleneck (measured: hides ~4 s of the suite). Only
+    # this thread touches the manifest until it is joined below.
+    import threading
+
+    _keyed_err: list[BaseException] = []
+    keyed_thread = None
+    if narrow is not None and (_on("uniqueness") or (ts_index is not None and _on("referential"))):
+
+        def _keyed_checks():
+            try:
+                if _on("uniqueness"):
+                    run_check(
+                        "uniqueness_url",
+                        lambda: uniq_stage.uniqueness_violations(
+                            narrow.select_columns(["url"]), "url"
+                        ),
+                    )
+                if ts_index is not None and _on("referential"):
+                    run_check(
+                        "referential_url_ts",
+                        lambda: ref_stage.referential_violations(
+                            narrow.select_columns(["url"]), "url", ts_index, "url"
+                        ),
+                    )
+            except BaseException as ex:  # re-raised on the main thread
+                _keyed_err.append(ex)
+
+        keyed_thread = threading.Thread(target=_keyed_checks, name="keyed-checks")
+        keyed_thread.start()
+
     # task-based with per-worker state cache — measured 3x faster
     # than the autoscaling actor pool on the 400k-row bench input
     # (see stages/_taskcache.py for the why)
@@ -833,25 +867,31 @@ def validate(
         ("text_byte_identity", sha_ok, 0 if sha_ok else 1, json.dumps({"sha_xor": sha_after.tobytes().hex()}))
     )
 
-    # ---- keyed checks over the narrow projection (no text/html);
-    # reuse the fit pass's narrow output when provided ----
-    if narrow is None:
-        narrow = pages.map_batches(
-            _narrow, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ).materialize()
-
-    if _on("uniqueness"):
-        run_check(
-            "uniqueness_url",
-            lambda: uniq_stage.uniqueness_violations(narrow.select_columns(["url"]), "url"),
-        )
-    if ts_index is not None and _on("referential"):
-        run_check(
-            "referential_url_ts",
-            lambda: ref_stage.referential_violations(
-                narrow.select_columns(["url"]), "url", ts_index, "url"
-            ),
-        )
+    # ---- keyed checks over the narrow projection (no text/html):
+    # already running in the overlap thread when the fit pass
+    # provided a materialized narrow; otherwise (frozen-state path,
+    # narrow=None) derive it and run them serially here ----
+    if keyed_thread is not None:
+        keyed_thread.join()
+        if _keyed_err:
+            raise _keyed_err[0]
+    else:
+        if narrow is None:
+            narrow = pages.map_batches(
+                _narrow, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).materialize()
+        if _on("uniqueness"):
+            run_check(
+                "uniqueness_url",
+                lambda: uniq_stage.uniqueness_violations(narrow.select_columns(["url"]), "url"),
+            )
+        if ts_index is not None and _on("referential"):
+            run_check(
+                "referential_url_ts",
+                lambda: ref_stage.referential_violations(
+                    narrow.select_columns(["url"]), "url", ts_index, "url"
+                ),
+            )
     # frequency + ordering come straight from the fused pass's meta
     # partials (no extra shuffle): zero-filled per-lang window band,
     # and per-domain fragment merge with junction fixup.
@@ -946,6 +986,18 @@ def validate(
     n_drift = int(ksdf["drift"].sum())
     verdict_rows.append(
         ("ks_drift_lang_tokens", n_drift == 0, n_drift, ksdf.to_json(orient="records"))
+    )
+
+    # canonical verdict order: with the keyed checks running on an
+    # overlap thread their completion order is nondeterministic —
+    # report rows in a fixed order regardless
+    _CANON = [
+        "lang_domain", "charset", "entropy", "token_range",
+        "text_byte_identity", "uniqueness_url", "referential_url_ts",
+        "frequency", "empty_windows", "ordering", "ks_drift_lang_tokens",
+    ]
+    verdict_rows.sort(
+        key=lambda r: (_CANON.index(r[0]) if r[0] in _CANON else len(_CANON), r[0])
     )
 
     n_rows_total = state.get("n_rows", 0)

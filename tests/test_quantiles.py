@@ -58,3 +58,28 @@ def test_empty(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     got = exact_quantiles(ds, "x", [0.5])
     assert len(got) == 0
+
+
+def test_quantiles_property_random(ray_session):
+    """Randomized cross-check: mixed continuous + duplicated mass,
+    many qs, small max_gather — exact selection must equal numpy's
+    k-th order statistic with the quantile_disc rank rule."""
+    import math
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        parts = [
+            rng.normal(rng.uniform(-50, 50), rng.uniform(0.1, 20), size=rng.integers(100, 3000)),
+            np.full(rng.integers(1, 4000), rng.uniform(-10, 10)),
+            rng.integers(-5, 5, size=rng.integers(0, 2000)).astype(np.float64),
+        ]
+        vals = np.concatenate(parts)
+        rng.shuffle(vals)
+        qs = sorted(rng.uniform(0, 1, size=5).round(4).tolist())
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(6)
+        got = exact_quantiles(ds, "x", qs, max_gather=200)
+        sv = np.sort(vals)
+        n = len(sv)
+        for q, g in zip(qs, got["value"]):
+            k = max(0, math.ceil(q * n) - 1)
+            assert g == sv[min(k, n - 1)], (trial, q, g, sv[min(k, n - 1)])
