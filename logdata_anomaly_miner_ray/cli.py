@@ -103,11 +103,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         import ray.data as rd
 
-        from .pipelines.validate import fit_and_narrow, validate
+        from .pipelines.validate import fit_and_narrow, prune_to_suite_columns, validate
         from .schema import SuiteConfig
         from .state.checkpoint import CheckpointManifest
 
-        pages = rd.read_parquet(args.input, include_paths=True)
+        pages = prune_to_suite_columns(rd.read_parquet(args.input, include_paths=True))
         tsx = rd.read_parquet(args.ts_index) if args.ts_index else None
         if args.no_resume and args.out:
             CheckpointManifest(args.out).reset()

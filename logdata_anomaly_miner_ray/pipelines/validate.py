@@ -1059,12 +1059,32 @@ def validate(
     return {"violations": results, "verdicts": verdicts, "ks_drift": ksdf}
 
 
+# every column the two wide passes touch; anything else (html, the
+# heaviest payload) is pruned before the wide work. NOTE:
+# ``select_columns`` pushes its projection into the Parquet scan,
+# which silently DROPS the synthetic ``path`` lineage column that
+# ``include_paths=True`` adds — use ``drop_columns`` of the unused
+# names instead (callers reading from Parquet themselves should
+# additionally pass ``columns=[...]`` for true scan pushdown).
+_SUITE_COLS = ("url", "warc_ts", "text", "lang", "row_idx", "path", "partition_id")
+
+
+def prune_to_suite_columns(pages: "rd.Dataset") -> "rd.Dataset":
+    sch = pages.schema()
+    names = sch.base_schema.names if sch is not None else []
+    extra = [c for c in names if c not in _SUITE_COLS]
+    if extra:
+        return pages.drop_columns(extra)
+    return pages
+
+
 def run_suite(
     pages: "rd.Dataset",
     ts_index: "rd.Dataset | None" = None,
     out_dir: str | None = None,
     config: SuiteConfig | None = None,
 ) -> dict:
+    pages = prune_to_suite_columns(pages)
     state, narrow = fit_and_narrow(pages, config)
     out = validate(pages, state, ts_index=ts_index, out_dir=out_dir, narrow=narrow)
     out["state"] = state
