@@ -1,0 +1,167 @@
+"""REAL (codec-free) media metadata extraction: image format +
+dimensions parsed straight from container headers in the binary
+column. No decode libraries needed — PNG/GIF/BMP dimensions sit at
+fixed offsets and JPEG's are in the first SOF marker segment, so a
+100 TB corpus can be dimension-profiled (aspect-ratio filters,
+thumbnail routing, corrupt-file detection) without ever inflating a
+pixel.
+
+Formats: PNG (IHDR), GIF87a/89a (logical screen), BMP
+(BITMAPINFOHEADER), JPEG (SOF0/1/2/3/5/6/7/9/10/11/13/14/15 scan).
+Unknown/truncated payloads yield nulls + format "unknown" — the
+unparsed-atom path, never an exception.
+
+PNG/GIF/BMP parse VECTORIZED over the flattened Arrow binary buffer
+(fixed offsets); JPEG needs a per-row marker walk, bounded to the
+first ``max_scan`` bytes (SOF practically always precedes image
+data; EXIF blobs are skipped by the segment-length hops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _flat_binary(arr) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    buffers = arr.buffers()
+    if buffers[1] is None:  # fully-empty array carries no offsets buffer
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    off = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1 + arr.offset)[
+        arr.offset :
+    ]
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    )
+    return data, off
+
+
+def _be32(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (
+        data[pos].astype(np.int64) << 24
+        | data[pos + 1].astype(np.int64) << 16
+        | data[pos + 2].astype(np.int64) << 8
+        | data[pos + 3].astype(np.int64)
+    )
+
+
+def _le32(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (
+        data[pos].astype(np.int64)
+        | data[pos + 1].astype(np.int64) << 8
+        | data[pos + 2].astype(np.int64) << 16
+        | data[pos + 3].astype(np.int64) << 24
+    )
+
+
+def _le16(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return data[pos].astype(np.int64) | data[pos + 1].astype(np.int64) << 8
+
+
+def _jpeg_dims(buf: memoryview) -> tuple[int, int] | None:
+    """Walk JPEG segments to the first SOF; returns (w, h)."""
+    n = len(buf)
+    if n < 4:
+        return None
+    i = 2
+    while i + 3 < n:
+        if buf[i] != 0xFF:
+            i += 1  # fill bytes / resync
+            continue
+        marker = buf[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        if i + 3 >= n:
+            return None
+        seg_len = (buf[i + 2] << 8) | buf[i + 3]
+        if seg_len < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            if i + 9 > n:
+                return None
+            h = (buf[i + 5] << 8) | buf[i + 6]
+            w = (buf[i + 7] << 8) | buf[i + 8]
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+def image_dims(arr, max_scan: int = 1 << 16):
+    """(format, width, height) arrays for a binary column.
+
+    format: "png" | "gif" | "bmp" | "jpeg" | "unknown"; width/height
+    are int32 with nulls where not parseable."""
+    data, off = _flat_binary(arr)
+    n = len(off) - 1
+    starts = off[:-1]
+    lengths = off[1:] - starts
+    fmt = np.full(n, "unknown", dtype=object)
+    w = np.full(n, -1, dtype=np.int64)
+    h = np.full(n, -1, dtype=np.int64)
+
+    def _match_magic(magic: bytes, rows: np.ndarray) -> np.ndarray:
+        ok = np.ones(len(rows), dtype=bool)
+        for j, b in enumerate(magic):
+            ok &= data[starts[rows] + j] == b
+        return rows[ok]
+
+    # PNG: magic + IHDR at fixed offset (w,h big-endian at 16/20)
+    rows = np.flatnonzero(lengths >= 24)
+    png = _match_magic(_PNG_MAGIC, rows)
+    if len(png):
+        fmt[png] = "png"
+        w[png] = _be32(data, starts[png] + 16)
+        h[png] = _be32(data, starts[png] + 20)
+
+    # GIF87a/89a: logical screen w,h little-endian at 6/8
+    rows = np.flatnonzero(lengths >= 10)
+    gif = _match_magic(b"GIF8", rows)
+    if len(gif):
+        ver = data[starts[gif] + 4]
+        gif = gif[(ver == ord("7")) | (ver == ord("9"))]
+    if len(gif):
+        fmt[gif] = "gif"
+        w[gif] = _le16(data, starts[gif] + 6)
+        h[gif] = _le16(data, starts[gif] + 8)
+
+    # BMP: "BM" + BITMAPINFOHEADER (w,h signed little-endian at 18/22)
+    rows = np.flatnonzero(lengths >= 26)
+    bmp = _match_magic(b"BM", rows)
+    if len(bmp):
+        fmt[bmp] = "bmp"
+        w[bmp] = _le32(data, starts[bmp] + 18)
+        bh = _le32(data, starts[bmp] + 22)
+        bh = np.where(bh >= 1 << 31, bh - (1 << 32), bh)  # sign
+        h[bmp] = np.abs(bh)  # top-down BMPs store negative height
+
+    # JPEG: per-row bounded marker walk (SOI alone identifies the
+    # format; dims need a complete SOF segment)
+    rows = np.flatnonzero(lengths >= 2)
+    if len(rows):
+        jpg_mask = (data[starts[rows]] == 0xFF) & (data[starts[rows] + 1] == 0xD8)
+        mv = memoryview(data)
+        for r in rows[jpg_mask]:
+            end = int(starts[r] + min(lengths[r], max_scan))
+            dims = _jpeg_dims(mv[int(starts[r]) : end])
+            fmt[r] = "jpeg"
+            if dims is not None:
+                w[r], h[r] = dims
+
+    valid = w >= 0
+    return (
+        pa.array(fmt, pa.string()),
+        pa.array(np.where(valid, w, 0).astype(np.int32), pa.int32(), mask=~valid),
+        pa.array(np.where(valid, h, 0).astype(np.int32), pa.int32(), mask=~valid),
+    )

@@ -224,3 +224,26 @@ def sample_frames(
     return ds.map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+def extract_image_metadata(
+    ds: "ray.data.Dataset", payload_col: str = "payload"
+) -> "ray.data.Dataset":
+    """REAL codec-free metadata: image format + dimensions parsed
+    from container headers (functions/media.image_dims — PNG/GIF/BMP
+    vectorized fixed offsets, JPEG bounded marker walk). Plain tasks,
+    full blocks: header parsing touches only the first bytes of each
+    payload, so the image-payload small-batch rule for DECODE stages
+    does not apply here."""
+    from ..functions.media import image_dims
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fmt, w, h = image_dims(batch[payload_col])
+        out = batch.drop_columns([payload_col])
+        return (
+            out.append_column("format", fmt)
+            .append_column("img_width", w)
+            .append_column("img_height", h)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
