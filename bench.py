@@ -107,10 +107,10 @@ def run_bench() -> dict:
     # headline: full validation suite over the pages table.
     # The host is SHARED (load-average swings 1->22 with no local
     # processes; CLAUDE.md); a single rep can be 2-3x off. Standard
-    # discipline: best of GRAFT_SUITE_REPS reps (default 2), all reps
+    # discipline: best of GRAFT_SUITE_REPS reps (default 3), all reps
     # reported so the spread is visible.
     suite_reps = []
-    for _ in range(max(1, int(os.environ.get("GRAFT_SUITE_REPS", "2")))):
+    for _ in range(max(1, int(os.environ.get("GRAFT_SUITE_REPS", "3")))):
         t0 = time.time()
         pages = rd.read_parquet(PAGES_DIR, include_paths=True)
         run_suite(pages)
