@@ -204,7 +204,9 @@ def exact_quantiles(
                     hi[i] = lo[i]  # window is {lo, hi}; test lo alone
                 else:
                     hi[i] = mid
-    else:
+    if not resolved.all():
+        # NOT for/else: resolution in the final allowed round must
+        # count as convergence
         raise RuntimeError("exact_quantiles failed to converge; raise max_gather")
 
     # re-derive ranks for gatherable windows with one final count

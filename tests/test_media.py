@@ -85,3 +85,20 @@ def test_extract_image_metadata_stage(ray_session):
     assert list(out["format"]) == ["png", "jpeg", "unknown"]
     assert list(out["img_width"].fillna(-1).astype(int)) == [4, 6, -1]
     assert "payload" not in out.columns
+
+
+def test_image_dims_fuzz_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=8))
+    def run(payloads):
+        fmt, w, h = image_dims(pa.array(payloads, pa.binary()))
+        assert len(fmt) == len(payloads)
+        # dims are null whenever format is unknown
+        for f, wv in zip(fmt.to_pylist(), w.to_pylist()):
+            if f == "unknown":
+                assert wv is None
+
+    run()
