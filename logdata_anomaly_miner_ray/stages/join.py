@@ -186,7 +186,8 @@ def asof_join(
         if len(lf) == 0:
             return out_schema.empty_table()
         lf = lf.sort_values("__on", kind="mergesort")
-        l_in = pd.DataFrame({by: lf[by].to_numpy(np.int64), "__on": lf["__on"].to_numpy(np.int64)})
+        # keep the by-key's native dtype (int or string both merge)
+        l_in = pd.DataFrame({by: lf[by].to_numpy(), "__on": lf["__on"].to_numpy(np.int64)})
         for c in left_names:
             if c not in (by, on):
                 l_in[f"l.{c}"] = lf[f"l.{c}"].to_numpy()
@@ -196,7 +197,7 @@ def asof_join(
                 m[f"r.{c}"] = None
         else:
             rf = rf.sort_values("__on", kind="mergesort")
-            r_in = pd.DataFrame({by: rf[by].to_numpy(np.int64), "__on": rf["__on"].to_numpy(np.int64)})
+            r_in = pd.DataFrame({by: rf[by].to_numpy(), "__on": rf["__on"].to_numpy(np.int64)})
             for c in rc:
                 r_in[f"r.{c}"] = rf[f"r.{c}"].to_numpy()
             m = pd.merge_asof(
@@ -205,7 +206,7 @@ def asof_join(
         cols = {}
         for c in left_names:
             if c == by:
-                cols[c] = pa.array(m[by].to_numpy(np.int64), out_schema.field(c).type)
+                cols[c] = pa.array(m[by], out_schema.field(c).type, from_pandas=True)
             elif c == on:
                 cols[c] = pc.cast(pa.array(m["__on"].to_numpy(np.int64)), out_schema.field(c).type)
             else:

@@ -61,3 +61,19 @@ def test_asof_null_keys_dropped_and_empty_right(ray_session):
     got = asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid"]).to_pandas()
     assert sorted(got["lid"]) == [1, 3]  # null-key row dropped (documented)
     assert got["rid_r"].isna().all()
+
+
+def test_asof_string_keys(ray_session):
+    left = pd.DataFrame(
+        {"lid": [1, 2, 3, 4], "k": ["a", "b", "a", "zz"],
+         "t": np.array([10, 10, 30, 5], dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rid": [7, 8, 9], "k": ["a", "a", "b"],
+         "t": np.array([5, 20, 10], dtype=np.int64)}
+    )
+    got = (
+        asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid"])
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert list(got["rid_r"].fillna(-1).astype(int)) == [7, 9, 8, -1]
