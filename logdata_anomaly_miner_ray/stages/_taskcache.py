@@ -29,9 +29,20 @@ from typing import Any
 
 import ray
 
-# one entry per (class, ctor-args) per worker process; bounded by
-# the number of distinct stages a worker serves in one job graph
+# one entry per (class, ctor-args) per worker process. LRU-bounded:
+# repeated suite/query invocations in one long-lived Ray session
+# mint fresh ObjectRefs (fresh keys) every run — without eviction a
+# worker would accumulate every past run's constructed state
+# (charset bitmaps, bigram tables, broadcast keep-sets) and pin
+# their zero-copy plasma buffers forever.
+_CACHE_MAX = 8
 _CACHE: dict = {}
+
+
+def _cache_put(key, obj) -> None:
+    _CACHE[key] = obj
+    while len(_CACHE) > _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))  # oldest-inserted first
 
 
 def _key_part(v) -> Any:
@@ -71,7 +82,7 @@ def cached_task_fn(cls, cache_on: tuple = (), **ctor_kwargs):
         obj = _CACHE.get(key)
         if obj is None:
             obj = cls(**ctor_kwargs)
-            _CACHE[key] = obj
+            _cache_put(key, obj)
         return obj(batch)
 
     fn.__name__ = f"task:{cls.__name__}"

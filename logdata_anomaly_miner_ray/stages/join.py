@@ -121,6 +121,13 @@ def asof_join(
     r_types = {
         c: (r_sch.base_schema.field(c).type if r_sch is not None else pa.null()) for c in rc
     }
+    # the shuffled on-key: int64 for ints/timestamps, float64 for
+    # floating on-columns (an int64 cast would raise on fractions)
+    _on_type = (
+        pa.float64()
+        if pa.types.is_floating(l_sch.base_schema.field(on).type)
+        else pa.int64()
+    )
 
     def _bucket(keys: np.ndarray) -> np.ndarray:
         if keys.dtype.kind in "iu":
@@ -141,10 +148,10 @@ def asof_join(
             "__b": pa.array(_bucket(t[by].to_numpy(zero_copy_only=False)), pa.int32()),
             "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
             by: t[by],
-            "__on": pc.cast(t[on], pa.int64()),
+            "__on": pc.cast(t[on], _on_type),
         }
         for c in left_names:
-            if c not in (by,):
+            if c not in (by, on):  # __on already carries the on-key
                 cols[f"l.{c}"] = t[c]
         for c in rc:
             cols[f"r.{c}"] = pa.nulls(t.num_rows, r_types[c])
@@ -156,10 +163,10 @@ def asof_join(
             "__b": pa.array(_bucket(t[by].to_numpy(zero_copy_only=False)), pa.int32()),
             "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
             by: t[by],
-            "__on": pc.cast(t[on], pa.int64()),
+            "__on": pc.cast(t[on], _on_type),
         }
         for c in left_names:
-            if c not in (by,):
+            if c not in (by, on):
                 cols[f"l.{c}"] = pa.nulls(t.num_rows, l_sch.base_schema.field(c).type)
         for c in rc:
             cols[f"r.{c}"] = t[c]
@@ -180,39 +187,51 @@ def asof_join(
         out_fields.append((f"{c}{suffix}", r_types[c]))
     out_schema = pa.schema(out_fields)
 
-    def fold(g: pd.DataFrame) -> pa.Table:
-        lf = g[g["__side"] == 0]
-        rf = g[g["__side"] == 1]
-        if len(lf) == 0:
+    def fold(g: pa.Table) -> pa.Table:
+        # POSITION-ONLY merge: pandas sees just (by, __on, position)
+        # — payload columns never leave Arrow, so int64 payloads with
+        # magnitudes > 2^53 survive bit-exact (a pandas round-trip of
+        # null-bearing int columns promotes to float64 and silently
+        # rounds them)
+        side = g["__side"]
+        lf = g.filter(pc.equal(side, 0))
+        rf = g.filter(pc.equal(side, 1))
+        if lf.num_rows == 0:
             return out_schema.empty_table()
-        lf = lf.sort_values("__on", kind="mergesort")
-        # keep the by-key's native dtype (int or string both merge)
-        l_in = pd.DataFrame({by: lf[by].to_numpy(), "__on": lf["__on"].to_numpy(np.int64)})
-        for c in left_names:
-            if c not in (by, on):
-                l_in[f"l.{c}"] = lf[f"l.{c}"].to_numpy()
-        if len(rf) == 0:
-            m = l_in.copy()
-            for c in rc:
-                m[f"r.{c}"] = None
-        else:
-            rf = rf.sort_values("__on", kind="mergesort")
-            r_in = pd.DataFrame({by: rf[by].to_numpy(), "__on": rf["__on"].to_numpy(np.int64)})
-            for c in rc:
-                r_in[f"r.{c}"] = rf[f"r.{c}"].to_numpy()
-            m = pd.merge_asof(
-                l_in, r_in, on="__on", by=by, direction="backward", suffixes=("", "__rr")
+        l_on = lf["__on"].to_numpy(zero_copy_only=False)
+        l_by = lf[by].to_numpy(zero_copy_only=False)
+        l_ord = np.argsort(l_on, kind="stable")
+        if rf.num_rows:
+            r_on = rf["__on"].to_numpy(zero_copy_only=False)
+            r_by = rf[by].to_numpy(zero_copy_only=False)
+            r_ord = np.argsort(r_on, kind="stable")
+            lidx = pd.DataFrame(
+                {by: l_by[l_ord], "__on": l_on[l_ord], "__lp": l_ord.astype(np.int64)}
             )
+            ridx = pd.DataFrame(
+                {by: r_by[r_ord], "__on": r_on[r_ord], "__rp": r_ord.astype(np.int64)}
+            )
+            m = pd.merge_asof(lidx, ridx, on="__on", by=by, direction="backward")
+            rp = m["__rp"].to_numpy()  # float64 with NaN; POSITIONS are < 2^53
+            take_r = pa.array(
+                [None if np.isnan(x) else int(x) for x in rp], pa.int64()
+            )
+        else:
+            take_r = pa.nulls(lf.num_rows, pa.int64())
+        take_l = pa.array(l_ord.astype(np.int64))
         cols = {}
         for c in left_names:
             if c == by:
-                cols[c] = pa.array(m[by], out_schema.field(c).type, from_pandas=True)
+                cols[c] = lf[by].take(take_l)
             elif c == on:
-                cols[c] = pc.cast(pa.array(m["__on"].to_numpy(np.int64)), out_schema.field(c).type)
+                cols[c] = pc.cast(lf["__on"].take(take_l), out_schema.field(c).type)
             else:
-                cols[c] = pa.array(m[f"l.{c}"], out_schema.field(c).type, from_pandas=True)
+                cols[c] = lf[f"l.{c}"].take(take_l)
         for c in rc:
-            cols[f"{c}{suffix}"] = pa.array(m[f"r.{c}"], out_schema.field(f"{c}{suffix}").type, from_pandas=True)
+            # null take-indices yield null rows (unmatched lefts)
+            cols[f"{c}{suffix}"] = rf[f"r.{c}"].take(take_r) if rf.num_rows else pa.nulls(
+                lf.num_rows, r_types[c]
+            )
         return pa.table(cols, schema=out_schema)
 
-    return tagged.groupby("__b").map_groups(fold, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(fold, batch_format="pyarrow")

@@ -11,24 +11,28 @@ an approximate VALUE WINDOW around each requested quantile.
 
 count/refine loop — one ``map_batches`` per round computes, for
 every unresolved quantile at once, ``n < lo`` and ``n in [lo, hi]``
-via per-block ``np.sort`` + ``searchsorted`` (vectorized over all
-windows). If the target rank falls outside a window, the window
-widens (digest quantile at exponentially growing offsets, clamped to
-the exact global min/max); if the window holds more than
-``max_gather`` rows, it bisects at its midpoint using the same
-count pass. Every round is count-only — tiny result rows, no data
-movement.
+plus the data min/max inside each window, via per-block ``np.sort``
++ ``searchsorted`` (vectorized over all windows). If the target
+rank falls outside a window, the window widens (digest quantile at
+exponentially growing offsets, clamped to the exact global
+min/max); if the window holds more than ``max_gather`` rows it
+tightens to its data extremes and bisects — duplicate-heavy
+windows collapse in O(1) rounds because a single-distinct-value
+window is detected directly. Every round is count-only — tiny
+result rows, no data movement. The rank-below count is RECORDED at
+resolution time, so no extra pass is needed before the gather.
 
 final gather — one pass collects the (≤ max_gather per quantile)
 values inside each resolved window; the exact k-th element is
 selected driver-side with ``np.partition``. The answer is an INPUT
-value (bit-exact, no arithmetic) matching DuckDB
+value — integer columns stay in int64 end-to-end (no 2^53 float
+mantissa cliff), float columns stay float64 — matching DuckDB
 ``quantile_disc``: index = max(0, ceil(q*n) - 1) into the sorted
 non-null column, computed in exact Fraction arithmetic.
 
 Typical cost: pass A + 1 count round + 1 gather = 3 streaming passes
 regardless of data size; pathological duplicate-heavy columns add
-count-only bisection rounds (log of window width).
+count-only rounds (log of window width).
 
 Reference: AMiner's EventTypeDetector keeps full sorted value lists
 per path for its quantile-based GoF tests
@@ -51,9 +55,13 @@ from ..state.sketches import TDigest
 
 
 def _col_values(batch: pa.Table, col: str) -> np.ndarray:
+    """Non-null values in the column's NATIVE numpy dtype (int64
+    stays int64 — float promotion would corrupt magnitudes > 2^53)."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        return arr.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
     v = arr.to_numpy(zero_copy_only=False)
     if v.dtype == object:
         v = v.astype(np.float64)
@@ -70,25 +78,30 @@ def exact_quantiles(
 ) -> pd.DataFrame:
     """(q, value) frame with the EXACT discrete quantile of ``col``
     for each q in ``qs`` (nulls ignored, DuckDB quantile_disc
-    semantics)."""
+    semantics). ``value`` is int64 for integer columns, float64
+    otherwise."""
     qs_f = [Fraction(q).limit_denominator(10**9) if not isinstance(q, Fraction) else q for q in qs]
 
-    # ---- pass A: digest partials ----
+    # ---- pass A: digest partials (digest is float64 and only ever
+    # steers windows; exact min/max ride as native scalars) ----
     def partial(batch: pa.Table) -> pa.Table:
-        v = _col_values(batch, col).astype(np.float64)
+        v = _col_values(batch, col)
         blob = pickle.dumps(
             {
                 "n": int(len(v)),
-                "min": float(v.min()) if len(v) else np.inf,
-                "max": float(v.max()) if len(v) else -np.inf,
-                "digest": TDigest.from_array(v) if len(v) else None,
+                "min": v.min().item() if len(v) else None,
+                "max": v.max().item() if len(v) else None,
+                "is_int": v.dtype.kind in "iu",
+                "digest": TDigest.from_array(v.astype(np.float64)) if len(v) else None,
             },
             protocol=5,
         )
         return pa.table({"b": pa.array([blob], pa.binary())})
 
     n_total = 0
-    gmin, gmax = np.inf, -np.inf
+    gmin = None
+    gmax = None
+    is_int = True
     digest = TDigest()
     for b in ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -96,33 +109,48 @@ def exact_quantiles(
         for blob in b["b"].to_pylist():
             p = pickle.loads(blob)
             n_total += p["n"]
-            gmin, gmax = min(gmin, p["min"]), max(gmax, p["max"])
+            if p["n"]:
+                gmin = p["min"] if gmin is None else min(gmin, p["min"])
+                gmax = p["max"] if gmax is None else max(gmax, p["max"])
+                is_int = is_int and p["is_int"]
             if p["digest"] is not None:
                 digest.merge(p["digest"])
 
-    out_schema = {"q": np.float64, "value": np.float64}
+    dtype = np.int64 if is_int else np.float64
+    out_schema = {"q": np.float64, "value": dtype}
     if n_total == 0:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_schema.items()})
+
+    def _to_native(x: float, side: str):
+        """Digest float → native window boundary, clamped to the
+        exact global extremes (floor/ceil keeps int windows a
+        superset of the float window)."""
+        if is_int:
+            x = int(np.floor(x)) if side == "lo" else int(np.ceil(x))
+        return min(max(x, gmin), gmax)
 
     # target 0-based ranks, exact rational arithmetic
     ks = [max(0, -(-(q.numerator * n_total) // q.denominator) - 1) for q in qs_f]
     ks = [min(k, n_total - 1) for k in ks]
 
-    # per-quantile window state
-    lo = np.empty(len(ks)); hi = np.empty(len(ks)); widen = np.ones(len(ks))
+    # per-quantile window state (native dtype)
+    nq = len(ks)
+    lo = np.empty(nq, dtype=dtype)
+    hi = np.empty(nq, dtype=dtype)
+    widen = np.ones(nq)
     for i, q in enumerate(qs_f):
         eps = 0.005
-        lo[i] = min(max(float(digest.quantile(max(0.0, float(q) - eps))), gmin), gmax)
-        hi[i] = min(max(float(digest.quantile(min(1.0, float(q) + eps))), gmin), gmax)
-    resolved = np.zeros(len(ks), dtype=bool)
-    n_lt = np.zeros(len(ks), dtype=np.int64)
-    n_in = np.zeros(len(ks), dtype=np.int64)
-    answers: dict[int, float] = {}
+        lo[i] = _to_native(float(digest.quantile(max(0.0, float(q) - eps))), "lo")
+        hi[i] = _to_native(float(digest.quantile(min(1.0, float(q) + eps))), "hi")
+    resolved = np.zeros(nq, dtype=bool)
+    res_lt = np.zeros(nq, dtype=np.int64)  # n<lo recorded at resolution
+    answers: dict[int, object] = {}
 
     def count_pass(lo_v: np.ndarray, hi_v: np.ndarray):
         """Per window: global (#rows < lo, #rows in [lo,hi], data
         min/max inside the window) — one streaming pass for ALL
-        windows at once."""
+        windows at once. Sentinel-free: a per-block ``has`` flag
+        masks the extremes (native ints have no inf)."""
         lo_t, hi_t = lo_v.copy(), hi_v.copy()
 
         def cnt(batch: pa.Table) -> pa.Table:
@@ -131,36 +159,44 @@ def exact_quantiles(
             b2 = np.searchsorted(v, hi_t, side="right")
             has = b2 > a
             if len(v):
-                wmin = np.where(has, v[np.minimum(a, len(v) - 1)], np.inf)
-                wmax = np.where(has, v[np.maximum(b2 - 1, 0)], -np.inf)
+                wmin = np.where(has, v[np.minimum(a, len(v) - 1)], lo_t)
+                wmax = np.where(has, v[np.maximum(b2 - 1, 0)], hi_t)
             else:
-                wmin = np.full(len(lo_t), np.inf)
-                wmax = np.full(len(lo_t), -np.inf)
+                has = np.zeros(len(lo_t), dtype=bool)
+                wmin, wmax = lo_t, hi_t
             return pa.table(
                 {"i": pa.array(np.arange(len(lo_t)), pa.int64()),
                  "lt": pa.array(a.astype(np.int64)),
                  "inw": pa.array((b2 - a).astype(np.int64)),
-                 "wmin": pa.array(wmin, pa.float64()),
-                 "wmax": pa.array(wmax, pa.float64())}
+                 "has": pa.array(has),
+                 "wmin": pa.array(wmin.astype(dtype)),
+                 "wmax": pa.array(wmax.astype(dtype))}
             )
 
         tot_lt = np.zeros(len(lo_t), dtype=np.int64)
         tot_in = np.zeros(len(lo_t), dtype=np.int64)
-        g_wmin = np.full(len(lo_t), np.inf)
-        g_wmax = np.full(len(lo_t), -np.inf)
+        g_has = np.zeros(len(lo_t), dtype=bool)
+        g_wmin = hi_t.copy()  # any in-window value is <= hi
+        g_wmax = lo_t.copy()
         for b in ds.map_batches(
             cnt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow"):
             idx = b["i"].to_numpy()
             np.add.at(tot_lt, idx, b["lt"].to_numpy())
             np.add.at(tot_in, idx, b["inw"].to_numpy())
-            np.minimum.at(g_wmin, idx, b["wmin"].to_numpy())
-            np.maximum.at(g_wmax, idx, b["wmax"].to_numpy())
+            has = b["has"].to_numpy(zero_copy_only=False)
+            hidx = idx[has]
+            np.minimum.at(g_wmin, hidx, b["wmin"].to_numpy()[has])
+            np.maximum.at(g_wmax, hidx, b["wmax"].to_numpy()[has])
+            g_has[hidx] = True
         return tot_lt, tot_in, g_wmin, g_wmax
+
+    def _step_up(x):
+        return x + 1 if is_int else np.nextafter(x, np.inf)
 
     # invariant once ``bracketed``: the true rank lies in
     # [lo, hi_backup]; ``hi`` may be a bisection trial inside it
-    bracketed = np.zeros(len(ks), dtype=bool)
+    bracketed = np.zeros(nq, dtype=bool)
     hi_backup = hi.copy()
     for _ in range(max_rounds):
         if resolved.all():
@@ -174,14 +210,14 @@ def exact_quantiles(
                 if bracketed[i]:
                     # a bisection trial cut below the rank: move to
                     # the upper half of the backup bracket
-                    lo[i] = np.nextafter(hi[i], np.inf)
+                    lo[i] = _step_up(hi[i])
                     hi[i] = hi_backup[i]
                 else:  # digest window missed — widen exponentially
                     widen[i] *= 4.0
                     eps = 0.005 * widen[i]
                     q = float(qs_f[i])
-                    lo[i] = min(max(float(digest.quantile(max(0.0, q - eps))), gmin), gmax)
-                    hi[i] = min(max(float(digest.quantile(min(1.0, q + eps))), gmin), gmax)
+                    lo[i] = _to_native(float(digest.quantile(max(0.0, q - eps))), "lo")
+                    hi[i] = _to_native(float(digest.quantile(min(1.0, q + eps))), "hi")
                     if eps >= 1.0:
                         lo[i], hi[i] = gmin, gmax  # must contain k
                     hi_backup[i] = hi[i]
@@ -189,18 +225,20 @@ def exact_quantiles(
             bracketed[i] = True
             # tighten to the DATA extremes inside the window — this is
             # what makes duplicate-heavy windows collapse in O(1)
-            # rounds instead of O(mantissa) midpoint halvings
+            # rounds instead of O(width) midpoint halvings. rows<lo
+            # is unchanged by the tighten (no data in [lo, wmin)).
             lo[i], hi[i] = wmin[i], wmax[i]
             hi_backup[i] = max(hi_backup[i], hi[i])
             if lo[i] == hi[i]:
-                answers[i] = lo[i]  # single distinct value holds the rank
+                answers[i] = lo[i].item()  # single distinct value holds the rank
                 resolved[i] = True
             elif n_in[i] <= max_gather:
-                resolved[i] = True  # gatherable
+                res_lt[i] = n_lt[i]
+                resolved[i] = True  # gatherable; rank base recorded
             else:  # bisect (duplicate-heavy window)
                 hi_backup[i] = hi[i]
-                mid = (lo[i] + hi[i]) / 2.0
-                if mid <= lo[i] or mid >= hi[i]:  # adjacent floats:
+                mid = lo[i] + (hi[i] - lo[i]) // 2 if is_int else (lo[i] + hi[i]) / 2.0
+                if mid <= lo[i] or mid >= hi[i]:  # adjacent values:
                     hi[i] = lo[i]  # window is {lo, hi}; test lo alone
                 else:
                     hi[i] = mid
@@ -209,12 +247,11 @@ def exact_quantiles(
         # count as convergence
         raise RuntimeError("exact_quantiles failed to converge; raise max_gather")
 
-    # re-derive ranks for gatherable windows with one final count
-    # (windows may have shifted in the loop), then gather
-    pend = [i for i in range(len(ks)) if i not in answers]
+    # gather the resolved-but-unanswered windows in ONE final pass
+    # (their lo/hi and recorded res_lt are frozen at resolution)
+    pend = [i for i in range(nq) if i not in answers]
     if pend:
         lo_p = lo[pend]; hi_p = hi[pend]
-        lt_p, _, _, _ = count_pass(lo_p, hi_p)
 
         def gather(batch: pa.Table) -> pa.Table:
             v = np.sort(_col_values(batch, col))
@@ -227,8 +264,7 @@ def exact_quantiles(
             return pa.table(
                 {"i": pa.array(np.concatenate(outs_i) if outs_i else np.zeros(0, np.int64)),
                  "v": pa.array(
-                     np.concatenate(outs_v) if outs_v else np.zeros(0, np.float64),
-                     pa.float64())}
+                     (np.concatenate(outs_v) if outs_v else np.zeros(0, dtype)).astype(dtype))}
             )
 
         pools: dict[int, list[np.ndarray]] = {j: [] for j in range(len(pend))}
@@ -242,12 +278,13 @@ def exact_quantiles(
                 if len(sel):
                     pools[j].append(sel)
         for j, i in enumerate(pend):
-            vals = np.concatenate(pools[j]) if pools[j] else np.zeros(0)
-            r = ks[i] - int(lt_p[j])
+            vals = np.concatenate(pools[j]) if pools[j] else np.zeros(0, dtype)
+            r = ks[i] - int(res_lt[i])
             if not (0 <= r < len(vals)):
                 raise RuntimeError("rank drifted out of gathered window")
-            answers[i] = float(np.partition(vals, r)[r])
+            answers[i] = np.partition(vals, r)[r].item()
 
     return pd.DataFrame(
-        {"q": np.array([float(q) for q in qs_f]), "value": np.array([answers[i] for i in range(len(ks))])}
+        {"q": np.array([float(q) for q in qs_f]),
+         "value": np.array([answers[i] for i in range(nq)], dtype=dtype)}
     )

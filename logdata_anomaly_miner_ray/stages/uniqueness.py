@@ -32,7 +32,7 @@ def duplicate_keys(
 
 
 def duplicate_keys_hashed(
-    ds: "ray.data.Dataset", key: str, count_name: str = "n", n_buckets: int = 64
+    ds: "ray.data.Dataset", key: str, count_name: str = "n", n_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """duplicate_keys for a high-cardinality STRING key.
 
@@ -51,6 +51,16 @@ def duplicate_keys_hashed(
     import pandas as pd
 
     from ..functions.text import flat_utf8, token_hashes
+
+    if n_buckets is None:
+        # size buckets so one bucket's distinct-key partials ≈ a few
+        # input blocks — per-task memory stays block-sized at any
+        # dataset size (a fixed count would concentrate 1/N of a
+        # 10^12-key table in one pandas frame)
+        try:
+            n_buckets = max(64, ds.num_blocks() // 4)
+        except Exception:
+            n_buckets = 256
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch[key]
@@ -77,7 +87,9 @@ def duplicate_keys_hashed(
         agg = agg[agg[count_name] > 1]
         return pa.table(
             {
-                key: pa.array(agg[key].astype(str), pa.string()),
+                # from_pandas keeps null sample keys null (astype(str)
+                # would coin the literal "None")
+                key: pa.array(agg[key], pa.string(), from_pandas=True),
                 count_name: pa.array(agg[count_name].to_numpy(np.int64)),
             }
         )

@@ -77,3 +77,41 @@ def test_asof_string_keys(ray_session):
         .to_pandas().sort_values("lid").reset_index(drop=True)
     )
     assert list(got["rid_r"].fillna(-1).astype(int)) == [7, 9, 8, -1]
+
+
+def test_asof_int64_payload_beyond_float53(ray_session):
+    big = 2**53
+    left = pd.DataFrame(
+        {"lid": np.array([big + 1, big + 3], dtype=np.int64),
+         "k": np.array([1, 1], dtype=np.int64),
+         "t": np.array([10, 20], dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rid": np.array([big + 5, big + 7], dtype=np.int64),
+         "k": np.array([1, 1], dtype=np.int64),
+         "t": np.array([5, 15], dtype=np.int64)}
+    )
+    got = (
+        asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid"])
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    # bit-exact: +1/+3/+5/+7 offsets are distinguishable only in int64
+    assert list(got["lid"]) == [big + 1, big + 3]
+    assert list(got["rid_r"]) == [big + 5, big + 7]
+
+
+def test_asof_float_on_column(ray_session):
+    left = pd.DataFrame(
+        {"lid": [1, 2], "k": np.array([1, 1], dtype=np.int64),
+         "t": np.array([1.5, 3.25], dtype=np.float64)}
+    )
+    right = pd.DataFrame(
+        {"rid": [7, 8], "k": np.array([1, 1], dtype=np.int64),
+         "t": np.array([1.0, 3.25], dtype=np.float64)}
+    )
+    got = (
+        asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid"])
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert list(got["rid_r"]) == [7, 8]  # exact-match allowed at 3.25
+    assert list(got["t"]) == [1.5, 3.25]

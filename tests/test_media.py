@@ -43,7 +43,7 @@ def test_image_dims_all_formats():
         gif(13, 37),
         gif(1, 2, ver=b"7"),
         bmp(800, 600),
-        bmp(10, -20 & 0xFFFFFFFF if False else 10),  # placeholder normal bmp
+        bmp(10, 10),
         jpeg(1920, 1080),
         jpeg(320, 240, exif_first=False),
         b"GIF8Xa\x00\x00\x00\x00",  # bad version byte

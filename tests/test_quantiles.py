@@ -83,3 +83,13 @@ def test_quantiles_property_random(ray_session):
         for q, g in zip(qs, got["value"]):
             k = max(0, math.ceil(q * n) - 1)
             assert g == sv[min(k, n - 1)], (trial, q, g, sv[min(k, n - 1)])
+
+
+def test_int64_beyond_float53_exact(ray_session):
+    # snowflake-style ids: distinct values that collide in float64
+    base = 2**53
+    vals = np.array([base + 1, base + 3, base + 5, base + 7, base + 9] * 100, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(4)
+    got = exact_quantiles(ds, "x", [0.0, 0.5, 1.0], max_gather=50)
+    assert got["value"].dtype == np.int64
+    assert list(got["value"]) == [base + 1, base + 5, base + 9]
