@@ -115,3 +115,49 @@ def test_asof_float_on_column(ray_session):
     )
     assert list(got["rid_r"]) == [7, 8]  # exact-match allowed at 3.25
     assert list(got["t"]) == [1.5, 3.25]
+
+
+def test_asof_fuzz_vs_duckdb(ray_session):
+    """Randomized cross-engine check: asof_join == DuckDB ASOF LEFT
+    JOIN on data with absent keys, duplicate left timestamps and
+    exact-match boundaries (right side deduped per (k,t) so the tie
+    rule cannot differ)."""
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        nl, nr = rng.integers(50, 400), rng.integers(50, 400)
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(nl, dtype=np.int64),
+                "k": rng.integers(0, 15, nl).astype(np.int64),
+                "t": rng.integers(0, 500, nl).astype(np.int64),
+            }
+        )
+        right = (
+            pd.DataFrame(
+                {
+                    "rid": np.arange(nr, dtype=np.int64) + 10_000,
+                    "k": rng.integers(0, 18, nr).astype(np.int64),
+                    "t": rng.integers(0, 500, nr).astype(np.int64),
+                }
+            )
+            .sort_values("rid")
+            .drop_duplicates(["k", "t"], keep="last")
+        )
+        got = (
+            asof_join(_mk(left), _mk(right), on="t", by="k", right_cols=["rid"])
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(
+            "SELECT l.lid, r.rid AS rid_r FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t ORDER BY l.lid"
+        ).df()
+        assert len(got) == len(want) == nl, trial
+        gm, wm = got["rid_r"], want["rid_r"]
+        assert ((gm.isna() & wm.isna()) | (gm == wm)).all(), trial
