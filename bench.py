@@ -8,9 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
    "queries": {...}, "sf": ..., "num_cpus": N,
    "pages_rows": R, "pages_docs_per_sec": D}
 
-``--scaling``: run the identical job twice in fresh processes at 8
-and 32 CPUs on the same input (BASELINE.md protocol) and print the
-two throughputs + scaling efficiency.
+``--scaling``: run the identical job twice in fresh processes at
+``GRAFT_SCALE_LO`` and ``GRAFT_SCALE_HI`` CPUs (default 2 vs 8 —
+see BASELINE.md for why 8-vs-32 measures this host's DRAM ceiling,
+not the pipeline) on the same input and print the two throughputs +
+scaling efficiency.
 """
 
 from __future__ import annotations
