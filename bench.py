@@ -46,6 +46,30 @@ BENCH_QUERIES = [
 ]
 
 
+_WAIT_BUDGET = [float(os.environ.get("GRAFT_WAIT_BUDGET", "360"))]
+
+
+def _load_1min() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return 0.0
+
+
+def _gate_load() -> None:
+    """Wait (bounded by a global budget) for the SHARED host's 1-min
+    load to drop below GRAFT_LOAD_GATE before a timed rep. The host's
+    background bursts last 1-3 min with idle gaps between (CLAUDE.md),
+    so a bounded wait usually lands a rep in a quiet window; when the
+    budget is spent, reps run ungated and best-of-N still helps."""
+    gate = float(os.environ.get("GRAFT_LOAD_GATE", "2.0"))
+    while _WAIT_BUDGET[0] > 0 and _load_1min() >= gate:
+        step = min(5.0, _WAIT_BUDGET[0])
+        time.sleep(step)
+        _WAIT_BUDGET[0] -= step
+
+
 def _consume(res) -> int:
     import pandas as pd
     import pyarrow as pa
@@ -100,11 +124,19 @@ def run_bench() -> dict:
 
     qs = E.queries()
     timings: dict[str, float] = {}
+    query_reps = max(1, int(os.environ.get("GRAFT_QUERY_REPS", "2")))
     if not os.environ.get("GRAFT_SUITE_ONLY"):
+        # best-of-N with load gating: one rep on this SHARED host can
+        # be 2-4x off (BASELINE.md); the min over gated reps is the
+        # robust sample the driver records
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            _consume(qs[name](sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(query_reps):
+                _gate_load()
+                t0 = time.time()
+                _consume(qs[name](sf_dir))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
 
     # headline: full validation suite over the pages table.
     # The host is SHARED (load-average swings 1->22 with no local
@@ -113,6 +145,7 @@ def run_bench() -> dict:
     # reported so the spread is visible.
     suite_reps = []
     for _ in range(max(1, int(os.environ.get("GRAFT_SUITE_REPS", "3")))):
+        _gate_load()
         t0 = time.time()
         pages = rd.read_parquet(PAGES_DIR, include_paths=True)
         run_suite(pages)
@@ -131,11 +164,14 @@ def run_bench() -> dict:
         s = minhash_signatures(t["text"], num_perm=128, k=3)
         return _pa.table({"n": _pa.array([len(s)])})
 
-    t0 = time.time()
-    rd.read_parquet(PAGES_DIR, columns=["text"]).map_batches(
-        _sig, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).count()
-    minhash_sec = time.time() - t0
+    minhash_sec = float("inf")
+    for _ in range(max(1, int(os.environ.get("GRAFT_MINHASH_REPS", "2")))):
+        _gate_load()
+        t0 = time.time()
+        rd.read_parquet(PAGES_DIR, columns=["text"]).map_batches(
+            _sig, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).count()
+        minhash_sec = min(minhash_sec, time.time() - t0)
     timings["minhash_stage"] = round(minhash_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -150,6 +186,11 @@ def run_bench() -> dict:
         "pages_docs_per_sec": round(PAGES_ROWS / suite_sec, 1),
         "pages_suite_reps": suite_reps,
         "minhash_docs_per_sec": round(PAGES_ROWS / minhash_sec, 1),
+        "query_reps": query_reps,
+        "load_gate_waited_sec": round(
+            float(os.environ.get("GRAFT_WAIT_BUDGET", "360")) - _WAIT_BUDGET[0], 1
+        ),
+        "load_1min_at_end": _load_1min(),
     }
     ray.shutdown()
     return out

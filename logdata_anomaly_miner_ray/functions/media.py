@@ -136,15 +136,21 @@ def image_dims(arr, max_scan: int = 1 << 16):
         w[gif] = _le16(data, starts[gif] + 6)
         h[gif] = _le16(data, starts[gif] + 8)
 
-    # BMP: "BM" + BITMAPINFOHEADER (w,h signed little-endian at 18/22)
+    # BMP: "BM" + DIB header. Dims at 18/22 are only valid for
+    # BITMAPINFOHEADER and later (DIB size >= 40 at offset 14);
+    # BITMAPCOREHEADER (OS/2, size 12) stores 16-bit dims there —
+    # those rows keep format "bmp" with null dims.
     rows = np.flatnonzero(lengths >= 26)
     bmp = _match_magic(b"BM", rows)
     if len(bmp):
         fmt[bmp] = "bmp"
-        w[bmp] = _le32(data, starts[bmp] + 18)
-        bh = _le32(data, starts[bmp] + 22)
-        bh = np.where(bh >= 1 << 31, bh - (1 << 32), bh)  # sign
-        h[bmp] = np.abs(bh)  # top-down BMPs store negative height
+        dib = _le32(data, starts[bmp] + 14)
+        info = bmp[dib >= 40]
+        if len(info):
+            w[info] = _le32(data, starts[info] + 18)
+            bh = _le32(data, starts[info] + 22)
+            bh = np.where(bh >= 1 << 31, bh - (1 << 32), bh)  # sign
+            h[info] = np.abs(bh)  # top-down BMPs store negative height
 
     # JPEG: per-row bounded marker walk (SOI alone identifies the
     # format; dims need a complete SOF segment)

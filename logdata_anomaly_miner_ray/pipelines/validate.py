@@ -193,6 +193,11 @@ class _StateCollector:
         self._acc = _blob_merge(self._acc, pickle.loads(blob))
         return True
 
+    def rows_seen(self) -> int:
+        """Row count merged so far — the drain-barrier signal for
+        fire-and-forget adds (see fit_and_narrow)."""
+        return int(self._acc["n_rows"]) if self._acc is not None else 0
+
     def get_state(self) -> bytes | None:
         return pickle.dumps(self._acc, protocol=5) if self._acc is not None else None
 
@@ -274,7 +279,12 @@ class FitPartials:
             import os as _os
 
             shard = int.from_bytes(_os.urandom(2), "little") % len(self.collectors)
-            ray.get(self.collectors[shard].add.remote(blob))  # ack before completing
+            # fire-and-forget: no per-block round trip inside the wide
+            # pass (was a sync ray.get per block — ADVICE r2). Delivery
+            # is guaranteed by the driver's drain barrier: after the
+            # pass materializes, fit_and_narrow polls the collectors'
+            # summed rows_seen until it equals the dataset row count.
+            self.collectors[shard].add.remote(blob)
             return nb
         return pa.table({"state": pa.array([blob], pa.binary())})
 
@@ -309,6 +319,23 @@ def fit_and_narrow(
             batch_size=None,
             zero_copy_batch=True,
         ).materialize()
+        # drain barrier for the fire-and-forget adds: materialize()
+        # guarantees every partial was SUBMITTED; poll until every
+        # submitted blob has been DELIVERED and merged (summed
+        # rows_seen == dataset rows, metadata-cheap on materialized).
+        expected_rows = narrow.count()
+        deadline = time.time() + 120.0
+        while True:
+            seen = sum(ray.get([c.rows_seen.remote() for c in collectors]))
+            if seen >= expected_rows:
+                break
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"fit-state drain barrier timed out: collectors saw {seen} "
+                    f"of {expected_rows} rows (a worker likely died with an "
+                    "un-flushed partial; re-run the fit pass)"
+                )
+            time.sleep(0.02)
         for blob in ray.get([c.get_state.remote() for c in collectors]):
             if blob is not None:
                 acc = _blob_merge(acc, pickle.loads(blob))
@@ -963,30 +990,38 @@ def validate(
             ("ordering", True, 0, json.dumps({"skipped": "no row_idx column (no global sequence)"}))
         )
 
-    # KS drift on n_tokens across langs from the fit-pass digests
-    from ..stages.drift import ks_2samp_from_sorted, ks_critical
-
-    digests = state["tok_digests"]
-    counts = state["lang_counts"]
-    qs = (np.arange(256) + 0.5) / 256
-    pooled = TDigest()
-    for d in digests.values():
-        pooled.merge(TDigest(d.delta, d.means.copy(), d.weights.copy()))
-    bq = np.sort(pooled.quantile(qs))
-    m = sum(counts.values())
-    ks_rows = []
-    for g in sorted(digests):
-        a = np.sort(digests[g].quantile(qs))
-        d_stat = ks_2samp_from_sorted(a, bq)
-        crit = ks_critical(counts[g], m)
-        ks_rows.append((g, d_stat, crit, bool(d_stat > max(crit, 0.15)), counts[g]))
+    # KS drift on n_tokens across langs from the fit-pass digests;
+    # honors checks.ks_drift.{enabled,min_effect} from the YAML config
     import pandas as pd
 
-    ksdf = pd.DataFrame(ks_rows, columns=["lang", "ks_stat", "critical", "drift", "n"])
-    n_drift = int(ksdf["drift"].sum())
-    verdict_rows.append(
-        ("ks_drift_lang_tokens", n_drift == 0, n_drift, ksdf.to_json(orient="records"))
+    ksdf = pd.DataFrame(
+        {"lang": pd.Series(dtype=object), "ks_stat": pd.Series(dtype=float),
+         "critical": pd.Series(dtype=float), "drift": pd.Series(dtype=bool),
+         "n": pd.Series(dtype=np.int64)}
     )
+    if _on("ks_drift"):
+        from ..stages.drift import ks_2samp_from_sorted, ks_critical
+
+        min_effect = float(ck.get("ks_drift", {}).get("min_effect", 0.15))
+        digests = state["tok_digests"]
+        counts = state["lang_counts"]
+        qs = (np.arange(256) + 0.5) / 256
+        pooled = TDigest()
+        for d in digests.values():
+            pooled.merge(TDigest(d.delta, d.means.copy(), d.weights.copy()))
+        bq = np.sort(pooled.quantile(qs))
+        m = sum(counts.values())
+        ks_rows = []
+        for g in sorted(digests):
+            a = np.sort(digests[g].quantile(qs))
+            d_stat = ks_2samp_from_sorted(a, bq)
+            crit = ks_critical(counts[g], m)
+            ks_rows.append((g, d_stat, crit, bool(d_stat > max(crit, min_effect)), counts[g]))
+        ksdf = pd.DataFrame(ks_rows, columns=["lang", "ks_stat", "critical", "drift", "n"])
+        n_drift = int(ksdf["drift"].sum())
+        verdict_rows.append(
+            ("ks_drift_lang_tokens", n_drift == 0, n_drift, ksdf.to_json(orient="records"))
+        )
 
     # canonical verdict order: with the keyed checks running on an
     # overlap thread their completion order is nondeterministic —

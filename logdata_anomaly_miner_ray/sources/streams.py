@@ -66,7 +66,12 @@ def iter_socket_line_batches(
             while True:
                 nl = buf.find(b"\n")
                 if nl < 0:
-                    if len(buf) > max_line_bytes and not skipping:
+                    if skipping:
+                        # still inside an overlong line: discard the
+                        # remainder so a newline-free stream section
+                        # cannot grow the buffer past max_line_bytes
+                        del buf[:]
+                    elif len(buf) > max_line_bytes:
                         lines.append(bytes(buf[:max_line_bytes]))
                         flags.append(True)
                         skipping = True

@@ -40,9 +40,11 @@ _CACHE: dict = {}
 
 
 def _cache_put(key, obj) -> None:
+    # true LRU: callers pop-and-reinsert on hit, so dict order is
+    # recency order and the front is always the least recently used
     _CACHE[key] = obj
     while len(_CACHE) > _CACHE_MAX:
-        _CACHE.pop(next(iter(_CACHE)))  # oldest-inserted first
+        _CACHE.pop(next(iter(_CACHE)))
 
 
 def _key_part(v) -> Any:
@@ -79,10 +81,10 @@ def cached_task_fn(cls, cache_on: tuple = (), **ctor_kwargs):
         nonlocal key
         if key is None:
             key = _cache_key(cls, cache_on, ctor_kwargs)
-        obj = _CACHE.get(key)
+        obj = _CACHE.pop(key, None)  # pop+reinsert keeps LRU order on hits
         if obj is None:
             obj = cls(**ctor_kwargs)
-            _cache_put(key, obj)
+        _cache_put(key, obj)
         return obj(batch)
 
     fn.__name__ = f"task:{cls.__name__}"

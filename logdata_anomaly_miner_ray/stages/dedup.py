@@ -173,6 +173,11 @@ def minhash_lsh_candidate_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
+def _kgrams(s: str, k: int) -> set:
+    toks = s.split()
+    return {tuple(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))}
+
+
 def minhash_verified_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -182,54 +187,146 @@ def minhash_verified_pairs(
     num_perm: int = 64,
     num_bands: int = 16,
     k_shingle: int = 3,
+    driver_text_limit: int = 4096,
+    pairs_per_bucket: int = 64,
 ) -> pd.DataFrame:
     """LSH candidates verified with EXACT word k-gram Jaccard: the
     banded-LSH pass proposes pairs (signature threshold deliberately
     looser than the exact one so signature noise never drops a true
-    pair), the texts of only the candidate ids are gathered via a
-    broadcast id-set filter pass (bounded by #candidates, the corpus
-    never collects), and the exact shingle-set Jaccard decides.
+    pair); the exact shingle-set Jaccard decides. Only the PAIR ID
+    LIST ever reaches the driver (bounded by candidate count).
+
+    Two verification tiers by candidate-id count:
+
+    - ≤ ``driver_text_limit`` distinct ids: texts of the candidate
+      ids gathered via a broadcast id-set filter pass and verified on
+      the driver — the fast path for dup-sparse corpora.
+    - larger (near-dup-heavy corpora): DISTRIBUTED verification — the
+      pairs are hashed into buckets of ≤ ``pairs_per_bucket`` pairs,
+      an id→buckets map is broadcast, one streaming pass replicates
+      each candidate text to its pair buckets (non-candidates never
+      shuffle), and a ``groupby(bucket).map_groups`` computes the
+      exact Jaccard with both texts co-located. No driver text
+      gather at any corpus size.
+
     Output (id_a, id_b, jaccard) is recomputable by a SQL engine's
     all-pairs shingle intersection at test scale."""
     import ray as _ray
 
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+         "jaccard": pd.Series(dtype=np.float64)}
+    )
     cand = minhash_lsh_candidate_pairs(
         ds, text_col, id_col,
         num_perm=num_perm, num_bands=num_bands, k_shingle=k_shingle,
         jaccard_threshold=candidate_threshold,
     ).to_pandas()
     if cand.empty:
-        return pd.DataFrame(
-            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-             "jaccard": pd.Series(dtype=np.float64)}
-        )
-    wanted = np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
-    wref = _ray.put(wanted)
+        return empty
+    ca = cand["id_a"].to_numpy(np.int64)
+    cb = cand["id_b"].to_numpy(np.int64)
+    wanted = np.unique(np.concatenate([ca, cb]))
 
-    def gather(batch: pa.Table) -> pa.Table:
+    if len(wanted) <= driver_text_limit:
+        wref = _ray.put(wanted)
+
+        def gather(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            keep = np.isin(ids, _ray.get(wref))
+            return batch.select([id_col, text_col]).filter(pa.array(keep))
+
+        texts = ds.map_batches(
+            gather, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).to_pandas()
+        lookup = dict(zip(texts[id_col], texts[text_col]))
+        gcache = {i: _kgrams(lookup[i], k_shingle) for i in wanted if i in lookup}
+        rows = []
+        for a, b in zip(ca, cb):
+            ga, gb = gcache.get(a), gcache.get(b)
+            if ga is None or gb is None or (not ga and not gb):
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= jaccard_threshold:
+                rows.append((int(a), int(b), j))
+        out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    # distributed tier: bucket the pairs, co-locate pair texts
+    n_buckets = max(1, (len(ca) + pairs_per_bucket - 1) // pairs_per_bucket)
+    pair_bucket = (ca * np.int64(1_000_003) + cb) % np.int64(n_buckets)
+    # id -> buckets (an id in many pairs replicates to each bucket once)
+    both_ids = np.concatenate([ca, cb])
+    both_bk = np.concatenate([pair_bucket, pair_bucket])
+    iu = np.unique(np.stack([both_ids, both_bk], axis=1), axis=0)
+    id2buckets: dict[int, np.ndarray] = {}
+    cut = np.flatnonzero(np.concatenate([[True], iu[1:, 0] != iu[:-1, 0]]))
+    for s, e in zip(cut, np.concatenate([cut[1:], [len(iu)]])):
+        id2buckets[int(iu[s, 0])] = iu[s:e, 1]
+    bucket_pairs: dict[int, list[tuple[int, int]]] = {}
+    for a, b, bk in zip(ca, cb, pair_bucket):
+        bucket_pairs.setdefault(int(bk), []).append((int(a), int(b)))
+    maps_ref = _ray.put((id2buckets, bucket_pairs))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        i2b, _ = _ray.get(maps_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, _ray.get(wref))
-        return batch.select([id_col, text_col]).filter(pa.array(keep))
+        texts = batch[text_col]
+        out_bk: list[np.ndarray] = []
+        out_rows: list[np.ndarray] = []
+        for pos, i in enumerate(ids):
+            bks = i2b.get(int(i))
+            if bks is not None:
+                out_bk.append(bks)
+                out_rows.append(np.full(len(bks), pos, dtype=np.int64))
+        if not out_bk:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 text_col: pa.array([], pa.string())}
+            )
+        rows_idx = np.concatenate(out_rows)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_bk).astype(np.int64)),
+                id_col: pa.array(ids[rows_idx].astype(np.int64)),
+                text_col: texts.take(pa.array(rows_idx)),
+            }
+        )
 
-    texts = ds.map_batches(
-        gather, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).to_pandas()
-    lookup = dict(zip(texts[id_col], texts[text_col]))
+    replicated = ds.map_batches(
+        replicate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
-    def grams(s: str) -> set:
-        toks = s.split()
-        return {tuple(toks[i : i + k_shingle]) for i in range(max(0, len(toks) - k_shingle + 1))}
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty
+        _, bk_pairs = _ray.get(maps_ref)
+        pairs_here = bk_pairs.get(int(g["bucket"].iloc[0]), [])
+        gcache = {
+            int(i): _kgrams(t, k_shingle)
+            for i, t in zip(g[id_col].to_numpy(), g[text_col])
+        }
+        rows = []
+        for a, b in pairs_here:
+            ga, gb = gcache.get(a), gcache.get(b)
+            if ga is None or gb is None or (not ga and not gb):
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= jaccard_threshold:
+                rows.append((a, b, j))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+            {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64}
+        )
 
-    gcache = {i: grams(lookup[i]) for i in wanted if i in lookup}
-    rows = []
-    for a, b in zip(cand["id_a"].to_numpy(), cand["id_b"].to_numpy()):
-        ga, gb = gcache.get(a), gcache.get(b)
-        if ga is None or gb is None or (not ga and not gb):
-            continue
-        j = len(ga & gb) / len(ga | gb)
-        if j >= jaccard_threshold:
-            rows.append((int(a), int(b), j))
-    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    out = (
+        replicated.groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -16,6 +16,9 @@ counts undercount true frequencies by at most total/(capacity+1)
 
 provably keeps every true heavy hitter (count > total/phi_den) and,
 by Markov, at most ~(4/3)*phi_den candidates — a bounded broadcast.
+The rule is applied DATASET-side (total from the "" rows first, then
+an Arrow filter), so the driver holds only the candidates, never the
+#blocks×(capacity+1) merged sketch table.
 
 pass 2 (exact recount): candidates are ``ray.put`` once; each block
 emits exact counts for candidate tokens only; one tiny groupby-sum
@@ -92,16 +95,39 @@ def heavy_hitter_tokens(
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
     )
-    mg_df = merged.to_pandas()
-    if len(mg_df) == 0:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT_SCHEMA.items()})
-    total = int(mg_df.loc[mg_df["token"] == "", "n"].sum())
+    # total first (the single "" row of the merged table), then the
+    # integer candidate rule as a DATASET-SIDE filter: the driver only
+    # ever holds the ~(4/3)*phi_den candidates, never the
+    # #blocks×(capacity+1) merged sketch table (ADVICE r2 at 100×
+    # block counts). Both jobs run over the materialized merged table,
+    # so they skip the read and cost only executor overhead.
+    import pyarrow.compute as pc
+
+    def _total_row(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["token"], ""))
+        s = pc.sum(sel["n"]).as_py() or 0
+        return pa.table({"t": pa.array([int(s)], pa.int64())})
+
+    total = 0
+    for bt in merged.map_batches(
+        _total_row, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(bt["t"]).as_py() or 0)
     if total == 0:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT_SCHEMA.items()})
-    # integer candidate rule: mg_sum*(phi_den*(cap+1)) > total*(cap+1-phi_den)
-    lhs = mg_df["n"].to_numpy(np.int64) * (phi_den * (capacity + 1))
+
+    # mg_sum*(phi_den*(cap+1)) > total*(cap+1-phi_den), in int64
     rhs = total * (capacity + 1 - phi_den)
-    cand = mg_df.loc[(lhs > rhs) & (mg_df["token"] != ""), "token"]
+    mul = phi_den * (capacity + 1)
+
+    def _cand_filter(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply_checked(pc.cast(t["n"], pa.int64()), pa.scalar(mul, pa.int64()))
+        keep = pc.and_(pc.greater(lhs, pa.scalar(rhs, pa.int64())), pc.not_equal(t["token"], ""))
+        return t.filter(keep).select(["token"])
+
+    cand = merged.map_batches(
+        _cand_filter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()["token"]
     if len(cand) == 0:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT_SCHEMA.items()})
     cand_ref = ray.put(frozenset(cand))

@@ -213,8 +213,9 @@ def asof_join(
             )
             m = pd.merge_asof(lidx, ridx, on="__on", by=by, direction="backward")
             rp = m["__rp"].to_numpy()  # float64 with NaN; POSITIONS are < 2^53
+            nan = np.isnan(rp)
             take_r = pa.array(
-                [None if np.isnan(x) else int(x) for x in rp], pa.int64()
+                np.where(nan, 0, rp).astype(np.int64), pa.int64(), mask=nan
             )
         else:
             take_r = pa.nulls(lf.num_rows, pa.int64())

@@ -60,29 +60,46 @@ class CheckpointManifest:
 
 
 STATE_FORMAT_VERSION = 1
+# file magic written before the pickle payload: load_state refuses
+# files without it instead of unpickling arbitrary bytes
+_STATE_MAGIC = b"LAMRAY-STATE\x01"
 
 
 def save_state(state: dict, path: str) -> None:
     """Persist a fit pass's merged constraint state (the engine's
     analogue of AMiner's PersistenceUtil store of learned detector
     state, aminer/util/PersistenceUtil.py) — written atomically
-    (tmp + rename) so a crash never leaves a torn state file."""
+    (tmp + rename) so a crash never leaves a torn state file.
+
+    SECURITY: the payload is pickle (it carries numpy arrays and
+    sketch objects); loading executes the pickle, so ``--state``
+    files must come from a TRUSTED source — treat them like code,
+    not like data. The magic prefix only guards against loading the
+    wrong kind of file, not against a malicious one."""
     import os
     import pickle
 
     payload = {"format": STATE_FORMAT_VERSION, "state": state}
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
+        f.write(_STATE_MAGIC)
         pickle.dump(payload, f, protocol=5)
     os.replace(tmp, path)
 
 
 def load_state(path: str) -> dict:
-    """Load a persisted constraint state; refuses unknown format
-    versions instead of mis-validating with half-read constraints."""
+    """Load a persisted constraint state; refuses files without the
+    state magic (never unpickles arbitrary bytes) and unknown format
+    versions instead of mis-validating with half-read constraints.
+    Only load files you trust — see ``save_state``."""
     import pickle
 
     with open(path, "rb") as f:
+        magic = f.read(len(_STATE_MAGIC))
+        if magic != _STATE_MAGIC:
+            raise ValueError(
+                f"{path!r} is not a saved constraint-state file (bad magic)"
+            )
         payload = pickle.load(f)
     if not isinstance(payload, dict) or payload.get("format") != STATE_FORMAT_VERSION:
         raise ValueError(

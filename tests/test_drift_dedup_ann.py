@@ -87,6 +87,38 @@ def test_minhash_lsh_finds_near_dups():
     assert set(zip(pairs["id_a"], pairs["id_b"])) == {(10, 20)}
 
 
+def test_minhash_verified_pairs_distributed_tier_matches_driver():
+    """Adversarial near-dup-HEAVY corpus: many templated documents,
+    most of them near-duplicates of each other. Forcing
+    driver_text_limit=0 exercises the distributed bucketed-map_groups
+    verification tier; it must produce exactly the driver tier's
+    (id_a, id_b, jaccard) output — no pair lost at bucket boundaries,
+    texts co-located per pair bucket instead of gathered."""
+    from logdata_anomaly_miner_ray.stages.dedup import minhash_verified_pairs
+
+    rng = np.random.default_rng(17)
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "on the dusty road near the old mill town after dark tonight").split()
+    docs, ids = [], []
+    for i in range(60):
+        toks = list(base)
+        # 0-2 word substitutions → most pairs are true near-dups
+        for _ in range(int(rng.integers(0, 3))):
+            toks[int(rng.integers(0, len(toks)))] = f"w{int(rng.integers(0, 5))}"
+        docs.append(" ".join(toks))
+        ids.append(i + 1)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+    ds = rd.from_arrow(t).repartition(6)
+
+    kw = dict(jaccard_threshold=0.6, candidate_threshold=0.3, k_shingle=3)
+    want = minhash_verified_pairs(ds, "text", "doc_id", **kw)  # driver tier
+    got = minhash_verified_pairs(
+        ds, "text", "doc_id", driver_text_limit=0, pairs_per_bucket=7, **kw
+    )
+    assert len(want) > 30  # the fixture really is near-dup-heavy
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_simhash_near_dup_pairs():
     from logdata_anomaly_miner_ray.stages.dedup import simhash_near_dup_pairs
 

@@ -68,6 +68,30 @@ def test_heavy_hitter_tokens_exact_vs_pandas(ray_session):
     assert len(got) > 0  # zipf head must fire
 
 
+def test_heavy_hitter_tokens_many_small_blocks(ray_session):
+    """The candidate rule is applied dataset-side: with many tiny
+    blocks the merged MG table is #blocks×(capacity+1) rows, but the
+    result must stay exact and the driver only sees candidates."""
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(150)]
+    docs = []
+    for _ in range(256):
+        ids = _zipf_stream(rng, 12, len(vocab))
+        docs.append(" ".join(vocab[i] for i in ids))
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())})).repartition(64)
+
+    got = heavy_hitter_tokens(ds, "text", phi_den=16, capacity=64)
+
+    toks = pd.Series(" ".join(docs).split())
+    counts = toks.value_counts()
+    total = len(toks)
+    want = counts[counts * 16 > total].reset_index()
+    want.columns = ["token", "n"]
+    want = want.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["n"]) == list(want["n"])
+
+
 def test_heavy_hitter_tokens_empty_and_whitespace(ray_session):
     ds = rd.from_arrow(
         pa.table({"text": pa.array(["   ", "", "\t\n"], pa.string())})
