@@ -494,6 +494,53 @@ def q_json_extract_events(sf_dir: str):
     )
 
 
+def q_json_schema_events(sf_dir: str):
+    """JsonModelElement MARKER semantics (reference
+    parsing/JsonModelElement.py:55-93): optional-key / nullable-key
+    prefixes, EMPTY_ARRAY marker, strict unexpected-key rejection.
+    Deterministic per-event JSON variants exercise every verdict; the
+    oracle revalidates the same documents with DuckDB's JSON kernel."""
+    from logdata_anomaly_miner_ray.functions.parsing import JsonSchema, json_schema_validate
+
+    js = JsonSchema(
+        {"k": int, "+note": str, "optional_key_tag": str, "optional_key_arr": "EMPTY_ARRAY"}
+    )
+
+    def add(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        docs = []
+        for e in eid:
+            k, m = int(e % 100), int(e % 8)
+            if m == 0:
+                docs.append('{"k": %d, "note": "n"}' % k)
+            elif m == 1:
+                docs.append('{"k": %d, "note": null}' % k)
+            elif m == 2:
+                docs.append('{"k": %d, "note": "x", "tag": "t"}' % k)
+            elif m == 3:
+                docs.append('{"k": "bad", "note": "x"}')
+            elif m == 4:
+                docs.append('{"note": "x"}')
+            elif m == 5:
+                docs.append('{"k": %d, "note": "x", "extra": 1}' % k)
+            elif m == 6:
+                docs.append('{"k": %d, "note": "x", "arr": []}' % k)
+            else:
+                docs.append('{"k": %d, "note": "x", "arr": [1]}' % k)
+        cols = json_schema_validate(pa.array(docs, pa.string()), js)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "valid": cols["valid"],
+                "reject_reason": pc.coalesce(cols["reject_reason"], pa.scalar("", pa.string())),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def q_allowlist_rules_events(sf_dir: str):
     """Rule-engine allowlist check (AllowlistViolationDetector):
     rows matching NO allowlist rule are violations."""
@@ -1417,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_join": q_nation_revenue_join,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "json_extract_events": q_json_extract_events,
+        "json_schema_events": q_json_schema_events,
         "allowlist_rules_events": q_allowlist_rules_events,
         "implication_support_events": q_implication_support_events,
         "mean_shift_events": q_mean_shift_events,
@@ -1679,6 +1727,51 @@ LIMIT 10""",
         "json_extract_events": """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
 FROM events""",
+        "json_schema_events": """
+WITH docs AS (
+  SELECT event_id,
+    CASE CAST(event_id % 8 AS INTEGER)
+      WHEN 0 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "note": "n"}'
+      WHEN 1 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "note": null}'
+      WHEN 2 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "note": "x", "tag": "t"}'
+      WHEN 3 THEN '{"k": "bad", "note": "x"}'
+      WHEN 4 THEN '{"note": "x"}'
+      WHEN 5 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "note": "x", "extra": 1}'
+      WHEN 6 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "note": "x", "arr": []}'
+      ELSE '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "note": "x", "arr": [1]}'
+    END AS doc
+  FROM events
+), checked AS (
+  SELECT event_id,
+    CASE
+      WHEN NOT json_valid(doc) THEN 'bad_json:'
+      WHEN json_type(doc) != 'OBJECT' THEN 'not_object:'
+      -- stage 1: missing required keys, sorted stripped order (k, note;
+      -- arr/tag are optional)
+      WHEN json_type(doc, '$.k') IS NULL THEN 'missing:k'
+      WHEN json_type(doc, '$.note') IS NULL THEN 'missing:note'
+      -- stage 2: value checks in sorted key order (arr, k, note, tag)
+      WHEN json_type(doc, '$.arr') = 'NULL' THEN 'null:arr'
+      WHEN json_type(doc, '$.arr') IS NOT NULL
+           AND (json_type(doc, '$.arr') != 'ARRAY'
+                OR json_array_length(doc, '$.arr') != 0) THEN 'not_empty_array:arr'
+      WHEN json_type(doc, '$.k') = 'NULL' THEN 'null:k'
+      WHEN json_type(doc, '$.k') NOT IN ('UBIGINT', 'BIGINT') THEN 'type:k'
+      WHEN json_type(doc, '$.note') NOT IN ('VARCHAR', 'NULL') THEN 'type:note'
+      WHEN json_type(doc, '$.tag') = 'NULL' THEN 'null:tag'
+      WHEN json_type(doc, '$.tag') IS NOT NULL
+           AND json_type(doc, '$.tag') != 'VARCHAR' THEN 'type:tag'
+      -- stage 3: unexpected keys, sorted
+      WHEN len(list_filter(json_keys(doc), x -> x NOT IN ('k', 'note', 'tag', 'arr'))) > 0
+        THEN 'unexpected:' ||
+             list_sort(list_filter(json_keys(doc), x -> x NOT IN ('k', 'note', 'tag', 'arr')))[1]
+      ELSE NULL
+    END AS reject_reason
+  FROM docs
+)
+SELECT event_id, reject_reason IS NULL AS valid,
+       coalesce(reject_reason, '') AS reject_reason
+FROM checked""",
         "allowlist_rules_events": """
 SELECT event_id FROM events
 WHERE NOT (event_type IN ('click', 'view', 'purchase')

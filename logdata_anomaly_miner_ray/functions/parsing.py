@@ -88,6 +88,216 @@ def json_extract(
     return out
 
 
+_JSON_MARKERS = frozenset(
+    {"ALLOW_ALL", "EMPTY_ARRAY", "EMPTY_OBJECT", "EMPTY_STRING", "NULL_OBJECT"}
+)
+
+
+def validate_json_schema_spec(schema: dict) -> None:
+    """Reject malformed schema dicts up front (the reference's
+    validate_key_parser_dict, JsonModelElement.py:76-96)."""
+    for v in schema.values():
+        if isinstance(v, dict):
+            validate_json_schema_spec(v)
+        elif isinstance(v, list):
+            if len(v) == 0:
+                raise ValueError("lists in a json schema must have at least one entry")
+            for alt in v:
+                if isinstance(alt, dict):
+                    validate_json_schema_spec(alt)
+                elif not (alt in (str, int, float, bool) or alt in _JSON_MARKERS):
+                    raise TypeError(f"wrong type found in json schema list: {alt!r}")
+        elif not (v in (str, int, float, bool) or v in _JSON_MARKERS):
+            raise TypeError(f"wrong type found in json schema: {v!r}")
+
+
+class JsonSchema:
+    """JsonModelElement marker semantics over a schema dict (clean-room
+    recast of reference parsing/JsonModelElement.py:55-93,216-370):
+
+    - keys may carry an ``optional_key_`` prefix (key may be absent)
+      and/or a ``+`` prefix (value may be null), in either order;
+    - leaf specs are the python types ``str/int/float/bool`` (json
+      type match; int excludes bool, float accepts any number) or the
+      markers ``"ALLOW_ALL"`` (any value), ``"EMPTY_ARRAY"`` /
+      ``"EMPTY_OBJECT"`` / ``"EMPTY_STRING"`` (only the empty value),
+      ``"NULL_OBJECT"`` (only null). Reference quirks preserved:
+      ALLOW_ALL rejects json arrays (check_keys "RETURN [NONE] 5")
+      and null needs the nullable prefix even under ALLOW_ALL;
+    - a nested dict spec requires a json object and recurses; the
+      special key ``"ALLOW_ALL_KEYS"`` lets every key through, each
+      value validated against its spec;
+    - a list spec requires a json array whose every element matches
+      at least one of the listed alternatives;
+    - ``allow_all_fields=True`` skips unexpected keys instead of
+      rejecting (reference ``allow_all_fields``).
+
+    Failures are reported as ``reason:keypath`` with a CANONICAL
+    evaluation order (so the verdict is reproducible in SQL): per
+    object first missing required keys (sorted), then per-key value
+    checks (sorted, depth-first), then unexpected keys (sorted).
+    """
+
+    def __init__(
+        self,
+        schema: dict,
+        optional_key_prefix: str = "optional_key_",
+        nullable_key_prefix: str = "+",
+        allow_all_fields: bool = False,
+    ):
+        validate_json_schema_spec(schema)
+        self.schema = schema
+        self.opt = optional_key_prefix
+        self.nul = nullable_key_prefix
+        self.allow_all_fields = allow_all_fields
+
+    def _strip(self, key: str) -> str:
+        # reference get_stripped_key: optional, nullable, optional again
+        if key.startswith(self.opt):
+            key = key[len(self.opt):]
+        if key.startswith(self.nul):
+            key = key[len(self.nul):]
+        if key.startswith(self.opt):
+            key = key[len(self.opt):]
+        return key
+
+    def _full_key(self, key: str, sdict: dict) -> str:
+        # reference get_full_key probe order
+        for opt in (
+            self.opt + self.nul + key,
+            self.nul + self.opt + key,
+            self.opt + key,
+            self.nul + key,
+        ):
+            if opt in sdict:
+                return opt
+        return key
+
+    def _is_optional(self, full_key: str) -> bool:
+        return full_key.startswith(self.opt) or full_key.startswith(self.nul + self.opt)
+
+    def _is_nullable(self, full_key: str) -> bool:
+        return full_key.startswith(self.nul) or (
+            full_key.startswith(self.opt) and full_key[len(self.opt):].startswith(self.nul)
+        )
+
+    def _check_value(self, value, spec, path: str) -> str | None:
+        if isinstance(spec, dict):
+            if not isinstance(value, dict):
+                return f"type:{path}"
+            return self._check_object(value, spec, path)
+        if isinstance(spec, list):
+            if not isinstance(value, list):
+                return f"type:{path}"
+            for i, el in enumerate(value):
+                if not any(
+                    self._elem_ok(el, alt, f"{path}[{i}]") for alt in spec
+                ):
+                    return f"elem:{path}"
+            return None
+        if spec == "ALLOW_ALL":
+            # reference check_keys rejects a json ARRAY under any
+            # non-list spec including ALLOW_ALL
+            # (JsonModelElement.py:331-339 "RETURN [NONE] 5")
+            return None if not isinstance(value, list) else f"type:{path}"
+        if spec == "NULL_OBJECT":
+            return None if value is None else f"not_null:{path}"
+        if spec == "EMPTY_ARRAY":
+            return None if value == [] and isinstance(value, list) else f"not_empty_array:{path}"
+        if spec == "EMPTY_OBJECT":
+            return None if value == {} and isinstance(value, dict) else f"not_empty_object:{path}"
+        if spec == "EMPTY_STRING":
+            return None if value == "" else f"not_empty_string:{path}"
+        if spec is bool:
+            return None if isinstance(value, bool) else f"type:{path}"
+        if spec is int:
+            return None if isinstance(value, int) and not isinstance(value, bool) else f"type:{path}"
+        if spec is float:
+            ok = isinstance(value, (int, float)) and not isinstance(value, bool)
+            return None if ok else f"type:{path}"
+        if spec is str:
+            return None if isinstance(value, str) else f"type:{path}"
+        return f"type:{path}"  # unreachable after spec validation
+
+    def _elem_ok(self, el, alt, path: str) -> bool:
+        return self._check_value(el, alt, path) is None
+
+    def _check_object(self, obj: dict, sdict: dict, path: str) -> str | None:
+        def child(key: str) -> str:
+            return f"{path}.{key}" if path else key
+
+        if "ALLOW_ALL_KEYS" in sdict:
+            spec = sdict["ALLOW_ALL_KEYS"]
+            for key in sorted(obj):
+                r = self._check_value(obj[key], spec, child(key))
+                if r is not None:
+                    return r
+            return None
+        # stage 1: missing required keys, sorted by stripped name
+        stripped = {self._strip(k): k for k in sdict}
+        for sk in sorted(stripped):
+            fk = stripped[sk]
+            if sk not in obj and not self._is_optional(fk):
+                return f"missing:{child(sk)}"
+        # stage 2: per-key value checks (sorted), depth-first
+        for sk in sorted(stripped):
+            fk = stripped[sk]
+            if sk not in obj:
+                continue
+            value = obj[sk]
+            if value is None and self._is_nullable(fk):
+                continue
+            if value is None and sdict[fk] != "NULL_OBJECT":
+                # incl. ALLOW_ALL: the reference rejects null there
+                # unless the key carries the nullable prefix
+                # (JsonModelElement.py parse_json_object None branch)
+                return f"null:{child(sk)}"
+            r = self._check_value(value, sdict[fk], child(sk))
+            if r is not None:
+                return r
+        # stage 3: unexpected keys, sorted
+        if not self.allow_all_fields:
+            for key in sorted(obj):
+                if key not in stripped:
+                    return f"unexpected:{child(key)}"
+        return None
+
+    def check_document(self, text: str | None) -> str | None:
+        """Validate one JSON document; None = valid, else the first
+        canonical ``reason:keypath``."""
+        if text is None:
+            return "bad_json:"
+        try:
+            obj = json.loads(text)
+        except (ValueError, TypeError):
+            return "bad_json:"
+        if not isinstance(obj, dict):
+            return "not_object:"
+        return self._check_object(obj, self.schema, "")
+
+
+def json_schema_validate(
+    col,
+    schema: dict | JsonSchema,
+    flag_name: str = "valid",
+    reason_name: str = "reject_reason",
+    **schema_kwargs,
+) -> dict[str, pa.Array]:
+    """Validate a JSON-string column against a JsonSchema. Returns
+    ``{flag_name: bool array, reason_name: string array}`` (reason is
+    null for valid rows). Row-level json.loads is unavoidable without
+    a JSON kernel in this pyarrow build; the loop runs inside
+    distributed map_batches tasks."""
+    js = schema if isinstance(schema, JsonSchema) else JsonSchema(schema, **schema_kwargs)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    reasons = [js.check_document(v.as_py()) for v in col]
+    return {
+        flag_name: pa.array([r is None for r in reasons], pa.bool_()),
+        reason_name: pa.array(reasons, pa.string()),
+    }
+
+
 def parse_datetime(col, fmt: str = "%Y-%m-%d %H:%M:%S") -> pa.Array:
     """String → timestamp[us]; unparseable rows become null (the
     reference raises per-atom parse failure; columnar recast flags)."""

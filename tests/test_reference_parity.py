@@ -1367,3 +1367,86 @@ def test_new_match_id_value_combo_parity(aminer_env):
     ours = {(r.a_set, r.b_set) for r in combos.itertuples()}
     assert ours == refs == {("get", "200"), ("post", "404"), ("get", "500")}
     assert (("post", "500") not in ours) == ref_probe_flag is True
+
+
+def test_json_model_element_marker_parity():
+    """JsonModelElement MARKER semantics (reference
+    parsing/JsonModelElement.py:55-93): drive the reference element
+    with an equivalent key_parser_dict over documents exercising
+    optional-key / nullable-key prefixes, EMPTY_ARRAY / EMPTY_OBJECT /
+    EMPTY_STRING / NULL_OBJECT / ALLOW_ALL / ALLOW_ALL_KEYS and
+    unexpected-key rejection; our JsonSchema must agree accept/reject
+    on every document."""
+    from aminer.parsing.AnyByteDataModelElement import AnyByteDataModelElement
+    from aminer.parsing.DecimalIntegerValueModelElement import (
+        DecimalIntegerValueModelElement,
+    )
+    from aminer.parsing.JsonModelElement import JsonModelElement
+    from aminer.parsing.MatchContext import MatchContext
+
+    from logdata_anomaly_miner_ray.functions.parsing import JsonSchema
+
+    def ref_accepts(element, doc: str) -> bool:
+        return element.get_match_element("m", MatchContext(doc.encode())) is not None
+
+    # schema 1: required int, nullable str, optional str, optional EMPTY_ARRAY
+    ref1 = JsonModelElement("j1", {
+        "k": DecimalIntegerValueModelElement("k"),
+        "+note": AnyByteDataModelElement("note"),
+        "optional_key_tag": AnyByteDataModelElement("tag"),
+        "optional_key_arr": "EMPTY_ARRAY",
+    })
+    ours1 = JsonSchema({
+        "k": int, "+note": str, "optional_key_tag": str, "optional_key_arr": "EMPTY_ARRAY",
+    })
+    docs1 = [
+        '{"k": 42, "note": "n"}',            # plain valid
+        '{"k": 42, "note": null}',           # nullable null
+        '{"k": 42, "note": "x", "tag": "t"}',  # optional present
+        '{"k": "bad", "note": "x"}',         # type mismatch
+        '{"note": "x"}',                     # missing required key
+        '{"k": 42, "note": "x", "extra": 1}',  # unexpected key
+        '{"k": 42, "note": "x", "arr": []}',   # EMPTY_ARRAY empty
+        '{"k": 42, "note": "x", "arr": [1]}',  # EMPTY_ARRAY non-empty
+        'not json at all',                   # parse failure
+    ]
+    for doc in docs1:
+        assert ref_accepts(ref1, doc) == (ours1.check_document(doc) is None), doc
+
+    # schema 2: EMPTY_OBJECT / EMPTY_STRING / NULL_OBJECT markers
+    ref2 = JsonModelElement("j2", {
+        "eo": "EMPTY_OBJECT", "es": "EMPTY_STRING", "no": "NULL_OBJECT",
+    })
+    ours2 = JsonSchema({"eo": "EMPTY_OBJECT", "es": "EMPTY_STRING", "no": "NULL_OBJECT"})
+    docs2 = [
+        '{"eo": {}, "es": "", "no": null}',       # all markers satisfied
+        '{"eo": {"a": 1}, "es": "", "no": null}',  # EMPTY_OBJECT violated
+        '{"eo": {}, "es": "x", "no": null}',       # EMPTY_STRING violated
+    ]
+    for doc in docs2:
+        assert ref_accepts(ref2, doc) == (ours2.check_document(doc) is None), doc
+
+    # schema 3: allow_all_fields skips unknown keys
+    ref3 = JsonModelElement(
+        "j3", {"k": DecimalIntegerValueModelElement("k")}, allow_all_fields=True
+    )
+    ours3 = JsonSchema({"k": int}, allow_all_fields=True)
+    docs3 = ['{"k": 1, "whatever": "x"}', '{"whatever": "x"}']
+    for doc in docs3:
+        assert ref_accepts(ref3, doc) == (ours3.check_document(doc) is None), doc
+
+    # schema 4: ALLOW_ALL value + ALLOW_ALL_KEYS object
+    ref4 = JsonModelElement("j4", {
+        "k": "ALLOW_ALL",
+        "meta": {"ALLOW_ALL_KEYS": DecimalIntegerValueModelElement("v")},
+    })
+    ours4 = JsonSchema({"k": "ALLOW_ALL", "meta": {"ALLOW_ALL_KEYS": int}})
+    docs4 = [
+        '{"k": "anything", "meta": {"a": 1, "b": 2}}',   # all keys, int values
+        '{"k": [1, 2], "meta": {"a": 1}}',   # array under ALLOW_ALL: ref REJECTS (check_keys)
+        '{"k": {"z": 1}, "meta": {"a": 1}}',  # object under ALLOW_ALL: accepted
+        '{"k": null, "meta": {"a": 1}}',      # null under ALLOW_ALL: ref REJECTS
+        '{"k": "x", "meta": {"a": "notint"}}',           # value under ALLOW_ALL_KEYS fails
+    ]
+    for doc in docs4:
+        assert ref_accepts(ref4, doc) == (ours4.check_document(doc) is None), doc

@@ -267,3 +267,85 @@ def test_line_model_repeated_lists():
     out = pa.concat_tables(parts)
     assert out["parse_ok"].to_pylist() == [True, True, False, False]
     assert out["xs"].to_pylist()[:2] == [[1, 2, 3], [9, 8]]
+
+
+def test_json_schema_reject_reasons_canonical_order():
+    """Marker semantics + the canonical reason order (missing →
+    value checks → unexpected, each sorted) that makes the verdicts
+    SQL-reproducible."""
+    from logdata_anomaly_miner_ray.functions.parsing import JsonSchema
+
+    js = JsonSchema(
+        {"k": int, "+note": str, "optional_key_tag": str, "optional_key_arr": "EMPTY_ARRAY"}
+    )
+    cases = [
+        ('{"k": 1, "note": "n"}', None),
+        ('{"k": 1, "note": null}', None),              # nullable
+        ('{"k": 1, "note": "x", "tag": "t"}', None),   # optional present
+        ('{"k": "bad", "note": "x"}', "type:k"),
+        ('{"note": "x"}', "missing:k"),
+        ('{"note": "x", "extra": 1}', "missing:k"),    # missing beats unexpected
+        ('{"k": 1, "note": "x", "extra": 1}', "unexpected:extra"),
+        ('{"k": 1, "note": "x", "zz": 1, "aa": 2}', "unexpected:aa"),  # sorted
+        ('{"k": 1, "note": "x", "arr": []}', None),
+        ('{"k": 1, "note": "x", "arr": [1]}', "not_empty_array:arr"),
+        ('{"k": null, "note": "x"}', "null:k"),
+        ('{"k": "a", "note": 5}', "type:k"),           # sorted value checks: k before note
+        ("nope", "bad_json:"),
+        ("[1, 2]", "not_object:"),
+        (None, "bad_json:"),
+    ]
+    for doc, want in cases:
+        assert js.check_document(doc) == want, doc
+
+
+def test_json_schema_nested_and_lists():
+    from logdata_anomaly_miner_ray.functions.parsing import JsonSchema
+
+    js = JsonSchema(
+        {
+            "outer": {"inner": int, "+maybe": str},
+            "xs": [int],
+            "mix": [int, str],
+            "anyk": {"ALLOW_ALL_KEYS": int},
+            "free": "ALLOW_ALL",
+            "nul": "NULL_OBJECT",
+        }
+    )
+    ok = ('{"outer": {"inner": 1, "maybe": null}, "xs": [1, 2], '
+          '"mix": [1, "a"], "anyk": {"p": 1, "q": 2}, "free": "x", "nul": null}')
+    assert js.check_document(ok) is None
+    bad_inner = ok.replace('"inner": 1', '"inner": "s"')
+    assert js.check_document(bad_inner) == "type:outer.inner"
+    bad_elem = ok.replace('"xs": [1, 2]', '"xs": [1, "s"]')
+    assert js.check_document(bad_elem) == "elem:xs"
+    bad_anyk = ok.replace('"q": 2', '"q": "s"')
+    assert js.check_document(bad_anyk) == "type:anyk.q"
+    arr_free = ok.replace('"free": "x"', '"free": [1]')
+    assert js.check_document(arr_free) == "type:free"  # ref ALLOW_ALL array quirk
+    notnull = ok.replace('"nul": null', '"nul": 3')
+    assert js.check_document(notnull) == "not_null:nul"
+
+
+def test_json_schema_validate_batch_and_spec_validation():
+    import pytest as _pytest
+
+    from logdata_anomaly_miner_ray.functions.parsing import (
+        JsonSchema,
+        json_schema_validate,
+        validate_json_schema_spec,
+    )
+
+    col = pa.array(['{"k": 1}', '{"k": "x"}', None], pa.string())
+    out = json_schema_validate(col, {"k": int})
+    assert out["valid"].to_pylist() == [True, False, False]
+    assert out["reject_reason"].to_pylist() == [None, "type:k", "bad_json:"]
+
+    with _pytest.raises(TypeError):
+        validate_json_schema_spec({"k": "NOT_A_MARKER"})
+    with _pytest.raises(ValueError):
+        validate_json_schema_spec({"k": []})
+    # both prefixes in either order parse
+    js = JsonSchema({"optional_key_+a": int, "+optional_key_b": int})
+    assert js.check_document("{}") is None
+    assert js.check_document('{"a": null, "b": null}') is None
