@@ -541,6 +541,34 @@ def q_json_schema_events(sf_dir: str):
     )
 
 
+def q_datetime_parse_events(sf_dir: str):
+    """DateTimeModelElement depth (reference
+    parsing/DateTimeModelElement.py:70-420): %z timezone-name and
+    numeric-offset suffixes, fractional seconds, full civil-date
+    validation. Deterministic per-event string variants (rendered
+    from ts) are re-parsed back to UTC epoch micros; the oracle
+    computes the same micros arithmetically."""
+    from logdata_anomaly_miner_ray.functions.datetime_model import DateTimeParser
+
+    # suffix by event_id % 6: bare, UTC, UTC+01:00, +0230, CET, Z
+    suffixes = ["", " UTC", " UTC+01:00", "+0230", " CET", "Z"]
+
+    def add(batch: pa.Table) -> pa.Table:
+        # stateless (%Y present) → construct per batch, no carry
+        parser = DateTimeParser("%d.%m.%Y %H:%M:%S.%f%z")
+        rendered = pc.strftime(batch["ts"], format="%d.%m.%Y %H:%M:%S")
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        sfx = pa.array([suffixes[int(e % 6)] for e in eid], pa.string())
+        full = pc.binary_join_element_wise(rendered, sfx, "")
+        out = parser.parse_array(full)
+        return pa.table({"event_id": batch["event_id"],
+                         "epoch_us": out["micros"]})
+
+    return _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def q_allowlist_rules_events(sf_dir: str):
     """Rule-engine allowlist check (AllowlistViolationDetector):
     rows matching NO allowlist rule are violations."""
@@ -1465,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "json_extract_events": q_json_extract_events,
         "json_schema_events": q_json_schema_events,
+        "datetime_parse_events": q_datetime_parse_events,
         "allowlist_rules_events": q_allowlist_rules_events,
         "implication_support_events": q_implication_support_events,
         "mean_shift_events": q_mean_shift_events,
@@ -1772,6 +1801,12 @@ WITH docs AS (
 SELECT event_id, reject_reason IS NULL AS valid,
        coalesce(reject_reason, '') AS reject_reason
 FROM checked""",
+        "datetime_parse_events": """
+SELECT event_id,
+       epoch_us(ts) - CAST(CASE CAST(event_id % 6 AS INTEGER)
+         WHEN 2 THEN 3600 WHEN 3 THEN 9000 WHEN 4 THEN 3600 ELSE 0
+       END AS BIGINT) * 1000000 AS epoch_us
+FROM events""",
         "allowlist_rules_events": """
 SELECT event_id FROM events
 WHERE NOT (event_type IN ('click', 'view', 'purchase')

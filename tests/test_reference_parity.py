@@ -1450,3 +1450,108 @@ def test_json_model_element_marker_parity():
     ]
     for doc in docs4:
         assert ref_accepts(ref4, doc) == (ours4.check_document(doc) is None), doc
+
+
+def test_datetime_model_element_parity():
+    """Drive the reference DateTimeModelElement over every format
+    class from its unit tests (DateTimeModelElementTest.py) plus a
+    randomized sweep, and assert match/no-match and total_seconds
+    agreement with DateTimeParser — including %z name/offset suffixes,
+    missing-year wraparound state and %s scaling."""
+    from datetime import timezone, timedelta
+
+    import pyarrow as pa
+
+    from aminer.parsing.DateTimeModelElement import DateTimeModelElement
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.datetime_model import DateTimeParser
+
+    def ref_seq(fmt: bytes, datas: list[bytes], **kw):
+        elem = DateTimeModelElement("dt", fmt, **kw)
+        out = []
+        for d in datas:
+            me = elem.get_match_element("p", MatchContext(d))
+            out.append(None if me is None else float(me.match_object))
+        return out, elem
+
+    def ours_seq(fmt: str, datas: list[str], tz_off=0, **kw):
+        p = DateTimeParser(fmt, tz_offset_seconds=tz_off, **kw)
+        return p.parse_array(pa.array(datas, pa.string()))[
+            "seconds"].to_pylist(), p
+
+    suites = [
+        # (format, inputs, ref kwargs, our kwargs)
+        (b"%d.%m.%Y %H:%M:%S", [
+            b"07.02.2019 11:40:00: x", b"29.02.2020 11:40:00: x",
+            b"32.03.2019 11:40:00: x", b"01.13.2019 11:40:00: x",
+            b"29.02.2019 11:40:00: x", b"01.01.1900 11:40:00: x",
+        ], {"time_zone": timezone.utc}, {}),
+        (b"%d.%m.%Y %H:%M:%S.%f", [
+            b"07.02.2019 11:40:00.123456: x", b"07.02.2019 11:40:00.5: x",
+        ], {"time_zone": timezone.utc}, {}),
+        (b"%d.%m.%Y %H:%M:%S%z", [
+            b"07.02.2019 11:40:00+0000: x", b"07.02.2019 11:40:00 UTC: x",
+            b"07.02.2019 11:40:00 GMT: x", b"07.02.2019 11:40:00 UTC+01: x",
+            b"07.02.2019 11:40:00 CET+01: x",
+            b"07.02.2018 11:40:00 UTC-1200: x", b"07.02.2018 11:40:00 UTC-5: x",
+            b"07.02.2018 11:40:00-05:00: x", b"07.02.2018 11:40:00+01:00: x",
+            b"07.02.2018 11:40:00 UTC+1400: x",
+            b"24.03.2018 11:40:00 CET: x", b"25.03.2018 11:40:00 CEST: x",
+            b"27.10.2018 11:40:00 EST: x", b"27.10.2018 11:40:00 PDT: x",
+            b"27.10.2018 11:40:00 IST: x", b"27.10.2018 11:40:00 AoE: x",
+            b"27.10.2018 11:40:00 nonsense: x",
+        ], {"time_zone": timezone.utc}, {}),
+        (b"Date %%d: %d.%m.%Y %H:%M:%S%z", [
+            b"Date %d: 07.02.2018 11:40:00 UTC+0000: x",
+        ], {"time_zone": timezone.utc}, {}),
+        (b"%d.%m.%Y", [b"07.02.2019: x"], {"time_zone": timezone.utc}, {}),
+        (b"%s", [b"1662760597: x"], {"time_zone": timezone.utc}, {}),
+        (b"%s", [b"1662760597123: x"],
+         {"time_zone": timezone.utc, "timestamp_scale": 1000},
+         {"timestamp_scale": 1000}),
+        # missing year: start_year, leap handling, wraparound in/out
+        (b"%d.%m %H:%M:%S", [
+            b"07.02 11:40:00: x", b"29.02 11:40:00: x",
+        ], {"time_zone": timezone.utc, "start_year": 2020},
+         {"start_year": 2020}),
+        (b"%d.%m %H:%M:%S", [
+            b"31.12 23:59:00: x", b"01.01 11:20:00: x", b"01.01 12:00:00: x",
+        ], {"time_zone": timezone.utc, "start_year": 2020},
+         {"start_year": 2020}),
+        (b"%d.%m %H:%M:%S", [
+            b"31.12 23:59:00: x", b"01.01 23:59:01: x", b"05.03 06:29:07: x",
+            b"29.02 07:24:02: x",
+        ], {"time_zone": timezone.utc, "start_year": 2020},
+         {"start_year": 2020}),
+        # element timezone +2h
+        (b"%d.%m.%Y %H:%M:%S", [b"07.02.2019 11:40:00: x"],
+         {"time_zone": timezone(timedelta(hours=2))}, {"tz_off": 7200}),
+    ]
+    for fmt, datas, ref_kw, our_kw in suites:
+        ref_out, ref_elem = ref_seq(fmt, datas, **ref_kw)
+        our_out, our_p = ours_seq(
+            fmt.decode(), [d.decode() for d in datas], **our_kw)
+        for d, r, o in zip(datas, ref_out, our_out):
+            if r is None:
+                assert o is None, (fmt, d, o)
+            else:
+                assert o is not None and abs(o - r) < 1e-6, (fmt, d, r, o)
+        if not ref_elem.format_has_year_flag:
+            assert our_p.start_year == ref_elem.start_year, fmt
+
+    # randomized sweep: valid and corrupted civil dates agree
+    import random
+
+    rnd = random.Random(42)
+    datas = []
+    for _ in range(300):
+        d, m, y = rnd.randint(0, 33), rnd.randint(0, 14), rnd.randint(1980, 2030)
+        h, mi, s = rnd.randint(0, 24), rnd.randint(0, 60), rnd.randint(0, 60)
+        txt = f"{d:02d}.{m:02d}.{y} {h:02d}:{mi:02d}:{s:02d}: tail"
+        if rnd.random() < 0.1:
+            txt = txt.replace(":", ";", 1)
+        datas.append(txt.encode())
+    ref_out, _ = ref_seq(b"%d.%m.%Y %H:%M:%S", datas,
+                         time_zone=timezone.utc)
+    our_out, _ = ours_seq("%d.%m.%Y %H:%M:%S", [d.decode() for d in datas])
+    assert our_out == ref_out
