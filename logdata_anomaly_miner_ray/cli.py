@@ -53,11 +53,38 @@ def main(argv: list[str] | None = None) -> int:
         "--state", default=None, metavar="PATH",
         help="detect-mode: validate against a FROZEN persisted state instead of re-fitting",
     )
+    # stop_learning run modes (reference input/InputInterfaces.py:251-281:
+    # learn_mode auto-switches off after stop_learning_time, or after
+    # stop_learning_no_anomaly_time without the detectors learning
+    # anything new). Batch recast: fit on the corresponding prefix of
+    # the data, freeze, validate EVERYTHING against the frozen state.
+    ap.add_argument(
+        "--stop-learning-seconds", type=float, default=None, metavar="S",
+        help="learn only on rows with warc_ts within S seconds of the "
+             "earliest row, then freeze (stop_learning_time analogue)",
+    )
+    ap.add_argument(
+        "--stop-learning-rows", type=int, default=None, metavar="N",
+        help="learn only on the first N rows in input order, then freeze",
+    )
+    ap.add_argument(
+        "--stop-learning-no-anomaly-seconds", type=float, default=None,
+        metavar="S",
+        help="stop learning after S seconds of data add NO new "
+             "constraints (stop_learning_no_anomaly_time analogue; "
+             "windowed-novelty replay)",
+    )
     args = ap.parse_args(argv)
     if args.fit_only and not args.save_state:
         ap.error("--fit-only requires --save-state")
     if args.state and (args.fit_only or args.save_state):
         ap.error("--state (detect-mode) conflicts with --fit-only/--save-state")
+    stop_flags = [args.stop_learning_seconds, args.stop_learning_rows,
+                  args.stop_learning_no_anomaly_seconds]
+    if sum(f is not None for f in stop_flags) > 1:
+        ap.error("at most one --stop-learning-* flag may be given")
+    if args.state and any(f is not None for f in stop_flags):
+        ap.error("--stop-learning-* needs a fit phase; conflicts with --state")
 
     cfg_file: dict = {}
     if args.config:
@@ -101,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             logging_level="ERROR",
         )
     try:
+        import pyarrow as pa
         import ray.data as rd
 
         from .pipelines.validate import fit_and_narrow, prune_to_suite_columns, validate
@@ -114,12 +142,54 @@ def main(argv: list[str] | None = None) -> int:
         cfg = SuiteConfig(
             checks=cfg_file.get("checks", {}), window_seconds=args.window_seconds
         )
+        stop_info = None
         if args.state:  # detect-mode: frozen persisted constraints
             from .state.checkpoint import load_state
 
             state = load_state(args.state)
             state["config"] = cfg
             narrow = None  # validate() derives its own narrow projection
+        elif any(f is not None for f in stop_flags):
+            # stop-learning: fit on a prefix, freeze, validate all.
+            narrow = None  # prefix narrow would not cover the suffix
+            if args.stop_learning_rows is not None:
+                from .pipelines.validate import fit
+
+                state = fit(pages.limit(args.stop_learning_rows), cfg)
+                stop_info = {"mode": "rows", "limit": args.stop_learning_rows}
+            else:
+                # anchor at the FIRST row's timestamp (the reference
+                # anchors at the first atom's time, not the global
+                # min — one early out-of-order straggler must not
+                # shift the whole learning horizon)
+                head = rd.read_parquet(
+                    args.input, columns=["warc_ts"]).limit(64).take_all()
+                t0_us = next(
+                    int(pa.scalar(r["warc_ts"], pa.timestamp("us")).value)
+                    for r in head if r["warc_ts"] is not None)
+                if args.stop_learning_seconds is not None:
+                    from .pipelines.validate import filter_ts_horizon, fit
+
+                    cutoff = t0_us + int(args.stop_learning_seconds * 1_000_000)
+                    state = fit(filter_ts_horizon(pages, cutoff), cfg)
+                    stop_info = {"mode": "seconds", "cutoff_us": cutoff}
+                else:
+                    from .pipelines.validate import fit_stop_no_novelty
+
+                    state, cutoff = fit_stop_no_novelty(
+                        pages, cfg, args.stop_learning_no_anomaly_seconds, t0_us)
+                    stop_info = {"mode": "no_anomaly", "cutoff_us": cutoff}
+            if args.save_state:
+                from .state.checkpoint import save_state
+
+                save_state(state, args.save_state)
+            if args.fit_only:
+                print(json.dumps({
+                    "fit_only": True, "state": args.save_state,
+                    "n_rows": int(state.get("n_rows", 0)),
+                    "stop_learning": stop_info,
+                }))
+                return 0
         else:
             state, narrow = fit_and_narrow(pages, cfg)
             if args.save_state:
@@ -142,11 +212,14 @@ def main(argv: list[str] | None = None) -> int:
 
         pq.write_table(verdicts, f"{args.out}/verdicts.parquet")
         vd = verdicts.to_pylist()
-        print(json.dumps({
+        report = {
             "checks": {r["check"]: {"pass": r["pass"], "n_violations": r["n_violations"]} for r in vd},
             "n_rows": vd[0]["n_rows"] if vd else 0,
             "out": args.out,
-        }))
+        }
+        if stop_info is not None:
+            report["stop_learning"] = stop_info
+        print(json.dumps(report))
         return 0 if all(r["pass"] for r in vd) else 1
     finally:
         ray.shutdown()

@@ -363,6 +363,127 @@ def _merge_fit_blobs(blobs: list[bytes]) -> dict:
     return _finalize_state(acc)
 
 
+def filter_ts_horizon(pages: "rd.Dataset", cutoff_us: int) -> "rd.Dataset":
+    """Rows with warc_ts <= cutoff — the stop_learning_time learning
+    prefix (reference input/InputInterfaces.py:251-281: learn_mode
+    switches off once atom_time passes the stop timestamp; the batch
+    recast fits on the time prefix and validates everything against
+    the frozen state)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ts = batch["warc_ts"].cast(pa.int64())
+        return batch.filter(pc.less_equal(ts, pa.scalar(cutoff_us, pa.int64())))
+
+    return pages.map_batches(
+        keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def _novelty_signature(acc: dict | None) -> tuple:
+    """Stable summary of the LEARNED CONSTRAINT SURFACE — the fields
+    whose growth means 'the detector learned something new' in the
+    reference's sense (new value-domain members, wider ranges, new
+    charset members, new bigram transitions), deliberately excluding
+    per-row accumulators (counts, moments, digests) that change with
+    every row regardless of novelty."""
+    if acc is None:
+        return ()
+    sig = []
+    for c in sorted(acc["stats"]):
+        if c == "warc_ts":
+            continue  # time advances every window by construction
+        m = acc["stats"][c].moments
+        sig.append((c, m.min, m.max, m.n_null > 0))
+    for g in sorted(acc["per_lang"]):
+        d = acc["per_lang"][g]
+        sig.append((g, int(np.unpackbits(d["charset"]).sum()),
+                    d["tok_min"], d["tok_max"]))
+    sig.append(int(np.count_nonzero(acc["bigrams"])))
+    return tuple(sig)
+
+
+class FitPartialsWindowed:
+    """Fit partials split per warc_ts window: one (window_id, blob)
+    row per block-window, so the driver can replay the learned state
+    in time order for stop_learning_no_anomaly_time semantics."""
+
+    def __init__(self, t0_us: int, window_us: int):
+        self.t0_us = int(t0_us)
+        self.window_us = int(window_us)
+        self._fp = FitPartials()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts_a = batch["warc_ts"].cast(pa.int64())
+        if ts_a.null_count:
+            # null-ts rows have no place on the learning timeline;
+            # they are still validated against the frozen state.
+            batch = batch.filter(pc.is_valid(ts_a))
+            ts_a = batch["warc_ts"].cast(pa.int64())
+        ts = ts_a.to_numpy(zero_copy_only=False)
+        # pre-anchor stragglers (out-of-order rows before the first
+        # row's timestamp) learn in the first window
+        wid = np.maximum((ts - self.t0_us) // self.window_us, 0)
+        wids, blobs = [], []
+        for w in np.unique(wid):
+            sub = batch.filter(pa.array(wid == w))
+            wids.append(int(w))
+            blobs.append(self._fp(sub)["state"][0].as_py())
+        return pa.table({"wid": pa.array(wids, pa.int64()),
+                         "state": pa.array(blobs, pa.binary())})
+
+
+def fit_stop_no_novelty(
+    pages: "rd.Dataset",
+    config: SuiteConfig | None,
+    no_novelty_seconds: float,
+    t0_us: int,
+    granularity_seconds: float | None = None,
+):
+    """stop_learning_no_anomaly_time recast (reference
+    input/InputInterfaces.py:251-281 + detector updates of
+    stop_learning_timestamp): the reference extends the stop deadline
+    by ``no_anomaly_time`` every time a detector learns something
+    new. Batch recast: fit partials per time window (granularity
+    defaults to a quarter of the horizon), replay the per-window
+    merges in time order, and extend the deadline past each window
+    whose merge CHANGES the constraint surface (_novelty_signature).
+    Learning stops at the first deadline with no intervening novelty;
+    the returned state is the merge of all windows before it.
+
+    Scale shape: one wide pass; the driver folds only
+    (#windows-in-learning-horizon) small states and never sees raw
+    rows. Returns (state, cutoff_us)."""
+    config = config or SuiteConfig()
+    s_us = int(no_novelty_seconds * 1_000_000)
+    gran_us = int((granularity_seconds or no_novelty_seconds / 4) * 1_000_000)
+    gran_us = max(gran_us, 1)
+    per_wid: dict[int, dict] = {}
+    out = pages.map_batches(
+        FitPartialsWindowed(t0_us, gran_us),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for w, blob in zip(b["wid"].to_pylist(), b["state"].to_pylist()):
+            per_wid[w] = _blob_merge(per_wid.get(w), pickle.loads(blob))
+    acc: dict | None = None
+    deadline = t0_us + s_us
+    sig = _novelty_signature(acc)
+    for w in range(0, max(per_wid, default=-1) + 1):
+        wstart = t0_us + w * gran_us
+        if wstart >= deadline:
+            break
+        if w not in per_wid:
+            continue
+        acc = _blob_merge(acc, per_wid[w])
+        new_sig = _novelty_signature(acc)
+        if new_sig != sig:
+            sig = new_sig
+            deadline = max(deadline, wstart + gran_us + s_us)
+    state = _finalize_state(acc)
+    state["config"] = config
+    return state, int(deadline)
+
+
 def _finalize_state(acc: dict | None) -> dict:
     per_lang = acc["per_lang"] if acc else {}
     return {
