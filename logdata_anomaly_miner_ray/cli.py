@@ -140,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.no_resume and args.out:
             CheckpointManifest(args.out).reset()
         cfg = SuiteConfig(
-            checks=cfg_file.get("checks", {}), window_seconds=args.window_seconds
+            checks=cfg_file.get("checks", {}), window_seconds=args.window_seconds,
+            materialize_narrow=cfg_file.get("materialize_narrow", True),
         )
         stop_info = None
         if args.state:  # detect-mode: frozen persisted constraints

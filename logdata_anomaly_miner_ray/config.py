@@ -43,6 +43,9 @@ _TOP_SPEC: dict[str, tuple[tuple[type, ...], bool, Any]] = {
     "resume": ((bool,), False, True),
     "allowed_langs": ((list, type(None)), False, None),
     "checks": ((dict,), False, {}),
+    # False = keyed checks re-derive the narrow projection instead of
+    # materializing it (O(1) object-store footprint; one extra read)
+    "materialize_narrow": ((bool,), False, True),
 }
 
 # allowed parameter keys + types per check block

@@ -309,6 +309,8 @@ def fit_and_narrow(
     serial-merge bottleneck of a single collector is gone. The
     pass's dataset output IS the narrow table."""
     config = config or SuiteConfig()
+    if not config.materialize_narrow:
+        want_narrow = False  # recompute mode: no narrow in the store
     acc: dict | None = None
     narrow = None
     if want_narrow:

@@ -122,6 +122,14 @@ class SuiteConfig:
     checks: dict[str, dict[str, Any]] = field(default_factory=dict)
     window_seconds: int = 600
     exact_mode: bool = True  # exact sets for oracle tests; sketches at scale
+    # True: the fit pass materializes the narrow projection in the
+    # object store and the keyed checks stream from it (overlapped
+    # with the fused pass — fastest wall-clock, but at 10^12 rows the
+    # ~40 B/row narrow table is tens of TB of spill-backed object
+    # store). False: fit only, keyed checks re-derive the narrow
+    # projection from the wide table per run (one extra read, O(1)
+    # object-store footprint). Crossover notes in BASELINE.md.
+    materialize_narrow: bool = True
 
     def to_json(self) -> str:
         return json.dumps(
@@ -129,6 +137,7 @@ class SuiteConfig:
                 "checks": self.checks,
                 "window_seconds": self.window_seconds,
                 "exact_mode": self.exact_mode,
+                "materialize_narrow": self.materialize_narrow,
             },
             sort_keys=True,
         )

@@ -32,3 +32,27 @@ def test_fit_stop_no_novelty_cutoff(ray_session):
     rows2["text"] = [f"unique word{i} tok{i * 7}" for i in range(n)]
     _, cutoff2 = fit_stop_no_novelty(rd.from_arrow(pa.table(rows2)), None, 20.0, t0)
     assert cutoff2 >= t0 + n * 1_000_000
+
+
+def test_materialize_narrow_off_same_verdicts(ray_session):
+    """SuiteConfig(materialize_narrow=False) trades the tens-of-TB
+    narrow materialization for a re-derive read; verdicts must be
+    identical either way."""
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.pipelines.validate import run_suite
+    from logdata_anomaly_miner_ray.schema import SuiteConfig
+    from logdata_anomaly_miner_ray.sources.pages import make_pages_block
+
+    pages = rd.from_arrow(make_pages_block(0, 1500))
+
+    def verdict_map(out):
+        t = out["verdicts"].to_pylist()
+        return {r["check"]: (r["pass"], r["n_violations"]) for r in t}
+
+    a = verdict_map(run_suite(pages, config=SuiteConfig()))
+    b = verdict_map(run_suite(
+        rd.from_arrow(make_pages_block(0, 1500)),
+        config=SuiteConfig(materialize_narrow=False)))
+    assert a == b
+    assert "uniqueness_url" in a  # keyed check ran on BOTH paths
