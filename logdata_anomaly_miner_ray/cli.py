@@ -74,7 +74,54 @@ def main(argv: list[str] | None = None) -> int:
              "constraints (stop_learning_no_anomaly_time analogue; "
              "windowed-novelty replay)",
     )
+    # allowlist/blocklist mutation of a persisted state (the batch
+    # analogue of the reference's remote-control allowlist_event /
+    # blocklist_event — see state/checkpoint.patch_state):
+    ap.add_argument(
+        "--patch-state", default=None, metavar="PATH",
+        help="apply --allow-value/--block-value specs to a saved state file",
+    )
+    ap.add_argument(
+        "--allow-value", action="append", default=[], metavar="SPEC",
+        help="lang:L | token_range:L:MIN:MAX | charset:L:CHARS (repeatable)",
+    )
+    ap.add_argument(
+        "--block-value", action="append", default=[], metavar="SPEC",
+        help="lang:L — omit rows in L from validation (repeatable)",
+    )
+    ap.add_argument(
+        "--show-state", default=None, metavar="PATH",
+        help="print a summary of a saved state file and exit",
+    )
     args = ap.parse_args(argv)
+
+    if args.show_state:
+        from .state.checkpoint import load_state
+
+        st = load_state(args.show_state)
+        print(json.dumps({
+            "n_rows": int(st.get("n_rows", 0)),
+            "lang_domain": st.get("lang_domain", []),
+            "ignore_langs": st.get("ignore_langs", []),
+            "ranges": {k[0]: list(v) for k, v in st.get("ranges", {}).items()},
+            "partitions": len(st.get("partitions", {})),
+        }, sort_keys=True))
+        return 0
+    if args.patch_state:
+        if not (args.allow_value or args.block_value):
+            ap.error("--patch-state needs --allow-value/--block-value specs")
+        from .state.checkpoint import load_state, patch_state, save_state
+
+        st = load_state(args.patch_state)
+        try:
+            msgs = patch_state(st, args.allow_value, args.block_value)
+        except ValueError as ex:
+            print(json.dumps({"patch_error": str(ex)}), file=sys.stderr)
+            return 2
+        save_state(st, args.patch_state)
+        print(json.dumps({"patched": args.patch_state, "messages": msgs}))
+        return 0
+
     if args.fit_only and not args.save_state:
         ap.error("--fit-only requires --save-state")
     if args.state and (args.fit_only or args.save_state):

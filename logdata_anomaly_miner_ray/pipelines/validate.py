@@ -731,6 +731,23 @@ def validate(
 ) -> dict:
     config: SuiteConfig = state.get("config") or SuiteConfig()
     manifest = CheckpointManifest(out_dir) if out_dir else None
+    ignore_langs = list(state.get("ignore_langs") or [])
+    if ignore_langs:
+        # blocklisted langs are OMITTED from analysis entirely (the
+        # reference's ignore-list semantics: blocklisted events are
+        # not analyzed, not flagged — ValueRangeDetector.py:205-222)
+        skip = pa.array(ignore_langs, pa.string())
+
+        def _drop_ignored(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.fill_null(pc.is_in(batch["lang"], value_set=skip), False))
+            )
+
+        pages = pages.map_batches(
+            _drop_ignored, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        narrow = None  # any materialized narrow predates the filter
     state_ref = ray.put(
         {k: state[k] for k in ("lang_domain", "charsets", "ranges", "bigrams")}
     )

@@ -106,3 +106,81 @@ def load_state(path: str) -> dict:
             f"unsupported state file format: {payload.get('format') if isinstance(payload, dict) else type(payload)}"
         )
     return payload["state"]
+
+
+def patch_state(state: dict, allow: list[str] = (), block: list[str] = ()) -> list[str]:
+    """Allowlist/blocklist mutation of a persisted constraint state —
+    the batch analogue of the reference's remote-control
+    allowlist_event/blocklist_event (reference:
+    aminer/analysis/ValueRangeDetector.py:184-222: allowlisting adds
+    the item to the learned constraints and removes it from the
+    ignore list; blocklisting adds it to the ignore list and removes
+    it from the constraints, so those records are OMITTED from
+    analysis rather than flagged).
+
+    Spec strings (repeatable):
+      allow: ``lang:L``              add L to the learned lang domain
+             ``token_range:L:MIN:MAX``  widen L's token range to
+                                        cover [MIN, MAX]
+             ``charset:L:CHARS``     mark CHARS as known for L
+      block: ``lang:L``              drop L from the domain and add
+                                     it to ignore_langs (rows in L
+                                     are skipped by validation)
+    Mutates ``state`` in place; returns human-readable messages.
+    """
+    import numpy as np
+
+    msgs: list[str] = []
+    ignore = state.setdefault("ignore_langs", [])
+
+    def _parse(spec: str, kind: str) -> list[str]:
+        parts = spec.split(":")
+        if not parts or parts[0] not in ("lang", "token_range", "charset"):
+            raise ValueError(
+                f"{kind} spec {spec!r}: expected lang:L | "
+                f"token_range:L:MIN:MAX | charset:L:CHARS")
+        return parts
+
+    for spec in allow:
+        parts = _parse(spec, "allow")
+        if parts[0] == "lang":
+            lang = parts[1]
+            if lang not in state["lang_domain"]:
+                state["lang_domain"] = sorted(state["lang_domain"] + [lang])
+            if lang in ignore:
+                ignore.remove(lang)
+            msgs.append(f"Allowlisted lang {lang}.")
+        elif parts[0] == "token_range":
+            if len(parts) != 4:
+                raise ValueError(f"allow spec {spec!r}: token_range:L:MIN:MAX")
+            lang, lo, hi = parts[1], int(parts[2]), int(parts[3])
+            cur = state["ranges"].get((lang,))
+            state["ranges"][(lang,)] = (
+                min(lo, cur[0]) if cur else lo,
+                max(hi, cur[1]) if cur else hi,
+            )
+            msgs.append(f"Widened token range for {lang} to cover [{lo}, {hi}].")
+        else:  # charset
+            if len(parts) < 3:
+                raise ValueError(f"allow spec {spec!r}: charset:L:CHARS")
+            lang, chars = parts[1], ":".join(parts[2:])
+            bm = state["charsets"].get(lang)
+            if bm is None:
+                raise ValueError(f"allow spec {spec!r}: unknown lang {lang!r}")
+            cps = np.array([ord(c) for c in chars], dtype=np.int64)
+            cps = cps[cps < len(bm)]
+            bm[cps] = True
+            msgs.append(f"Allowlisted {len(cps)} codepoints for {lang}.")
+
+    for spec in block:
+        parts = _parse(spec, "block")
+        if parts[0] != "lang":
+            raise ValueError(
+                f"block spec {spec!r}: only lang:L can be blocklisted")
+        lang = parts[1]
+        if lang not in ignore:
+            ignore.append(lang)
+        if lang in state["lang_domain"]:
+            state["lang_domain"] = [l for l in state["lang_domain"] if l != lang]
+        msgs.append(f"Blocklisted lang {lang}.")
+    return msgs

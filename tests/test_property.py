@@ -77,7 +77,10 @@ def test_moments_merge_associative(vals, split):
     m.merge(Moments.from_array(a[split:]))
     full = Moments.from_array(a)
     assert m.n == full.n
-    assert m.mean == pytest.approx(full.mean, rel=1e-9, abs=1e-9)
+    # catastrophic cancellation (sum |x| >> |sum x|) legitimately costs
+    # ~eps * sum|x| absolute error in EITHER path — scale abs tol by it
+    cancel_tol = 1e-12 * float(np.abs(a).sum()) / len(a)
+    assert m.mean == pytest.approx(full.mean, rel=1e-9, abs=1e-9 + cancel_tol)
     assert m.min == full.min and m.max == full.max
 
 
