@@ -178,6 +178,83 @@ def _kgrams(s: str, k: int) -> set:
     return {tuple(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))}
 
 
+def _lsh_collision_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    num_bands: int,
+    k_shingle: int,
+    max_bucket: int = 64,
+    n_sub_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Raw banded-LSH collision pairs ``(id_a, id_b)`` in ONE
+    all-to-all: explode to (bucket key, band hash, id) rows — NO
+    signature blobs in the shuffle (≈23× fewer shuffle bytes than
+    shipping 64×u64 sigs) — then emit every same-(band, band_hash)
+    pair inside the bounded ``map_groups``. A pair colliding in
+    several bands surfaces once PER band; callers dedup after the
+    bounded collect (pairs, not documents, so no second shuffle
+    needed). Buckets larger than ``max_bucket`` truncate with a
+    WARNING (skew guard, same rule as minhash_lsh_candidate_pairs)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k_shingle)
+        bands = minhash_bands(sig, num_bands=num_bands)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band_id = np.repeat(np.arange(num_bands, dtype=np.int64)[None, :], n, axis=0).ravel()
+        band_hash = bands.ravel().astype(np.int64, copy=False)
+        gk = band_id * np.int64(n_sub_buckets) + (
+            band_hash.view(np.int64) % np.int64(n_sub_buckets)
+        )
+        return pa.table(
+            {
+                "gk": pa.array(gk, pa.int64()),
+                "bh": pa.array(band_hash.view(np.int64), pa.int64()),
+                id_col: pa.array(np.repeat(ids, num_bands)),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["bh", id_col], kind="mergesort")
+        bh = g["bh"].to_numpy()
+        ids = g[id_col].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bh)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash LSH bucket of size %d truncated to max_bucket=%d "
+                    "(candidate pairs beyond the cap are dropped)",
+                    e - s, max_bucket,
+                )
+                e = s + max_bucket
+            iu = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s:e][iu[0]])
+            out_b.append(ids[s:e][iu[1]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return exploded.groupby("gk").map_groups(band_pairs, batch_format="pandas")
+
+
 def minhash_verified_pairs(
     ds: "ray.data.Dataset",
     text_col: str,
@@ -191,10 +268,15 @@ def minhash_verified_pairs(
     pairs_per_bucket: int = 64,
 ) -> pd.DataFrame:
     """LSH candidates verified with EXACT word k-gram Jaccard: the
-    banded-LSH pass proposes pairs (signature threshold deliberately
-    looser than the exact one so signature noise never drops a true
-    pair); the exact shingle-set Jaccard decides. Only the PAIR ID
-    LIST ever reaches the driver (bounded by candidate count).
+    banded-LSH pass proposes every same-(band, band-hash) collision
+    pair — a strict SUPERSET of any signature-agreement threshold, so
+    signature noise never drops a true pair (``candidate_threshold``
+    is retained for API compatibility but no longer prunes; the exact
+    shingle-set Jaccard is the sole decider). Only the PAIR ID LIST
+    ever reaches the driver (bounded by candidate count), and the
+    candidate pass is ONE all-to-all with no signature bytes in the
+    shuffle (cross-band duplicate pairs dedup in pandas after the
+    bounded collect instead of a second groupby job).
 
     Two verification tiers by candidate-id count:
 
@@ -217,13 +299,13 @@ def minhash_verified_pairs(
         {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
          "jaccard": pd.Series(dtype=np.float64)}
     )
-    cand = minhash_lsh_candidate_pairs(
+    cand = _lsh_collision_pairs(
         ds, text_col, id_col,
         num_perm=num_perm, num_bands=num_bands, k_shingle=k_shingle,
-        jaccard_threshold=candidate_threshold,
     ).to_pandas()
     if cand.empty:
         return empty
+    cand = cand.drop_duplicates(["id_a", "id_b"])
     ca = cand["id_a"].to_numpy(np.int64)
     cb = cand["id_b"].to_numpy(np.int64)
     wanted = np.unique(np.concatenate([ca, cb]))

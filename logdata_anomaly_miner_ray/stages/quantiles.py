@@ -75,17 +75,39 @@ def exact_quantiles(
     qs: list[float | Fraction],
     max_gather: int = 1_000_000,
     max_rounds: int = 64,
+    block_card_cap: int = 4096,
+    merged_card_cap: int = 262_144,
 ) -> pd.DataFrame:
     """(q, value) frame with the EXACT discrete quantile of ``col``
     for each q in ``qs`` (nulls ignored, DuckDB quantile_disc
     semantics). ``value`` is int64 for integer columns, float64
-    otherwise."""
+    otherwise.
+
+    Pass-count fast paths (both exact, both bounded):
+
+    - LOW CARDINALITY: each pass-A partial also carries the block's
+      (value, count) table when it has ≤ ``block_card_cap`` distinct
+      values; if no block overflows and the merged table stays under
+      ``merged_card_cap``, every quantile is a cumulative-count rank
+      lookup — ONE pass total. Any overflow falls through with only
+      the digest kept (the extra partial bytes are bounded per
+      block, so the fallback costs nothing extra).
+    - SMALL N: when the whole column has ≤ ``max_gather`` non-null
+      rows (the gather bound the caller already accepted), skip the
+      count/refine rounds and gather the single [min, max] window
+      once — TWO passes, every quantile selected from the same pool.
+    """
     qs_f = [Fraction(q).limit_denominator(10**9) if not isinstance(q, Fraction) else q for q in qs]
 
     # ---- pass A: digest partials (digest is float64 and only ever
     # steers windows; exact min/max ride as native scalars) ----
     def partial(batch: pa.Table) -> pa.Table:
         v = _col_values(batch, col)
+        vc = None
+        if len(v):
+            uniq, cnts = np.unique(v, return_counts=True)
+            if len(uniq) <= block_card_cap:
+                vc = (uniq, cnts)
         blob = pickle.dumps(
             {
                 "n": int(len(v)),
@@ -93,6 +115,7 @@ def exact_quantiles(
                 "max": v.max().item() if len(v) else None,
                 "is_int": v.dtype.kind in "iu",
                 "digest": TDigest.from_array(v.astype(np.float64)) if len(v) else None,
+                "vc": vc,
             },
             protocol=5,
         )
@@ -103,6 +126,7 @@ def exact_quantiles(
     gmax = None
     is_int = True
     digest = TDigest()
+    vc_acc: dict | None = {}  # value -> count; None once overflowed
     for b in ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow"):
@@ -113,6 +137,14 @@ def exact_quantiles(
                 gmin = p["min"] if gmin is None else min(gmin, p["min"])
                 gmax = p["max"] if gmax is None else max(gmax, p["max"])
                 is_int = is_int and p["is_int"]
+                if vc_acc is not None:
+                    if p["vc"] is None:
+                        vc_acc = None
+                    else:
+                        for u, c in zip(p["vc"][0].tolist(), p["vc"][1].tolist()):
+                            vc_acc[u] = vc_acc.get(u, 0) + c
+                        if len(vc_acc) > merged_card_cap:
+                            vc_acc = None
             if p["digest"] is not None:
                 digest.merge(p["digest"])
 
@@ -132,6 +164,38 @@ def exact_quantiles(
     # target 0-based ranks, exact rational arithmetic
     ks = [max(0, -(-(q.numerator * n_total) // q.denominator) - 1) for q in qs_f]
     ks = [min(k, n_total - 1) for k in ks]
+
+    # ---- low-cardinality fast path: ONE pass, rank = cumulative
+    # count lookup in the merged (value, count) table ----
+    if vc_acc is not None:
+        va = np.sort(np.array(list(vc_acc.keys()), dtype=dtype))
+        cs = np.cumsum(np.array([vc_acc[v.item()] for v in va], dtype=np.int64))
+        idx = np.searchsorted(cs, np.array(ks, dtype=np.int64) + 1, side="left")
+        return pd.DataFrame(
+            {"q": np.array([float(q) for q in qs_f]), "value": va[idx]}
+        )
+
+    # ---- small-n fast path: the whole column fits the gather bound;
+    # ONE shared [gmin, gmax] gather answers every quantile ----
+    if n_total <= max_gather:
+        pools: list[np.ndarray] = []
+
+        def gather_all(batch: pa.Table) -> pa.Table:
+            v = _col_values(batch, col)
+            return pa.table({"v": pa.array(v.astype(dtype))})
+
+        for b in ds.map_batches(
+            gather_all, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            arr = b["v"].to_numpy()
+            if len(arr):
+                pools.append(arr)
+        vals = np.concatenate(pools) if pools else np.zeros(0, dtype)
+        vals.sort()
+        return pd.DataFrame(
+            {"q": np.array([float(q) for q in qs_f]),
+             "value": vals[np.array(ks, dtype=np.int64)]}
+        )
 
     # per-quantile window state (native dtype)
     nq = len(ks)

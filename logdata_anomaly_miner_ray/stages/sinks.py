@@ -236,6 +236,8 @@ def render_event_json(
     et = row["event_type"]
     cls = et.split(".", 1)[1] if "." in et else et
     ts = row.get("ts")
+    if ts is not None and not isinstance(ts, (int, float)) and pd.isna(ts):
+        ts = None  # pandas NaT has .timestamp but raises on it
     if ts is not None and hasattr(ts, "timestamp"):
         ts = round(ts.timestamp(), 2)
     doc = {
@@ -280,3 +282,249 @@ def write_json_events(
     js = violations.map_batches(to_json, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     js.write_json(out_dir)
     return js.count()
+
+
+# ---------------------------------------------------------------------------
+# Message-queue + mail event handlers. The client libraries (kafka,
+# zmq) and a live SMTP daemon are absent from this container, so each
+# handler takes an injectable transport factory; the DEFAULT factory
+# import-tries the real client. Everything observable — wire framing,
+# payload-type gating, pooling/backoff state machine — is real and
+# tested against fake transports.
+# ---------------------------------------------------------------------------
+
+
+class KafkaEventSink:
+    """Forward JSON event strings to a Kafka topic — the reference
+    KafkaEventHandler recast (events/KafkaEventHandler.py:21-81):
+    lazy producer construction on first event (missing client lib →
+    False + stderr, never an exception); non-str/bytes payloads are
+    REJECTED with the use-JsonConverterHandler warning; a producer
+    error closes the producer and returns False (the next event
+    reconnects)."""
+
+    def __init__(self, topic: str, options: dict | None = None, producer_factory=None):
+        self.topic = topic
+        self.options = options or {}
+        self.producer = None
+        self._factory = producer_factory
+
+    def _default_factory(self):
+        from kafka import KafkaProducer  # noqa: F401 — absent here; injectable
+
+        return KafkaProducer(**self.options, value_serializer=lambda v: v.encode())
+
+    def send(self, event_data) -> bool:
+        import sys as _sys
+
+        if self.producer is None:
+            try:
+                self.producer = (self._factory or self._default_factory)()
+            except ImportError:
+                print("ERROR: Kafka module not found.", file=_sys.stderr)
+                return False
+        if not isinstance(event_data, (str, bytes)):
+            print(
+                "WARNING: KafkaEventSink received non-string event data. "
+                "Use render_event_json to serialize it first.",
+                file=_sys.stderr,
+            )
+            return False
+        try:
+            self.producer.send(self.topic, event_data)
+        except Exception as err:  # KafkaError when the real client is present
+            print(f"Error: {err}", file=_sys.stderr)
+            try:
+                self.producer.close()
+            finally:
+                self.producer = None
+            return False
+        return True
+
+
+class ZmqEventSink:
+    """Forward JSON event strings over a ZeroMQ PUB socket — the
+    reference ZmqEventHandler recast (events/ZmqEventHandler.py:22-92):
+    lazy bind on first event; optional topic frame sent with SNDMORE
+    so subscribers can prefix-filter; non-str payload rejected; a
+    send error disconnects and resets so the next event rebinds."""
+
+    SNDMORE = 2  # zmq.SNDMORE flag value (stable public constant)
+
+    def __init__(self, topic: str | None = None, url: str = "ipc:///tmp/aminer",
+                 socket_factory=None):
+        self.topic = topic
+        self.url = url
+        self.producer = None
+        self._factory = socket_factory
+
+    def _default_factory(self):
+        import zmq  # absent here; injectable
+
+        ctx = zmq.Context()
+        sock = ctx.socket(zmq.PUB)
+        sock.bind(self.url)
+        return sock
+
+    def send(self, event_data) -> bool:
+        import sys as _sys
+
+        if self.producer is None:
+            try:
+                self.producer = (self._factory or self._default_factory)()
+            except ImportError:
+                print("ERROR: ZeroMQ module not found.", file=_sys.stderr)
+                return False
+        if not isinstance(event_data, (str, bytes)):
+            print(
+                "WARNING: ZmqEventSink received non-string event data. "
+                "Use render_event_json to serialize it first.",
+                file=_sys.stderr,
+            )
+            return False
+        try:
+            if self.topic:
+                self.producer.send_string(self.topic, flags=self.SNDMORE)
+            self.producer.send_string(event_data)
+        except Exception as err:
+            print(f"Error: {err}", file=_sys.stderr)
+            try:
+                self.producer.disconnect()
+            finally:
+                self.producer = None
+            return False
+        return True
+
+
+def write_queue_sink(violations: "ray.data.Dataset", sink,
+                     component_name: str | None = None) -> int:
+    """Stream the violations dataset through a KafkaEventSink /
+    ZmqEventSink (rendered with ``render_event_json``, the
+    JsonConverterHandler step the reference requires before these
+    handlers). Queue handlers are serial sinks by nature — bulk
+    output belongs in write_parquet/write_json_events. Returns the
+    number of ACCEPTED events."""
+    n = 0
+    i = 0
+    for batch in violations.iter_batches(batch_size=1024, batch_format="pandas"):
+        for _, row in batch.iterrows():
+            if sink.send(render_event_json(row.to_dict(), component_id=i,
+                                           component_name=component_name)):
+                n += 1
+            i += 1
+    return n
+
+
+class MailNotificationSink:
+    """Pooled mail alerting — the reference
+    DefaultMailNotificationEventHandler state machine recast
+    (events/DefaultMailNotificationEventHandler.py:37-179):
+
+    - events during ``alert_grace_time`` after startup are dropped;
+    - the first pooled event schedules a send ``event_collect_time``
+      later; at most ``max_events_per_message`` texts are pooled;
+    - after a send, the next alert must wait ``current_alert_gap``,
+      which multiplies by 1.5 (capped at ``max_alert_gap``) whenever
+      events arrive before the gap elapses and resets to
+      ``min_alert_gap`` once a gap passes quietly;
+    - the message is the sendmail-style ``From/To/Subject`` text with
+      "in the last N seconds" in the subject of follow-up alerts.
+
+    ``transport(sender, recipient, message)`` is injectable (default
+    SMTP to 127.0.0.1:25, the reference's hardcoded transport);
+    ``clock`` is injectable for deterministic tests. ``do_timer``
+    mirrors the reference's 10-second timer hook."""
+
+    _EMAIL_RE = __import__("re").compile(
+        r"(^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-]+$)|^[a-zA-Z0-9]+@localhost$"
+    )
+
+    def __init__(self, target_address: str, from_address: str,
+                 subject_prefix: str = "aminer Alerts:",
+                 alert_grace_time: float = 0, event_collect_time: float = 10,
+                 min_alert_gap: float = 600, max_alert_gap: float = 600,
+                 max_events_per_message: int = 1000,
+                 transport=None, clock=None):
+        import time as _time
+
+        if not self._EMAIL_RE.match(target_address) or not self._EMAIL_RE.match(from_address):
+            raise ValueError("target_address and from_address must be email addresses")
+        self.recipient_address = target_address
+        self.sender_address = from_address
+        self.subject_prefix = subject_prefix
+        self.event_collect_time = event_collect_time
+        self.min_alert_gap = min_alert_gap
+        self.max_alert_gap = max_alert_gap
+        self.max_events_per_message = max_events_per_message
+        self.clock = clock or _time.time
+        self.transport = transport or self._smtp_transport
+        self.alert_grace_time_end = (
+            self.clock() + alert_grace_time if alert_grace_time > 0 else 0
+        )
+        self.events_collected = 0
+        self.last_alert_time = 0.0
+        self.next_alert_time = 0.0
+        self.current_alert_gap = min_alert_gap
+        self.current_message = ""
+        self.sent: int = 0  # messages actually dispatched
+
+    @staticmethod
+    def _smtp_transport(sender: str, recipient: str, message: str) -> None:
+        from smtplib import SMTP
+
+        smtp = SMTP("127.0.0.1", port=25, timeout=5)
+        smtp.sendmail(sender, recipient, message)
+        smtp.quit()
+
+    def receive_event(self, event_text: str) -> None:
+        now = self.clock()
+        if self.alert_grace_time_end != 0:
+            if self.alert_grace_time_end >= now:
+                return
+            self.alert_grace_time_end = 0
+        if self.events_collected < self.max_events_per_message:
+            self.events_collected += 1
+            self.current_message += event_text if event_text.endswith("\n") else event_text + "\n"
+        if self.next_alert_time == 0:
+            if self.last_alert_time != 0:
+                self.next_alert_time = self.last_alert_time + self.current_alert_gap
+                if self.next_alert_time < now:
+                    # the required gap already elapsed quietly
+                    self.current_alert_gap = self.min_alert_gap
+                    self.last_alert_time = 0
+                    self.next_alert_time = now + self.event_collect_time
+                else:
+                    self.current_alert_gap = min(
+                        self.current_alert_gap * 1.5, self.max_alert_gap
+                    )
+            else:
+                self.next_alert_time = now + self.event_collect_time
+        if self.next_alert_time != 0 and now >= self.next_alert_time:
+            self.send_notification(now)
+
+    def do_timer(self, trigger_time: float) -> float:
+        if self.next_alert_time != 0 and trigger_time >= self.next_alert_time:
+            self.send_notification(trigger_time)
+        return 10
+
+    def send_notification(self, trigger_time: float) -> None:
+        import sys as _sys
+
+        if self.events_collected == 0:
+            return
+        subject = f"{self.subject_prefix} Collected Events"
+        if self.last_alert_time != 0:
+            subject += f" in the last {trigger_time - self.last_alert_time} seconds"
+        message = (
+            f"From: {self.sender_address}\nTo: {self.recipient_address}\n"
+            f"Subject: {subject}\n\n{self.current_message}\n"
+        )
+        try:
+            self.transport(self.sender_address, self.recipient_address, message)
+            self.sent += 1
+        except Exception as e:  # SMTPException with the real transport
+            print(e, file=_sys.stderr)
+        self.last_alert_time = trigger_time
+        self.events_collected = 0
+        self.current_message = ""
+        self.next_alert_time = 0

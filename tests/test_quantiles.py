@@ -44,7 +44,9 @@ def test_duplicate_heavy_forces_bisection(ray_session):
     vals = np.concatenate([np.full(18_000, 42.0), rng.uniform(0, 100, 2_000)])
     rng.shuffle(vals)
     ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(8)
-    _check(ds, vals, [0.1, 0.5, 0.95], max_gather=500)
+    # block_card_cap=0 disables the low-cardinality fast path so the
+    # bisection/window loop stays under test
+    _check(ds, vals, [0.1, 0.5, 0.95], max_gather=500, block_card_cap=0)
 
 
 def test_nulls_ignored_and_small_n(ray_session):
@@ -77,7 +79,7 @@ def test_quantiles_property_random(ray_session):
         rng.shuffle(vals)
         qs = sorted(rng.uniform(0, 1, size=5).round(4).tolist())
         ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(6)
-        got = exact_quantiles(ds, "x", qs, max_gather=200)
+        got = exact_quantiles(ds, "x", qs, max_gather=200, block_card_cap=0)
         sv = np.sort(vals)
         n = len(sv)
         for q, g in zip(qs, got["value"]):
@@ -90,6 +92,28 @@ def test_int64_beyond_float53_exact(ray_session):
     base = 2**53
     vals = np.array([base + 1, base + 3, base + 5, base + 7, base + 9] * 100, dtype=np.int64)
     ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(4)
-    got = exact_quantiles(ds, "x", [0.0, 0.5, 1.0], max_gather=50)
-    assert got["value"].dtype == np.int64
-    assert list(got["value"]) == [base + 1, base + 5, base + 9]
+    # both the low-cardinality path (default) and the window loop
+    # (block_card_cap=0) must keep int64 exact beyond 2^53
+    for kw in ({}, {"block_card_cap": 0}):
+        got = exact_quantiles(ds, "x", [0.0, 0.5, 1.0], max_gather=50, **kw)
+        assert got["value"].dtype == np.int64
+        assert list(got["value"]) == [base + 1, base + 5, base + 9]
+
+
+def test_fast_paths_agree_with_window_loop(ray_session):
+    """The three execution tiers — low-cardinality one-pass, small-n
+    two-pass, and the digest window loop — are the same function of
+    the data; force each on the SAME input and compare."""
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([
+        rng.normal(0, 10, 4_000),
+        np.full(3_000, 7.25),
+        rng.integers(-3, 3, 3_000).astype(np.float64),
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(8)
+    low_card = exact_quantiles(ds, "x", QS)  # per-block card < cap → 1 pass
+    small_n = exact_quantiles(ds, "x", QS, block_card_cap=0)  # n<=max_gather → 2 passes
+    window = exact_quantiles(ds, "x", QS, block_card_cap=0, max_gather=300)
+    pd.testing.assert_frame_equal(low_card, small_n)
+    pd.testing.assert_frame_equal(low_card, window)
