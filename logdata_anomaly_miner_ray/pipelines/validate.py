@@ -66,6 +66,16 @@ PAGES_SCHEMA = {
 STAT_COLS = ["url", "warc_ts", "text", "lang", "n_tokens", "text_len"]
 
 
+def _trace(label: str, t0: float) -> None:
+    """Phase timing to stderr when GRAFT_TRACE is set (profiling aid;
+    the bench and driver never set it)."""
+    import os
+    import sys
+
+    if os.environ.get("GRAFT_TRACE"):
+        print(f"[trace] {label}: {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+
+
 def _narrow(batch: pa.Table) -> pa.Table:
     """Derived narrow projection — the 'parsed paths' of the pages
     schema, minus the wide payloads."""
@@ -314,6 +324,7 @@ def fit_and_narrow(
     acc: dict | None = None
     narrow = None
     if want_narrow:
+        _t_fit = time.time()
         collectors = [_StateCollector.remote() for _ in range(n_collector_shards)]
         narrow = pages.map_batches(
             FitPartials(collectors),
@@ -321,6 +332,7 @@ def fit_and_narrow(
             batch_size=None,
             zero_copy_batch=True,
         ).materialize()
+        _trace("fit.wide_pass", _t_fit)
         # drain barrier for the fire-and-forget adds: materialize()
         # guarantees every partial was SUBMITTED; poll until every
         # submitted blob has been DELIVERED and merged (summed
@@ -343,6 +355,7 @@ def fit_and_narrow(
                 acc = _blob_merge(acc, pickle.loads(blob))
         for c in collectors:
             ray.kill(c)
+        _trace("fit.drain+merge", _t_fit)
     else:
         partials = pages.map_batches(
             FitPartials(), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -839,6 +852,7 @@ def validate(
     # task-based with per-worker state cache — measured 3x faster
     # than the autoscaling actor pool on the 400k-row bench input
     # (see stages/_taskcache.py for the why)
+    _t_fused = time.time()
     fused = pages.map_batches(
         cached_task_fn(
             BroadcastChecks,
@@ -851,6 +865,7 @@ def validate(
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     ).materialize()
+    _trace("validate.fused_pass", _t_fused)
     # Meta rows reduce INSIDE the dataset (per-block partials + one
     # tiny groupby each) — the driver touches only the aggregated
     # results, never a data-proportional row stream (violations
@@ -967,15 +982,33 @@ def validate(
              "n": pa.array(on, pa.int64()), "s": pa.array(os_, pa.string())}
         )
 
-    meta_df = _typed(
-        fused.map_batches(
-            _meta_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    _t_meta = time.time()
+    _META_TYPES = {"kind": object, "key": object, "n": np.int64, "s": object}
+    parts = fused.map_batches(
+        _meta_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    n_parts = parts.count()
+    if n_parts == 0:
+        meta_df = _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in _META_TYPES.items()})
+    elif n_parts <= 200_000:
+        # bounded driver fold: the partial rows are per-block
+        # aggregates (#blocks × per-block key count); under the bound
+        # a pandas fold beats the all-to-all's fixed cost (~3 s of
+        # executor/shuffle overhead for 100-odd tiny groups). Beyond
+        # it — millions of blocks at cluster scale — the composite
+        # (kind, crc32(key) % N) groupby below keeps every group
+        # bounded and the driver out of the data path.
+        meta_df = _typed(
+            _meta_fold(parts.to_pandas()).to_pandas(), _META_TYPES
         )
-        .groupby(["kind", "bucket"])
-        .map_groups(_meta_fold, batch_format="pandas")
-        .to_pandas(),
-        {"kind": object, "key": object, "n": np.int64, "s": object},
-    )
+    else:
+        meta_df = _typed(
+            parts.groupby(["kind", "bucket"])
+            .map_groups(_meta_fold, batch_format="pandas")
+            .to_pandas(),
+            _META_TYPES,
+        )
+    _trace("validate.meta_reduction", _t_meta)
 
     cnt_rows = meta_df[meta_df["kind"] == "cnt"]
     per_check_counts: dict[str, int] = {}
@@ -1039,7 +1072,9 @@ def validate(
     # provided a materialized narrow; otherwise (frozen-state path,
     # narrow=None) derive it and run them serially here ----
     if keyed_thread is not None:
+        _t_keyed = time.time()
         keyed_thread.join()
+        _trace("validate.keyed_join_wait", _t_keyed)
         if _keyed_err:
             raise _keyed_err[0]
     else:
