@@ -66,6 +66,13 @@ PAGES_SCHEMA = {
 STAT_COLS = ["url", "warc_ts", "text", "lang", "n_tokens", "text_len"]
 
 
+# meta-reduction tier threshold (validate()): at most this many
+# per-block partial rows are folded on the driver; beyond it the
+# bounded composite-key groupby runs (module-level so tests can force
+# the scale tier on small fixtures)
+META_DRIVER_FOLD_MAX = 200_000
+
+
 def _trace(label: str, t0: float) -> None:
     """Phase timing to stderr when GRAFT_TRACE is set (profiling aid;
     the bench and driver never set it)."""
@@ -990,7 +997,7 @@ def validate(
     n_parts = parts.count()
     if n_parts == 0:
         meta_df = _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in _META_TYPES.items()})
-    elif n_parts <= 200_000:
+    elif n_parts <= META_DRIVER_FOLD_MAX:
         # bounded driver fold: the partial rows are per-block
         # aggregates (#blocks × per-block key count); under the bound
         # a pandas fold beats the all-to-all's fixed cost (~3 s of

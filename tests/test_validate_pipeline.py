@@ -56,3 +56,29 @@ def test_materialize_narrow_off_same_verdicts(ray_session):
         config=SuiteConfig(materialize_narrow=False)))
     assert a == b
     assert "uniqueness_url" in a  # keyed check ran on BOTH paths
+
+
+def test_meta_reduction_tiers_agree(ray_session, monkeypatch):
+    """The meta reduction's driver-fold tier (partial rows under the
+    bound) and the bounded composite-key groupby tier (the cluster-
+    scale path) must yield identical verdicts on the same input."""
+    import ray.data as rd
+
+    import logdata_anomaly_miner_ray.pipelines.validate as V
+    from logdata_anomaly_miner_ray.schema import SuiteConfig
+    from logdata_anomaly_miner_ray.sources.pages import make_pages_block
+
+    def verdict_map(out):
+        t = out["verdicts"].to_pylist()
+        return {(r["partition_id"], r["check"]): (r["pass"], r["n_violations"])
+                for r in t}
+
+    pages = rd.from_arrow(make_pages_block(0, 1500)).repartition(6)
+    a = verdict_map(V.run_suite(pages, config=SuiteConfig()))
+    monkeypatch.setattr(V, "META_DRIVER_FOLD_MAX", 0)  # force groupby tier
+    b = verdict_map(V.run_suite(
+        rd.from_arrow(make_pages_block(0, 1500)).repartition(6),
+        config=SuiteConfig()))
+    assert a == b
+    assert any(k[1] == "frequency" for k in a)  # meta-derived checks present
+    assert any(k[1] == "ordering" for k in a)
