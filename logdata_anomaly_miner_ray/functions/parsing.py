@@ -379,6 +379,50 @@ def parse_base64(col) -> pa.Array:
     return pa.array(out, pa.binary())
 
 
+def parse_ipv6(col) -> pa.Array:
+    """RFC4291 §2.2 IPv6 string → 16-byte big-endian binary
+    (``fixed_size_binary`` keeps the full 128 bits; int64 can't) —
+    IpAddressDataModelElement(ipv6=True) match_object semantics
+    (reference: aminer/parsing/IpAddressDataModelElement.py:36-63,
+    extract_ipv6_address :81-93): '::' zero-run expansion, hextets
+    ≤ 4 hex digits, and embedded trailing IPv4 forms
+    (``::FFFF:1.2.3.4``) REJECTED like the reference element; null
+    on any failure. Row-wise stdlib parse — IP columns are narrow
+    and rare relative to the text hot path; the RE2 guard skips the
+    Python parse for rows that cannot possibly match."""
+    import ipaddress
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    guard = pc.fill_null(
+        pc.match_substring_regex(col, r"^[0-9A-Fa-f:]{2,39}$"), False
+    ).to_numpy(zero_copy_only=False)
+    out: list[bytes | None] = []
+    for s, ok in zip(col.to_pylist(), guard):
+        if not ok:
+            out.append(None)
+            continue
+        try:
+            out.append(ipaddress.IPv6Address(s).packed)
+        except ValueError:
+            out.append(None)
+    return pa.array(out, pa.binary(16))
+
+
+def ipv6_to_int_pair(parsed: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(hi, lo) int64 views of a parse_ipv6 column for groupby /
+    compare stages. Each u64 half is BIASED by -2^63 (the XOR-sign
+    trick) so unsigned address order survives int64 sorting."""
+    import numpy as np
+
+    vals = parsed.to_pylist()
+    hi = [int.from_bytes(v[:8], "big", signed=False) - (1 << 63) if v else None
+          for v in vals]
+    lo = [int.from_bytes(v[8:], "big", signed=False) - (1 << 63) if v else None
+          for v in vals]
+    return pa.array(hi, pa.int64()), pa.array(lo, pa.int64())
+
+
 def parse_ipv4(col) -> pa.Array:
     """Dotted-quad string → int (match_object semantics of
     IpAddressDataModelElement)."""
@@ -480,6 +524,10 @@ _LINE_KINDS = {
     "delimited": (None, "str"),       # bytes until delimiter
     "any": (r".*", "str"),            # AnyByteDataModelElement
     "ipv4": (r"(?:\d{1,3}\.){3}\d{1,3}", "ipv4"),
+    # RE2-safe superset of RFC4291 text forms (no embedded IPv4 —
+    # the reference element rejects those); parse_ipv6 nulls any
+    # overmatch the fragment lets through
+    "ipv6": (r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|(?:[0-9A-Fa-f]{1,4}:){1,7}:|:(?::[0-9A-Fa-f]{1,4}){1,7}|(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}|::)", "ipv6"),
     "datetime": (None, "datetime"),   # strptime after extraction
     "alnum": (r"[A-Za-z0-9]+", "str"),  # VariableByte over alnum
     "hex": (r"[0-9a-fA-F]+", "hex"),
@@ -633,6 +681,8 @@ def _make_parse(spec: list[tuple], line_col: str):
                 vals = pc.cast(vals, pa.float64(), safe=False)
             elif tag == "ipv4":
                 vals = parse_ipv4(vals)
+            elif tag == "ipv6":
+                vals = parse_ipv6(vals)
             elif tag == "hex":
                 vals = parse_hex(vals)
             elif tag == "datetime":
@@ -707,6 +757,8 @@ def parse_lines_first_match(
                     vals = pc.cast(vals, pa.float64(), safe=False)
                 elif tag == "ipv4":
                     vals = parse_ipv4(vals)
+                elif tag == "ipv6":
+                    vals = parse_ipv6(vals)
                 elif tag == "hex":
                     vals = parse_hex(vals)
                 elif tag == "datetime":
