@@ -22,12 +22,79 @@ from ._agg import grouped_counts
 def duplicate_keys(
     ds: "ray.data.Dataset", keys: list[str], count_name: str = "n"
 ) -> "ray.data.Dataset":
-    """Key tuples occurring more than once, with their counts."""
+    """Key tuples occurring more than once, with their counts.
+
+    Single INTEGER key: per-block ``np.unique`` partials + ONE
+    bounded ``groupby(key % n_buckets)`` pandas fold — Ray's
+    ``groupby().aggregate()`` is 5-8× slower than a keyed map_groups
+    for mostly-unique keys (CLAUDE.md). Multi-column / non-int keys
+    keep the generic pre-aggregated count shuffle."""
+    sch = ds.schema()
+    if len(keys) == 1 and sch is not None and pa.types.is_integer(
+        sch.base_schema.field(keys[0]).type
+    ):
+        return _duplicate_int_keys(ds, keys[0], count_name)
     counts = grouped_counts(ds, keys, out_name=count_name)
     return counts.map_batches(
         lambda t: t.filter(pc.greater(t[count_name], 1)),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
+    )
+
+
+def _duplicate_int_keys(
+    ds: "ray.data.Dataset", key: str, count_name: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
+    import numpy as np
+    import pandas as pd
+
+    if n_buckets is None:
+        try:
+            n_buckets = max(64, ds.num_blocks() // 4)
+        except Exception:
+            n_buckets = 256
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        null_n = col.null_count
+        nn = col.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(nn, return_counts=True)
+        bk = (uniq % n_buckets + n_buckets) % n_buckets
+        isnull = np.zeros(len(uniq), dtype=bool)
+        if null_n:
+            # NULL is one key group (SQL GROUP BY semantics). It
+            # rides as (key=0, __isnull=True) — a real null in the
+            # int64 column would float-promote every key > 2^53 in
+            # the pandas fold (CLAUDE.md exactness trap).
+            uniq = np.concatenate([uniq, [0]])
+            counts = np.concatenate([counts, [null_n]])
+            bk = np.concatenate([bk, [0]])
+            isnull = np.concatenate([isnull, [True]])
+        return pa.table(
+            {key: pa.array(uniq, pa.int64()),
+             "__pn": pa.array(counts.astype(np.int64)),
+             "__isnull": pa.array(isnull),
+             "__b": pa.array(bk.astype(np.int32))}
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = (
+            g.groupby([key, "__isnull"], sort=False)["__pn"].sum().reset_index()
+        )
+        agg = agg[agg["__pn"] > 1]
+        nulls = agg["__isnull"].to_numpy(bool)
+        return pa.table(
+            {key: pa.array(agg[key].to_numpy(np.int64), pa.int64(),
+                           mask=nulls),
+             count_name: pa.array(agg["__pn"].to_numpy(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
