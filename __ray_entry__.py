@@ -393,23 +393,31 @@ def q_segment_revenue(sf_dir: str):
             )
             return g.rename_columns(["c_mktsegment", "__sp", "__n"])
 
-    agg = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(SegmentJoin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=(1, 4))
-        .groupby("c_mktsegment")
-        .aggregate(Sum("__sp", alias_name="rev_raw"), Sum("__n", alias_name="n"))
+    from logdata_anomaly_miner_ray.stages._taskcache import cached_task_fn
+
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        cached_task_fn(SegmentJoin, cache_on=(lookup_ref,)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_mktsegment": t["c_mktsegment"],
-                "revenue_cents": _scaled_int(t["rev_raw"], 100),
-                "n": t["n"],
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    # ≤ #segments rows per block: fold the partials on the driver
+    # (a groupby job costs ~2s of fixed overhead for a 5-row result)
+    acc: dict[str, tuple[float, int]] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for seg, sp, n in zip(
+            b["c_mktsegment"].to_pylist(), b["__sp"].to_pylist(), b["__n"].to_pylist()
+        ):
+            cur = acc.get(seg, (0.0, 0))
+            acc[seg] = (cur[0] + sp, cur[1] + n)
+    segs = sorted(acc)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "revenue_cents": _scaled_int(
+                pa.array([acc[s][0] for s in segs], pa.float64()), 100
+            ),
+            "n": pa.array([acc[s][1] for s in segs], pa.int64()),
+        }
+    )
 
 
 def q_nation_revenue_join(sf_dir: str):
