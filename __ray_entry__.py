@@ -549,6 +549,93 @@ def q_json_schema_events(sf_dir: str):
     )
 
 
+def q_xml_extract_events(sf_dir: str):
+    """XmlModelElement recast, oracle-verified by inversion: each
+    event becomes a deterministic XML doc (every 7th malformed —
+    unclosed element), extraction must recover the source columns
+    and flag the broken rows."""
+    from logdata_anomaly_miner_ray.functions.parsing import xml_extract
+
+    def add(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        et = batch["event_type"].to_pylist()
+        docs = [
+            (f'<e id="{u}"><t>{t}</t>' if e % 7 == 0
+             else f'<e id="{u}"><t>{t}</t></e>')
+            for e, u, t in zip(eid, uid, et)
+        ]
+        cols = xml_extract(
+            pa.array(docs, pa.string()), {"@id": pa.int64(), "t": pa.string()}
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "parse_ok": cols["parse_ok"],
+                "xid": cols["id"],
+                "xt": pc.coalesce(cols["t"], pa.scalar("", pa.string())),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def q_line_model_events(sf_dir: str):
+    """Declarative line model (Sequence of Fixed/Decimal/WhiteSpace
+    leaves + OptionalMatchModelElement), oracle-verified by
+    inversion: events rendered as log lines (every 11th garbage,
+    every 3rd carrying an optional suffix field), parsed back by ONE
+    RE2 extraction with typed casts."""
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    def render(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        et = batch["event_type"].to_pylist()
+        lines = []
+        for e, u, t in zip(eid, uid, et):
+            if e % 11 == 0:
+                lines.append("### not a log line ###")
+            elif e % 3 == 0:
+                lines.append(f"u={u} t={t} k={e % 1000} x={u * 2}")
+            else:
+                lines.append(f"u={u} t={t} k={e % 1000}")
+        return pa.table(
+            {"event_id": batch["event_id"], "line": pa.array(lines, pa.string())}
+        )
+
+    spec = [
+        ("f0", "fixed", "u="),
+        ("u", "int"),
+        ("f1", "fixed", " t="),
+        ("t", "word"),
+        ("f2", "fixed", " k="),
+        ("k", "int"),
+        ("fx", "optional", ("fx", "fixed", " x=")),
+        ("x", "optional", ("x", "int")),
+    ]
+    rendered = _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        render, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    parsed = parse_lines(rendered, spec, line_col="line")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "parse_ok": t["parse_ok"],
+                "u": t["u"],
+                "t": pc.coalesce(t["t"], pa.scalar("", pa.string())),
+                "k": t["k"],
+                "x": t["x"],
+            }
+        )
+
+    return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def q_datetime_parse_events(sf_dir: str):
     """DateTimeModelElement depth (reference
     parsing/DateTimeModelElement.py:70-420): %z timezone-name and
@@ -1501,6 +1588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "json_extract_events": q_json_extract_events,
         "json_schema_events": q_json_schema_events,
+        "xml_extract_events": q_xml_extract_events,
+        "line_model_events": q_line_model_events,
         "datetime_parse_events": q_datetime_parse_events,
         "allowlist_rules_events": q_allowlist_rules_events,
         "implication_support_events": q_implication_support_events,
@@ -1809,6 +1898,20 @@ WITH docs AS (
 SELECT event_id, reject_reason IS NULL AS valid,
        coalesce(reject_reason, '') AS reject_reason
 FROM checked""",
+        "xml_extract_events": """
+SELECT event_id,
+       event_id % 7 != 0 AS parse_ok,
+       CASE WHEN event_id % 7 != 0 THEN user_id END AS xid,
+       CASE WHEN event_id % 7 != 0 THEN event_type ELSE '' END AS xt
+FROM events""",
+        "line_model_events": """
+SELECT event_id,
+       event_id % 11 != 0 AS parse_ok,
+       CASE WHEN event_id % 11 != 0 THEN user_id END AS u,
+       CASE WHEN event_id % 11 != 0 THEN event_type ELSE '' END AS t,
+       CASE WHEN event_id % 11 != 0 THEN event_id % 1000 END AS k,
+       CASE WHEN event_id % 11 != 0 AND event_id % 3 = 0 THEN user_id * 2 END AS x
+FROM events""",
         "datetime_parse_events": """
 SELECT event_id,
        epoch_us(ts) - CAST(CASE CAST(event_id % 6 AS INTEGER)

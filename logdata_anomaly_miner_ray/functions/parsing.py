@@ -675,6 +675,13 @@ def _make_parse(spec: list[tuple], line_col: str):
                 out = out.append_column(name, vals)
                 continue
             vals = pc.struct_field(ex, name)
+            # an absent OPTIONAL group captures "" (extract_regex has
+            # no null-for-unmatched-group); no numeric leaf can
+            # legitimately capture "" — null it before the cast
+            if tag in ("int", "float"):
+                vals = pc.if_else(
+                    pc.equal(vals, ""), pa.scalar(None, pa.string()), vals
+                )
             if tag == "int":
                 vals = pc.cast(vals, pa.int64(), safe=False)
             elif tag == "float":
