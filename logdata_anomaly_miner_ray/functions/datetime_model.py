@@ -172,17 +172,22 @@ def parse_tz_suffix(rest: str) -> tuple[int, bool]:
     pos = 0
     if rest[:1] == " ":
         pos = 1
-        key = None
         if pos < len(rest) and rest[pos] in _SEARCH_TZ:
+            # the UTC/GMT-only offset restriction applies ONLY when a
+            # letter opens a tz-name lookup; a bare " -0700" keeps
+            # offsets allowed (reference DateTimeModelElement.py:
+            # 355-366 — the not-in-(UTC,GMT) check sits INSIDE the
+            # first-letter-in-dict branch)
+            key = None
             for cand in _SEARCH_TZ[rest[pos]]:
                 if rest.startswith(cand, pos):
                     key = cand
                     break
-        if key not in ("UTC", "GMT"):
-            offset_allowed = False
-        if key is not None:
-            off = TIMEZONE_OFFSETS[key]
-            pos += len(key)
+            if key not in ("UTC", "GMT"):
+                offset_allowed = False
+            if key is not None:
+                off = TIMEZONE_OFFSETS[key]
+                pos += len(key)
     if pos < len(rest) and rest[pos] in "+-" and offset_allowed and valid:
         sign = 1 if rest[pos] == "+" else -1
         pos += 1

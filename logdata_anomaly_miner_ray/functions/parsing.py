@@ -521,7 +521,14 @@ _LINE_KINDS = {
     "int": (r"[+-]?\d+", "int"),
     "float": (r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "float"),
     "word": (r"\S+", "str"),          # WhiteSpaceLimitedDataModelElement
-    "delimited": (None, "str"),       # bytes until delimiter
+    "delimited": (None, "str"),       # bytes until delimiter; arg may be
+                                      # (delim, escape) for escaped runs
+    "varbyte": (None, "str"),         # VariableByteDataModelElement:
+                                      # arg = allowed-character alphabet
+    "wordlist": (None, "str"),        # FixedWordlistDataModelElement:
+                                      # arg = list of words, longest wins
+    "pattern": (None, "str"),         # raw RE2 fragment (arg) — custom
+                                      # leaf shapes (e.g. syslog time)
     "any": (r".*", "str"),            # AnyByteDataModelElement
     "ipv4": (r"(?:\d{1,3}\.){3}\d{1,3}", "ipv4"),
     # RE2-safe superset of RFC4291 text forms (no embedded IPv4 —
@@ -599,7 +606,20 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
             parts.append(f"(?:{frag})?" if optional else frag)
             continue
         if kind == "delimited":
-            frag = f"[^{_re.escape(arg)}]*"
+            if isinstance(arg, tuple):
+                # DelimitedDataModelElement with an escape byte: an
+                # escaped char never terminates the run
+                delim, esc = arg
+                frag = f"(?:[^{_re.escape(delim + esc)}]|{_re.escape(esc)}.)*"
+            else:
+                frag = f"[^{_re.escape(arg)}]*"
+        elif kind == "varbyte":
+            frag = f"[{_re.escape(arg)}]+"
+        elif kind == "wordlist":
+            words = sorted(arg, key=len, reverse=True)  # longest-match
+            frag = "(?:" + "|".join(_re.escape(w) for w in words) + ")"
+        elif kind == "pattern":
+            frag = f"(?:{arg})"
         elif kind == "datetime":
             # build a permissive fragment from the strptime format
             frag = _re.escape(arg)

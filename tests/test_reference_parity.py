@@ -1787,3 +1787,146 @@ def test_ipv6_line_model_end_to_end(ray_session):
     assert out["parse_ok"].tolist() == [True, True, False]
     assert out.loc[0, "src"] == bytes.fromhex("fe80" + "00" * 13 + "01")
     assert out.loc[1, "port"] == 80
+
+
+def _load_generic_model(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name,
+        f"/root/reference/source/root/etc/aminer/conf-available/generic/{name}.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _leaf_values(me) -> dict:
+    out = {}
+
+    def walk(e):
+        for c in e.get_children() or []:
+            out[c.path.rsplit("/", 1)[-1]] = c.match_object
+            walk(c)
+
+    walk(me)
+    return out
+
+
+def test_cron_parsing_model_parity(ray_session):
+    """conf-available CronParsingModel vs functions.models.CRON_SPECS:
+    same match/no-match, same winning branch, same extracted leaf
+    values on the reference unit-test lines."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import CRON_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    ref = _load_generic_model("CronParsingModel").get_model()
+    lines = [
+        "CRON[25537]: (root) CMD ping 8.8.8.8",
+        "CRON[25537]: pam_unix(cron:session): session opened for user root by (uid=0)",
+        "CRON[25537]: pam_unix(cron:session): session closed for user root",
+        "cron[1234]: (*system*foo) RELOAD (/etc/crontab)",
+        "systemd[1]: Started Daily apt download activities.",
+        "CRON[ 25537 ]: (root) CMD ping 8.8.8.8",
+        "CRON[25537]:(root) CMD ping 8.8.8.8",
+    ]
+    branch_map = {"exec": "std_exec", "pam": "std_pam", "low": "low"}
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines_first_match(ds, CRON_SPECS, line_col="line").to_pandas()
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        if not full:
+            assert got.loc[i, "model"] is None or got.loc[i, "model"] != got.loc[i, "model"] or got.loc[i, "model"] in (None,), (
+                line, got.loc[i, "model"])
+            continue
+        leaf = _leaf_values(me)
+        branch = ("exec" if "command" in leaf
+                  else "pam" if "change" in leaf else "low")
+        assert got.loc[i, "model"] == branch_map[branch], (line, branch)
+        prefix = branch_map[branch]
+        assert int(got.loc[i, f"{prefix}.pid"]) == int(leaf["pid"])
+        if "user" in leaf:
+            assert got.loc[i, f"{prefix}.user"] == leaf["user"].decode()
+        if "command" in leaf:
+            assert got.loc[i, f"{prefix}.command"] == leaf["command"].decode()
+
+
+def test_apache_access_model_parity(ray_session):
+    """conf-available ApacheAccessModel vs APACHE_ACCESS_SPECS:
+    match/no-match, status/size ints and the DateTimeModelElement
+    epoch seconds (via DateTimeParser's %z machine) agree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import (
+        APACHE_ACCESS_SPECS,
+        apache_time_seconds,
+    )
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    ref = _load_generic_model("ApacheAccessModel").get_model()
+    lines = [
+        '192.168.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ex.com/" "Mozilla/4.08"',
+        '192.168.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /a b HTTP/1.0" 200 2326',
+        'host - - [10/Oct/2000:13:55:36+0000] "-" 400 0',
+        'www.example.com - alice [01/Jan/2021:00:00:00+0100] "POST /api/v1 HTTP/1.1" 201 17 "-" "curl/7.68.0"',
+        "garbage line",
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines_first_match(ds, APACHE_ACCESS_SPECS, line_col="line").to_pandas()
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        model = got.loc[i, "model"]
+        assert full == (model is not None and model == model), (line, model)
+        if not full:
+            continue
+        leaf = _leaf_values(me)
+        assert int(got.loc[i, f"{model}.status"]) == int(leaf["status"])
+        assert int(got.loc[i, f"{model}.size"]) == int(leaf["size"])
+        t = apache_time_seconds(
+            pa.array([got.loc[i, f"{model}.time"]], pa.string())
+        ).to_pylist()[0]
+        assert t == float(leaf["time"]), (line, t, leaf["time"])
+
+
+def test_syslog_preamble_composition_parity(ray_session):
+    """SyslogPreambleModel + Cron payload composed both ways: the
+    reference SequenceModelElement(preamble, cron) and our
+    syslog_model(CRON_SPECS[...]) agree on match + host + pid."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from aminer.parsing.SequenceModelElement import SequenceModelElement
+    from logdata_anomaly_miner_ray.functions.models import CRON_SPECS, syslog_model
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    pre = _load_generic_model("SyslogPreambleModel").get_model()
+    cron = _load_generic_model("CronParsingModel").get_model()
+    ref = SequenceModelElement("m", [pre, cron])
+    lines = [
+        "Feb  7 11:40:00 host1 CRON[25537]: (root) CMD ping 8.8.8.8",
+        "Feb 17 23:59:59 db-02 CRON[1]: (www-data) CMD /usr/bin/php cron.php",
+        "Feb 17 23:59:59 db-02 systemd[1]: Started something",
+    ]
+    spec = syslog_model(CRON_SPECS["std_exec"])
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines(ds, spec, line_col="line").to_pandas()
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        assert bool(got.loc[i, "parse_ok"]) == full, line
+        if full:
+            leaf = _leaf_values(me)
+            assert got.loc[i, "host"] == leaf["host"].decode()
+            assert int(got.loc[i, "pid"]) == int(leaf["pid"])
