@@ -9,12 +9,14 @@ the reference's parser path name).
 
 Implemented: Cron (CronParsingModel.py), Apache access
 (ApacheAccessModel.py, combined + common + dash-request variants),
-the syslog preamble (SyslogPreambleModel.py) and its composition
-with a payload model. The remaining conf-available models (sshd,
-exim, ntp, rsyslog, systemd, audispd, su-session, ssmtp, tomcat,
-ulogd, kernel) follow the same mechanical translation of their
-Sequence trees; parity tests drive the REFERENCE model objects on
-shared fixtures (tests/test_reference_parity.py).
+su-session (SuSessionParsingModel.py), the syslog preamble
+(SyslogPreambleModel.py) and its composition with a payload model.
+The remaining conf-available models (sshd, exim, ntp, rsyslog,
+systemd, audispd, ssmtp, tomcat, ulogd, kernel) follow the same
+mechanical translation of their Sequence trees — each FirstMatch
+alternative (and each optional SUB-SEQUENCE) becomes a whole-line
+variant; parity tests drive the REFERENCE model objects on shared
+fixtures (tests/test_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -128,3 +130,48 @@ def apache_time_seconds(col):
     from .datetime_model import DateTimeParser
 
     return DateTimeParser("%d/%b/%Y:%H:%M:%S%z").parse_array(col)["seconds"]
+
+
+# reference SuSessionParsingModel.get_model(): su[pid]: + FirstMatch
+# over su-good (two forms) and pam session open/close; the optional
+# " by (uid=N)" SEQUENCE becomes its own whole-line variant (pam_by)
+# — combinatorial branches expand to variants rather than nesting
+SU_SESSION_SPECS: dict[str, list[tuple]] = {
+    "su_good_for": [
+        ("sname", "fixed", "su["),
+        ("pid", "int"),
+        ("s0", "fixed", "]: Successful su for "),
+        ("user", "varbyte", _CRON_USER),
+        ("s1", "fixed", " by "),
+        ("srcuser", "varbyte", _CRON_USER),
+    ],
+    "su_good_terminal": [
+        ("sname", "fixed", "su["),
+        ("pid", "int"),
+        ("s0", "fixed", "]: + "),
+        ("terminal", "delimited", " "),
+        ("s1", "fixed", " "),
+        ("srcuser", "varbyte", _CRON_USER),
+        ("s2", "fixed", ":"),
+        ("user", "varbyte", _CRON_USER),
+    ],
+    "pam_by": [
+        ("sname", "fixed", "su["),
+        ("pid", "int"),
+        ("s0", "fixed", "]: pam_unix(su:session): session "),
+        ("change", "wordlist", ["opened", "closed"]),
+        ("s1", "fixed", " for user "),
+        ("user", "varbyte", _CRON_USER),
+        ("s2", "fixed", " by (uid="),
+        ("uid", "int"),
+        ("s3", "fixed", ")"),
+    ],
+    "pam": [
+        ("sname", "fixed", "su["),
+        ("pid", "int"),
+        ("s0", "fixed", "]: pam_unix(su:session): session "),
+        ("change", "wordlist", ["opened", "closed"]),
+        ("s1", "fixed", " for user "),
+        ("user", "varbyte", _CRON_USER),
+    ],
+}

@@ -1930,3 +1930,38 @@ def test_syslog_preamble_composition_parity(ray_session):
             leaf = _leaf_values(me)
             assert got.loc[i, "host"] == leaf["host"].decode()
             assert int(got.loc[i, "pid"]) == int(leaf["pid"])
+
+
+def test_su_session_model_parity(ray_session):
+    """conf-available SuSessionParsingModel vs SU_SESSION_SPECS."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import SU_SESSION_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    ref = _load_generic_model("SuSessionParsingModel").get_model()
+    lines = [
+        "su[1234]: Successful su for root by admin",
+        "su[1234]: + /dev/pts/0 admin:root",
+        "su[99]: pam_unix(su:session): session opened for user root by (uid=1000)",
+        "su[99]: pam_unix(su:session): session closed for user root",
+        "su[99]: pam_unix(su:session): session reopened for user root",
+        "sudo[99]: something else",
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines_first_match(ds, SU_SESSION_SPECS, line_col="line").to_pandas()
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        model = got.loc[i, "model"]
+        assert full == (model == model and model is not None), (line, model)
+        if not full:
+            continue
+        leaf = _leaf_values(me)
+        assert int(got.loc[i, f"{model}.pid"]) == int(leaf["pid"])
+        assert got.loc[i, f"{model}.user"] == leaf["user"].decode()
+        if "uid" in leaf:
+            assert model == "pam_by" and int(got.loc[i, f"{model}.uid"]) == int(leaf["uid"])
