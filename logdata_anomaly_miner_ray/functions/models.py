@@ -175,3 +175,383 @@ SU_SESSION_SPECS: dict[str, list[tuple]] = {
         ("user", "varbyte", _CRON_USER),
     ],
 }
+
+
+# ---------------------------------------------------------------------------
+# SshdParsingModel (reference conf-available/generic/SshdParsingModel.py,
+# the canonical AMiner demo model): sshd[pid]: + FirstMatch over ~30
+# message branches. Variant order FOLLOWS the reference branch order
+# (first-match fidelity). Translation notes:
+# - nested (ipv4 | ipv6) FirstMatches become one `ipany` pattern leaf
+#   captured as a STRING (the reference yields ints; keyed stages can
+#   post-parse with parse_ipv4/parse_ipv6);
+# - multi-char delimiters (" from ", " [preauth]") have no RE2
+#   char-class form — a lazy `.+?` before the fixed literal mirrors
+#   the reference's first-occurrence cut on well-formed lines;
+# - optional SUB-SEQUENCES expand to ordered whole-line variants
+#   (see SU_SESSION_SPECS note).
+# ---------------------------------------------------------------------------
+
+_SSHD_HEAD: list[tuple] = [
+    ("sname", "fixed", "sshd["),
+    ("pid", "int"),
+    ("s0", "fixed", "]: "),
+]
+_IP4_PAT = r"(?:\d{1,3}\.){3}\d{1,3}"
+_IPANY_PAT = _IP4_PAT + r"|[0-9A-Fa-f:]{2,39}"
+_B64 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ+/:"
+
+
+def _sshd(body: list[tuple]) -> list[tuple]:
+    return _SSHD_HEAD + body
+
+
+SSHD_SPECS: dict[str, list[tuple]] = {
+    "accepted_key_ca": _sshd([
+        ("m0", "fixed", "Accepted publickey for "),
+        ("user", "varbyte", _CRON_USER),
+        ("m1", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+        ("m3", "fixed", " ssh2: "),
+        ("asym_algorithm", "delimited", " "),
+        ("m4", "fixed", " "),
+        ("fingerprint", "varbyte", _B64),
+        ("m5", "fixed", " ID "),
+        ("id", "delimited", " "),
+        ("m6", "fixed", " (serial "),
+        ("serial", "int"),
+        ("m7", "fixed", ") CA "),
+        ("algorithm_details", "pattern", r".+"),
+    ]),
+    "accepted_key": _sshd([
+        ("m0", "fixed", "Accepted publickey for "),
+        ("user", "varbyte", _CRON_USER),
+        ("m1", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+        ("m3", "fixed", " ssh2: "),
+        ("asym_algorithm", "delimited", " "),
+        ("m4", "fixed", " "),
+        ("fingerprint", "varbyte", _B64),
+    ]),
+    "btmp_perm": _sshd([
+        ("m0", "fixed", "Excess permission or bad ownership on file /var/log/btmp"),
+    ]),
+    "close_sess": _sshd([
+        ("m0", "fixed", "Close session: user "),
+        ("user", "varbyte", _CRON_USER),
+        ("m1", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+        ("m3", "fixed", " id "),
+        ("userid", "int"),
+    ]),
+    "closing": _sshd([
+        ("m0", "fixed", "Closing connection to "),
+        ("clientip", "ipv4"),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+    ]),
+    "closed_ip": _sshd([
+        ("m0", "fixed", "Connection closed by "),
+        ("clientip", "ipv4"),
+    ]),
+    "closed_user": _sshd([
+        ("m0", "fixed", "Connection closed by "),
+        ("user_type", "wordlist", ["authenticating", "invalid"]),
+        ("m1", "fixed", " user "),
+        ("user", "delimited", " "),
+        ("m2", "fixed", " "),
+        ("ip", "pattern", _IPANY_PAT),
+        ("m3", "fixed", " port "),
+        ("port", "int"),
+        ("m4", "fixed", " [preauth]"),
+    ]),
+    "connect": _sshd([
+        ("m0", "fixed", "Connection from "),
+        ("clientip", "ipv4"),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+        ("m2", "fixed", " on "),
+        ("serverip", "ipv4"),
+        ("m3", "fixed", " port "),
+        ("sport", "int"),
+    ]),
+    "disconnectreq": _sshd([
+        ("m0", "fixed", "Received disconnect from "),
+        ("clientip", "ipv4"),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+        ("m2", "fixed", ":"),
+        ("session", "int"),
+        ("m3", "fixed", ": "),
+        ("reason", "wordlist", ["disconnected by user"]),
+    ]),
+    "disconnected": _sshd([
+        ("m0", "fixed", "Disconnected from "),
+        ("clientip", "ipv4"),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+    ]),
+    "error_bind": _sshd([
+        ("m0", "fixed", "error: bind: Cannot assign requested address"),
+    ]),
+    "error_max_auth": _sshd([
+        ("m0", "fixed", "error: maximum authentication attempts exceeded for "),
+        ("invalid", "optional", ("invalid", "fixed", "invalid user ")),
+        ("user", "delimited", " "),
+        ("m1", "fixed", " from "),
+        ("from_ip", "pattern", _IPANY_PAT),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+        ("m3", "fixed", " ssh2 [preauth]"),
+    ]),
+    "error_cert_exp": _sshd([
+        ("m0", "fixed", "error: Certificate invalid: expired"),
+    ]),
+    "error_cert_not_yet_valid": _sshd([
+        ("m0", "fixed", "error: Certificate invalid: not yet valid"),
+    ]),
+    "error_cert_not_listed_principal": _sshd([
+        ("m0", "fixed", "error: Certificate invalid: name is not a listed principal"),
+    ]),
+    "error_refused_by_options": _sshd([
+        ("m0", "fixed", "error: Refused by certificate options"),
+    ]),
+    "error_channel_setup": _sshd([
+        ("m0", "fixed", "error: channel_setup_fwd_listener: cannot listen to port: "),
+        ("port", "int"),
+    ]),
+    "error_auth_key": _sshd([
+        ("m0", "fixed", "error: Authentication key "),
+        ("asym_algorithm", "delimited", " "),
+        ("m1", "fixed", " "),
+        ("hash", "delimited", " "),
+        ("m2", "fixed", " revoked by file "),
+        ("file", "pattern", r".+"),
+    ]),
+    "error_load_key": _sshd([
+        ("m0", "fixed", "error: Could not load host key: "),
+        ("file", "pattern", r".+"),
+    ]),
+    "ident_missing": _sshd([
+        ("m0", "fixed", "Did not receive identification string from "),
+        ("clientip", "ipv4"),
+    ]),
+    "invalid_user": _sshd([
+        ("m0", "fixed", "Invalid user "),
+        ("user", "pattern", r".+?"),
+        ("m1", "fixed", " from "),
+        ("from_ip", "pattern", _IPANY_PAT),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+    ]),
+    "invalid_user_auth_req": _sshd([
+        ("m0", "fixed", "input_userauth_request: invalid user "),
+        ("user", "pattern", r".+?"),
+        ("m1", "fixed", " [preauth]"),
+    ]),
+    "postppk": _sshd([
+        ("m0", "fixed", "Postponed publickey for "),
+        ("user", "varbyte", _CRON_USER),
+        ("m1", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+        ("m3", "fixed", " ssh2 [preauth]"),
+    ]),
+    "readerr": _sshd([
+        ("m0", "fixed", "Read error from remote host "),
+        ("clientip", "ipv4"),
+        ("m1", "fixed", ": Connection timed out"),
+    ]),
+    "disconnect_user": _sshd([
+        ("m0", "fixed", "Received disconnect from "),
+        ("from_ip", "pattern", _IPANY_PAT),
+        ("m1", "fixed", ": 11: "),
+        ("reason", "wordlist", ["disconnected by user"]),
+    ]),
+    "disconnect_msg": _sshd([
+        ("m0", "fixed", "Received disconnect from "),
+        ("from_ip", "pattern", _IPANY_PAT),
+        ("m1", "fixed", ": 11: "),
+        ("msg", "pattern", r".+?"),
+        ("m2", "fixed", " [preauth]"),
+    ]),
+    "signal": _sshd([
+        ("m0", "fixed", "Received signal "),
+        ("signal", "int"),
+        ("m1", "fixed", "; terminating."),
+    ]),
+    "server": _sshd([
+        ("m0", "fixed", "Server listening on "),
+        ("serverip", "delimited", " "),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+        ("m2", "fixed", "."),
+    ]),
+    "oom_adjust": _sshd([
+        ("m0", "fixed", "Set /proc/self/oom_score_adj "),
+        ("from0", "optional", ("from0", "fixed", "from 0 ")),
+        ("m1", "fixed", "to "),
+        ("newval", "int"),
+    ]),
+    "session_start_shell": _sshd([
+        ("m0", "fixed", "Starting session: shell on "),
+        ("terminal", "delimited", " "),
+        ("m1", "fixed", " for "),
+        ("user", "varbyte", _CRON_USER),
+        ("m2", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m3", "fixed", " port "),
+        ("port", "int"),
+        ("mi", "optional", ("mi", "fixed", " id ")),
+        ("id", "optional", ("id", "int")),
+    ]),
+    "session_start_subsystem": _sshd([
+        ("m0", "fixed", 'Starting session: subsystem "sftp" for '),
+        ("user", "varbyte", _CRON_USER),
+        ("m1", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m2", "fixed", " port "),
+        ("port", "int"),
+        ("mi", "optional", ("mi", "fixed", " id ")),
+        ("id", "optional", ("id", "int")),
+    ]),
+    "session_start_forced": _sshd([
+        ("m0", "fixed", 'Starting session: forced-command (key-option) "'),
+        ("command", "pattern", r".+?"),
+        ("m1", "fixed", '" for '),
+        ("user", "varbyte", _CRON_USER),
+        ("m2", "fixed", " from "),
+        ("clientip", "ipv4"),
+        ("m3", "fixed", " port "),
+        ("port", "int"),
+        ("mi", "optional", ("mi", "fixed", " id ")),
+        ("id", "optional", ("id", "int")),
+    ]),
+    "transferred": _sshd([
+        ("m0", "fixed", "Transferred: sent "),
+        ("sent", "int"),
+        ("m1", "fixed", ", received "),
+        ("received", "int"),
+        ("m2", "fixed", " bytes"),
+    ]),
+    "pam": _sshd([
+        ("m0", "fixed", "pam_unix(sshd:session): session "),
+        ("change", "wordlist", ["opened", "closed"]),
+        ("m1", "fixed", " for user "),
+        ("user", "varbyte", _CRON_USER),
+        ("openby", "optional", ("openby", "fixed", " by (uid=0)")),
+    ]),
+    "child": _sshd([
+        ("m0", "fixed", "User child is on pid "),
+        ("childpid", "int"),
+    ]),
+    "failed_accept": _sshd([
+        ("verdict", "wordlist", ["Failed ", "Accepted "]),
+        ("type", "wordlist", ["password", "none", "publickey"]),
+        ("m1", "fixed", " for "),
+        ("invalid", "optional", ("invalid", "fixed", "invalid user ")),
+        ("user", "delimited", " "),
+        ("m2", "fixed", " from "),
+        ("from_ip", "pattern", _IPANY_PAT),
+        ("m3", "fixed", " port "),
+        ("port", "int"),
+        ("service", "pattern", r".+"),
+    ]),
+    "disconnecting": _sshd([
+        ("m0", "fixed", "Disconnecting "),
+        ("type", "wordlist", ["authenticating", "invalid"]),
+        ("m1", "fixed", " user "),
+        ("user", "delimited", " "),
+        ("m2", "fixed", " "),
+        ("ip", "ipv4"),
+        ("m3", "fixed", " port "),
+        ("port", "int"),
+        ("m4", "fixed", ": Too many authentication failures [preauth]"),
+    ]),
+    "fatal": _sshd([
+        ("m0", "fixed", "fatal: Timeout before authentication for "),
+        ("ip", "ipv4"),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+    ]),
+    "cert_auth": _sshd([
+        ("m0", "fixed", "cert: Authentication tried for "),
+        ("user", "delimited", " "),
+        ("m1", "fixed", " with valid certificate but not from a permitted source address ("),
+        ("ip", "ipv4"),
+        ("m2", "fixed", ")."),
+    ]),
+    "change_root_dir": _sshd([
+        ("m0", "fixed", 'Changed root directory to "'),
+        ("root_dir", "delimited", '"'),
+        ("m1", "fixed", '"'),
+    ]),
+    "subsystem_request": _sshd([
+        ("m0", "fixed", "subsystem request for sftp"),
+    ]),
+    "conn_write_poll": _sshd([
+        ("m0", "fixed", "packet_write_poll: Connection from "),
+        ("from_ip", "ipv4"),
+        ("m1", "fixed", " port "),
+        ("port", "int"),
+        ("m2", "fixed", ": Host is down"),
+    ]),
+    "debug_keepalive": _sshd([
+        ("m0", "fixed", "debug"),
+        ("debug_num", "int"),
+        ("m1", "fixed", ": Got "),
+        ("num1", "int"),
+        ("m2", "fixed", "/"),
+        ("num2", "int"),
+        ("m3", "fixed", " for keepalive"),
+    ]),
+    "debug_channel": _sshd([
+        ("m0", "fixed", "debug"),
+        ("debug_num", "int"),
+        ("m1", "fixed", ": channel "),
+        ("channel_num", "int"),
+        ("m2", "fixed", ": request "),
+        ("mail", "delimited", " "),
+        ("m3", "fixed", " confirm "),
+        ("num", "int"),
+    ]),
+    "debug_send_packet": _sshd([
+        ("m0", "fixed", "debug"),
+        ("debug_num", "int"),
+        ("m1", "fixed", ": send packet: type "),
+        ("packet_type", "int"),
+    ]),
+    "debug_receive_packet": _sshd([
+        ("m0", "fixed", "debug"),
+        ("debug_num", "int"),
+        ("m1", "fixed", ": receive packet: type "),
+        ("packet_type", "int"),
+    ]),
+    "debug_do_cleanup": _sshd([
+        ("m0", "fixed", "debug"),
+        ("debug_num", "int"),
+        ("m1", "fixed", ": do_cleanup"),
+    ]),
+    "debug_pty_cleanup": _sshd([
+        ("m0", "fixed", "debug"),
+        ("debug_num", "int"),
+        ("m1", "fixed", ": session_pty_cleanup: session "),
+        ("sess_num", "int"),
+        ("m2", "fixed", " release "),
+        ("file", "pattern", r".+"),
+    ]),
+    "pam_succeed_if": _sshd([
+        ("m0", "fixed", 'pam_succeed_if(sshd:auth): requirement "uid >= '),
+        ("uid", "int"),
+        ("m1", "fixed", '" not met by user "'),
+        ("user", "delimited", '"'),
+        ("m2", "fixed", '"'),
+    ]),
+}

@@ -778,6 +778,12 @@ def parse_lines_first_match(
                     out = out.append_column(f"{name}.{fname}", dv)
                     continue
                 vals = pc.struct_field(ex, fname)
+                # same empty-capture guard as _make_parse: absent
+                # optional groups capture "" and would break the cast
+                if tag in ("int", "float"):
+                    vals = pc.if_else(
+                        pc.equal(vals, ""), pa.scalar(None, pa.string()), vals
+                    )
                 if tag == "int":
                     vals = pc.cast(vals, pa.int64(), safe=False)
                 elif tag == "float":

@@ -1806,7 +1806,9 @@ def _leaf_values(me) -> dict:
 
     def walk(e):
         for c in e.get_children() or []:
-            out[c.path.rsplit("/", 1)[-1]] = c.match_object
+            # first occurrence wins (sshd's "child" branch reuses the
+            # leaf name "pid" after the head pid)
+            out.setdefault(c.path.rsplit("/", 1)[-1], c.match_object)
             walk(c)
 
     walk(me)
@@ -1965,3 +1967,91 @@ def test_su_session_model_parity(ray_session):
         assert got.loc[i, f"{model}.user"] == leaf["user"].decode()
         if "uid" in leaf:
             assert model == "pam_by" and int(got.loc[i, f"{model}.uid"]) == int(leaf["uid"])
+
+
+def test_sshd_model_parity(ray_session):
+    """conf-available SshdParsingModel (the canonical AMiner demo
+    model, ~30 FirstMatch branches) vs SSHD_SPECS: match/no-match,
+    and pid/port/int leaf agreement on lines covering every branch
+    family plus malformed rejects."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import SSHD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    ref = _load_generic_model("SshdParsingModel").get_model()
+    lines = [
+        "sshd[123]: Accepted publickey for root from 1.2.3.4 port 22 ssh2: RSA SHA256:abc+def/xyz",
+        "sshd[123]: Accepted publickey for root from 1.2.3.4 port 22 ssh2: RSA SHA256:abc ID ke-y (serial 42) CA ed25519 details",
+        "sshd[5]: Excess permission or bad ownership on file /var/log/btmp",
+        "sshd[5]: Close session: user bob from 10.0.0.1 port 2222 id 7",
+        "sshd[5]: Closing connection to 10.0.0.1 port 2222",
+        "sshd[5]: Connection closed by 10.0.0.9",
+        "sshd[5]: Connection closed by invalid user guest 10.0.0.9 port 4242 [preauth]",
+        "sshd[5]: Connection from 10.0.0.1 port 4444 on 10.0.0.2 port 22",
+        "sshd[5]: Received disconnect from 10.0.0.1 port 22:0: disconnected by user",
+        "sshd[5]: Disconnected from 10.0.0.1 port 22",
+        "sshd[5]: error: bind: Cannot assign requested address",
+        "sshd[5]: error: maximum authentication attempts exceeded for invalid user adm from 10.0.0.3 port 9 ssh2 [preauth]",
+        "sshd[5]: error: maximum authentication attempts exceeded for root from 10.0.0.3 port 9 ssh2 [preauth]",
+        "sshd[5]: error: Certificate invalid: expired",
+        "sshd[5]: error: channel_setup_fwd_listener: cannot listen to port: 8080",
+        "sshd[5]: error: Authentication key RSA SHA256:h revoked by file /etc/revoked",
+        "sshd[5]: error: Could not load host key: /etc/ssh/key",
+        "sshd[5]: Did not receive identification string from 10.0.0.1",
+        "sshd[5]: Invalid user admin from 10.0.0.3 port 60000",
+        "sshd[5]: input_userauth_request: invalid user admin [preauth]",
+        "sshd[5]: Postponed publickey for bob from 10.0.0.1 port 22 ssh2 [preauth]",
+        "sshd[5]: Read error from remote host 10.0.0.1: Connection timed out",
+        "sshd[5]: Received disconnect from 10.0.0.1: 11: disconnected by user",
+        "sshd[5]: Received disconnect from 10.0.0.1: 11: Bye Bye [preauth]",
+        "sshd[5]: Received signal 15; terminating.",
+        "sshd[5]: Server listening on 0.0.0.0 port 22.",
+        "sshd[5]: Set /proc/self/oom_score_adj from 0 to 1000",
+        "sshd[5]: Set /proc/self/oom_score_adj to -1000",
+        "sshd[5]: Starting session: shell on pts/0 for bob from 10.0.0.1 port 22",
+        "sshd[5]: Starting session: shell on pts/0 for bob from 10.0.0.1 port 22 id 3",
+        'sshd[5]: Starting session: subsystem "sftp" for bob from 10.0.0.1 port 22',
+        'sshd[5]: Starting session: forced-command (key-option) "/bin/date" for bob from 10.0.0.1 port 22',
+        "sshd[5]: Transferred: sent 1024, received 2048 bytes",
+        "sshd[5]: pam_unix(sshd:session): session opened for user root by (uid=0)",
+        "sshd[5]: pam_unix(sshd:session): session closed for user root",
+        "sshd[5]: User child is on pid 999",
+        "sshd[5]: Failed password for invalid user admin from 10.0.0.3 port 9 ssh2",
+        "sshd[5]: Accepted password for bob from 10.0.0.3 port 9 ssh2",
+        "sshd[5]: Disconnecting invalid user adm 10.0.0.3 port 9: Too many authentication failures [preauth]",
+        "sshd[5]: fatal: Timeout before authentication for 10.0.0.3 port 9",
+        "sshd[5]: cert: Authentication tried for bob with valid certificate but not from a permitted source address (10.0.0.3).",
+        'sshd[5]: Changed root directory to "/var/empty"',
+        "sshd[5]: subsystem request for sftp",
+        "sshd[5]: packet_write_poll: Connection from 10.0.0.3 port 9: Host is down",
+        "sshd[5]: debug1: Got 1/2 for keepalive",
+        "sshd[5]: debug2: channel 4: request exit-status confirm 0",
+        "sshd[5]: debug3: send packet: type 98",
+        "sshd[5]: debug1: receive packet: type 80",
+        "sshd[5]: debug1: do_cleanup",
+        "sshd[5]: debug1: session_pty_cleanup: session 0 release /dev/pts/0",
+        'sshd[5]: pam_succeed_if(sshd:auth): requirement "uid >= 1000" not met by user "nagios"',
+        "sshd[5]: some unknown message format here",
+        "cron[5]: not sshd at all",
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines_first_match(ds, SSHD_SPECS, line_col="line").to_pandas()
+    n_matched = 0
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        model = got.loc[i, "model"]
+        ours = model == model and model is not None  # NaN-safe
+        assert full == ours, (line, model, full)
+        if not full:
+            continue
+        n_matched += 1
+        leaf = _leaf_values(me)
+        assert int(got.loc[i, f"{model}.pid"]) == int(leaf["pid"])
+        if "port" in leaf and f"{model}.port" in got.columns:
+            assert int(got.loc[i, f"{model}.port"]) == int(leaf["port"])
+    assert n_matched >= 45  # every branch family exercised
