@@ -9,14 +9,16 @@ the reference's parser path name).
 
 Implemented: Cron (CronParsingModel.py), Apache access
 (ApacheAccessModel.py, combined + common + dash-request variants),
-su-session (SuSessionParsingModel.py), the syslog preamble
+su-session (SuSessionParsingModel.py), sshd (SshdParsingModel.py,
+all ~30 branches / 49 variants), systemd (+logind/tmpfiles), ulogd
+(conntrack + quoted key-value records), the syslog preamble
 (SyslogPreambleModel.py) and its composition with a payload model.
-The remaining conf-available models (sshd, exim, ntp, rsyslog,
-systemd, audispd, ssmtp, tomcat, ulogd, kernel) follow the same
-mechanical translation of their Sequence trees — each FirstMatch
-alternative (and each optional SUB-SEQUENCE) becomes a whole-line
-variant; parity tests drive the REFERENCE model objects on shared
-fixtures (tests/test_reference_parity.py).
+The remaining conf-available models (exim, ntp, rsyslog, audispd,
+ssmtp, tomcat, kernel, aminer) follow the same mechanical
+translation of their Sequence trees — each FirstMatch alternative
+(and each optional SUB-SEQUENCE) becomes a whole-line variant;
+parity tests drive the REFERENCE model objects on shared fixtures
+(tests/test_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -554,4 +556,199 @@ SSHD_SPECS: dict[str, list[tuple]] = {
         ("user", "delimited", '"'),
         ("m2", "fixed", '"'),
     ]),
+}
+
+
+# ---------------------------------------------------------------------------
+# SystemdParsingModel (reference conf-available/generic/
+# SystemdParsingModel.py): FirstMatch over three daemons
+# (systemd[pid], systemd-logind[pid], systemd-tmpfiles[pid]), each
+# with its own message FirstMatch. Branch order follows the
+# reference; the apt-daily-timer optional hours sub-sequence expands
+# to an ordered variant pair.
+# ---------------------------------------------------------------------------
+
+def _systemd(body: list[tuple]) -> list[tuple]:
+    return [("sname", "fixed", "systemd["), ("pid", "int"),
+            ("s0", "fixed", "]: ")] + body
+
+
+def _logind(body: list[tuple]) -> list[tuple]:
+    return [("sname", "fixed", "systemd-logind["), ("pid", "int"),
+            ("s0", "fixed", "]: ")] + body
+
+
+_LOGIND_USER = "0123456789abcdefghijklmnopqrstuvwxyz-_"
+
+SYSTEMD_SPECS: dict[str, list[tuple]] = {
+    "apt_daily_start": _systemd([
+        ("m0", "fixed", "Starting Daily apt upgrade and clean activities..."),
+    ]),
+    "apt_daily_started": _systemd([
+        ("m0", "fixed", "Started Daily apt upgrade and clean activities."),
+    ]),
+    "apt_daily_finished": _systemd([
+        ("m0", "fixed", "Finished Daily apt upgrade and clean activities."),
+    ]),
+    "service_succeeded": _systemd([
+        ("service", "delimited", " "),
+        ("m0", "fixed", " Succeeded."),
+    ]),
+    "clean_php": _systemd([
+        ("m0", "fixed", "Finished Clean php session files."),
+    ]),
+    "finished_logrotate": _systemd([
+        ("m0", "fixed", "Finished Rotate log files."),
+    ]),
+    "finished_man_db_daily": _systemd([
+        ("m0", "fixed", "Finished Daily man-db regeneration."),
+    ]),
+    "finished_ubuntu_advantages": _systemd([
+        ("m0", "fixed", "Finished Ubuntu Advantage APT and MOTD Messages."),
+    ]),
+    "finished_refresh": _systemd([
+        ("m0", "fixed", "Finished Refresh fwupd metadata and update motd."),
+    ]),
+    "finished_daily_apt": _systemd([
+        ("m0", "fixed", "Finished Daily apt download activities."),
+    ]),
+    "apt_daily_timer_h": _systemd([
+        ("m0", "fixed", "apt-daily.timer: Adding "),
+        ("hours", "int"),
+        ("m1", "fixed", "h "),
+        ("minutes", "int"),
+        ("m2", "fixed", "min "),
+        ("seconds", "float"),
+        ("m3", "fixed", "s random time."),
+    ]),
+    "apt_daily_timer": _systemd([
+        ("m0", "fixed", "apt-daily.timer: Adding "),
+        ("minutes", "int"),
+        ("m1", "fixed", "min "),
+        ("seconds", "float"),
+        ("m2", "fixed", "s random time."),
+    ]),
+    "tmp_file_cleanup": _systemd([
+        ("m0", "fixed", "Starting Cleanup of Temporary Directories..."),
+    ]),
+    "tmp_file_cleanup_started": _systemd([
+        ("m0", "fixed", "Started Cleanup of Temporary Directories."),
+    ]),
+    "killing_process": _systemd([
+        ("service", "delimited", ":"),
+        ("m0", "fixed", ": Killing process "),
+        ("kpid", "int"),
+        ("m1", "fixed", " (update-notifier) with signal SIGKILL."),
+    ]),
+    "starting": _systemd([
+        ("m0", "fixed", "Starting "),
+        ("service", "delimited", "."),
+        ("m1", "fixed", "..."),
+    ]),
+    "started": _systemd([
+        ("m0", "fixed", "Started "),
+        ("service", "delimited", "."),
+        ("m1", "fixed", "."),
+    ]),
+    "reloading": _systemd([
+        ("m0", "fixed", "Reloading."),
+    ]),
+    "logind_new_session": _logind([
+        ("m0", "fixed", "New session "),
+        ("session", "int"),
+        ("m1", "fixed", " of user "),
+        ("user", "varbyte", _LOGIND_USER),
+        ("m2", "fixed", "."),
+    ]),
+    "logind_removed_session": _logind([
+        ("m0", "fixed", "Removed session "),
+        ("session", "int"),
+        ("m1", "fixed", "."),
+    ]),
+    "logind_logged_out": _logind([
+        ("m0", "fixed", "Session "),
+        ("session", "int"),
+        ("m1", "fixed", " logged out. Waiting for processes to exit."),
+    ]),
+    "logind_failed_abandon": _logind([
+        ("m0", "fixed", "Failed to abandon session scope: Transport endpoint is not connected"),
+    ]),
+    "tmpfiles_duplicate": [
+        ("sname", "fixed", "systemd-tmpfiles["),
+        ("pid", "int"),
+        ("s0", "fixed", ']: [/usr/lib/tmpfiles.d/var.conf:14] Duplicate line for path "'),
+        ("path", "pattern", r".+?"),
+        ("m1", "fixed", '", ignoring.'),
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# UlogdParsingModel (reference conf-available/generic/
+# UlogdParsingModel.py): ulogd[pid]: + FirstMatch over pluginstance /
+# netfilter-conntrack / quoted key="value" firewall records.
+# ---------------------------------------------------------------------------
+
+def _ulogd(body: list[tuple]) -> list[tuple]:
+    return [("sname", "fixed", "ulogd["), ("pid", "int"),
+            ("s0", "fixed", "]: ")] + body
+
+
+def _quoted_kv(keys: list[str]) -> list[tuple]:
+    """id="<int>" k="v" ... run — the reference's 41-leaf quoted
+    sequence, generated (id is the only integer leaf)."""
+    out: list[tuple] = [("q0", "fixed", 'id="'), ("id", "int")]
+    for i, k in enumerate(keys):
+        out.append((f"q{i + 1}", "fixed", f'" {k}="'))
+        out.append((k, "delimited", '"'))
+    out.append((f"q{len(keys) + 1}", "fixed", '"'))
+    return out
+
+
+_NFCT_SIDE = lambda p, lead: [  # noqa: E731 — local table builder
+    (f"{p}srcip", "ipv4"),
+    (f"n{p}1", "fixed", " DST="),
+    (f"{p}dstip", "ipv4"),
+    (f"n{p}2", "fixed", " PROTO="),
+    (f"{p}proto", "wordlist", ["TCP", "UDP"]),
+    (f"n{p}3", "fixed", " SPT="),
+    (f"{p}spt", "int"),
+    (f"n{p}4", "fixed", " DPT="),
+    (f"{p}dpt", "int"),
+    (f"n{p}5", "fixed", " PKTS="),
+    (f"{p}pkts", "int"),
+    (f"n{p}6", "fixed", " BYTES="),
+    (f"{p}bytes", "int"),
+]
+
+_ULOGD_KV_KEYS = [
+    "severity", "sys", "sub", "name", "action", "fwrule", "initf",
+    "srcmac", "dstmac", "srcip", "dstip", "proto", "length", "tos",
+    "prec", "ttl", "srcport", "dstport", "tcpflags",
+]
+
+ULOGD_SPECS: dict[str, list[tuple]] = {
+    "build_stack": _ulogd([
+        ("m0", "fixed", 'building new pluginstance stack: "'),
+        ("stack", "delimited", '"'),
+        ("m1", "fixed", '"'),
+    ]),
+    "nfct_event_tail": _ulogd(
+        [("m0", "fixed", "[DESTROY] ORIG: SRC=")] + _NFCT_SIDE("o", "")
+        + [("mr", "fixed", " , REPLY: SRC=")] + _NFCT_SIDE("r", "")
+        + [("tail", "fixed", " ")]
+    ),
+    "nfct_event": _ulogd(
+        [("m0", "fixed", "[DESTROY] ORIG: SRC=")] + _NFCT_SIDE("o", "")
+        + [("mr", "fixed", " , REPLY: SRC=")] + _NFCT_SIDE("r", "")
+    ),
+    "nfct_plugin": _ulogd([
+        ("m0", "fixed", "NFCT plugin working in event mode"),
+    ]),
+    "reopen": _ulogd([("m0", "fixed", "reopening capture file")]),
+    "signal": _ulogd([
+        ("m0", "fixed", "signal received, calling pluginstances"),
+    ]),
+    "uidchange": _ulogd([("m0", "fixed", "Changing UID / GID")]),
+    "kv": _ulogd(_quoted_kv(_ULOGD_KV_KEYS)),
 }

@@ -2055,3 +2055,99 @@ def test_sshd_model_parity(ray_session):
         if "port" in leaf and f"{model}.port" in got.columns:
             assert int(got.loc[i, f"{model}.port"]) == int(leaf["port"])
     assert n_matched >= 45  # every branch family exercised
+
+
+def test_systemd_model_parity(ray_session):
+    """conf-available SystemdParsingModel (systemd + logind +
+    tmpfiles FirstMatch) vs SYSTEMD_SPECS."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import SYSTEMD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    ref = _load_generic_model("SystemdParsingModel").get_model()
+    lines = [
+        "systemd[1]: Starting Daily apt upgrade and clean activities...",
+        "systemd[1]: Started Daily apt upgrade and clean activities.",
+        "systemd[1]: Finished Daily apt upgrade and clean activities.",
+        "systemd[1]: phpsessionclean.service: Succeeded.",
+        "systemd[1]: Finished Clean php session files.",
+        "systemd[1]: Finished Rotate log files.",
+        "systemd[1]: apt-daily.timer: Adding 5h 32min 2.634745s random time.",
+        "systemd[1]: apt-daily.timer: Adding 32min 2.5s random time.",
+        "systemd[1]: Starting Cleanup of Temporary Directories...",
+        "systemd[1]: Started Cleanup of Temporary Directories.",
+        "systemd[808]: ubuntu-advantage: Killing process 3572 (update-notifier) with signal SIGKILL.",
+        "systemd[1]: Starting The Apache HTTP Server...",
+        "systemd[1]: Started The Apache HTTP Server.",
+        "systemd[1]: Reloading.",
+        "systemd-logind[812]: New session 74 of user ubuntu.",
+        "systemd-logind[812]: Removed session 74.",
+        "systemd-logind[812]: Session 74 logged out. Waiting for processes to exit.",
+        "systemd-logind[812]: Failed to abandon session scope: Transport endpoint is not connected",
+        'systemd-tmpfiles[571]: [/usr/lib/tmpfiles.d/var.conf:14] Duplicate line for path "/var/log", ignoring.',
+        "systemd[1]: totally unknown message",
+        "cron[1]: not systemd",
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines_first_match(ds, SYSTEMD_SPECS, line_col="line").to_pandas()
+    n_matched = 0
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        model = got.loc[i, "model"]
+        ours = model == model and model is not None
+        assert full == ours, (line, model, full)
+        if full:
+            n_matched += 1
+            leaf = _leaf_values(me)
+            assert int(got.loc[i, f"{model}.pid"]) == int(leaf["pid"])
+            if "session" in leaf:
+                assert int(got.loc[i, f"{model}.session"]) == int(leaf["session"])
+    assert n_matched >= 18
+
+
+def test_ulogd_model_parity(ray_session):
+    """conf-available UlogdParsingModel vs ULOGD_SPECS (nfct
+    conntrack records + quoted key-value firewall records)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import ULOGD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    ref = _load_generic_model("UlogdParsingModel").get_model()
+    lines = [
+        'ulogd[123]: building new pluginstance stack: "log1:NFLOG,base1:BASE"',
+        "ulogd[123]: [DESTROY] ORIG: SRC=10.0.0.1 DST=10.0.0.2 PROTO=TCP SPT=1 DPT=2 PKTS=3 BYTES=4 , REPLY: SRC=10.0.0.2 DST=10.0.0.1 PROTO=TCP SPT=2 DPT=1 PKTS=5 BYTES=6",
+        "ulogd[123]: [DESTROY] ORIG: SRC=10.0.0.1 DST=10.0.0.2 PROTO=UDP SPT=1 DPT=2 PKTS=3 BYTES=4 , REPLY: SRC=10.0.0.2 DST=10.0.0.1 PROTO=UDP SPT=2 DPT=1 PKTS=5 BYTES=6 ",
+        "ulogd[123]: NFCT plugin working in event mode",
+        "ulogd[123]: reopening capture file",
+        "ulogd[123]: signal received, calling pluginstances",
+        "ulogd[123]: Changing UID / GID",
+        'ulogd[123]: id="2001" severity="info" sys="SecureNet" sub="packetfilter" name="pf" action="drop" fwrule="60001" initf="eth0" srcmac="0:1:2:3:4:5" dstmac="6:7:8:9:a:b" srcip="1.2.3.4" dstip="5.6.7.8" proto="6" length="40" tos="0x00" prec="0x00" ttl="241" srcport="80" dstport="61386" tcpflags="RST"',
+        "ulogd[123]: unknown things",
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines_first_match(ds, ULOGD_SPECS, line_col="line").to_pandas()
+    n_matched = 0
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        model = got.loc[i, "model"]
+        ours = model == model and model is not None
+        assert full == ours, (line, model, full)
+        if full:
+            n_matched += 1
+            leaf = _leaf_values(me)
+            assert int(got.loc[i, f"{model}.pid"]) == int(leaf["pid"])
+            if "id" in leaf:
+                assert int(got.loc[i, f"{model}.id"]) == int(leaf["id"])
+            if "obytes" in leaf:
+                assert int(got.loc[i, f"{model}.obytes"]) == int(leaf["obytes"])
+    assert n_matched >= 8
