@@ -582,6 +582,68 @@ def q_xml_extract_events(sf_dir: str):
     )
 
 
+def q_sshd_model_events(sf_dir: str):
+    """conf-available SshdParsingModel over synthetic sshd log lines
+    (deterministic per event row, 5 branch families + garbage),
+    parsed by the 49-variant FirstMatch spec dict; oracle
+    reconstructs winner + fields in SQL."""
+    from logdata_anomaly_miner_ray.functions.models import SSHD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    def render(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        lines = []
+        for e, u in zip(eid, uid):
+            m = e % 6
+            ip = f"10.{u % 250}.{e % 250}.{(e * 7) % 250}"
+            if m == 0:
+                lines.append(f"sshd[{u}]: Failed password for invalid user u{e} from {ip} port {1000 + e % 50000} ssh2")
+            elif m == 1:
+                lines.append(f"sshd[{u}]: Accepted password for u{e} from {ip} port {1000 + e % 50000} ssh2")
+            elif m == 2:
+                lines.append(f"sshd[{u}]: Connection closed by {ip}")
+            elif m == 3:
+                lines.append(f"sshd[{u}]: pam_unix(sshd:session): session opened for user u{e} by (uid=0)")
+            elif m == 4:
+                lines.append(f"sshd[{u}]: Invalid user u{e} from {ip} port {1000 + e % 50000}")
+            else:
+                lines.append("### unparseable ###")
+        return pa.table(
+            {"event_id": batch["event_id"], "line": pa.array(lines, pa.string())}
+        )
+
+    rendered = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        render, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    parsed = parse_lines_first_match(rendered, SSHD_SPECS, line_col="line")
+
+    def project(t: pa.Table) -> pa.Table:
+        def col(n, typ):
+            return t[n] if n in t.column_names else pa.nulls(t.num_rows, typ)
+
+        model = pc.coalesce(t["model"], pa.scalar("", pa.string()))
+        # winner-specific fields folded to shared columns
+        pid = pc.coalesce(*[col(f"{m}.pid", pa.int64()) for m in
+                            ("failed_accept", "closed_ip", "pam", "invalid_user")])
+        port = pc.coalesce(col("failed_accept.port", pa.int64()),
+                           col("invalid_user.port", pa.int64()))
+        user = pc.coalesce(col("failed_accept.user", pa.string()),
+                           col("pam.user", pa.string()),
+                           col("invalid_user.user", pa.string()))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "model": model,
+                "pid": pid,
+                "port": port,
+                "u": pc.coalesce(user, pa.scalar("", pa.string())),
+            }
+        )
+
+    return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def q_line_model_events(sf_dir: str):
     """Declarative line model (Sequence of Fixed/Decimal/WhiteSpace
     leaves + OptionalMatchModelElement), oracle-verified by
@@ -1590,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_schema_events": q_json_schema_events,
         "xml_extract_events": q_xml_extract_events,
         "line_model_events": q_line_model_events,
+        "sshd_model_events": q_sshd_model_events,
         "datetime_parse_events": q_datetime_parse_events,
         "allowlist_rules_events": q_allowlist_rules_events,
         "implication_support_events": q_implication_support_events,
@@ -1903,6 +1966,18 @@ SELECT event_id,
        event_id % 7 != 0 AS parse_ok,
        CASE WHEN event_id % 7 != 0 THEN user_id END AS xid,
        CASE WHEN event_id % 7 != 0 THEN event_type ELSE '' END AS xt
+FROM events""",
+        "sshd_model_events": """
+SELECT event_id,
+       CASE CAST(event_id % 6 AS INTEGER)
+         WHEN 0 THEN 'failed_accept' WHEN 1 THEN 'failed_accept'
+         WHEN 2 THEN 'closed_ip' WHEN 3 THEN 'pam'
+         WHEN 4 THEN 'invalid_user' ELSE '' END AS model,
+       CASE WHEN event_id % 6 != 5 THEN user_id END AS pid,
+       CASE WHEN event_id % 6 IN (0, 1, 4)
+            THEN 1000 + event_id % 50000 END AS port,
+       CASE WHEN event_id % 6 IN (0, 1, 3, 4)
+            THEN 'u' || CAST(event_id AS VARCHAR) ELSE '' END AS u
 FROM events""",
         "line_model_events": """
 SELECT event_id,
