@@ -400,7 +400,7 @@ SSHD_SPECS: dict[str, list[tuple]] = {
         ("m0", "fixed", "Set /proc/self/oom_score_adj "),
         ("from0", "optional", ("from0", "fixed", "from 0 ")),
         ("m1", "fixed", "to "),
-        ("newval", "int"),
+        ("newval", "sint"),
     ]),
     "session_start_shell": _sshd([
         ("m0", "fixed", "Starting session: shell on "),
@@ -464,7 +464,11 @@ SSHD_SPECS: dict[str, list[tuple]] = {
         ("from_ip", "pattern", _IPANY_PAT),
         ("m3", "fixed", " port "),
         ("port", "int"),
-        ("service", "pattern", r".+"),
+        # \D start = the reference's POSSESSIVE DecimalInteger: the
+        # port eats every digit, so the AnyByte service can never
+        # begin with one (regex backtracking would otherwise split
+        # "6019" into port 601 + service "9")
+        ("service", "pattern", r"\D.*"),
     ]),
     "disconnecting": _sshd([
         ("m0", "fixed", "Disconnecting "),

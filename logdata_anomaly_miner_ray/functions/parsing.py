@@ -518,8 +518,14 @@ def fixed_wordlist_index(col, words: list[str]) -> pa.Array:
 _LINE_KINDS = {
     # kind -> (regex fragment template, output Arrow type tag)
     "fixed": (None, "drop"),          # literal, not captured
-    "int": (r"[+-]?\d+", "int"),
-    "float": (r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "float"),
+    # reference DecimalInteger/Float DEFAULTS: no sign, no leading-
+    # zero padding (SIGN_TYPE_NONE + PAD_TYPE_NONE, DecimalIntegerValue
+    # ModelElement.py); the s-variants are SIGN_TYPE_OPTIONAL (and
+    # sfloat adds the optional exponent)
+    "int": (r"(?:0|[1-9]\d*)", "int"),
+    "sint": (r"[+-]?(?:0|[1-9]\d*)", "int"),
+    "float": (r"(?:0|[1-9]\d*)(?:\.\d+)?", "float"),
+    "sfloat": (r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "float"),
     "word": (r"\S+", "str"),          # WhiteSpaceLimitedDataModelElement
     "delimited": (None, "str"),       # bytes until delimiter; arg may be
                                       # (delim, escape) for escaped runs

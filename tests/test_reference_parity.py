@@ -2151,3 +2151,71 @@ def test_ulogd_model_parity(ray_session):
             if "obytes" in leaf:
                 assert int(got.loc[i, f"{model}.obytes"]) == int(leaf["obytes"])
     assert n_matched >= 8
+
+
+def test_sshd_model_randomized_fuzz_parity():
+    """Randomized sshd-line fuzz (mutations: truncation, insertion,
+    case flips) — match/no-match parity with the reference model on
+    every line. Catches the semantics regex alone gets wrong: the
+    reference's DecimalInteger rejects signs and leading zeros
+    (PAD_TYPE_NONE) and matches POSSESSIVELY (a trailing AnyByte can
+    never start with a digit)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import SSHD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import line_model_regex
+
+    ref = _load_generic_model("SshdParsingModel").get_model()
+    compiled = [(n, line_model_regex(s)[0]) for n, s in SSHD_SPECS.items()]
+
+    def ours_match(line: str):
+        arr = pa.array([line], pa.string())
+        for name, pat in compiled:
+            if pc.extract_regex(arr, pat).is_valid()[0].as_py():
+                return name
+        return None
+
+    templates = [
+        "sshd[{p}]: Failed password for invalid user u{e} from {ip} port {pt} ssh2",
+        "sshd[{p}]: Accepted publickey for root from {ip} port {pt} ssh2: RSA SHA256:k{e}",
+        "sshd[{p}]: Connection closed by {ip}",
+        "sshd[{p}]: Invalid user u{e} from {ip} port {pt}",
+        "sshd[{p}]: Received disconnect from {ip}: 11: msg {e} [preauth]",
+        "sshd[{p}]: Server listening on 0.0.0.0 port {pt}.",
+        "sshd[{p}]: Set /proc/self/oom_score_adj to {pt}",
+        "sshd[{p}]: debug1: send packet: type {pt}",
+        "sshd[{p}]: pam_unix(sshd:session): session opened for user u{e} by (uid=0)",
+        "sshd[{p}]: Starting session: shell on pts/{e} for root from {ip} port {pt}",
+    ]
+    rng = np.random.default_rng(42)
+    n_checked = 0
+    for _ in range(500):
+        t = templates[int(rng.integers(0, len(templates)))]
+        line = t.format(
+            p=int(rng.integers(0, 99999)), e=int(rng.integers(0, 999)),
+            ip=f"{rng.integers(0, 256)}.{rng.integers(0, 256)}."
+              f"{rng.integers(0, 256)}.{rng.integers(0, 256)}",
+            pt=int(rng.integers(0, 70000)),
+        )
+        m = int(rng.integers(0, 4))
+        if m == 1:
+            line = line[: int(rng.integers(1, len(line)))]
+        elif m == 2:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + chr(int(rng.integers(32, 127))) + line[i:]
+        elif m == 3:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + line[i].swapcase() + line[i + 1:]
+        d = line.encode()
+        try:
+            me = ref.get_match_element("x", MatchContext(d))
+        except Exception:
+            continue  # reference crash (e.g. %-handling) — no oracle
+        full = me is not None and me.match_string == d
+        got = ours_match(line)
+        assert full == (got is not None), (line, full, got)
+        n_checked += 1
+    assert n_checked >= 450
