@@ -56,6 +56,32 @@ CRON_SPECS: dict[str, list[tuple]] = {
     ],
 }
 
+
+
+def _tz_suffix_fragment() -> str:
+    """RE2 fragment of the reference %z trailing-timezone machine
+    (DateTimeModelElement.py:347-413): optional space + zone name
+    from the shared table (numeric offset allowed only after
+    UTC/GMT), or a bare [+-] offset of 1-4 digits / HH:MM (with or
+    without the leading space), optional trailing Z."""
+    import re as _re
+
+    from .datetime_model import TIMEZONE_OFFSETS
+
+    names = "|".join(
+        _re.escape(n) for n in sorted(TIMEZONE_OFFSETS, key=len, reverse=True)
+    )
+    off = r"[+-](?:\d{2}:\d{2}|\d{1,4})"
+    return (
+        "(?:"
+        f" (?:UTC|GMT)(?:{off})?"
+        f"| (?:{names})"
+        f"| {off}"
+        f"|{off}"
+        ")?Z?"
+    )
+
+
 _AP_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._-:"
 _AP_USER = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz.-"
 _AP_METHODS = ["GET", "POST", "PUT", "HEAD", "DELETE", "CONNECT", "OPTIONS",
@@ -70,7 +96,15 @@ _AP_PREFIX: list[tuple] = [
     ("sp1", "fixed", " "),
     ("user", "varbyte", _AP_USER),
     ("sp2", "fixed", " ["),
-    ("time", "delimited", "]"),
+    # date shape + the reference's %z suffix machine as a fragment
+    # (zone names from the shared TIMEZONE_OFFSETS table; numeric
+    # offsets bare or after UTC/GMT only, 1-4 digits or HH:MM —
+    # DateTimeModelElement.py:347-413). Field VALUE ranges (day 99)
+    # are post-parse via apache_time_seconds, the one documented
+    # superset of this translation.
+    ("time", "pattern",
+     r"\d{2}/(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/"
+     r"\d{4}:\d{2}:\d{2}:\d{2}" + _tz_suffix_fragment()),
     ("sp3", "fixed", '] "'),
 ]
 _AP_REQUEST: list[tuple] = [
@@ -199,7 +233,7 @@ _SSHD_HEAD: list[tuple] = [
     ("pid", "int"),
     ("s0", "fixed", "]: "),
 ]
-_IP4_PAT = r"(?:\d{1,3}\.){3}\d{1,3}"
+_IP4_PAT = r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|[01]?\d?\d)"
 _IPANY_PAT = _IP4_PAT + r"|[0-9A-Fa-f:]{2,39}"
 _B64 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ+/:"
 

@@ -536,7 +536,11 @@ _LINE_KINDS = {
     "pattern": (None, "str"),         # raw RE2 fragment (arg) — custom
                                       # leaf shapes (e.g. syslog time)
     "any": (r".*", "str"),            # AnyByteDataModelElement
-    "ipv4": (r"(?:\d{1,3}\.){3}\d{1,3}", "ipv4"),
+    # value-strict octets: the reference's simple \d{1,3} regex is
+    # followed by an extract that REJECTS octets > 255 (but accepts
+    # leading zeros) — for whole-value semantics that equals this
+    # class (IpAddressDataModelElement.py:70-77)
+    "ipv4": (r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|[01]?\d?\d)", "ipv4"),
     # RE2-safe superset of RFC4291 text forms (no embedded IPv4 —
     # the reference element rejects those); parse_ipv6 nulls any
     # overmatch the fragment lets through
@@ -617,6 +621,14 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
                 # escaped char never terminates the run
                 delim, esc = arg
                 frag = f"(?:[^{_re.escape(delim + esc)}]|{_re.escape(esc)}.)*"
+            elif len(arg) > 1:
+                # multi-char delimiter (" from ", ") RELOAD ("): a
+                # char class would wrongly exclude every delimiter
+                # CHARACTER from the run — a lazy run cut by the
+                # following fixed literal matches the reference's
+                # first-occurrence-of-the-SEQUENCE semantics (the
+                # spec must follow with that literal as a fixed leaf)
+                frag = r"(?:.*?)"
             else:
                 frag = f"[^{_re.escape(arg)}]*"
         elif kind == "varbyte":
