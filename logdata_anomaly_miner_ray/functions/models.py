@@ -11,10 +11,10 @@ Implemented: Cron (CronParsingModel.py), Apache access
 (ApacheAccessModel.py, combined + common + dash-request variants),
 su-session (SuSessionParsingModel.py), sshd (SshdParsingModel.py,
 all ~30 branches / 49 variants), systemd (+logind/tmpfiles), ulogd
-(conntrack + quoted key-value records), the syslog preamble
-(SyslogPreambleModel.py) and its composition with a payload model.
-The remaining conf-available models (exim, ntp, rsyslog, audispd,
-ssmtp, tomcat, kernel, aminer) follow the same mechanical
+(conntrack + quoted key-value records), kernel (KernelMsg), ntp,
+the syslog preamble (SyslogPreambleModel.py) and its composition
+with a payload model. The remaining conf-available models (exim,
+rsyslog, audispd, ssmtp, tomcat, aminer) follow the same mechanical
 translation of their Sequence trees — each FirstMatch alternative
 (and each optional SUB-SEQUENCE) becomes a whole-line variant;
 parity tests drive the REFERENCE model objects on shared fixtures
@@ -789,4 +789,153 @@ ULOGD_SPECS: dict[str, list[tuple]] = {
     ]),
     "uidchange": _ulogd([("m0", "fixed", "Changing UID / GID")]),
     "kv": _ulogd(_quoted_kv(_ULOGD_KV_KEYS)),
+}
+
+
+# ---------------------------------------------------------------------------
+# KernelMsgParsingModel (reference conf-available/generic/
+# KernelMsgParsingModel.py): "kernel: " + an optional timestamp block
+# (translated verbatim, including the reference's odd leading "]")
+# + FirstMatch over martian / ll-header / catch-all.
+# ---------------------------------------------------------------------------
+
+_KERNEL_TS: list[tuple] = [
+    ("k0", "fixed", "]"),
+    ("timestamp", "delimited", "]"),
+    ("k1", "fixed", "] "),
+]
+
+
+def _kernel(body: list[tuple], ts: bool) -> list[tuple]:
+    return ([("sname", "fixed", "kernel: ")] + (_KERNEL_TS if ts else [])
+            + body)
+
+
+_KERNEL_BRANCHES: dict[str, list[tuple]] = {
+    "ipv4_martian": [
+        ("m0", "fixed", "IPv4: martian "),
+        ("direction", "wordlist", ["source", "destination"]),
+        ("m1", "fixed", " "),
+        ("destination", "ipv4"),
+        ("m2", "fixed", " from "),
+        ("source", "ipv4"),
+        ("m3", "fixed", ", on dev "),
+        ("interface", "pattern", r".+"),
+    ],
+    "net_llheader": [
+        ("m0", "fixed", "ll header: "),
+        ("data", "pattern", r".+"),
+    ],
+    "unparsed": [("data", "pattern", r".+")],
+}
+
+KERNEL_SPECS: dict[str, list[tuple]] = {}
+for _ts in (True, False):
+    for _bn, _body in _KERNEL_BRANCHES.items():
+        KERNEL_SPECS[f"{_bn}{'_ts' if _ts else ''}"] = _kernel(_body, _ts)
+
+
+# ---------------------------------------------------------------------------
+# NtpParsingModel (reference conf-available/generic/NtpParsingModel.py):
+# ntpd[pid]: + FirstMatch over listen / leapsecond / fixed notices.
+# The nested (ipv4 | ipv6-string | "[::]") address FirstMatches expand
+# to variants; the %Y-%m-%dT%H:%M:%SZ expire dates are datetime leaves.
+# ---------------------------------------------------------------------------
+
+def _ntpd(body: list[tuple]) -> list[tuple]:
+    return [("sname", "fixed", "ntpd["), ("pid", "int"),
+            ("s0", "fixed", "]: ")] + body
+
+
+_NTP_IF = "0123456789abcdefghijklmnopqrstuvwxyz."
+
+NTP_SPECS: dict[str, list[tuple]] = {
+    "exit": _ntpd([
+        ("m0", "fixed", "ntpd exiting on signal "),
+        ("signal", "int"),
+    ]),
+    "listen_drop_v4": _ntpd([
+        ("m0", "fixed", "Listen and drop on "),
+        ("fd", "int"),
+        ("m1", "fixed", " "),
+        ("interface", "varbyte", _NTP_IF),
+        ("m2", "fixed", " "),
+        ("address", "ipv4"),
+        ("udp", "wordlist", [" UDP 123", ":123"]),
+    ]),
+    "listen_drop_v6": _ntpd([
+        ("m0", "fixed", "Listen and drop on "),
+        ("fd", "int"),
+        ("m1", "fixed", " "),
+        ("interface", "varbyte", _NTP_IF),
+        ("m2", "fixed", " "),
+        ("address", "delimited", " "),
+        # the reference's Delimited address is POSSESSIVE (eats to
+        # the space), so its ":123" alternative is unreachable after
+        # a v6 address — only the spaced form survives
+        ("udp", "fixed", " UDP 123"),
+    ]),
+    "listen_normal": _ntpd([
+        ("m0", "fixed", "Listen normally on "),
+        ("fd", "int"),
+        ("m1", "fixed", " "),
+        ("interface", "varbyte", _NTP_IF),
+        ("m2", "fixed", " "),
+        ("ip", "ipv4"),
+        ("udp", "wordlist", [":123", " UDP 123"]),
+    ]),
+    "listen_routing": _ntpd([
+        ("m0", "fixed", "Listening on routing socket on fd #"),
+        ("fd", "int"),
+        ("m1", "fixed", " for interface updates"),
+    ]),
+    "soliciting_pool": _ntpd([
+        ("m0", "fixed", "Soliciting pool server "),
+        ("pool_server_ip", "ipv4"),
+    ]),
+    "starting": _ntpd([
+        ("m0", "fixed", "ntpd "),
+        ("version", "delimited", " "),
+        ("m1", "fixed", " (1): Starting"),
+    ]),
+    "no_root": _ntpd([
+        ("m0", "fixed", "must be run as root, not uid "),
+        ("uid", "int"),
+    ]),
+    "leapsecond_good": _ntpd([
+        ("m0", "fixed", "leapsecond file ('"),
+        ("file", "delimited", "'"),
+        ("m1", "fixed", "'): good hash signature"),
+    ]),
+    "leapsecond_loaded": _ntpd([
+        ("m0", "fixed", "leapsecond file ('"),
+        ("file", "delimited", "'"),
+        ("m1", "fixed", "'): loaded, expire="),
+        ("expire", "datetime", "%Y-%m-%dT%H:%M:%SZ"),
+        ("m2", "fixed", " last="),
+        ("last", "datetime", "%Y-%m-%dT%H:%M:%SZ"),
+        ("m3", "fixed", " ofs="),
+        ("ofs", "int"),
+    ]),
+    "unable_to_bind": _ntpd([
+        ("m0", "fixed", "unable to bind to wildcard address :: - another process may be running - EXITING"),
+    ]),
+    "new_interfaces": _ntpd([
+        ("m0", "fixed", "new interface(s) found: waking up resolver"),
+    ]),
+    "ntp_io": _ntpd([
+        ("m0", "fixed", "ntp_io: estimated max descriptors: 1024, initial socket boundary: 16"),
+    ]),
+    "peers_refreshed": _ntpd([("m0", "fixed", "peers refreshed")]),
+    "log_file": _ntpd([
+        ("m0", "fixed", "logging to file /var/log/ntplog"),
+    ]),
+    "command_line": _ntpd([("m0", "fixed", "Command line: ntpd")]),
+    "precision": _ntpd([
+        ("m0", "fixed", "proto: precision = "),
+        ("precision", "float"),
+        ("m1", "fixed", " usec ("),
+        ("usec", "sint"),
+        ("m2", "fixed", ")"),
+    ]),
 }

@@ -2259,6 +2259,18 @@ def test_generic_models_randomized_fuzz_parity():
             'ulogd[{p}]: building new pluginstance stack: "s{e}:NFLOG"',
             "ulogd[{p}]: [DESTROY] ORIG: SRC={ip} DST={ip} PROTO=TCP SPT={pt} DPT={pt} PKTS={e} BYTES={e} , REPLY: SRC={ip} DST={ip} PROTO=TCP SPT={pt} DPT={pt} PKTS={e} BYTES={e}",
         ]),
+        ("KernelMsgParsingModel", M.KERNEL_SPECS, True, [
+            "kernel: IPv4: martian source {ip} from {ip}, on dev eth{e}",
+            "kernel: ]{e}.57] ll header: aa:bb:{e}",
+            "kernel: free text {e}",
+        ]),
+        ("NtpParsingModel", M.NTP_SPECS, True, [
+            "ntpd[{p}]: Listen normally on {e} eth0 {ip}:123",
+            "ntpd[{p}]: Listen and drop on {e} v6wildcard [::] UDP 123",
+            "ntpd[{p}]: Soliciting pool server {ip}",
+            "ntpd[{p}]: must be run as root, not uid {pt}",
+            "ntpd[{p}]: proto: precision = 0.078 usec (-{e})",
+        ]),
         ("ApacheAccessModel", M.APACHE_ACCESS_SPECS, False, [
             '{ip} - frank [10/Oct/2000:13:55:36 -0700] "GET /x{e} HTTP/1.0" {pt} {e}',
             '{ip} - frank [10/Oct/2000:13:55:36 -0700] "GET /x{e} HTTP/1.0" {pt} {e} "r" "a{e}"',
@@ -2313,3 +2325,50 @@ def test_generic_models_randomized_fuzz_parity():
         assert n >= 200
         if not exact:
             assert superset <= 10, superset  # documented apache residue
+
+
+def test_kernel_and_ntp_model_parity(ray_session):
+    """conf-available KernelMsgParsingModel + NtpParsingModel vs
+    KERNEL_SPECS / NTP_SPECS on fixture lines."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import KERNEL_SPECS, NTP_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    cases = [
+        ("KernelMsgParsingModel", KERNEL_SPECS, [
+            "kernel: IPv4: martian source 10.0.0.1 from 10.0.0.2, on dev eth0",
+            "kernel: ]12345.678]: IPv4: martian destination 10.0.0.1 from 10.0.0.2, on dev eth1",
+            "kernel: ll header: 00:11:22:33",
+            "kernel: something entirely different",
+            "kern: no",
+        ]),
+        ("NtpParsingModel", NTP_SPECS, [
+            "ntpd[9]: ntpd exiting on signal 15",
+            "ntpd[9]: Listen and drop on 0 v4wildcard 0.0.0.0:123",
+            "ntpd[9]: Listen and drop on 1 v6wildcard [::] UDP 123",
+            "ntpd[9]: Listen normally on 2 eth0 10.0.0.5:123",
+            "ntpd[9]: Listening on routing socket on fd #19 for interface updates",
+            "ntpd[9]: Soliciting pool server 192.168.1.1",
+            "ntpd[9]: ntpd 4.2.8p10@1.3728-o (1): Starting",
+            "ntpd[9]: must be run as root, not uid 1000",
+            "ntpd[9]: leapsecond file ('/usr/share/zoneinfo/leap-seconds.list'): good hash signature",
+            "ntpd[9]: leapsecond file ('/x'): loaded, expire=2021-06-28T00:00:00Z last=2017-01-01T00:00:00Z ofs=37",
+            "ntpd[9]: peers refreshed",
+            "ntpd[9]: proto: precision = 0.078 usec (-24)",
+            "ntpd[9]: unknown ntp chatter",
+        ]),
+    ]
+    for refname, specs, lines in cases:
+        ref = _load_generic_model(refname).get_model()
+        ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+        got = parse_lines_first_match(ds, specs, line_col="line").to_pandas()
+        for i, line in enumerate(lines):
+            d = line.encode()
+            me = ref.get_match_element("x", MatchContext(d))
+            full = me is not None and me.match_string == d
+            model = got.loc[i, "model"]
+            ours = model == model and model is not None
+            assert full == ours, (refname, line, model, full)
