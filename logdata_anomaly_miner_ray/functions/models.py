@@ -12,10 +12,12 @@ Implemented: Cron (CronParsingModel.py), Apache access
 su-session (SuSessionParsingModel.py), sshd (SshdParsingModel.py,
 all ~30 branches / 49 variants), systemd (+logind/tmpfiles), ulogd
 (conntrack + quoted key-value records), kernel (KernelMsg), ntp,
+tomcat, ssmtp, rsyslog (with its optional instance-number heads),
 the syslog preamble (SyslogPreambleModel.py) and its composition
 with a payload model. The remaining conf-available models (exim,
-rsyslog, audispd, ssmtp, tomcat, aminer) follow the same mechanical
-translation of their Sequence trees — each FirstMatch alternative
+audispd, aminer; SyslogParsingModel is the composition of the
+others under the preamble) follow the same mechanical translation
+of their Sequence trees — each FirstMatch alternative
 (and each optional SUB-SEQUENCE) becomes a whole-line variant;
 parity tests drive the REFERENCE model objects on shared fixtures
 (tests/test_reference_parity.py).
@@ -939,3 +941,108 @@ NTP_SPECS: dict[str, list[tuple]] = {
         ("m2", "fixed", ")"),
     ]),
 }
+
+
+# ---------------------------------------------------------------------------
+# TomcatParsingModel / SsmtpParsingModel / RsyslogParsingModel
+# (reference conf-available/generic/): small service models.
+# Rsyslog's head ("rsyslogd" + optional instance number, bare or
+# dash-prefixed) expands to three head variants per message branch.
+# ---------------------------------------------------------------------------
+
+TOMCAT_SPECS: dict[str, list[tuple]] = {
+    name: [("sname", "fixed", "tomcat7["), ("pid", "int"),
+           ("s0", "fixed", "]: ")] + body
+    for name, body in {
+        "start": [("m0", "fixed", " * Starting Tomcat servlet engine tomcat7")],
+        "stop": [("m0", "fixed", " * Stopping Tomcat servlet engine tomcat7")],
+        "done": [("m0", "fixed", "   ...done.")],
+        "unparsed": [("data", "pattern", r".+")],
+    }.items()
+}
+
+SSMTP_SPECS: dict[str, list[tuple]] = {
+    "sent_full": [
+        ("sname", "fixed", "sSMTP["),
+        ("pid", "int"),
+        ("s0", "fixed", "]: Sent mail for "),
+        ("to_addr", "delimited", " ("),
+        ("s1", "fixed", " ("),
+        ("status", "delimited", ") uid="),
+        ("s2", "fixed", ") uid="),
+        ("uid", "int"),
+        ("s3", "fixed", " username="),
+        ("username", "delimited", " outbytes="),
+        ("s4", "fixed", " outbytes="),
+        ("bytes", "int"),
+    ],
+    "sent_short": [
+        ("sname", "fixed", "sSMTP["),
+        ("pid", "int"),
+        ("s0", "fixed", "]: "),
+        ("program", "delimited", " "),
+        ("s1", "fixed", " sent mail for "),
+        ("user", "pattern", r".+"),
+    ],
+}
+
+_RSYSLOG_BRANCHES: dict[str, list[tuple]] = {
+    "gidchange": [
+        ("m0", "fixed", "rsyslogd's groupid changed to "),
+        ("gid", "int"),
+    ],
+    "statechange": [
+        ("m0", "fixed", '[origin software="rsyslogd" swVersion="'),
+        ("version", "delimited", '"'),
+        ("m1", "fixed", '" x-pid="'),
+        ("xpid", "int"),
+        ("xinfo", "wordlist", ['" x-info="https://www.rsyslog.com"] ',
+                                '" x-info="http://www.rsyslog.com"] ']),
+        ("type", "wordlist", ["rsyslogd was HUPed", "start"]),
+    ],
+    "uidchange": [
+        ("m0", "fixed", "rsyslogd's userid changed to "),
+        ("uid", "int"),
+    ],
+    "action_resumed": [
+        ("m0", "fixed", "action '"),
+        ("action", "delimited", "'"),
+        ("m1", "fixed", "' resumed (module '"),
+        ("module", "delimited", "'"),
+        ("m2", "fixed", "') [try http://www.rsyslog.com/e/"),
+        ("number", "int"),
+        ("m3", "fixed", " ]"),
+    ],
+    "action_suspended": [
+        ("m0", "fixed", "action '"),
+        ("action", "delimited", "'"),
+        ("m1", "fixed", "' suspended, next retry is "),
+        ("dayname", "delimited", " "),
+        ("m2", "fixed", " "),
+        ("dtme", "datetime", "%b %d %H:%M:%S %Y"),
+        ("m3", "fixed", " [try http://www.rsyslog.com/e/"),
+        ("number", "int"),
+        ("m4", "fixed", " ]"),
+    ],
+    "cmd": [
+        ("m0", "fixed", "command '"),
+        ("command", "delimited", "'"),
+        ("m1", "fixed", "' is currently not permitted - did you already "
+                         "set it via a RainerScript command (v6+ config)? ["),
+        ("version", "delimited", "]"),
+        ("m2", "fixed", "]"),
+    ],
+}
+
+_RSYSLOG_HEADS: list[tuple[str, list[tuple]]] = [
+    ("n", [("sname", "fixed", "rsyslogd"), ("inst", "int"),
+           ("h0", "fixed", ": ")]),
+    ("dn", [("sname", "fixed", "rsyslogd-"), ("inst", "int"),
+            ("h0", "fixed", ": ")]),
+    ("", [("sname", "fixed", "rsyslogd: ")]),
+]
+
+RSYSLOG_SPECS: dict[str, list[tuple]] = {}
+for _hk, _head in _RSYSLOG_HEADS:
+    for _bn, _body in _RSYSLOG_BRANCHES.items():
+        RSYSLOG_SPECS[f"{_bn}{('_' + _hk) if _hk else ''}"] = _head + _body

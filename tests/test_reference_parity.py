@@ -2372,3 +2372,55 @@ def test_kernel_and_ntp_model_parity(ray_session):
             model = got.loc[i, "model"]
             ours = model == model and model is not None
             assert full == ours, (refname, line, model, full)
+
+
+def test_tomcat_ssmtp_rsyslog_model_parity(ray_session):
+    """conf-available Tomcat / Ssmtp / Rsyslog models vs their spec
+    dicts on fixture lines (incl. rsyslog's optional instance-number
+    head forms)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import (
+        RSYSLOG_SPECS,
+        SSMTP_SPECS,
+        TOMCAT_SPECS,
+    )
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    cases = [
+        ("TomcatParsingModel", TOMCAT_SPECS, [
+            "tomcat7[99]:  * Starting Tomcat servlet engine tomcat7",
+            "tomcat7[99]:  * Stopping Tomcat servlet engine tomcat7",
+            "tomcat7[99]:    ...done.",
+            "tomcat7[99]: arbitrary chatter",
+            "tomcat8[99]: no",
+        ]),
+        ("SsmtpParsingModel", SSMTP_SPECS, [
+            "sSMTP[42]: Sent mail for root@example.com (221 Bye) uid=0 username=root outbytes=512",
+            "sSMTP[42]: sendmail sent mail for root",
+            "sSMTP[42]: unknown form here-no-keyword",
+        ]),
+        ("RsyslogParsingModel", RSYSLOG_SPECS, [
+            "rsyslogd: rsyslogd's groupid changed to 104",
+            "rsyslogd0: rsyslogd's userid changed to 102",
+            "rsyslogd-2039: command 'KLogPermitNonKernelFacility' is currently not permitted - did you already set it via a RainerScript command (v6+ config)? [v8.16.0]",
+            'rsyslogd: [origin software="rsyslogd" swVersion="8.16.0" x-pid="1019" x-info="http://www.rsyslog.com"] rsyslogd was HUPed',
+            'rsyslogd: [origin software="rsyslogd" swVersion="8.2001.0" x-pid="871" x-info="https://www.rsyslog.com"] start',
+            "rsyslogd: action 'action 17' resumed (module 'builtin:ompipe') [try http://www.rsyslog.com/e/153 ]",
+            "rsyslogd: action 'action 17' suspended, next retry is Fri Oct 14 21:01:24 2016 [try http://www.rsyslog.com/e/153 ]",
+            "rsyslogd: something else entirely",
+        ]),
+    ]
+    for refname, specs, lines in cases:
+        ref = _load_generic_model(refname).get_model()
+        ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+        got = parse_lines_first_match(ds, specs, line_col="line").to_pandas()
+        for i, line in enumerate(lines):
+            d = line.encode()
+            me = ref.get_match_element("x", MatchContext(d))
+            full = me is not None and me.match_string == d
+            model = got.loc[i, "model"]
+            ours = model == model and model is not None
+            assert full == ours, (refname, line, model, full)
