@@ -14,10 +14,12 @@ all ~30 branches / 49 variants), systemd (+logind/tmpfiles), ulogd
 (conntrack + quoted key-value records), kernel (KernelMsg), ntp,
 tomcat, ssmtp, rsyslog (with its optional instance-number heads),
 the syslog preamble (SyslogPreambleModel.py) and its composition
-with a payload model. The remaining conf-available models (exim,
-audispd, aminer; SyslogParsingModel is the composition of the
-others under the preamble) follow the same mechanical translation
-of their Sequence trees — each FirstMatch alternative
+with a payload model, and the aminer's own JSON event model
+(AminerParsingModel → aminer_event_schema(), a JsonSchema with
+optional prefix '_'). The remaining conf-available models (exim,
+audispd; SyslogParsingModel is the composition of the others under
+the preamble) follow the same mechanical translation of their
+Sequence trees — each FirstMatch alternative
 (and each optional SUB-SEQUENCE) becomes a whole-line variant;
 parity tests drive the REFERENCE model objects on shared fixtures
 (tests/test_reference_parity.py).
@@ -1046,3 +1048,102 @@ RSYSLOG_SPECS: dict[str, list[tuple]] = {}
 for _hk, _head in _RSYSLOG_HEADS:
     for _bn, _body in _RSYSLOG_BRANCHES.items():
         RSYSLOG_SPECS[f"{_bn}{('_' + _hk) if _hk else ''}"] = _head + _body
+
+
+def aminer_event_schema():
+    """AminerParsingModel (reference conf-available/generic/
+    AminerParsingModel.py — a JsonModelElement over the aminer's own
+    JSON event output, optional-key prefix "_") translated to a
+    JsonSchema spec. Leaf mapping: DecimalInteger→int, DecimalFloat→
+    float, true/false wordlists→bool, every string-shaped element
+    (VariableByte / wordlist / structured Sequence text like the
+    correlation Rule grammar)→str — per-string alphabet/grammar
+    validation is the documented approximation; structural semantics
+    (required vs optional keys, nullability, ALLOW_ALL / ALLOW_ALL_KEYS
+    / EMPTY_ARRAY markers, list element typing, unexpected-key
+    rejection) carry over exactly."""
+    from .parsing import JsonSchema
+
+    feature = {
+        "Rule": {"type": str, "path": str, "_value": str,
+                 "match_action": str, "log_total": int, "log_success": int},
+        "Index": int, "CreationTime": float, "LastTriggerTime": float,
+        "TriggerCount": int,
+    }
+    histogram = {
+        "TotalElements": int, "BinnedElements": int,
+        "HasOutlierBinsFlag": bool,
+        "Bins": {"ALLOW_ALL_KEYS": int},
+        "BinDefinition": {
+            "Type": str, "LowerLimit": int, "BinSize": int, "BinCount": int,
+            "OutlierBinsFlag": bool, "BinNames": [str],
+            "ExpectedBinRatio": float, "_ModuloValue": int, "_TimeUnit": int,
+        },
+        "PropertyPath": str,
+    }
+    return JsonSchema({
+        "_AnalysisComponent": {
+            # reference: FirstMatch(int | FixedData "null") — json
+            # null is REJECTED (no nullable prefix); the literal
+            # string "null" alternative is the one leaf-FirstMatch
+            # corner this translation drops (plain int here)
+            "AnalysisComponentIdentifier": int,
+            "AnalysisComponentType": str,
+            "AnalysisComponentName": str,
+            "Message": str,
+            "_PersistenceFileName": str,
+            "_TrainingMode": bool,
+            "_AffectedLogAtomPaths": [str],
+            "_AffectedLogAtomValues": [str],
+            "_Metadata": {
+                "TimeFirstOccurrence": float,
+                "TimeLastOccurrence": float,
+                "NumberOfOccurrences": int,
+            },
+            "_ParsedLogAtom": {"ALLOW_ALL_KEYS": str},
+            "_FeatureList": [feature],
+            "_AnalysisStatus": str,
+            "_TotalRecords": int,
+            "_HistogramData": [histogram],
+            "_ReportInterval": int,
+            "_ResetAfterReportFlag": bool,
+            "_MissingPaths": [str],
+            "_AnomalyScores": [{
+                "Path": str,
+                "AnalysisData": {
+                    "New": {"N": int, "Avg": float, "Var": float},
+                    "Old": {"N": int, "Avg": float, "Var": float},
+                },
+            }],
+            "_MinBinElements": int,
+            "_MinBinTime": int,
+            "_DebugMode": bool,
+            "_Rule": {
+                "RuleId": str, "MinTimeDelta": int, "MaxTimeDelta": int,
+                "ArtefactMatchParameters": [str],
+                "HistoryAEvents": "EMPTY_ARRAY",
+                "HistoryBEvents": "EMPTY_ARRAY",
+                "LastTimestampSeen": float,
+                "correlation_history": {"MaxItems": int, "History": [str]},
+            },
+            "_CheckResult": [str],
+            "_NewestTimestamp": float,
+        },
+        "_TotalRecords": int,
+        "_TypeInfo": "ALLOW_ALL",
+        "_RuleInfo": {"Rule": str, "Expected": str, "Observed": str},
+        "_LogData": {
+            "RawLogData": [str],
+            "Timestamps": [float],
+            "DetectionTimestamp": float,
+            "LogLinesCount": int,
+            "_AnnotatedMatchElement": str,
+        },
+        "_StatusInfo": {"ALLOW_ALL_KEYS": {
+            "CurrentProcessedLines": int,
+            "TotalProcessedLines": int,
+        }},
+        "_FromTime": float,
+        "_ToTime": float,
+        "_DebugLog": [str],
+    }, optional_key_prefix="_")

@@ -235,6 +235,17 @@ class JsonSchema:
             return None
         # stage 1: missing required keys, sorted by stripped name
         stripped = {self._strip(k): k for k in sdict}
+        # the reference accepts a data key in its LITERAL prefixed
+        # form too ("_TrainingMode" in the data matching the
+        # "_TrainingMode" spec entry) — normalize such keys to their
+        # stripped name before the staged checks (if both forms are
+        # present the stripped one wins, matching dict iteration of
+        # the probe order)
+        if any(k in sdict and k not in stripped for k in obj):
+            obj = {
+                (self._strip(k) if (k in sdict and k not in stripped) else k): v
+                for k, v in obj.items()
+            }
         for sk in sorted(stripped):
             fk = stripped[sk]
             if sk not in obj and not self._is_optional(fk):

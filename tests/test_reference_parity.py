@@ -2424,3 +2424,74 @@ def test_tomcat_ssmtp_rsyslog_model_parity(ray_session):
             model = got.loc[i, "model"]
             ours = model == model and model is not None
             assert full == ours, (refname, line, model, full)
+
+
+def test_aminer_json_model_parity():
+    """AminerParsingModel (a JsonModelElement over the aminer's own
+    event JSON, optional prefix '_') vs aminer_event_schema():
+    accept/reject agreement on valid events and on structural
+    violations (missing required key, wrong leaf type, unexpected
+    key, EMPTY_ARRAY, int-or-null identifier)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import aminer_event_schema
+    from logdata_anomaly_miner_ray.functions.parsing import json_schema_validate
+
+    ref = _load_generic_model("AminerParsingModel").get_model()
+    js = aminer_event_schema()
+
+    comp = {
+        "AnalysisComponentIdentifier": 5,
+        "AnalysisComponentType": "NewMatchPathDetector",
+        "AnalysisComponentName": "detector one",
+        "Message": "New path detected",
+    }
+
+    def v(**over):
+        c = dict(comp)
+        c.update(over)
+        return {"_AnalysisComponent": c}
+
+    docs = [
+        v(),
+        v(AnalysisComponentIdentifier=None),                  # null -> reject
+        v(_TrainingMode=True),
+        v(_TotalRecords=7),
+        v(_Metadata={"TimeFirstOccurrence": 1.5,
+                     "TimeLastOccurrence": 2.5,
+                     "NumberOfOccurrences": 3}),
+        v(_AffectedLogAtomPaths=["p1", "p2"]),
+        {"_AnalysisComponent": {k: x for k, x in comp.items()
+                                if k != "Message"}},         # missing required
+        v(_TotalRecords="seven"),                             # wrong leaf type
+        v(TotallyUnexpected=1),                               # unexpected key
+        v(_TrainingMode="yes"),                               # bool leaf, str value
+        {"_LogData": {"RawLogData": ["line"], "Timestamps": [1.0],
+                      "DetectionTimestamp": 2.0, "LogLinesCount": 1}},
+        {"_TypeInfo": {"anything": ["goes", 1]}},             # ALLOW_ALL
+        {"_StatusInfo": {"comp1": {"CurrentProcessedLines": 1,
+                                    "TotalProcessedLines": 2}}},
+        # STRIPPED data-key forms (the aminer's real output shape;
+        # the reference accepts both literal and stripped)
+        {"AnalysisComponent": dict(comp)},
+        {"AnalysisComponent": dict(comp, TrainingMode=True)},
+        {"AnalysisComponent": dict(comp, TrainingMode="yes")},  # reject
+        {"TypeInfo": "free text"},
+        {"LogData": {"RawLogData": ["l"], "Timestamps": [0.5],
+                     "DetectionTimestamp": 1.0, "LogLinesCount": "x"}},
+    ]
+    rendered = [_json.dumps(d) for d in docs]
+    ours = json_schema_validate(pa.array(rendered, pa.string()), js)
+    agree = 0
+    for i, doc in enumerate(rendered):
+        d = doc.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        ref_ok = me is not None
+        our_ok = ours["valid"][i].as_py()
+        assert ref_ok == our_ok, (doc[:120], ref_ok, our_ok,
+                                  ours["reject_reason"][i].as_py())
+        agree += 1
+    assert agree == len(docs)
