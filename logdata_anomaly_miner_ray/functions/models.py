@@ -16,10 +16,10 @@ tomcat, ssmtp, rsyslog (with its optional instance-number heads),
 the syslog preamble (SyslogPreambleModel.py) and its composition
 with a payload model, and the aminer's own JSON event model
 (AminerParsingModel → aminer_event_schema(), a JsonSchema with
-optional prefix '_'). The remaining conf-available models (exim,
-audispd; SyslogParsingModel is the composition of the others under
-the preamble) follow the same mechanical translation of their
-Sequence trees — each FirstMatch alternative
+optional prefix '_'). The remaining conf-available models — exim,
+audispd and the AIT-LDS-specific SyslogParsingModel (dovecot /
+postfix branches) — follow the same mechanical translation of
+their Sequence trees — each FirstMatch alternative
 (and each optional SUB-SEQUENCE) becomes a whole-line variant;
 parity tests drive the REFERENCE model objects on shared fixtures
 (tests/test_reference_parity.py).
