@@ -180,28 +180,61 @@ def repetition_stats(
 
 def repetition_arrays(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-row repetition counters for one Arrow string column:
-    (n_lines, n_dup_lines, n_2grams, top_2gram_n). ASCII \s+
-    tokenization matching RE2 (str.split() would also split unicode
-    spaces)."""
-    import re as _re
+    (n_lines, n_dup_lines, n_2grams, top_2gram_n).
 
-    import pandas as _pd
+    Fully vectorized (no per-document Python loop): the batch's lines
+    and whitespace tokens are flattened into ONE flat string array
+    each with a parallel row-id array (the same flat-column trick as
+    functions.text.flat_utf8), ``pd.factorize`` interns the strings
+    into integer codes once per batch (C hash table — codes identify
+    EXACT strings, not digests), and the per-row distinct / top-count
+    reductions become packed-int64 ``np.unique`` + ``bincount`` /
+    ``maximum.at``. Tokenization uses ``pc.ascii_split_whitespace``
+    (Arrow ASCII whitespace = ``[ \\t\\n\\v\\f\\r]`` = Python
+    ``re.ASCII \\s``; ~5x faster than the RE2 split and byte-for-byte
+    the same tokens — Python ``str.split()`` would also split unicode
+    spaces, which the DuckDB oracle's RE2 does not)."""
+    import pyarrow.compute as pc
 
-    ws = _re.compile(r"\s+", _re.ASCII)
-    texts = col.to_pandas().fillna("")
-    n_lines = np.zeros(len(texts), dtype=np.int64)
-    n_dup = np.zeros(len(texts), dtype=np.int64)
-    n_grams = np.zeros(len(texts), dtype=np.int64)
-    top_gram = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        lines = [l for l in t.split("\n") if l != ""]
-        if lines:
-            vc = _pd.Series(lines).value_counts()
-            n_lines[i] = len(lines)
-            n_dup[i] = len(lines) - len(vc)
-        toks = [x for x in ws.split(t) if x != ""]
-        if len(toks) >= 2:
-            grams = _pd.Series(list(zip(toks[:-1], toks[1:]))).value_counts()
-            n_grams[i] = len(toks) - 1
-            top_gram[i] = int(grams.iloc[0])
+    n = len(col)
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_dup = np.zeros(n, dtype=np.int64)
+    n_grams = np.zeros(n, dtype=np.int64)
+    top_gram = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return n_lines, n_dup, n_grams, top_gram
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+
+    def _flatten(list_arr):
+        flat = pc.list_flatten(list_arr).to_numpy(zero_copy_only=False)
+        per_row = pc.list_value_length(list_arr).to_numpy(zero_copy_only=False)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), per_row)
+        keep = flat != ""
+        return row_id[keep], flat[keep]
+
+    # --- duplicate lines: distinct (row, line) pairs per row ---
+    row_id_l, lines_np = _flatten(pc.split_pattern(col, "\n"))
+    if len(row_id_l):
+        n_lines[:] = np.bincount(row_id_l, minlength=n)
+        codes, uniq = pd.factorize(lines_np)
+        distinct_keys = np.unique(row_id_l * len(uniq) + codes)
+        n_dup[:] = n_lines - np.bincount(distinct_keys // len(uniq), minlength=n)
+
+    # --- 2-grams: pair consecutive tokens within a row ---
+    row_id_t, toks_np = _flatten(pc.ascii_split_whitespace(col))
+    if len(row_id_t):
+        n_tok = np.bincount(row_id_t, minlength=n)
+        n_grams[:] = np.where(n_tok >= 2, n_tok - 1, 0)
+        same = row_id_t[1:] == row_id_t[:-1]
+        if same.any():
+            tcodes, tuniq = pd.factorize(toks_np)
+            tcodes = tcodes.astype(np.int64)
+            pair = tcodes[:-1][same] * len(tuniq) + tcodes[1:][same]
+            pcodes, puniq = pd.factorize(pair)
+            keys, cnt = np.unique(
+                row_id_t[:-1][same] * len(puniq) + pcodes, return_counts=True
+            )
+            np.maximum.at(top_gram, keys // len(puniq), cnt)
     return n_lines, n_dup, n_grams, top_gram
