@@ -213,8 +213,13 @@ def main(argv: list[str] | None = None) -> int:
                 head = rd.read_parquet(
                     args.input, columns=["warc_ts"]).limit(64).take_all()
                 t0_us = next(
-                    int(pa.scalar(r["warc_ts"], pa.timestamp("us")).value)
-                    for r in head if r["warc_ts"] is not None)
+                    (int(pa.scalar(r["warc_ts"], pa.timestamp("us")).value)
+                     for r in head if r["warc_ts"] is not None), None)
+                if t0_us is None:
+                    print("ERROR: no timestamped rows to anchor the "
+                          "learning horizon (input empty or warc_ts "
+                          "all-null in the first 64 rows)", file=sys.stderr)
+                    return 2
                 if args.stop_learning_seconds is not None:
                     from .pipelines.validate import filter_ts_horizon, fit
 

@@ -237,39 +237,54 @@ class JsonSchema:
         stripped = {self._strip(k): k for k in sdict}
         # the reference accepts a data key in its LITERAL prefixed
         # form too ("_TrainingMode" in the data matching the
-        # "_TrainingMode" spec entry) — normalize such keys to their
-        # stripped name before the staged checks (if both forms are
-        # present the stripped one wins, matching dict iteration of
-        # the probe order)
-        if any(k in sdict and k not in stripped for k in obj):
-            obj = {
-                (self._strip(k) if (k in sdict and k not in stripped) else k): v
-                for k, v in obj.items()
-            }
+        # "_TrainingMode" spec entry) — but only for OPTIONAL spec
+        # keys: a required-nullable key's PRESENCE is satisfied only
+        # by the stripped form (JsonModelElement.py check_keys
+        # :323-330 — the nullable branch re-probes the stripped name
+        # in the data and rejects when absent), while its literal
+        # form's VALUE is still checked when present (parse_json_dict
+        # iterates DATA keys via get_full_key probing :221-223).
+        # When BOTH forms are present, keep both: neither wins —
+        # stage 2 checks both values and stage 3 treats the literal
+        # form as a known key.
+        renames = {
+            k: self._strip(k)
+            for k in obj
+            if k in sdict and k not in stripped and self._is_optional(k)
+            and self._strip(k) not in obj
+        }
+        if renames:
+            obj = {renames.get(k, k): v for k, v in obj.items()}
         for sk in sorted(stripped):
             fk = stripped[sk]
             if sk not in obj and not self._is_optional(fk):
                 return f"missing:{child(sk)}"
-        # stage 2: per-key value checks (sorted), depth-first
+        # stage 2: per-key value checks (sorted), depth-first; when
+        # the data carries both the stripped and the literal-prefixed
+        # form of one spec key, BOTH values are checked (reference
+        # probes each data key independently)
         for sk in sorted(stripped):
             fk = stripped[sk]
-            if sk not in obj:
-                continue
-            value = obj[sk]
-            if value is None and self._is_nullable(fk):
-                continue
-            if value is None and sdict[fk] != "NULL_OBJECT":
-                # incl. ALLOW_ALL: the reference rejects null there
-                # unless the key carries the nullable prefix
-                # (JsonModelElement.py parse_json_object None branch)
-                return f"null:{child(sk)}"
-            r = self._check_value(value, sdict[fk], child(sk))
-            if r is not None:
-                return r
-        # stage 3: unexpected keys, sorted
+            for dk in (sk, fk) if (fk != sk and fk in obj) else (sk,):
+                if dk not in obj:
+                    continue
+                value = obj[dk]
+                if value is None and self._is_nullable(fk):
+                    continue
+                if value is None and sdict[fk] != "NULL_OBJECT":
+                    # incl. ALLOW_ALL: the reference rejects null there
+                    # unless the key carries the nullable prefix
+                    # (JsonModelElement.py parse_json_object None branch)
+                    return f"null:{child(sk)}"
+                r = self._check_value(value, sdict[fk], child(sk))
+                if r is not None:
+                    return r
+        # stage 3: unexpected keys, sorted (a literal-prefixed form
+        # kept alongside its stripped sibling is a known spec key,
+        # not unexpected)
         if not self.allow_all_fields:
             for key in sorted(obj):
-                if key not in stripped:
+                if key not in stripped and key not in sdict:
                     return f"unexpected:{child(key)}"
         return None
 

@@ -30,6 +30,17 @@ from ..functions.hashing import (
 from ._taskcache import cached_task_fn
 
 
+def _dedup_trace(fmt: str, *args) -> None:
+    """GRAFT_TRACE=1 → tier-decision lines on stderr (same switch as
+    pipelines/validate._trace; tests assert the dataset tier engages
+    without driver-side pair materialization)."""
+    import os
+    import sys
+
+    if os.environ.get("GRAFT_TRACE"):
+        print("[dedup] " + (fmt % args), file=sys.stderr, flush=True)
+
+
 def with_content_hash(
     ds: "ray.data.Dataset", text_col: str, hash_name: str = "text_hash"
 ) -> "ray.data.Dataset":
@@ -139,12 +150,15 @@ def minhash_lsh_candidate_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
+            full_e = e
             if e - s > max_bucket:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "minhash LSH bucket of size %d truncated to max_bucket=%d "
-                    "(candidate pairs beyond the cap are dropped)",
+                    "minhash LSH bucket of size %d capped at max_bucket=%d: "
+                    "all-pairs within the cap + hub star pairs beyond it "
+                    "(connectivity preserved; non-hub pairs among the "
+                    "overflow are a recall bound)",
                     e - s, max_bucket,
                 )
                 e = s + max_bucket
@@ -156,6 +170,17 @@ def minhash_lsh_candidate_pairs(
             out_a.append(ids[s:e][iu[0][keep]])
             out_b.append(ids[s:e][iu[1][keep]])
             out_j.append(jac[keep])
+            if full_e > e:
+                # star pairs: hub = first member, vs every overflow
+                # member — O(B) instead of O(B²), keeps the bucket's
+                # connected component intact under truncation
+                tail = sigs[e:full_e]
+                sjac = (tail == sigs[s][None, :]).mean(axis=1)
+                skeep = sjac >= jaccard_threshold
+                hub = np.full(int(skeep.sum()), ids[s])
+                out_a.append(np.minimum(hub, ids[e:full_e][skeep]))
+                out_b.append(np.maximum(hub, ids[e:full_e][skeep]))
+                out_j.append(sjac[skeep])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -234,18 +259,28 @@ def _lsh_collision_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
+            full_e = e
             if e - s > max_bucket:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "minhash LSH bucket of size %d truncated to max_bucket=%d "
-                    "(candidate pairs beyond the cap are dropped)",
+                    "minhash LSH bucket of size %d capped at max_bucket=%d: "
+                    "all-pairs within the cap + hub star pairs beyond it "
+                    "(connectivity preserved; non-hub pairs among the "
+                    "overflow are a recall bound)",
                     e - s, max_bucket,
                 )
                 e = s + max_bucket
             iu = np.triu_indices(e - s, k=1)
             out_a.append(ids[s:e][iu[0]])
             out_b.append(ids[s:e][iu[1]])
+            if full_e > e:
+                # hub star pairs over the overflow: the bucket stays
+                # one connected candidate component at O(B) cost, and
+                # the downstream EXACT-Jaccard verifier decides truth
+                hub = np.full(full_e - e, ids[s])
+                out_a.append(hub)
+                out_b.append(ids[e:full_e])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -265,31 +300,40 @@ def minhash_verified_pairs(
     num_bands: int = 16,
     k_shingle: int = 3,
     driver_text_limit: int = 4096,
-    pairs_per_bucket: int = 64,
+    driver_pair_limit: int = 200_000,
+    n_verify_groups: int = 512,
 ) -> pd.DataFrame:
     """LSH candidates verified with EXACT word k-gram Jaccard: the
     banded-LSH pass proposes every same-(band, band-hash) collision
     pair — a strict SUPERSET of any signature-agreement threshold, so
     signature noise never drops a true pair (``candidate_threshold``
     is retained for API compatibility but no longer prunes; the exact
-    shingle-set Jaccard is the sole decider). Only the PAIR ID LIST
-    ever reaches the driver (bounded by candidate count), and the
-    candidate pass is ONE all-to-all with no signature bytes in the
-    shuffle (cross-band duplicate pairs dedup in pandas after the
-    bounded collect instead of a second groupby job).
+    shingle-set Jaccard is the sole decider). Oversized collision
+    buckets cap at all-pairs-within-cap + hub star pairs, so a
+    degenerate bucket keeps its connected component; only non-hub
+    pairs among the overflow are a (logged) recall bound.
 
-    Two verification tiers by candidate-id count:
+    Two verification tiers, chosen by candidate volume:
 
-    - ≤ ``driver_text_limit`` distinct ids: texts of the candidate
-      ids gathered via a broadcast id-set filter pass and verified on
-      the driver — the fast path for dup-sparse corpora.
-    - larger (near-dup-heavy corpora): DISTRIBUTED verification — the
-      pairs are hashed into buckets of ≤ ``pairs_per_bucket`` pairs,
-      an id→buckets map is broadcast, one streaming pass replicates
-      each candidate text to its pair buckets (non-candidates never
-      shuffle), and a ``groupby(bucket).map_groups`` computes the
-      exact Jaccard with both texts co-located. No driver text
-      gather at any corpus size.
+    - raw collision pairs ≤ ``driver_pair_limit`` AND distinct
+      candidate ids ≤ ``driver_text_limit``: the bounded driver fold
+      — pair list to the driver, texts via one broadcast id-set
+      filter pass, verification in-process. The fast path for
+      dup-sparse corpora (same two-tier pattern as the suite's meta
+      reductions).
+    - larger (near-dup-heavy corpora): DATASET-NATIVE end-to-end —
+      pairs stay a Dataset, ``bucket = hash(id_a,id_b) mod
+      n_verify_groups`` is stamped in a narrow pass, one
+      ``groupby(bucket)`` dedups cross-band pairs and derives member
+      rows (same-pair copies co-locate by construction), candidate
+      texts are selected by a broadcast of ONLY the distinct
+      candidate ids (a flat int64 array, ≤ corpus size — never pair
+      dicts) and joined to the member rows, and a final
+      ``groupby(bucket)`` verifies with pairs + both texts
+      co-located. No driver-side pair materialization at any corpus
+      size. Size ``n_verify_groups`` so replicated candidate text
+      per group (~total candidate bytes / groups) fits a worker;
+      raise it at larger scale.
 
     Output (id_a, id_b, jaccard) is recomputable by a SQL engine's
     all-pairs shingle intersection at test scale."""
@@ -299,18 +343,38 @@ def minhash_verified_pairs(
         {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
          "jaccard": pd.Series(dtype=np.float64)}
     )
-    cand = _lsh_collision_pairs(
+    pairs_ds = _lsh_collision_pairs(
         ds, text_col, id_col,
         num_perm=num_perm, num_bands=num_bands, k_shingle=k_shingle,
-    ).to_pandas()
-    if cand.empty:
+    ).materialize()
+    n_raw = pairs_ds.count()
+    if n_raw == 0:
         return empty
-    cand = cand.drop_duplicates(["id_a", "id_b"])
-    ca = cand["id_a"].to_numpy(np.int64)
-    cb = cand["id_b"].to_numpy(np.int64)
-    wanted = np.unique(np.concatenate([ca, cb]))
 
-    if len(wanted) <= driver_text_limit:
+    # distinct candidate ids: per-block unique → driver np.unique.
+    # A flat int64 array bounded by the corpus id count — the one
+    # sanctioned driver-side artifact (pair lists/dicts never fold).
+    def block_uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["id_a"].to_numpy(zero_copy_only=False),
+            t["id_b"].to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"mid": pa.array(u, pa.int64())})
+
+    wanted = np.unique(
+        pairs_ds.map_batches(block_uniq, batch_format="pyarrow", batch_size=None)
+        .to_pandas()["mid"].to_numpy()
+    )
+    _dedup_trace(
+        "minhash_verified_pairs tier=%s n_raw=%d n_ids=%d",
+        "driver" if (n_raw <= driver_pair_limit and len(wanted) <= driver_text_limit)
+        else "dataset", n_raw, len(wanted),
+    )
+
+    if n_raw <= driver_pair_limit and len(wanted) <= driver_text_limit:
+        cand = pairs_ds.to_pandas().drop_duplicates(["id_a", "id_b"])
+        ca = cand["id_a"].to_numpy(np.int64)
+        cb = cand["id_b"].to_numpy(np.int64)
         wref = _ray.put(wanted)
 
         def gather(batch: pa.Table) -> pa.Table:
@@ -334,68 +398,95 @@ def minhash_verified_pairs(
         out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    # distributed tier: bucket the pairs, co-locate pair texts
-    n_buckets = max(1, (len(ca) + pairs_per_bucket - 1) // pairs_per_bucket)
-    pair_bucket = (ca * np.int64(1_000_003) + cb) % np.int64(n_buckets)
-    # id -> buckets (an id in many pairs replicates to each bucket once)
-    both_ids = np.concatenate([ca, cb])
-    both_bk = np.concatenate([pair_bucket, pair_bucket])
-    iu = np.unique(np.stack([both_ids, both_bk], axis=1), axis=0)
-    id2buckets: dict[int, np.ndarray] = {}
-    cut = np.flatnonzero(np.concatenate([[True], iu[1:, 0] != iu[:-1, 0]]))
-    for s, e in zip(cut, np.concatenate([cut[1:], [len(iu)]])):
-        id2buckets[int(iu[s, 0])] = iu[s:e, 1]
-    bucket_pairs: dict[int, list[tuple[int, int]]] = {}
-    for a, b, bk in zip(ca, cb, pair_bucket):
-        bucket_pairs.setdefault(int(bk), []).append((int(a), int(b)))
-    maps_ref = _ray.put((id2buckets, bucket_pairs))
+    # ---- dataset-native tier: pairs never leave the cluster ----
+    n_g = np.int64(max(1, n_verify_groups))
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        i2b, _ = _ray.get(maps_ref)
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        bk = (a * np.int64(1_000_003) + b) % n_g
+        return batch.append_column("bucket", pa.array(bk, pa.int64()))
+
+    tagged = pairs_ds.map_batches(
+        tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def prep(g: pd.DataFrame) -> pd.DataFrame:
+        # same pair from several bands lands in the same bucket —
+        # global dedup without any extra shuffle; member rows drive
+        # the text replication join
+        g = g.drop_duplicates(["id_a", "id_b"])
+        bk = int(g["bucket"].iloc[0])
+        members = np.unique(np.concatenate(
+            [g["id_a"].to_numpy(np.int64), g["id_b"].to_numpy(np.int64)]
+        ))
+        pair_rows = pd.DataFrame({
+            "bucket": g["bucket"].to_numpy(np.int64), "kind": np.int64(0),
+            "id_a": g["id_a"].to_numpy(np.int64),
+            "id_b": g["id_b"].to_numpy(np.int64),
+            "mid": np.int64(-1), "text": "",
+        })
+        member_rows = pd.DataFrame({
+            "bucket": np.full(len(members), bk, dtype=np.int64),
+            "kind": np.int64(1),
+            "id_a": np.int64(-1), "id_b": np.int64(-1),
+            "mid": members, "text": "",
+        })
+        return pd.concat([pair_rows, member_rows], ignore_index=True)
+
+    prep_ds = tagged.groupby("bucket").map_groups(
+        prep, batch_format="pandas"
+    ).materialize()
+    pairs_part = prep_ds.filter(expr="kind == 0")
+    members_ds = prep_ds.filter(expr="kind == 1").select_columns(["bucket", "mid"])
+
+    wref = _ray.put(wanted)
+
+    def gather(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = batch[text_col]
-        out_bk: list[np.ndarray] = []
-        out_rows: list[np.ndarray] = []
-        for pos, i in enumerate(ids):
-            bks = i2b.get(int(i))
-            if bks is not None:
-                out_bk.append(bks)
-                out_rows.append(np.full(len(bks), pos, dtype=np.int64))
-        if not out_bk:
-            return pa.table(
-                {"bucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                 text_col: pa.array([], pa.string())}
-            )
-        rows_idx = np.concatenate(out_rows)
-        return pa.table(
-            {
-                "bucket": pa.array(np.concatenate(out_bk).astype(np.int64)),
-                id_col: pa.array(ids[rows_idx].astype(np.int64)),
-                text_col: texts.take(pa.array(rows_idx)),
-            }
-        )
+        keep = np.isin(ids, _ray.get(wref))
+        t = batch.select([id_col, text_col]).filter(pa.array(keep))
+        return t.rename_columns(["mid", "text"])
 
-    replicated = ds.map_batches(
-        replicate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    texts_ds = ds.map_batches(
+        gather, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    npart = int(max(8, min(256, n_raw // 200_000 + 8)))
+    replicated = members_ds.join(
+        texts_ds, join_type="inner", num_partitions=npart, on=("mid",)
+    )
+
+    def as_union(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "bucket": batch["bucket"],
+            "kind": pa.array(np.full(n, 1, dtype=np.int64)),
+            "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "mid": batch["mid"],
+            "text": batch["text"],
+        })
+
+    text_rows = replicated.map_batches(
+        as_union, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return empty
-        _, bk_pairs = _ray.get(maps_ref)
-        pairs_here = bk_pairs.get(int(g["bucket"].iloc[0]), [])
+        is_text = g["kind"].to_numpy() == 1
         gcache = {
             int(i): _kgrams(t, k_shingle)
-            for i, t in zip(g[id_col].to_numpy(), g[text_col])
+            for i, t in zip(g["mid"].to_numpy()[is_text], g["text"][is_text])
         }
         rows = []
-        for a, b in pairs_here:
-            ga, gb = gcache.get(a), gcache.get(b)
+        for a, b in zip(
+            g["id_a"].to_numpy()[~is_text], g["id_b"].to_numpy()[~is_text]
+        ):
+            ga, gb = gcache.get(int(a)), gcache.get(int(b))
             if ga is None or gb is None or (not ga and not gb):
                 continue
             j = len(ga & gb) / len(ga | gb)
             if j >= jaccard_threshold:
-                rows.append((a, b, j))
+                rows.append((int(a), int(b), j))
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
@@ -403,7 +494,8 @@ def minhash_verified_pairs(
         )
 
     out = (
-        replicated.groupby("bucket")
+        pairs_part.union(text_rows)
+        .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )

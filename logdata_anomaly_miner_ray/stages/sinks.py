@@ -303,11 +303,29 @@ class KafkaEventSink:
     error closes the producer and returns False (the next event
     reconnects)."""
 
-    def __init__(self, topic: str, options: dict | None = None, producer_factory=None):
+    def __init__(self, topic: str, options: dict | None = None, producer_factory=None,
+                 errors: tuple = None):
         self.topic = topic
         self.options = options or {}
         self.producer = None
         self._factory = producer_factory
+        # transport error types that mean "reset producer, return
+        # False" — the reference catches only KafkaError
+        # (events/KafkaEventHandler.py send branch); a programming
+        # error in the payload path must surface, not be swallowed.
+        # Injected fakes pass their own error tuple; the real-client
+        # default resolves kafka.errors.KafkaError lazily.
+        self._errors = errors
+
+    def _transport_errors(self) -> tuple:
+        if self._errors is not None:
+            return self._errors
+        try:
+            from kafka.errors import KafkaError  # absent here; injectable
+
+            return (KafkaError,)
+        except ImportError:
+            return (Exception,)  # fake-transport test path
 
     def _default_factory(self):
         from kafka import KafkaProducer  # noqa: F401 — absent here; injectable
@@ -332,7 +350,7 @@ class KafkaEventSink:
             return False
         try:
             self.producer.send(self.topic, event_data)
-        except Exception as err:  # KafkaError when the real client is present
+        except self._transport_errors() as err:
             print(f"Error: {err}", file=_sys.stderr)
             try:
                 self.producer.close()

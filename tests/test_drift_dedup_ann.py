@@ -87,13 +87,15 @@ def test_minhash_lsh_finds_near_dups():
     assert set(zip(pairs["id_a"], pairs["id_b"])) == {(10, 20)}
 
 
-def test_minhash_verified_pairs_distributed_tier_matches_driver():
+def test_minhash_verified_pairs_dataset_tier_matches_driver(monkeypatch, capsys):
     """Adversarial near-dup-HEAVY corpus: many templated documents,
     most of them near-duplicates of each other. Forcing
-    driver_text_limit=0 exercises the distributed bucketed-map_groups
-    verification tier; it must produce exactly the driver tier's
-    (id_a, id_b, jaccard) output — no pair lost at bucket boundaries,
-    texts co-located per pair bucket instead of gathered."""
+    driver_pair_limit=0 exercises the dataset-native verification
+    tier (pairs stay a Dataset end-to-end: bucket groupby dedup →
+    member/text join → co-located verify groupby); it must produce
+    exactly the driver tier's (id_a, id_b, jaccard) output — no pair
+    lost at bucket boundaries, no driver-side pair materialization
+    (asserted via the GRAFT_TRACE tier line)."""
     from logdata_anomaly_miner_ray.stages.dedup import minhash_verified_pairs
 
     rng = np.random.default_rng(17)
@@ -110,13 +112,54 @@ def test_minhash_verified_pairs_distributed_tier_matches_driver():
     t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
     ds = rd.from_arrow(t).repartition(6)
 
+    monkeypatch.setenv("GRAFT_TRACE", "1")
     kw = dict(jaccard_threshold=0.6, candidate_threshold=0.3, k_shingle=3)
     want = minhash_verified_pairs(ds, "text", "doc_id", **kw)  # driver tier
     got = minhash_verified_pairs(
-        ds, "text", "doc_id", driver_text_limit=0, pairs_per_bucket=7, **kw
+        ds, "text", "doc_id", driver_pair_limit=0, n_verify_groups=7, **kw
     )
+    err = capsys.readouterr().err
+    assert "tier=driver" in err and "tier=dataset" in err
     assert len(want) > 30  # the fixture really is near-dup-heavy
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_lsh_bucket_cap_keeps_connectivity_via_star_pairs():
+    """>max_bucket near-identical docs sharing every band hash: the
+    cap must NOT orphan the overflow members — hub star pairs keep
+    the bucket one connected component, so a union-find over the
+    verified pairs yields a single cluster covering all docs."""
+    from logdata_anomaly_miner_ray.stages.dedup import (
+        _lsh_collision_pairs,
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 30
+    t = pa.table({"doc_id": pa.array(range(1, 31), pa.int64()), "text": docs})
+    ds = rd.from_arrow(t).repartition(3)
+
+    for pairs in (
+        _lsh_collision_pairs(
+            ds, "text", "doc_id", num_perm=32, num_bands=8, k_shingle=2,
+            max_bucket=8,
+        ).to_pandas(),
+        minhash_lsh_candidate_pairs(
+            ds, "text", "doc_id", num_perm=32, num_bands=8, k_shingle=2,
+            jaccard_threshold=0.9, max_bucket=8,
+        ).to_pandas(),
+    ):
+        parent = {i: i for i in range(1, 31)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["id_a"], pairs["id_b"]):
+            parent[find(int(a))] = find(int(b))
+        roots = {find(i) for i in range(1, 31)}
+        assert roots == {find(1)}, f"disconnected components: {roots}"
 
 
 def test_simhash_near_dup_pairs():

@@ -1451,6 +1451,37 @@ def test_json_model_element_marker_parity():
     for doc in docs4:
         assert ref_accepts(ref4, doc) == (ours4.check_document(doc) is None), doc
 
+    # schema 5: stripped vs literal-prefixed DATA-key forms. The
+    # reference value-checks every data key via get_full_key probing
+    # (both forms present → both checked, neither "wins"), accepts
+    # the literal form alone only for OPTIONAL keys, and rejects a
+    # required-nullable key whose stripped form is absent even when
+    # the literal form is present (check_keys :323-330).
+    ref5 = JsonModelElement("j5", {
+        "k": DecimalIntegerValueModelElement("k"),
+        "+num": DecimalIntegerValueModelElement("num"),
+        "optional_key_tag": AnyByteDataModelElement("tag"),
+        "+optional_key_opt": DecimalIntegerValueModelElement("opt"),
+    })
+    ours5 = JsonSchema({
+        "k": int, "+num": int, "optional_key_tag": str, "+optional_key_opt": int,
+    })
+    docs5 = [
+        '{"k": 1, "num": 2, "+num": 3}',        # both forms, both valid
+        '{"k": 1, "num": 2, "+num": "bad"}',    # literal form bad value
+        '{"k": 1, "num": "bad", "+num": 3}',    # stripped form bad value
+        '{"k": 1, "+num": 3}',                  # nullable literal only → reject
+        '{"k": 1, "num": null, "+num": 2}',     # stripped null (nullable ok)
+        '{"k": 1, "num": 2, "+num": null}',     # literal null (nullable ok)
+        '{"k": 1, "num": 2, "tag": "t", "optional_key_tag": "u"}',
+        '{"k": 1, "num": 2, "optional_key_tag": "u"}',  # optional literal only → ok
+        '{"k": 1, "num": 2, "+optional_key_opt": 5}',
+        '{"k": 1, "num": 2, "+optional_key_opt": null}',
+        '{"k": 1, "num": 2, "opt": 1, "+optional_key_opt": "bad"}',
+    ]
+    for doc in docs5:
+        assert ref_accepts(ref5, doc) == (ours5.check_document(doc) is None), doc
+
 
 def test_datetime_model_element_parity():
     """Drive the reference DateTimeModelElement over every format
