@@ -366,7 +366,13 @@ def q_segment_revenue(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    n_cust = cust_ds.count()
+    # broadcast-side bound: past this, switch to stages/join.hash_join
+    assert n_cust <= 50_000_000, (
+        f"customer side too large to broadcast ({n_cust} rows); use hash_join"
+    )
+    cust = cust_ds.to_pandas()
     lookup_ref = ray.put(
         (cust["c_custkey"].to_numpy(np.int64), cust["c_mktsegment"].to_numpy())
     )

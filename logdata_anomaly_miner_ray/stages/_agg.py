@@ -166,6 +166,29 @@ def coarse_grouped(
     )
 
 
+def bounded_collect(
+    out_ds: "ray.data.Dataset", max_rows: int, name: str, scale_path: str
+):
+    """Guarded driver gather for the EXACT-replay parity tiers: the
+    1:1 reference-lifecycle folds collect a (small) result or replay
+    table to the driver — this materializes + counts FIRST and
+    refuses past ``max_rows``, so a parity tier can never be invoked
+    accidentally at corpus scale; the error names the distributed
+    scale path to use instead. (Counting the materialized dataset
+    re-reads blocks, not the pipeline — no recompute.)"""
+    import pandas as pd  # noqa: F401 — return type
+
+    m = out_ds.materialize()
+    n = m.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{name}: driver-bound replay table has {n} rows > "
+            f"max_result_rows={max_rows}; at corpus scale use the "
+            f"distributed path ({scale_path}) or raise the cap explicitly"
+        )
+    return m.to_pandas()
+
+
 def distinct_rows(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
     """Distinct key tuples with per-block combining (no counts)."""
 

@@ -443,6 +443,7 @@ def time_correlation_report(
     record_window: int = 10000,
     max_delta: float = 10.0,
     n_buckets: int = 64,
+    max_result_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """Windowed TimeCorrelationDetector report (reference
     TimeCorrelationDetector.py:27-265): the stream is cut into
@@ -454,6 +455,12 @@ def time_correlation_report(
     exist from the window start (the reference grows the feature list
     over the first atoms); pair state never crosses a window (the
     reference's reset).
+
+    Driver-bound tier bound: the per-window report (≤ windows × F²
+    rows) is gathered to the driver, capped at ``max_result_rows``
+    (raises with the scale path named) — this is the 1:1 parity
+    replay; at corpus scale use ``sample_feature_rules`` +
+    ``tc_pair_tables`` over sampled windows instead.
 
     Output: one row per (window, a_idx, b_idx) with n > 0 —
     ``n``, ``delta_us`` (sum of cause→effect gaps), ``trig_a``,
@@ -506,7 +513,13 @@ def time_correlation_report(
         return b.append_column("__win", w)
 
     with_win = ds.map_batches(add_win, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    out = coarse_grouped(with_win, ["__win"], per_bucket, n_buckets=n_buckets).to_pandas()
+    from ._agg import bounded_collect
+
+    out = bounded_collect(
+        coarse_grouped(with_win, ["__win"], per_bucket, n_buckets=n_buckets),
+        max_result_rows, "time_correlation_report",
+        "sample_feature_rules + tc_pair_tables over sampled windows",
+    )
     if len(out) == 0:
         return pd.DataFrame(
             {c: pd.Series(dtype=np.int64)
@@ -577,6 +590,7 @@ def event_count_cluster_anomalies(
     check_empty_windows: bool = True,
     learn_mode: bool = True,
     n_buckets: int = 64,
+    max_result_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """EXACT EventCountClusterDetector lifecycle (reference:
     aminer/analysis/EventCountClusterDetector.py:102-279), recast per
@@ -601,7 +615,12 @@ def event_count_cluster_anomalies(
     One coarse-bucketed shuffle on the id; the per-id pass loops
     windows (small), not atoms. Returns one row per anomalous check:
     id cols, ``window`` (index), ``score``, ``n_events``, ``values``
-    ('|'-joined first-occurrence order), ``freqs`` ('|'-joined)."""
+    ('|'-joined first-occurrence order), ``freqs`` ('|'-joined).
+
+    Driver-bound tier bound: the anomaly-row result is gathered to
+    the driver, capped at ``max_result_rows`` (raises with the scale
+    path named) — this is the 1:1 parity replay; at corpus scale use
+    ``count_vector_outliers`` (simplified, fully distributed)."""
     from ._agg import coarse_grouped
 
     idf_weights = None
@@ -680,7 +699,13 @@ def event_count_cluster_anomalies(
             return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
         return pd.DataFrame(rows, columns=out_cols)
 
-    res = coarse_grouped(ds, id_cols, per_bucket, n_buckets=n_buckets).to_pandas()
+    from ._agg import bounded_collect
+
+    res = bounded_collect(
+        coarse_grouped(ds, id_cols, per_bucket, n_buckets=n_buckets),
+        max_result_rows, "event_count_cluster_anomalies",
+        "count_vector_outliers (simplified, fully distributed)",
+    )
     if len(res) == 0:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
     return res.sort_values(id_cols + ["window"]).reset_index(drop=True)

@@ -375,6 +375,7 @@ def pca_detector_exact(
     min_anomaly_score: float = 0.3,
     min_variance: float = 0.98,
     learn_mode: bool = True,
+    max_replay_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """EXACT PCADetector replay (reference:
     aminer/analysis/PCADetector.py:95-290), including its quirks:
@@ -400,7 +401,11 @@ def pca_detector_exact(
     Distributed part: ONE pre-aggregated (window, value) count
     shuffle; the replay loop runs over the tiny window×value matrix
     on the driver (sequential model evolution is inherent to the
-    semantics). Returns scored windows: (window, score, anomaly)."""
+    semantics). Driver-bound tier bound: the replay table (windows ×
+    distinct values rows) caps at ``max_replay_rows`` (raises with
+    the scale path named) — at corpus scale use
+    ``pca_outlier_windows`` (simplified, fully distributed). Returns
+    scored windows: (window, score, anomaly)."""
     from ray.data.aggregate import Sum as _Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -427,11 +432,14 @@ def pca_detector_exact(
         w = pc.cast(pc.floor(pc.divide(pc.subtract(t["__tsf"], t0), float(window_seconds))), pa.int64())
         return pa.table({"window": w, "ev": t["ev"], "__pn": pa.array(np.ones(len(t), np.int64))})
 
-    wc = (
+    from ._agg import bounded_collect
+
+    wc = bounded_collect(
         flat.map_batches(add_win, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["window", "ev"])
-        .aggregate(_Sum("__pn", alias_name="n"))
-        .to_pandas()
+        .aggregate(_Sum("__pn", alias_name="n")),
+        max_replay_rows, "pca_detector_exact",
+        "pca_outlier_windows (simplified, fully distributed)",
     )
     if len(wc) == 0:
         return pd.DataFrame({"window": pd.Series(dtype=np.int64),
@@ -505,6 +513,7 @@ def average_change_exact(
     var_factor: float = 2.0,
     learn_mode: bool = True,
     n_buckets: int = 64,
+    max_result_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """EXACT MatchValueAverageChangeDetector replay (reference:
     aminer/analysis/MatchValueAverageChangeDetector.py:184-244,
@@ -521,9 +530,12 @@ def average_change_exact(
     reference quirk kept verbatim); sample variance uses n−1;
     ``learn_mode`` merges each analyzed bin into the old-bin totals.
     The trailing partial bin never fires. One coarse-bucketed
-    shuffle; per-key work is a loop over bins (small). Returns one
-    row per analyzed bin ≥ 2: (key..., bin, new_avg, new_var,
-    old_avg, old_var, flagged)."""
+    shuffle; per-key work is a loop over bins (small). Driver-bound
+    tier bound: the per-bin result gathers to the driver, capped at
+    ``max_result_rows`` (raises with the scale path named) — at
+    corpus scale use ``mean_shift_violations`` (band recast, fully
+    distributed). Returns one row per analyzed bin ≥ 2: (key...,
+    bin, new_avg, new_var, old_avg, old_var, flagged)."""
     from ._agg import coarse_grouped
 
     out_cols = key_cols + ["bin", "new_avg", "new_var", "old_avg", "old_var", "flagged"]
@@ -565,7 +577,13 @@ def average_change_exact(
             return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
         return pd.DataFrame(rows, columns=out_cols)
 
-    res = coarse_grouped(ds, key_cols, per_bucket, n_buckets=n_buckets).to_pandas()
+    from ._agg import bounded_collect
+
+    res = bounded_collect(
+        coarse_grouped(ds, key_cols, per_bucket, n_buckets=n_buckets),
+        max_result_rows, "average_change_exact",
+        "mean_shift_violations (band recast, fully distributed)",
+    )
     if len(res) == 0:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
     return res.sort_values(key_cols + ["bin"]).reset_index(drop=True)

@@ -307,3 +307,48 @@ def test_manhattan_cluster_score_modes():
     assert s == pytest.approx((2 + 2 * w["B"]) / (3 + 2 * w["B"]))
     # early abort: first model vector similar → -1 even though second is far
     assert manhattan_cluster_score({"A": 2}, [{"A": 2}, {"Z": 9}], 0.4) == -1.0
+
+
+def test_replay_tiers_refuse_past_row_cap():
+    """The EXACT-replay parity tiers are driver-bound folds; their
+    row caps must make accidental corpus-scale invocation impossible
+    — a cap of 0 raises a ValueError naming the distributed scale
+    path (stages/_agg.bounded_collect)."""
+    from logdata_anomaly_miner_ray.stages.correlation import (
+        event_count_cluster_anomalies,
+        time_correlation_report,
+    )
+    from logdata_anomaly_miner_ray.stages.timeseries import (
+        average_change_exact,
+        pca_detector_exact,
+    )
+
+    S = 1_000_000
+    rows = [(i, "u1", "A" if i % 2 else "B", (1000 + i * 5) * S, float(i % 7))
+            for i in range(120)]
+    t = pa.table(
+        {"rid": pa.array([r[0] for r in rows], pa.int64()),
+         "user": pa.array([r[1] for r in rows], pa.string()),
+         "ev": pa.array([r[2] for r in rows], pa.string()),
+         "ts": pa.array([r[3] for r in rows], pa.int64()),
+         "val": pa.array([r[4] for r in rows], pa.float64())}
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    feats = [[("ev", "A")], [("ev", "B")]]
+
+    with pytest.raises(ValueError, match="sample_feature_rules"):
+        time_correlation_report(ds, "ts", "rid", feats, record_window=30,
+                                max_result_rows=0)
+    with pytest.raises(ValueError, match="count_vector_outliers"):
+        event_count_cluster_anomalies(
+            ds, ["user"], "ev", "ts", window_size=20.0, max_result_rows=0)
+    with pytest.raises(ValueError, match="pca_outlier_windows"):
+        pca_detector_exact(ds, "ev", "ts", window_seconds=20.0,
+                           max_replay_rows=0)
+    with pytest.raises(ValueError, match="mean_shift_violations"):
+        average_change_exact(ds, ["user"], "val", "rid",
+                             min_bin_elements=10, max_result_rows=0)
+
+    # and the normal caps leave results untouched
+    rep = time_correlation_report(ds, "ts", "rid", feats, record_window=30)
+    assert {"window", "a_idx", "b_idx", "n"} <= set(rep.columns)
