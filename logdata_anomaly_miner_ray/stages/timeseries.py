@@ -503,6 +503,63 @@ def pca_detector_exact(
     )
 
 
+def path_arima_exact(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    order_col: str,
+    n_buckets: int = 64,
+    max_result_rows: int = 2_000_000,
+    **replay_kwargs,
+) -> pd.DataFrame:
+    """EXACT PathArimaDetector lifecycle per key path (reference:
+    aminer/analysis/PathArimaDetector.py:144-377), recast over the
+    dataset: each key group's order-sorted float values run through
+    :class:`stages.tsa.PathArimaReplay` (RAW-|ACF| period detection,
+    AR(period) one-step bands, history-truncation skip steps,
+    binomial discard — parity-tested against the reference class in
+    tests/test_reference_parity.py). One coarse-bucketed shuffle;
+    per-key work is the sequential replay (inherent to the
+    semantics). Driver-bound tier bound: the anomaly-row result caps
+    at ``max_result_rows`` (raises with the scale path named) — at
+    corpus scale use ``seasonal_ar_outliers`` (band recast, fully
+    distributed). Returns one row per anomalous step:
+    (key..., step, value, lower, upper, confidence, period)."""
+    from ._agg import bounded_collect, coarse_grouped
+    from .tsa import PathArimaReplay
+
+    out_cols = key_cols + ["step", "value", "lower", "upper",
+                           "confidence", "period"]
+
+    def per_key(g: pd.DataFrame, out: list) -> None:
+        g = g.sort_values(order_col, kind="mergesort")
+        key = tuple(g[c].iloc[0] for c in key_cols)
+        replay = PathArimaReplay(**replay_kwargs)
+        for step, v in enumerate(g[value_col].to_numpy(np.float64)):
+            verdict = replay.step(float(v))
+            if verdict["anomaly"]:
+                out.append(key + (step, float(v), verdict["lower"],
+                                  verdict["upper"], verdict["confidence"],
+                                  verdict["period"]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, sub in g.groupby(key_cols, sort=False):
+            per_key(sub, rows)
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return pd.DataFrame(rows, columns=out_cols)
+
+    res = bounded_collect(
+        coarse_grouped(ds, key_cols, per_bucket, n_buckets=n_buckets),
+        max_result_rows, "path_arima_exact",
+        "seasonal_ar_outliers (band recast, fully distributed)",
+    )
+    if len(res) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    return res.sort_values(key_cols + ["step"]).reset_index(drop=True)
+
+
 def average_change_exact(
     ds: "ray.data.Dataset",
     key_cols: list[str],

@@ -245,6 +245,193 @@ class TsaArimaReplay:
                 "confidence": confidence}
 
 
+def binom_test_greater(k: int, n: int, p: float) -> float:
+    """One-sided binomial test p-value P[X >= k], X ~ Bin(n, p) —
+    the float-returning scipy.stats.binom_test semantics the
+    reference PathArimaDetector compares against alpha_bt
+    (PathArimaDetector.py:26-32,351-354). Exact summation in log
+    space (n is num_periods_tsa_ini·period — small)."""
+    k = int(k)
+    n = int(n)
+    if k <= 0:
+        return 1.0
+    if k > n:
+        return 0.0
+    logs = []
+    lp, lq = math.log(p), math.log1p(-p)
+    for i in range(k, n + 1):
+        logs.append(
+            math.lgamma(n + 1) - math.lgamma(i + 1) - math.lgamma(n - i + 1)
+            + i * lp + (n - i) * lq
+        )
+    m = max(logs)
+    return float(min(1.0, math.exp(m) * sum(math.exp(x - m) for x in logs)))
+
+
+def path_period_length(data) -> int | None:
+    """PathArimaDetector.calculate_period_length per-path core
+    (reference PathArimaDetector.py:186-211): |ACF| over all lags
+    (RAW — unlike TSAArima there is NO Savitzky-Golay smoothing),
+    first local minimum with the 3-wide window test
+    ``corr[i] == min(corr[i-1:i+2])``, then the highest later peak;
+    None when no local minimum exists (TSA disabled for the path)."""
+    corr = np.abs(acf_biased(data, len(data)))
+    min_lag = -1
+    for i in range(1, len(corr) - 1):
+        if corr[i] == min(corr[i - 1: i + 2]):
+            min_lag = i
+            break
+    if min_lag == -1:
+        return None
+    return int(np.argmax(corr[min_lag:]) + min_lag)
+
+
+class PathArimaReplay:
+    """Exact replay of the reference PathArimaDetector per-path
+    lifecycle (reference aminer/analysis/PathArimaDetector.py:144-377)
+    for ONE (event type, target path) series of float values, kept
+    verbatim including its quirks:
+
+    - after ``num_init`` values the period comes from the RAW |ACF|
+      first-local-min → argmax rule (``path_period_length``); a
+      ``None`` period disables the path forever;
+    - while learning, every value appends a (0, value, 0)
+      prediction-history row; the AR(period) model fits on the last
+      ``num_periods_tsa_ini·period`` values once enough accumulated
+      (fit failure leaves the model unfitted — it retries next step);
+    - active steps forecast one step with conf_int(alpha); when the
+      prediction history exceeds ``num_max_time_history`` it truncates
+      to ``num_min_time_history`` and the step SKIPS the
+      bounds test entirely (the reference's if/else at :316-338 —
+      no result-list entry either), but the discard check and model
+      append still run;
+    - anomaly confidence = (lower−count)/(upper−count) below, resp.
+      (count−upper)/(count−lower) above;
+    - the result list truncates at 2·max(num_results_bt,
+      num_periods_tsa_ini·period) to the last max(...) entries;
+    - discard (learn_mode) when successes in the last
+      ``num_results_bt`` — counting MISSING entries as successes —
+      fall below the binomial minimum, OR the one-sided binomial test
+      of the last ``num_periods_tsa_ini·period`` successes against
+      p = 1−alpha has p-value < alpha_bt (the reference quirk that
+      discards even long-healthy models: P[X ≥ n] = (1−alpha)ⁿ is
+      tiny for large n). Discard resets the result list to EMPTY
+      (TSAArima pads differently) and drops the model; otherwise the
+      model appends the new value.
+
+    Replay assumption (documented): the backing EventTypeDetector
+    never truncates its value list (min_num_vals/max_num_vals large
+    enough), matching the constructor's own guard rails."""
+
+    def __init__(self, num_init: int = 50, force_period_length: bool = False,
+                 set_period_length: int = 10, alpha: float = 0.05,
+                 alpha_bt: float = 0.05, num_results_bt: int = 15,
+                 num_min_time_history: int = 20,
+                 num_max_time_history: int = 30,
+                 num_periods_tsa_ini: int = 20, learn_mode: bool = True):
+        self.num_init = num_init
+        self.force_period_length = force_period_length
+        self.set_period_length = set_period_length
+        self.alpha = alpha
+        self.alpha_bt = alpha_bt
+        self.num_results_bt = num_results_bt
+        self.num_min_time_history = num_min_time_history
+        self.num_max_time_history = num_max_time_history
+        self.num_periods_tsa_ini = num_periods_tsa_ini
+        self.learn_mode = learn_mode
+        self.bt_min_suc = bt_min_successes(num_results_bt, alpha, alpha_bt)
+        self.values: list[float] = []
+        self.period: int | None = None
+        self.period_computed = False
+        self.model: CssAr | None = None
+        self.result_list: list[int] = []
+        self.pred_history: tuple[list, list, list] = ([], [], [])
+
+    def _idle(self, phase: str) -> dict:
+        return {"phase": phase, "anomaly": False, "discarded": False,
+                "lower": None, "upper": None, "confidence": None,
+                "period": self.period}
+
+    def step(self, value: float) -> dict:
+        self.values.append(float(value))
+        if not self.period_computed:
+            if len(self.values) < self.num_init:
+                return self._idle("collecting")
+            self.period = (
+                self.set_period_length if self.force_period_length
+                else path_period_length(self.values)
+            )
+            self.period_computed = True
+        if self.period is None:
+            return self._idle("disabled")
+        return self._test_num_appearance()
+
+    def _test_num_appearance(self) -> dict:
+        if self.learn_mode and self.model is None:
+            self.pred_history[0].append(0)
+            self.pred_history[1].append(self.values[-1])
+            self.pred_history[2].append(0)
+            if len(self.values) >= self.num_periods_tsa_ini * self.period:
+                try:
+                    self.model = CssAr(
+                        self.values[-self.num_periods_tsa_ini * self.period:],
+                        self.period,
+                    )
+                except (ValueError, np.linalg.LinAlgError):
+                    self.model = None
+                if self.model is not None:
+                    return self._idle("initialized")
+            return self._idle("learning")
+        if self.model is None:
+            return self._idle("idle")
+        count = self.values[-1]
+        lower, upper = self.model.get_forecast(1).conf_int(alpha=self.alpha)[0]
+        self.pred_history[0].append(lower)
+        self.pred_history[1].append(count)
+        self.pred_history[2].append(upper)
+        anomaly = False
+        confidence = None
+        if len(self.pred_history[0]) > self.num_max_time_history:
+            for h in self.pred_history:
+                h[:] = h[-self.num_min_time_history:]
+            # reference :316-324 — truncation step: NO bounds test,
+            # NO result-list entry
+        else:
+            if count < lower or count > upper:
+                anomaly = True
+                if count < lower:
+                    confidence = (lower - count) / (upper - count)
+                else:
+                    confidence = (count - upper) / (count - lower)
+                self.result_list.append(0)
+            else:
+                self.result_list.append(1)
+            cap = 2 * max(self.num_results_bt,
+                          self.num_periods_tsa_ini * self.period)
+            if len(self.result_list) >= cap:
+                self.result_list = self.result_list[-cap // 2:]
+        discarded = False
+        if self.learn_mode and (
+            sum(self.result_list[-self.num_results_bt:])
+            + max(0, self.num_results_bt - len(self.result_list))
+            < self.bt_min_suc
+            or binom_test_greater(
+                sum(self.result_list[
+                    -self.num_periods_tsa_ini * self.period:]),
+                self.num_periods_tsa_ini * self.period, 1 - self.alpha,
+            ) < self.alpha_bt
+        ):
+            self.model = None
+            self.result_list = []
+            discarded = True
+        else:
+            self.model = self.model.append([count])
+        return {"phase": "active", "anomaly": anomaly,
+                "discarded": discarded, "lower": float(lower),
+                "upper": float(upper), "confidence": confidence,
+                "period": self.period}
+
+
 def tsa_time_steps(
     counts: list[list[float]],
     waiting_time: float = 1000.0,

@@ -352,3 +352,40 @@ def test_replay_tiers_refuse_past_row_cap():
     # and the normal caps leave results untouched
     rep = time_correlation_report(ds, "ts", "rid", feats, record_window=30)
     assert {"window", "a_idx", "b_idx", "n"} <= set(rep.columns)
+
+
+def test_path_arima_exact_dataset_operator():
+    """Dataset wrapper over PathArimaReplay: two keyed seasonal
+    series, spikes flagged per key; matches a driver-side replay of
+    the same sorted values exactly."""
+    from logdata_anomaly_miner_ray.stages.timeseries import path_arima_exact
+    from logdata_anomaly_miner_ray.stages.tsa import PathArimaReplay
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for key in ("p1", "p2"):
+        base = 50 + 20 * np.sin(np.arange(140) * 2 * np.pi / 4)
+        vals = (base + rng.randint(-3, 4, 140)).astype(float)
+        vals[80] += 250
+        for i, v in enumerate(vals):
+            rows.append((key, i, float(v)))
+    t = pa.table({
+        "path": pa.array([r[0] for r in rows]),
+        "rid": pa.array([r[1] for r in rows], pa.int64()),
+        "val": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    kw = dict(num_init=24, num_periods_tsa_ini=3, num_results_bt=5)
+    got = path_arima_exact(
+        rd.from_arrow(t).repartition(4), ["path"], "val", "rid", **kw)
+    # driver-side oracle: replay each key's ordered values
+    df = pd.DataFrame(rows, columns=["path", "rid", "val"])
+    want = []
+    for key, sub in df.groupby("path"):
+        r = PathArimaReplay(**kw)
+        for step, v in enumerate(sub.sort_values("rid")["val"]):
+            verdict = r.step(float(v))
+            if verdict["anomaly"]:
+                want.append((key, step))
+    assert list(map(tuple, got[["path", "step"]].to_numpy())) == sorted(want)
+    assert (got["period"] > 0).all()
+    assert any(s == 80 for _, s in want)  # the planted spike is flagged

@@ -1610,23 +1610,37 @@ def _install_tsa_shims():
         def fit(self):
             return CssAr(self._endog, self._p)
 
-    for name in ("statsmodels", "statsmodels.tsa", "statsmodels.tsa.arima",
-                 "statsmodels.tsa.arima.model", "statsmodels.tsa.stattools",
-                 "scipy", "scipy.signal"):
+    from logdata_anomaly_miner_ray.stages.tsa import binom_test_greater
+
+    for name in ("statsmodels", "statsmodels.api", "statsmodels.tsa",
+                 "statsmodels.tsa.arima", "statsmodels.tsa.arima.model",
+                 "statsmodels.tsa.stattools",
+                 "scipy", "scipy.signal", "scipy.stats", "scipy.version"):
         if name not in sys.modules:
             mods[name] = types.ModuleType(name)
+    _acf = lambda data, nlags=None, fft=True: acf_biased(data, nlags)  # noqa: E731
     mods["statsmodels.tsa.arima.model"].ARIMA = ARIMA
-    mods["statsmodels.tsa.stattools"].acf = (
-        lambda data, nlags=None, fft=True: acf_biased(data, nlags))
+    mods["statsmodels.tsa.stattools"].acf = _acf
     mods["scipy.signal"].savgol_filter = (
         lambda x, window_length, polyorder: savgol1(x, window_length))
+    # PathArimaDetector surface: scipy.version gate picks the
+    # FLOAT-returning binom_test branch (<1.7), sm.tsa.acf
+    _bt = (lambda k, n=None, p=0.5, alternative="greater":
+           binom_test_greater(k, n, p))
+    mods["scipy.stats"].binom_test = _bt
+    mods["scipy.stats"].binomtest = _bt
+    mods["scipy.version"].full_version = "1.6.3"
+    mods["statsmodels.api"].tsa = types.SimpleNamespace(acf=_acf)
     if "statsmodels" in mods:
         mods["statsmodels"].tsa = mods["statsmodels.tsa"]
         mods["statsmodels.tsa"].arima = mods["statsmodels.tsa.arima"]
         mods["statsmodels.tsa.arima"].model = mods["statsmodels.tsa.arima.model"]
         mods["statsmodels.tsa"].stattools = mods["statsmodels.tsa.stattools"]
+        mods["statsmodels"].api = mods["statsmodels.api"]
     if "scipy" in mods:
         mods["scipy"].signal = mods["scipy.signal"]
+        mods["scipy"].stats = mods["scipy.stats"]
+        mods["scipy"].version = mods["scipy.version"]
     sys.modules.update(mods)
     return list(mods)
 
@@ -1701,6 +1715,92 @@ def test_tsa_arima_lifecycle_parity(aminer_env):
             assert abs(rconf - oconf) < 1e-9
         # the reference keeps its learning window on discard; both
         # sides must re-initialize and keep producing verdicts after
+        assert ref_discards, "fixture should trip at least one discard"
+        assert max(s for s, *_ in ref_anoms) > ref_discards[0]
+    finally:
+        for name in installed:
+            sys.modules.pop(name, None)
+
+
+def test_path_arima_lifecycle_parity(aminer_env):
+    """Drive the REFERENCE PathArimaDetector end-to-end through
+    receive_atom (ETD-backed value collection, RAW-|ACF| period
+    detection, AR(period) init, one-step bands, history-truncation
+    skip steps, binomial discard) on a seeded seasonal float series
+    with injected spikes, with our numpy CSS-AR / acf / binom-test
+    shimmed in for the absent statsmodels/scipy, and assert
+    PathArimaReplay reproduces every verdict: period, anomaly steps,
+    band limits, confidences, discards and re-initializations."""
+    import re
+
+    FakeConfig, Recorder = aminer_env
+    installed = _install_tsa_shims()
+    try:
+        from aminer.analysis.EventTypeDetector import EventTypeDetector
+        from aminer.analysis.PathArimaDetector import PathArimaDetector
+        from logdata_anomaly_miner_ray.stages.tsa import PathArimaReplay
+
+        rec = Recorder()
+        etd = EventTypeDetector(FakeConfig(), [rec], save_values=True,
+                                persistence_id="pad_etd")
+        pad = PathArimaDetector(
+            FakeConfig(), [rec], etd, target_path_list=["/m/v"],
+            learn_mode=True, output_logline=False, num_init=24,
+            num_periods_tsa_ini=3, num_results_bt=5, alpha=0.05,
+            alpha_bt=0.05, num_min_time_history=6,
+            num_max_time_history=12, persistence_id="pad_parity")
+
+        rng = np.random.RandomState(7)
+        base = 50 + 20 * np.sin(np.arange(160) * 2 * np.pi / 4)
+        vals = (base + rng.randint(-3, 4, 160)).astype(float)
+        vals[60] += 250    # single spike
+        vals[90:96] += 300  # run of spikes → trips the bt discard
+
+        replay = PathArimaReplay(
+            num_init=24, num_periods_tsa_ini=3, num_results_bt=5,
+            alpha=0.05, alpha_bt=0.05, num_min_time_history=6,
+            num_max_time_history=12)
+        assert replay.bt_min_suc == pad.bt_min_suc
+
+        pat = re.compile(
+            r"Lower: (?P<lo>[-0-9.e+]+), Count: (?P<c>[-0-9.e+]+), "
+            r"Upper: (?P<up>[-0-9.e+]+)")
+        ref_anoms, ref_discards, ref_period = [], [], None
+        our_anoms, our_discards = [], []
+        t0 = 1700000000.0
+        for step, v in enumerate(vals):
+            atom = _atom({"/m/v": float(v)}, t0 + step)
+            n_before = len(rec.events)
+            etd.receive_atom(atom)
+            pad.receive_atom(atom)
+            for _, message, event_data in rec.events[n_before:]:
+                mm = pat.search(message)
+                if mm:
+                    conf = event_data["TypeInfo"].get("Confidence")
+                    ref_anoms.append((step, float(mm["lo"]),
+                                      float(mm["up"]), conf))
+                elif message.startswith("Discard the TSA model"):
+                    ref_discards.append(step)
+                elif message.startswith("Calculated the periods"):
+                    ref_period = message
+            verdict = replay.step(float(v))
+            if verdict["anomaly"]:
+                our_anoms.append((step, verdict["lower"], verdict["upper"],
+                                  verdict["confidence"]))
+            if verdict["discarded"]:
+                our_discards.append(step)
+
+        # the period message names the same period our kernel found
+        assert ref_period is not None and replay.period is not None
+        assert f"[{replay.period}]" in ref_period
+        assert ref_discards == our_discards
+        assert len(ref_anoms) == len(our_anoms) and len(ref_anoms) >= 2
+        for (rs, rlo, rup, rconf), (os_, olo, oup, oconf) in zip(
+                ref_anoms, our_anoms):
+            assert rs == os_
+            assert abs(rlo - olo) < 1e-6 * max(1, abs(rlo))
+            assert abs(rup - oup) < 1e-6 * max(1, abs(rup))
+            assert abs(rconf - oconf) < 1e-9
         assert ref_discards, "fixture should trip at least one discard"
         assert max(s for s, *_ in ref_anoms) > ref_discards[0]
     finally:
