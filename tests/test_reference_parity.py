@@ -1612,35 +1612,38 @@ def _install_tsa_shims():
 
     from logdata_anomaly_miner_ray.stages.tsa import binom_test_greater
 
-    for name in ("statsmodels", "statsmodels.api", "statsmodels.tsa",
-                 "statsmodels.tsa.arima", "statsmodels.tsa.arima.model",
-                 "statsmodels.tsa.stattools",
-                 "scipy", "scipy.signal", "scipy.stats", "scipy.version"):
+    names = ("statsmodels", "statsmodels.api", "statsmodels.tsa",
+             "statsmodels.tsa.arima", "statsmodels.tsa.arima.model",
+             "statsmodels.tsa.stattools",
+             "scipy", "scipy.signal", "scipy.stats", "scipy.version")
+    for name in names:
         if name not in sys.modules:
             mods[name] = types.ModuleType(name)
+    # attribute wiring targets the live module whether we just made
+    # it or an earlier test's stub is still registered (only OUR new
+    # entries are returned for cleanup)
+    live = {n: mods.get(n, sys.modules.get(n)) for n in names}
     _acf = lambda data, nlags=None, fft=True: acf_biased(data, nlags)  # noqa: E731
-    mods["statsmodels.tsa.arima.model"].ARIMA = ARIMA
-    mods["statsmodels.tsa.stattools"].acf = _acf
-    mods["scipy.signal"].savgol_filter = (
+    live["statsmodels.tsa.arima.model"].ARIMA = ARIMA
+    live["statsmodels.tsa.stattools"].acf = _acf
+    live["scipy.signal"].savgol_filter = (
         lambda x, window_length, polyorder: savgol1(x, window_length))
     # PathArimaDetector surface: scipy.version gate picks the
     # FLOAT-returning binom_test branch (<1.7), sm.tsa.acf
     _bt = (lambda k, n=None, p=0.5, alternative="greater":
            binom_test_greater(k, n, p))
-    mods["scipy.stats"].binom_test = _bt
-    mods["scipy.stats"].binomtest = _bt
-    mods["scipy.version"].full_version = "1.6.3"
-    mods["statsmodels.api"].tsa = types.SimpleNamespace(acf=_acf)
-    if "statsmodels" in mods:
-        mods["statsmodels"].tsa = mods["statsmodels.tsa"]
-        mods["statsmodels.tsa"].arima = mods["statsmodels.tsa.arima"]
-        mods["statsmodels.tsa.arima"].model = mods["statsmodels.tsa.arima.model"]
-        mods["statsmodels.tsa"].stattools = mods["statsmodels.tsa.stattools"]
-        mods["statsmodels"].api = mods["statsmodels.api"]
-    if "scipy" in mods:
-        mods["scipy"].signal = mods["scipy.signal"]
-        mods["scipy"].stats = mods["scipy.stats"]
-        mods["scipy"].version = mods["scipy.version"]
+    live["scipy.stats"].binom_test = _bt
+    live["scipy.stats"].binomtest = _bt
+    live["scipy.version"].full_version = "1.6.3"
+    live["statsmodels.api"].tsa = types.SimpleNamespace(acf=_acf)
+    live["statsmodels"].tsa = live["statsmodels.tsa"]
+    live["statsmodels.tsa"].arima = live["statsmodels.tsa.arima"]
+    live["statsmodels.tsa.arima"].model = live["statsmodels.tsa.arima.model"]
+    live["statsmodels.tsa"].stattools = live["statsmodels.tsa.stattools"]
+    live["statsmodels"].api = live["statsmodels.api"]
+    live["scipy"].signal = live["scipy.signal"]
+    live["scipy"].stats = live["scipy.stats"]
+    live["scipy"].version = live["scipy.version"]
     sys.modules.update(mods)
     return list(mods)
 
