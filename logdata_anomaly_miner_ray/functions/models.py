@@ -1147,3 +1147,717 @@ def aminer_event_schema():
         "_ToTime": float,
         "_DebugLog": [str],
     }, optional_key_prefix="_")
+
+
+# ---------------------------------------------------------------------------
+# EximGenericParsingModel (reference:
+# source/root/etc/aminer/conf-available/generic/EximGenericParsingModel.py
+# :17-733) — one whole-line spec per FirstMatch alternative, nested
+# FirstMatches and optional SUB-SEQUENCES expanded into ordered
+# variants (reference probe order preserved: with-optional before
+# without). All literal "\n" in the reference are BACKSLASH+n byte
+# pairs (multiline messages collapsed), kept verbatim. Date/time
+# leaves are value-strict pattern fragments (month/day/hour ranges);
+# calendar-impossible dates (Feb 30) are the one documented superset,
+# same policy as ApacheAccessModel.
+# ---------------------------------------------------------------------------
+
+_EX_ALPHA = ("!'#$%&\"()*+,-./0123456789:;<>?@"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ\\^_`abcdefghijklmnopqrstuvwxyz"
+             "{|}~=[]")
+_EX_DT_PAT = (r"\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]) "
+              r"(?:[01]\d|2[0-3]):[0-5]\d:[0-5]\d")
+_EX_IP_PAT = (r"(?:(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}"
+              r"(?:25[0-5]|2[0-4]\d|[01]?\d?\d)")
+
+
+def _exim(body: list[tuple]) -> list[tuple]:
+    # date_seq head: DateTimeModelElement("%Y-%m-%d %H:%M:%S") + " "
+    return [("time", "pattern", _EX_DT_PAT), ("sp", "fixed", " ")] + body
+
+
+def _exim_deferred_head(n: int = 0) -> list[tuple]:
+    return [
+        ("id", "delimited", " "),
+        ("e0", "fixed", " SMTP error from remote mail server after MAIL FROM:<"),
+        ("from_mail", "delimited", ">"),
+        ("s0", "fixed", "> SIZE="),
+        ("size", "int"),
+        ("s1", "fixed", ": host "),
+        ("host", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s3", "fixed", "]: 421 "),
+        ("version", "delimited", " "),
+        ("s4", "fixed", " ["),
+        ("domain", "delimited", "]"),
+    ]
+
+
+def _exim_usv_head() -> list[tuple]:
+    return [
+        ("s0", "fixed", "H="),
+        ("h", "delimited", " "),
+        ("s1", "fixed", " ("),
+        ("domain", "delimited", ")"),
+        ("s2", "fixed", ") ["),
+        ("ipv6", "ipv6"),
+        ("s3", "fixed", "]:"),
+        ("port", "int"),
+    ]
+
+
+def _exim_verr_head() -> list[tuple]:
+    return [
+        ("id", "delimited", " "),
+        ("s0", "fixed", " ** "),
+        ("mail_to", "delimited", " "),
+        ("s1", "fixed", " R="),
+        ("r", "delimited", " "),
+        ("s2", "fixed", " T="),
+        ("t", "delimited", ":"),
+    ]
+
+
+def _exim_spam4_head() -> list[tuple]:
+    return [("id", "delimited", " "), ("m0", "fixed", " Completed")]
+
+
+def _exim_allowed1_head() -> list[tuple]:
+    return [
+        ("id", "delimited", " "),
+        ("s0", "fixed", " H="),
+        ("h", "delimited", "["),
+        ("s1", "fixed", "["),
+        ("host_ip", "ipv4"),
+        ("s2", "fixed", "]:"),
+        ("port", "int"),
+    ]
+
+
+def _exim_bad_helo(with_upper: bool) -> list[tuple]:
+    tail: list[tuple] = [("to", "fixed", ".."), ("upper_ip", "int")] if with_upper else []
+    return [
+        ("cipher_suite", "delimited", " "),
+        ("m0", "fixed",
+         " SMTP error from remote mail server after MAIL FROM:<"),
+        ("mail_from", "delimited", ">"),
+        ("s0", "fixed", "> SIZE="),
+        ("size", "int"),
+        ("s1", "fixed", ": host "),
+        ("host", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        *tail,
+        ("s3", "fixed",
+         "]: 550 \"REJECTED - Bad HELO - Host impersonating ["),
+        ("original_host", "delimited", "]"),
+        ("s4", "fixed", "]\""),
+    ]
+
+
+def _exim_spam_content_blob() -> str:
+    # rejected_due_to_spam_content: nested
+    # RepeatedElementDataModelElement(FirstMatch([...])) runs — the
+    # reference itself marks the variable arg/host counts as
+    # "problematic". Each Repeated(fm[SEQ, token+" "]) is the RE2
+    # run (?:SEQ|\S+ )+ with the distinctive SEQ preferred, captured
+    # as ONE payload blob (documented approximation: RE2 explores
+    # combinations the reference's possessive loop would not).
+    dt, ip = _EX_DT_PAT, _EX_IP_PAT
+    tok, t_colon, t_quote = r"[^ ]+", r"[^:]+", r"[^\"]+"
+    seq2 = (
+        rf"{dt} {tok} \*\* {tok} R={tok} T={t_colon}: SMTP error from "
+        rf"remote mail server after end of data: host {tok} \[{ip}\]: "
+        r"554 rejected due to spam content"
+    )
+    inner = rf"(?:{seq2}|{tok} )+"
+    big = (
+        rf"{dt} {tok} <= <> R={tok} U={tok} P={tok} S=(?:0|[1-9]\d*) "
+        rf'T="{t_quote}" for {tok} {dt} cwd={tok} (?:0|[1-9]\d*) '
+        rf"args: {inner}"
+    )
+    return rf"(?:{big}|{tok} )+"
+
+
+EXIM_SPECS: dict[str, list[tuple]] = {
+    # --- date_seq branch (reference :63-581), in FirstMatch order ---
+    "start": _exim([("m0", "fixed", "Start queue run: pid="), ("pid", "int")]),
+    "end": _exim([("m0", "fixed", "End queue run: pid="), ("pid", "int")]),
+    "no_host_found": _exim([
+        ("m0", "fixed", "no host name found for IP address "),
+        ("ip", "ipv4"),
+    ]),
+    "vrfy_failed": _exim([
+        ("m0", "fixed", "VRFY failed for "),
+        ("mail", "delimited", " "),
+        ("s0", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s1", "fixed", " ["),
+        ("ip", "ipv4"),
+        ("s2", "fixed", "]"),
+    ]),
+    "deferred_temporary": _exim(_exim_deferred_head() + [
+        ("s5", "fixed", "] Message from ("),
+        ("from_ip", "ipv4"),
+        ("s6", "fixed", ") temporarily deferred - "),
+        ("reason_code", "delimited", " "),
+        ("s7", "fixed", " Please refer to "),
+        ("refer_addr", "varbyte", _EX_ALPHA),
+    ]),
+    "deferred_permanent": _exim(_exim_deferred_head() + [
+        ("s5", "fixed", "] All messages from "),
+        ("from_ip", "ipv4"),
+        ("s6", "fixed", " will be permanently deferred; Retrying will NOT "
+                        "succeed. See "),
+        ("refer_addr", "varbyte", _EX_ALPHA),
+    ]),
+    "temporary_deferred_new": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " H="),
+        ("host", "delimited", " "),
+        ("s1", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s2", "fixed", "]: SMTP error from remote mail server after "
+                        "pipelined MAIL FROM:<"),
+        ("from_mail", "delimited", ">"),
+        ("s3", "fixed", "> SIZE="),
+        ("size", "int"),
+        ("s4", "fixed", ": 421 "),
+        ("version", "delimited", " "),
+        ("s5", "fixed", " ["),
+        ("domain", "delimited", "]"),
+        ("s6", "fixed", "] Messages from "),
+        ("from_ip", "ipv4"),
+        ("s7", "fixed", " temporarily deferred due to unexpected volume or "
+                        "user complaints - "),
+        ("reason_code", "delimited", " "),
+        ("s8", "fixed", " see "),
+        ("refer_addr", "varbyte", _EX_ALPHA),
+    ]),
+    "rate_limited": _exim([
+        ("id", "delimited", " "),
+        ("m0", "fixed", " SMTP error from remote mail server after end of "
+                        "data: host "),
+        ("host", "delimited", " "),
+        ("s0", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s1", "fixed", "]: 421-"),
+        ("version", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("ip", "ipv4"),
+        ("s3", "fixed", " "),
+        ("number", "int"),
+        ("m1", "fixed", "] Our system has detected an unusual rate "
+                        "of\\n421-"),
+        ("version2", "delimited", " "),
+        ("m2", "fixed", " unsolicited mail originating from your IP "
+                        "address. To protect our\\n421-"),
+        ("version3", "delimited", " "),
+        ("m3", "fixed", " users from spam, mail sent from your IP address "
+                        "has been temporarily\\n421-"),
+        ("version4", "delimited", " "),
+        ("m4", "fixed", " rate limited. Please visit\\n421-"),
+        # consume_delimiter=True → the run plus its space delimiter
+        ("version5", "delimited", " "),
+        ("c0", "fixed", " "),
+        ("website", "delimited", " "),
+        ("m5", "fixed", " to review our Bulk\\n421 "),
+        ("version6", "delimited", " "),
+        ("m6", "fixed", " Email Senders Guidelines. "),
+        ("id2", "delimited", " "),
+        ("m7", "fixed", " - gsmtp"),
+    ]),
+    "service_unavailable": _exim([
+        ("id", "delimited", " "),
+        ("m0", "fixed", " SMTP error from remote mail server after RCPT "
+                        "TO:<"),
+        ("mail_to", "delimited", ">"),
+        ("s0", "fixed", ">: host "),
+        ("host", "delimited", " "),
+        ("s1", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s2", "fixed", "]: 450 "),
+        ("version", "delimited", " "),
+        ("m1", "fixed", " Service unavailable"),
+    ]),
+    "host_unable_to_send": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " == "),
+        ("from_mail", "delimited", " "),
+        ("s1", "fixed", " R="),
+        ("r", "delimited", " "),
+        ("s2", "fixed", " T="),
+        ("t", "delimited", " "),
+        ("m0", "fixed", " defer (-44): SMTP error from remote mail server "
+                        "after RCPT TO:<"),
+        ("to_mail", "delimited", ">"),
+        ("s3", "fixed", ">: host "),
+        ("host", "delimited", " "),
+        ("s4", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s5", "fixed", "]: 451 Temporary local problem - please try later"),
+    ]),
+    "usv_permission_denied": _exim(_exim_usv_head() + [
+        ("m0", "fixed", " sender verify defer for <"),
+        ("from_mail", "delimited", ">"),
+        ("m1", "fixed", ">: require_files: error for "),
+        ("required_file", "delimited", ":"),
+        ("m2", "fixed", ": Permission denied"),
+    ]),
+    "usv_rejected_rcpt": _exim(_exim_usv_head() + [
+        ("s4", "fixed", " F=<"),
+        ("from", "delimited", ">"),
+        ("s5", "fixed", "> A="),
+        ("a", "delimited", " "),
+        ("m0", "fixed", " temporarily rejected RCPT <"),
+        ("rcpt", "delimited", ">"),
+        ("m1", "fixed", ">: Could not complete sender verify"),
+    ]),
+    "domain_size_limit_exceeded": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " =="),
+        ("mail_to", "delimited", " "),
+        ("s1", "fixed", " R="),
+        ("r", "delimited", " "),
+        ("s2", "fixed", " T="),
+        ("t", "delimited", " "),
+        ("m0", "fixed", " defer (-44): SMTP error from remote mail server "
+                        "after RCPT TO:<"),
+        ("mail_to2", "delimited", ">"),
+        ("s3", "fixed", ">: host "),
+        ("host", "delimited", " "),
+        ("s4", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s5", "fixed", "]: 452 <"),
+        ("mail_to3", "delimited", ">"),
+        ("m1", "fixed", "> Domain size limit exceeded"),
+    ]),
+    "verification_failed": _exim(_exim_verr_head() + [
+        ("m0", "fixed", ": SMTP error from remote mail server after RCPT "
+                        "TO:<"),
+        ("mail_to2", "delimited", ">"),
+        ("s3", "fixed", ">: host "),
+        ("host", "delimited", " "),
+        ("s4", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s5", "fixed", "]: 550-Verification for <"),
+        ("mail_from", "delimited", ">"),
+        ("m1", "fixed", ">\\n550-The mail server could not deliver mail "
+                        "to "),
+        ("mail_to3", "delimited", " "),
+        ("m2", "fixed", " The account or domain may not exist, they may be "
+                        "blacklisted, or missing the proper dns "
+                        "entries.\\n550 Sender verify failed"),
+    ]),
+    "unable_to_verify": _exim(_exim_verr_head() + [
+        ("m0", "fixed", ": SMTP error from remote mail server after MAIL "
+                        "FROM:<"),
+        ("mail_from", "delimited", ">"),
+        ("s3", "fixed", "> SIZE="),
+        ("size", "int"),
+        ("s4", "fixed", ": host "),
+        ("host", "delimited", " "),
+        ("s5", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s6", "fixed", "]: 553 <"),
+        ("mail_to2", "delimited", ">"),
+        ("m1", "fixed", "> unable to verify address\\nVerify that SMPT "
+                        "authentication has been enabled."),
+    ]),
+    "mail_delivery_failure": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " <= <> R="),
+        ("r", "delimited", " "),
+        ("s1", "fixed", " U="),
+        ("u", "delimited", " "),
+        ("s2", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s3", "fixed", " S="),
+        ("s", "int"),
+        ("s4", "fixed", " T=\"Mail delivery failed: returning message to "
+                        "sender\" for "),
+        ("mail_from", "varbyte", _EX_ALPHA),
+    ]),
+    "spam_marka22": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s1", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s2", "fixed", "]:"),
+        ("port", "int"),
+        ("m0", "fixed", " Warning: \"SpamAssassin as marka22 detected "
+                        "message as spam ("),
+        ("version", "delimited", ")"),
+        ("s3", "fixed", ")\""),
+    ]),
+    "spam_in": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " <="),
+        ("host_ip", "ipv4"),
+        ("s1", "fixed", " H="),
+        ("h", "delimited", "["),
+        ("s2", "fixed", "["),
+        ("host_ip2", "ipv4"),
+        ("s3", "fixed", "]:"),
+        ("port", "int"),
+        ("s4", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s5", "fixed", " S="),
+        ("s", "int"),
+        ("s6", "fixed", " id="),
+        ("id2", "delimited", " "),
+        ("s7", "fixed", " T="),
+        ("msg", "any"),
+    ]),
+    "spam_out": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " => "),
+        ("user", "delimited", " "),
+        # DelimitedDataModelElement("s1", "<", consume_delimiter=True)
+        ("s1", "delimited", "<"),
+        ("c0", "fixed", "<"),
+        ("mail_from", "delimited", " "),
+        ("s2", "fixed", " [> R="),
+        ("r", "delimited", " "),
+        ("s3", "fixed", " T="),
+        ("t", "any"),
+    ]),
+    "completed_spam_warning": _exim(_exim_spam4_head() + [
+        ("s0", "fixed", " "),
+        ("time2", "pattern", _EX_DT_PAT),
+        ("s1", "fixed", " "),
+        ("id2", "delimited", " "),
+        ("s2", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s3", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s4", "fixed", "]:"),
+        ("port", "int"),
+        ("m1", "fixed", " Warning: \"SpamAssassin as marka22 detected "
+                        "message as spam ("),
+        ("version", "delimited", ")"),
+        ("s5", "fixed", ")\""),
+    ]),
+    "completed": _exim(_exim_spam4_head()),
+    "spam_full_trace": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " <= "),
+        ("mail_from", "delimited", " "),
+        ("s1", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s3", "fixed", "]:"),
+        ("port", "int"),
+        ("s4", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s5", "fixed", " S="),
+        ("s", "int"),
+        ("s6", "fixed", " id="),
+        ("id2", "delimited", " "),
+        ("s7", "fixed", " T=\""),
+        ("t", "delimited", "\""),
+        ("s8", "fixed", "\" for "),
+        ("mail_for", "delimited", " "),
+        ("s9", "fixed", " "),
+        ("time2", "pattern", _EX_DT_PAT),
+        ("s10", "fixed", " "),
+        ("id3", "delimited", " "),
+        ("s11", "fixed", " => "),
+        ("user", "delimited", " "),
+        ("s12", "fixed", " <"),
+        ("mail_to", "delimited", " "),
+        ("s13", "fixed", " [> R="),
+        ("r", "delimited", " "),
+        ("s14", "fixed", " T="),
+        ("t2", "any"),
+    ]),
+    "allowed_scanned": _exim(_exim_allowed1_head() + [
+        ("m0", "fixed", " Warning: Message has been scanned: no virus or "
+                        "other harmful content was found"),
+    ]),
+    "allowed_not_spam": _exim(_exim_allowed1_head() + [
+        ("m0", "fixed", " Warning: \"SpamAssassin as cpaneleximscanner "
+                        "detected OUTGOING smtp message as NOT spam ("),
+        # DecimalFloat SIGN_TYPE_OPTIONAL, no pad, no exponent
+        ("spam_value", "pattern", r"[+-]?(?:0|[1-9]\d*)(?:\.\d+)?"),
+        ("s3", "fixed", ")\""),
+    ]),
+    "allowed_plates": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " <= "),
+        ("mail_from", "delimited", " "),
+        ("s1", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s3", "fixed", "]:"),
+        ("port", "int"),
+        ("s4", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s5", "fixed", " X="),
+        ("x", "delimited", " "),
+        ("s6", "fixed", " A="),
+        ("a", "delimited", " "),
+        ("s7", "fixed", " S="),
+        ("s", "int"),
+        ("s8", "fixed", " T="),
+        ("t", "delimited", " "),
+        ("m0", "fixed", " plates\" for "),
+        ("mail_to", "any"),
+    ]),
+    "allowed_outbound": _exim([
+        ("id", "delimited", " "),
+        ("m0", "fixed", " SMTP connection outbound "),
+        ("timestamp", "int"),
+        ("s0", "fixed", " "),
+        ("id2", "delimited", " "),
+        ("s1", "fixed", " "),
+        ("domain", "delimited", " "),
+        ("s2", "fixed", " "),
+        ("mail_to", "any"),
+    ]),
+    "allowed_completed_out": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " => "),
+        ("mail_from", "delimited", " "),
+        ("s1", "fixed", " R="),
+        ("r", "delimited", " "),
+        ("s2", "fixed", " T="),
+        ("t", "delimited", " "),
+        ("s3", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s4", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s5", "fixed", "] X="),
+        ("x", "delimited", " "),
+        ("s6", "fixed", " C=\""),
+        ("c", "delimited", "\""),
+        ("s7", "fixed", "\" "),
+        ("time2", "pattern", _EX_DT_PAT),
+        ("s8", "fixed", " "),
+        ("id2", "delimited", " "),
+        ("s9", "fixed", " Completed"),
+    ]),
+    "spam_sfgthib": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s1", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s2", "fixed", "]:"),
+        ("port", "int"),
+        ("m0", "fixed", " Warning: \"SpamAssassin as sfgthib detected "
+                        "message as spam ("),
+        ("version", "delimited", ")"),
+        ("s3", "fixed", ")\" "),
+        ("time2", "pattern", _EX_DT_PAT),
+        ("s4", "fixed", " "),
+        ("id2", "delimited", " "),
+        ("s5", "fixed", " H="),
+        ("h2", "delimited", " "),
+        ("s6", "fixed", " ["),
+        ("host_ip2", "ipv4"),
+        ("s7", "fixed", "]:"),
+        ("port2", "int"),
+        ("m1", "fixed", " Warning: Message has been scanned: no virus or "
+                        "other harmful content was found"),
+    ]),
+    "spam_in_for": _exim([
+        ("id", "delimited", " "),
+        ("s0", "fixed", " <= "),
+        ("mail_from", "delimited", " "),
+        ("s1", "fixed", " H="),
+        ("h", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s3", "fixed", "]:"),
+        ("port", "int"),
+        ("s4", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s5", "fixed", " X="),
+        ("x", "delimited", " "),
+        ("s6", "fixed", " S="),
+        ("s", "int"),
+        ("s7", "fixed", " id="),
+        ("id2", "delimited", " "),
+        ("s8", "fixed", " T="),
+        ("t", "delimited", " "),
+        ("s9", "fixed", " for "),
+        ("mail_to", "any"),
+    ]),
+    # --- generic mail branch (reference :510-580) ---
+    "mail_in_bounce_r": _exim([
+        ("id", "delimited", " "),
+        ("in0", "fixed", " <= <> R="),
+        ("r", "delimited", " "),
+        ("s0", "fixed", " U="),
+        ("u", "delimited", " "),
+        ("s1", "fixed", " P="),
+        ("p", "delimited", " "),
+        # reference quirk kept: the second prefix is P=, not S=
+        ("s2", "fixed", " P="),
+        ("s", "int"),
+    ]),
+    "mail_in_bounce_h": _exim([
+        ("id", "delimited", " "),
+        ("in0", "fixed", " <= <> H="),
+        ("h", "delimited", " "),
+        ("s0", "fixed", " ["),
+        ("ip", "ipv4"),
+        ("s1", "fixed", "]"),
+        ("s2", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s3", "fixed", " P="),
+        ("s", "int"),
+    ]),
+    "mail_in_id": _exim([
+        ("id", "delimited", " "),
+        ("in0", "fixed", " <= "),
+        ("mail", "delimited", " "),
+        ("s0", "fixed", " U="),
+        ("user", "delimited", " "),
+        ("s1", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s2", "fixed", " S="),
+        ("s", "int"),
+        ("s3", "fixed", " id="),
+        ("id2", "any"),
+    ]),
+    "mail_in": _exim([
+        ("id", "delimited", " "),
+        ("in0", "fixed", " <= "),
+        ("mail", "delimited", " "),
+        ("s0", "fixed", " U="),
+        ("user", "delimited", " "),
+        ("s1", "fixed", " P="),
+        ("p", "delimited", " "),
+        ("s2", "fixed", " S="),
+        ("s", "int"),
+    ]),
+    "mail_out_brack": _exim([
+        ("id", "delimited", " "),
+        ("out0", "fixed", " => "),
+        ("name", "delimited", " "),
+        ("sp1", "fixed", " ("),
+        ("brack_mail", "delimited", ")"),
+        ("b2", "fixed", ") <"),
+        ("mail", "delimited", ">"),
+        ("r0", "fixed", "> R="),
+        ("r", "delimited", " "),
+        ("t0", "fixed", " T="),
+        ("t", "varbyte", _EX_ALPHA),
+    ]),
+    "mail_out": _exim([
+        ("id", "delimited", " "),
+        ("out0", "fixed", " => "),
+        ("name", "delimited", " "),
+        ("sp1", "fixed", " <"),
+        ("mail", "delimited", ">"),
+        ("r0", "fixed", "> R="),
+        ("r", "delimited", " "),
+        ("t0", "fixed", " T="),
+        ("t", "varbyte", _EX_ALPHA),
+    ]),
+    "mail_aster": _exim([
+        ("id", "delimited", " "),
+        ("a0", "fixed", " ** "),
+        ("command", "delimited", " "),
+        ("m0", "fixed", " Too many \"Received\" headers - suspected mail "
+                        "loop"),
+    ]),
+    "mail_completed": _exim([
+        ("id", "delimited", " "), ("m0", "fixed", " Completed")]),
+    "mail_frozen": _exim([
+        ("id", "delimited", " "), ("m0", "fixed", " Message is frozen")]),
+    "mail_frozen2": _exim([
+        ("id", "delimited", " "),
+        ("m0", "fixed", " Frozen (delivery error message)")]),
+    # --- non-date heads (reference :583-730) ---
+    "no_date_retry_timeout": [
+        ("s0", "fixed", "TO:<"),
+        ("to_mail", "delimited", ">"),
+        ("s1", "fixed", ">: host "),
+        ("host", "delimited", " "),
+        ("s2", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s3", "fixed", "]: 450 "),
+        ("version", "delimited", " "),
+        ("m0", "fixed", " Client host rejected: cannot find your "
+                        "hostname, ["),
+        ("host_ip2", "ipv4"),
+        ("s4", "fixed", "] "),
+        ("time", "pattern", _EX_DT_PAT),
+        ("s5", "fixed", " "),
+        ("id", "delimited", " "),
+        ("s6", "fixed", " ** "),
+        ("to_mail2", "delimited", ">"),
+        ("m1", "fixed", ">: retry timeout exceeded"),
+    ],
+    "invalid_dns_record": [
+        ("m0", "fixed", "SMTP error from remote mail server after RCPT "
+                        "TO:: host "),
+        ("host", "delimited", "["),
+        ("s0", "fixed", "["),
+        ("host_ip", "ipv4"),
+        ("s1", "fixed", "]: 550-Sender has no A, AAAA, or MX DNS "
+                        "records. "),
+        ("host2", "delimited", "\\"),
+        ("s2", "fixed", "\\n550 l "),
+        ("host3", "delimited", "\\"),
+        ("m1", "fixed", "\\nVerify the zone file in "),
+        ("file", "delimited", " "),
+        ("m2", "fixed", " for the correct information. If it appear "
+                        "correct, you can run named-checkzone domain.com "
+                        "domain.com.db to verify if named is able to load "
+                        "the zone."),
+    ],
+    "mail_rejected": [
+        ("m0", "fixed", "Diagnostic-Code: X-Postfix; host "),
+        ("host", "delimited", " "),
+        ("s0", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s1", "fixed", "] said: 550 "),
+        ("version", "delimited", " "),
+        ("m1", "fixed", " Message rejected due to content restrictions (in "
+                        "reply to end of DATA command)\\nWhen you see an "
+                        "error such as 550 "),
+        ("version2", "varbyte", _EX_ALPHA),
+    ],
+    "mail_authentication_error": [
+        ("m0", "fixed", "Final-Recipient: rfc822;"),
+        ("mail_from", "delimited", "\\"),
+        ("m1", "fixed", "\\nAction: failed\\nStatus: "),
+        ("status", "delimited", "\\"),
+        ("m2", "fixed", "\\nDiagnostic-Code: smtp;550-Please turn on SMTP "
+                        "Authentication in your mail client.\\n550-"),
+        ("host", "delimited", " "),
+        ("s0", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s1", "fixed", "]:"),
+        ("port", "int"),
+        ("m3", "fixed", " is not permitted to relay 550 through this "
+                        "server without authentication."),
+    ],
+    "bad_helo_upper": _exim_bad_helo(True),
+    "bad_helo": _exim_bad_helo(False),
+    "domain_not_exists": [
+        ("m0", "fixed", "SMTP error from remote mail server after MAIL "
+                        "FROM:<"),
+        ("mail_from", "delimited", ">"),
+        ("s0", "fixed", ">: host "),
+        ("host", "delimited", " "),
+        ("s1", "fixed", " ["),
+        ("host_ip", "ipv4"),
+        ("s2", "fixed", "]: 553 sorry, your domain does not exists."),
+    ],
+    "rejected_due_to_spam_content": [
+        ("time", "pattern", r"\[(?:[01]\d|2[0-3]):[0-5]\d:[0-5]\d"),
+        ("h0", "fixed", " hosts"),
+        ("hosts_number", "int"),
+        ("s0", "fixed", " "),
+        ("payload", "pattern", _exim_spam_content_blob()),
+    ],
+}

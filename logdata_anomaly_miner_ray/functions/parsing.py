@@ -561,7 +561,9 @@ _LINE_KINDS = {
                                       # arg = list of words, longest wins
     "pattern": (None, "str"),         # raw RE2 fragment (arg) — custom
                                       # leaf shapes (e.g. syslog time)
-    "any": (r".*", "str"),            # AnyByteDataModelElement
+    # AnyByteDataModelElement REJECTS empty remaining data
+    # (AnyByteDataModelElement.py:27-29 `if not match_data: None`)
+    "any": (r".+", "str"),
     # value-strict octets: the reference's simple \d{1,3} regex is
     # followed by an extract that REJECTS octets > 255 (but accepts
     # leading zeros) — for whole-value semantics that equals this
@@ -642,11 +644,16 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
             parts.append(f"(?:{frag})?" if optional else frag)
             continue
         if kind == "delimited":
+            # the reference requires AT LEAST one byte before the
+            # delimiter (DelimitedDataModelElement.py:48 `if
+            # match_len < 1: None`) — all three fragment shapes are
+            # one-or-more; delimiter PRESENCE is enforced by the
+            # following fixed leaf the spec must carry
             if isinstance(arg, tuple):
                 # DelimitedDataModelElement with an escape byte: an
                 # escaped char never terminates the run
                 delim, esc = arg
-                frag = f"(?:[^{_re.escape(delim + esc)}]|{_re.escape(esc)}.)*"
+                frag = f"(?:[^{_re.escape(delim + esc)}]|{_re.escape(esc)}.)+"
             elif len(arg) > 1:
                 # multi-char delimiter (" from ", ") RELOAD ("): a
                 # char class would wrongly exclude every delimiter
@@ -654,9 +661,9 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
                 # following fixed literal matches the reference's
                 # first-occurrence-of-the-SEQUENCE semantics (the
                 # spec must follow with that literal as a fixed leaf)
-                frag = r"(?:.*?)"
+                frag = r"(?:.+?)"
             else:
-                frag = f"[^{_re.escape(arg)}]*"
+                frag = f"[^{_re.escape(arg)}]+"
         elif kind == "varbyte":
             frag = f"[{_re.escape(arg)}]+"
         elif kind == "wordlist":

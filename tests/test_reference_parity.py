@@ -2629,3 +2629,131 @@ def test_aminer_json_model_parity():
                                   ours["reject_reason"][i].as_py())
         agree += 1
     assert agree == len(docs)
+
+
+_EXIM_LINES = {
+ "start": "Start queue run: pid=12345",
+ "end": "End queue run: pid=12345",
+ "no_host_found": "no host name found for IP address 10.0.0.1",
+ "vrfy_failed": "VRFY failed for x@y.com H=mail.host.com [10.0.0.2]",
+ "deferred_temporary": "1a2b3-c4d5e-f6 SMTP error from remote mail server after MAIL FROM:<a@b.com> SIZE=2048: host mx.example.com [10.1.1.1]: 421 4.7.0 [gmail.com] Message from (10.2.2.2) temporarily deferred - 4.16.50. Please refer to https://support.google.com/mail",
+ "deferred_permanent": "1a2b3-c4d5e-f6 SMTP error from remote mail server after MAIL FROM:<a@b.com> SIZE=2048: host mx.example.com [10.1.1.1]: 421 4.7.0 [gmail.com] All messages from 10.2.2.2 will be permanently deferred; Retrying will NOT succeed. See http://x.y/z",
+ "temporary_deferred_new": "1a2b3-c4d5e-f6 H=mx.example.com [10.1.1.1]: SMTP error from remote mail server after pipelined MAIL FROM:<a@b.com> SIZE=2048: 421 4.7.28 [gmail.com] Messages from 10.2.2.2 temporarily deferred due to unexpected volume or user complaints - 4.16.55.1 see https://postmaster.google.com",
+ "rate_limited": "1a2b3-c4d5e-f6 SMTP error from remote mail server after end of data: host mx.example.com [10.1.1.1]: 421-4.7.28 [10.3.3.3 15] Our system has detected an unusual rate of\\n421-4.7.28 unsolicited mail originating from your IP address. To protect our\\n421-4.7.28 users from spam, mail sent from your IP address has been temporarily\\n421-4.7.28 rate limited. Please visit\\n421-4.7.28 https://support.google.com/mail/answer to review our Bulk\\n421 4.7.28 Email Senders Guidelines. x14-2020202vkas.99 - gsmtp",
+ "service_unavailable": "1a2b3-c4d5e-f6 SMTP error from remote mail server after RCPT TO:<u@d.com>: host mx.d.com [10.1.1.2]: 450 4.2.1 Service unavailable",
+ "host_unable_to_send": "1a2b3-c4d5e-f6 == user@dom.com R=dnslookup T=remote_smtp defer (-44): SMTP error from remote mail server after RCPT TO:<user@dom.com>: host mx.dom.com [10.1.1.3]: 451 Temporary local problem - please try later",
+ "usv_permission_denied": "H=mail.example.com (example.com) [2001:db8::1]:25 sender verify defer for <u@example.com>: require_files: error for /home/u/.forward: Permission denied",
+ "usv_rejected_rcpt": "H=mail.example.com (example.com) [2001:db8::1]:25 F=<from@x.com> A=dnslookup temporarily rejected RCPT <rcpt@y.com>: Could not complete sender verify",
+ "domain_size_limit_exceeded": "1a2b3-c4d5e-f6 ==x@y.com R=dnslookup T=remote_smtp defer (-44): SMTP error from remote mail server after RCPT TO:<x@y.com>: host mx.y.com [10.1.1.4]: 452 <x@y.com> Domain size limit exceeded",
+ "verification_failed": "1a2b3-c4d5e-f6 ** to@z.com R=dnslookup T=remote_smtp: SMTP error from remote mail server after RCPT TO:<to@z.com>: host mx.z.com [10.1.1.5]: 550-Verification for <from@w.com>\\n550-The mail server could not deliver mail to to@z.com The account or domain may not exist, they may be blacklisted, or missing the proper dns entries.\\n550 Sender verify failed",
+ "unable_to_verify": "1a2b3-c4d5e-f6 ** to@z.com R=dnslookup T=remote_smtp: SMTP error from remote mail server after MAIL FROM:<from@w.com> SIZE=4096: host mx.z.com [10.1.1.5]: 553 <to@z.com> unable to verify address\\nVerify that SMPT authentication has been enabled.",
+ "mail_delivery_failure": "1a2b3-c4d5e-f6 <= <> R=1abcde-000000-aa U=Debian-exim P=local S=2318 T=\"Mail delivery failed: returning message to sender\" for user@example.com",
+ "spam_marka22": "1a2b3-c4d5e-f6 H=mail.h.com [10.1.1.6]:42512 Warning: \"SpamAssassin as marka22 detected message as spam (9.2)\"",
+ "spam_in": "1a2b3-c4d5e-f6 <=10.1.1.7 H=relay.h.com [10.1.1.7]:33333 P=esmtp S=3509 id=abc@def.gh T=hello",
+ "spam_out": "1a2b3-c4d5e-f6 => marka22 <m@h.com> [> R=virtual_user T=dovecot_virtual_delivery",
+ "completed_spam_warning": "1a2b3-c4d5e-f6 Completed 2022-01-12 08:30:01 9z8y7-x6w5v-u4 H=mail.h.com [10.1.1.8]:42000 Warning: \"SpamAssassin as marka22 detected message as spam (11.0)\"",
+ "completed": "1a2b3-c4d5e-f6 Completed",
+ "spam_full_trace": "1a2b3-c4d5e-f6 <= from@a.com H=mail.a.com [10.1.1.9]:41000 P=esmtpa S=720 id=xy@za T=\"hi there\" for to@b.com 2022-01-12 08:30:01 9z8y7-x6w5v-u4 => to <to@b.com [> R=virtual_user T=dovecot_virtual_delivery",
+ "allowed_scanned": "1a2b3-c4d5e-f6 H=gateway.h.com [10.1.2.1]:5555 Warning: Message has been scanned: no virus or other harmful content was found",
+ "allowed_not_spam": "1a2b3-c4d5e-f6 H=gateway.h.com [10.1.2.1]:5555 Warning: \"SpamAssassin as cpaneleximscanner detected OUTGOING smtp message as NOT spam (-1.2)\"",
+ "allowed_plates": "1a2b3-c4d5e-f6 <= from@a.com H=mail.a.com [10.1.2.2]:40000 P=esmtpsa X=TLSv1.2:ECDHE-RSA-AES256-GCM-SHA384:256 A=dovecot_login S=650 T=\"new plates\" for to@b.com",
+ "allowed_outbound": "1a2b3-c4d5e-f6 SMTP connection outbound 1585212261 1a2b3-c4d5e-f6 example.com to@b.com",
+ "allowed_completed_out": "1a2b3-c4d5e-f6 => remote@b.com R=dnslookup T=remote_smtp H=mx.b.com [10.1.2.3] X=TLSv1.2:ECDHE-RSA-AES128-GCM-SHA256:128 C=\"250 2.0.0 OK\" 2022-01-12 08:30:01 9z8y7-x6w5v-u4 Completed",
+ "spam_sfgthib": "1a2b3-c4d5e-f6 H=mail.h.com [10.1.2.4]:42100 Warning: \"SpamAssassin as sfgthib detected message as spam (21.2)\" 2022-01-12 08:30:01 9z8y7-x6w5v-u4 H=mail.h.com [10.1.2.4]:42100 Warning: Message has been scanned: no virus or other harmful content was found",
+ "spam_in_for": "1a2b3-c4d5e-f6 <= from@a.com H=mail.a.com [10.1.2.5]:43000 P=esmtpa X=TLSv1.2:ECDHE:256 S=800 id=m@id.x T=subject for to@b.com",
+ "mail_in_bounce_r": "1a2b3-c4d5e-f6 <= <> R=1abcde-000000-bb U=mail P=local P=2154",
+ "mail_in_bounce_h": "1a2b3-c4d5e-f6 <= <> H=relay.x.com [10.1.2.6] P=esmtp P=3100",
+ "mail_in_id": "1a2b3-c4d5e-f6 <= u@v.com U=www-data P=local S=912 id=E1abcd@host",
+ "mail_in": "1a2b3-c4d5e-f6 <= u@v.com U=www-data P=local S=912",
+ "mail_out_brack": "1a2b3-c4d5e-f6 => alias (real@x.com) <a@x.com> R=system_aliases T=address_pipe",
+ "mail_out": "1a2b3-c4d5e-f6 => user <u@x.com> R=localuser T=local_delivery",
+ "mail_aster": "1a2b3-c4d5e-f6 ** pipe@x.com Too many \"Received\" headers - suspected mail loop",
+ "mail_completed": "9a8b7-c6d5e-f4 Completed",
+ "mail_frozen": "1a2b3-c4d5e-f6 Message is frozen",
+ "mail_frozen2": "1a2b3-c4d5e-f6 Frozen (delivery error message)",
+ "no_date_retry_timeout": "@TO:<u@d.org>: host mx.d.org [10.1.3.1]: 450 4.7.25 Client host rejected: cannot find your hostname, [10.1.3.2] 2022-01-12 08:30:01 1a2b3-c4d5e-f6 ** u@d.org>: retry timeout exceeded",
+ "invalid_dns_record": "@SMTP error from remote mail server after RCPT TO:: host mx.q.com [10.1.3.3]: 550-Sender has no A, AAAA, or MX DNS records. q.com\\n550 l q.com\\nVerify the zone file in /var/named/q.com.db for the correct information. If it appear correct, you can run named-checkzone domain.com domain.com.db to verify if named is able to load the zone.",
+ "mail_rejected": "@Diagnostic-Code: X-Postfix; host mx.r.com [10.1.3.4] said: 550 5.7.1 Message rejected due to content restrictions (in reply to end of DATA command)\\nWhen you see an error such as 550 5.7.1",
+ "mail_authentication_error": "@Final-Recipient: rfc822;u@s.com\\nAction: failed\\nStatus: 5.0.0\\nDiagnostic-Code: smtp;550-Please turn on SMTP Authentication in your mail client.\\n550-mail.s.com [10.1.3.5]:44000 is not permitted to relay 550 through this server without authentication.",
+ "bad_helo_upper": "@TLS1.2:ECDHE_RSA_AES_256_GCM_SHA384:256 SMTP error from remote mail server after MAIL FROM:<f@t.com> SIZE=1700: host mx.t.com [10.1.3.6..255]: 550 \"REJECTED - Bad HELO - Host impersonating [mail.t.com]\"",
+ "bad_helo": "@TLS1.2:ECDHE_RSA_AES_256_GCM_SHA384:256 SMTP error from remote mail server after MAIL FROM:<f@t.com> SIZE=1700: host mx.t.com [10.1.3.6]: 550 \"REJECTED - Bad HELO - Host impersonating [mail.t.com]\"",
+ "domain_not_exists": "@SMTP error from remote mail server after MAIL FROM:<f@nx.com>: host mx.nx.com [10.1.3.7]: 553 sorry, your domain does not exists.",
+ "rejected_due_to_spam_content": "@[12:03:22 hosts5 mx1.a.com mx2.a.com 2022-01-12 08:30:01 1a2b3-c4d5e-f6 <= <> R=1abcde-000000-cc U=mail P=local S=1900 T=\"failed\" for u@a.com 2022-01-12 08:30:01 cwd=/var/spool/exim4 3 args: arg1 arg2 2022-01-12 08:30:01 9z8y7-x6w5v-u4 ** u@a.com R=dnslookup T=remote_smtp: SMTP error from remote mail server after end of data: host mx.a.com [10.1.3.8]: 554 rejected due to spam content",
+}
+# values starting with "@" are whole lines (no date head); others get
+# the "<date> " prefix prepended by the test
+
+
+def _exim_lines() -> dict:
+    out = {}
+    for k, v in _EXIM_LINES.items():
+        out[k] = v[1:] if v.startswith("@") else f"2022-01-12 08:30:01 {v}"
+    return out
+
+
+def test_exim_model_parity():
+    """conf-available EximGenericParsingModel (733 lines, 40+
+    FirstMatch alternatives incl. nested FirstMatches, optional
+    sub-sequences and the Repeated spam-content blob) vs EXIM_SPECS:
+    one positive line per variant agrees with the reference model on
+    full-match AND mutation fuzz over all of them stays at zero
+    divergence (truncation / insertion / case flips)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import EXIM_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import line_model_regex
+
+    ref = _load_generic_model("EximGenericParsingModel").get_model()
+    compiled = [(n, line_model_regex(s)[0]) for n, s in EXIM_SPECS.items()]
+
+    def ours(line):
+        arr = pa.array([line], pa.string())
+        for n_, pat in compiled:
+            if pc.extract_regex(arr, pat).is_valid()[0].as_py():
+                return n_
+        return None
+
+    lines = _exim_lines()
+    for name, line in lines.items():
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        got = ours(line)
+        assert full and got is not None, (name, full, got)
+
+    # negative controls
+    for line in ("2022-01-12 08:30:01 ", "nothing exim about this",
+                 "2022-13-40 08:30:01 Start queue run: pid=1"):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        assert full == (ours(line) is not None), line
+
+    # mutation fuzz: zero divergence
+    rng = np.random.default_rng(13)
+    keys = list(lines)
+    n = 0
+    for _ in range(1200):
+        line = lines[keys[int(rng.integers(0, len(keys)))]]
+        m = int(rng.integers(0, 4))
+        if m == 1:
+            line = line[: int(rng.integers(1, len(line)))]
+        elif m == 2:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + chr(int(rng.integers(32, 127))) + line[i:]
+        elif m == 3:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + line[i].swapcase() + line[i + 1:]
+        d = line.encode()
+        try:
+            me = ref.get_match_element("x", MatchContext(d))
+        except Exception:
+            continue
+        full = me is not None and me.match_string == d
+        got = ours(line)
+        assert full == (got is not None), (line, full, got)
+        n += 1
+    assert n >= 1000
