@@ -1861,3 +1861,549 @@ EXIM_SPECS: dict[str, list[tuple]] = {
         ("payload", "pattern", _exim_spam_content_blob()),
     ],
 }
+
+
+# ---------------------------------------------------------------------------
+# AudispdParsingModel (reference:
+# source/root/etc/aminer/conf-available/generic/AudispdParsingModel.py
+# :22-946) — the reference branches on the audit record TYPE via
+# ElementValueBranchModelElement (WhiteSpaceLimited "type" token →
+# branch dict, default_branch=None); since the type tokens are
+# disjoint literals, enumerating one whole-line spec per type with
+# the token + following " msg=audit(" folded into one fixed literal
+# is exactly equivalent (unknown types reject in both engines).
+# ExecArgumentDataModelElement (reference :25-66) is the custom
+# quoted / "(null)" / upper-hex-pair-run leaf; the empty hex run is a
+# VALID zero-length match there, mirrored by the trailing "*".
+# ---------------------------------------------------------------------------
+
+_AU_ALPHA = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "abcdefghijklmnopqrstuvwxyz0123456789._-")
+_AU_PERMS = "abcdefghijklmnopqrstuvwxyz,"
+# ExecArgument: quoted (first closing quote) | "(null)" | even-length
+# UPPER-case hex run (possibly empty)
+_AU_EXECARG = r'(?:"[^"]*"|\(null\)|(?:[0-9A-F]{2})*)'
+# WhiteSpaceLimitedDataModelElement: >=1 byte, stops at space/tab only
+_AU_WS = r"[^ \t]+"
+# DecimalInteger SIGN_TYPE_OPTIONAL (PAD_NONE): "-" admits leading
+# zeros (the no-leading-zero guard only fires on a bare "0<digit>"
+# start, DecimalIntegerValueModelElement.py:71-74)
+_AU_SINT = r"(?:-\d+|0|[1-9]\d*)"
+_AU_INT = r"(?:0|[1-9]\d*)"
+_AU_STATUS = ("status", "wordlist", ["failed", "success"])
+# NETFILTER_PKT saddr/daddr: FirstMatch[ipv4, ipv6] (reference
+# :530-538) — ipv4 probes first; fragments mirror the engine's
+# value-strict ipv4 and RFC4291 ipv6 kinds
+_AU_IPANY = "(?:" + _IP4_PAT + "|" + '(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|(?:[0-9A-Fa-f]{1,4}:){1,7}:|:(?::[0-9A-Fa-f]{1,4}){1,7}|(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}|::)' + ")"
+
+
+def _audispd(t: str, body: list[tuple]) -> list[tuple]:
+    # optional "audispd: " / "audisp-remote: " syslog tag + preamble
+    # "type=<T> msg=audit(<sec>.<ms>:<seq>):"; ms is PAD_TYPE_ZERO
+    # (leading zeros OK) -> \d+
+    return [
+        ("pre", "pattern", r"(?:audispd: |audisp-remote: )?"),
+        ("t0", "fixed", f"type={t} msg=audit("),
+        ("time", "int"),
+        ("d0", "fixed", "."),
+        ("ms", "pattern", r"\d+"),
+        ("c0", "fixed", ":"),
+        ("seq", "int"),
+        ("p0", "fixed", "):"),
+    ] + body
+
+
+def _au_pam_tail(hostname_lit: str, close_lit: str) -> list[tuple]:
+    # shared "...exe=..." hostname/addr/terminal/res tail of the PAM
+    # branches; hostname_lit distinguishes '" hostname=' from
+    # '" (hostname=' and close_lit "'" from ")'"
+    return [
+        ("exec", "delimited", '"'),
+        ("h0", "fixed", hostname_lit),
+        ("clientname", "delimited", " "),
+        ("a0", "fixed", " addr="),
+        ("clientip", "delimited", " "),
+        ("te0", "fixed", " terminal="),
+        ("terminal", "pattern", _AU_WS),
+        ("r0", "fixed", " res="),
+        _AU_STATUS,
+        ("cl0", "fixed", close_lit),
+    ]
+
+
+def _au_ints(*names: str) -> list[tuple]:
+    out: list[tuple] = []
+    for n in names:
+        out.append((f"f_{n}", "fixed", f" {n}="))
+        out.append((n, "int"))
+    return out
+
+
+AUDISPD_SPECS: dict[str, list[tuple]] = {
+    "addgroup": _audispd("ADD_GROUP", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " subj="),
+        ("subj", "delimited", " "),
+        ("s5", "fixed", " msg='op=adding group acct=\""),
+        ("acct", "delimited", '"'),
+        ("s6", "fixed", '" exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "adduser": _audispd("ADD_USER", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " subj="),
+        ("subj", "delimited", " "),
+        ("s5", "wordlist", [" msg='op=adding user id=",
+                            " msg='op=adding home directory id="]),
+        ("newuserid", "int"),
+        ("s6", "fixed", ' exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "anom_abend": _audispd("ANOM_ABEND", _au_ints("auid", "uid", "gid", "ses") + [
+        ("s4", "fixed", " subj="),
+        ("subj", "delimited", " "),
+        ("s5", "fixed", " pid="),
+        ("pid", "int"),
+        ("s6", "fixed", " comm="),
+        ("command", "pattern", _AU_EXECARG),
+        ("s7", "fixed", " reason="),
+        ("reason", "pattern", _AU_EXECARG),
+        ("s8", "fixed", " sig="),
+        ("sig", "int"),
+    ]),
+    "anom_exec": _audispd("ANOM_EXEC", [
+        ("s", "fixed", " "),
+        ("user", "varbyte", _AU_ALPHA),
+    ] + _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='op="),
+        ("msg", "delimited", " "),
+        ("s5", "fixed", ' acct="'),
+        ("acct", "delimited", '"'),
+        ("s6", "fixed", '" exe="'),
+        ("exec", "delimited", '"'),
+        ("s7", "fixed", '" (hostname='),
+        ("hostname", "delimited", ","),
+        ("s8", "fixed", ", addr="),
+        ("addr", "delimited", ","),
+        ("s9", "fixed", ", terminal="),
+        ("terminal", "delimited", " "),
+        ("s10", "fixed", " res="),
+        _AU_STATUS,
+        ("s11", "fixed", ")'"),
+    ]),
+    "anom_promiscuous": _audispd("ANOM_PROMISCUOUS", [
+        ("s0", "fixed", " dev="),
+        ("dev", "varbyte", _AU_ALPHA),
+    ] + _au_ints("prom", "old_prom", "auid", "uid", "gid", "ses")),
+    "bprmfcaps": _audispd("BPRM_FCAPS", [
+        ("s0", "fixed", " fver="),
+        ("fver", "int"),
+        ("s1", "fixed", " fp="),
+        ("fp", "pattern", r"[0-9a-f]+"),
+        ("s2", "fixed", " fi="),
+        ("fi", "pattern", r"[0-9a-f]+"),
+        ("s3", "fixed", " fe="),
+        ("fe", "pattern", r"[0-9a-f]+"),
+        ("s4", "fixed", " old_pp="),
+        ("pp_old", "delimited", " "),
+        ("s5", "fixed", " old_pi="),
+        ("pi_old", "delimited", " "),
+        ("s6", "fixed", " old_pe="),
+        ("pe_old", "delimited", " "),
+        ("s7", "fixed", " new_pp="),
+        ("pp_new", "delimited", " "),
+        ("s8", "fixed", " new_pi="),
+        ("pi_new", "delimited", " "),
+        ("s9", "fixed", " new_pe="),
+        ("pe_new", "any"),
+    ]),
+    "conf_change": _audispd("CONFIG_CHANGE", _au_ints("auid", "ses") + [
+        ("s2", "fixed", ' op="'),
+        ("op", "delimited", '"'),
+        ("s3", "fixed", '" path="'),
+        ("path", "delimited", '"'),
+        ("s4", "fixed", '" key='),
+        ("key", "delimited", " "),
+        ("s5", "fixed", " list="),
+        ("list", "int"),
+        ("s6", "fixed", " res="),
+        ("result", "int"),
+    ]),
+    "credacq": _audispd("CRED_ACQ", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='op=PAM:setcred acct=\""),
+        ("username", "delimited", '"'),
+        ("s5", "fixed", '" exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "creddisp": _audispd("CRED_DISP", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='op=PAM:setcred acct=\""),
+        ("username", "delimited", '"'),
+        ("s5", "fixed", '" exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "credrefr": _audispd("CRED_REFR", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='op=PAM:setcred acct=\"root\""
+                        ' exe="/usr/sbin/sshd" hostname='),
+        ("clientname", "ipv4"),
+        ("s5", "fixed", " addr="),
+        ("clientip", "ipv4"),
+        ("s6", "fixed", " terminal="),
+        ("terminal", "delimited", " "),
+        ("s7", "fixed", " res="),
+        _AU_STATUS,
+        ("s8", "fixed", "'"),
+    ]),
+    "crypto_session": _audispd("CRYPTO_SESSION", [
+        ("s", "fixed", " "),
+        ("user", "varbyte", _AU_ALPHA),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s4", "fixed", " msg='op="),
+        ("msg", "delimited", " "),
+        ("s5", "fixed", " direction="),
+        ("direction", "delimited", " "),
+        ("s6", "fixed", " cipher="),
+        ("cipher", "delimited", " "),
+        ("s7", "fixed", " ksize="),
+        ("ksize", "int"),
+        ("s8", "fixed", " rport="),
+        ("rport", "int"),
+        ("s9", "fixed", " laddr="),
+        ("laddr", "ipv4"),
+        ("s10", "fixed", " lport="),
+        ("lport", "int"),
+        ("s11", "fixed", " id="),
+        ("id", "int"),
+        ("s12", "fixed", ' exe="'),
+        ("exec", "delimited", '"'),
+        ("s13", "fixed", '" (hostname='),
+        ("hostname", "delimited", ","),
+        ("s14", "fixed", ", addr="),
+        ("addr", "delimited", ","),
+        ("s15", "fixed", ", terminal="),
+        ("terminal", "delimited", " "),
+        ("s16", "fixed", " res="),
+        _AU_STATUS,
+        ("s17", "fixed", ")'"),
+    ]),
+    "cwd": _audispd("CWD", [
+        ("s0", "fixed", "  cwd="),
+        ("cwd", "pattern", _AU_EXECARG),
+    ]),
+    "daemon_abort": _audispd("DAEMON_ABORT", [
+        ("s0", "fixed", " auditd error halt,"),
+    ] + _au_ints("auid", "pid") + [
+        ("s3", "fixed", " res="),
+        _AU_STATUS,
+    ]),
+    "daemon_config": _audispd("DAEMON_CONFIG", [
+        ("s0", "fixed", " auditd error getting hup info - no change,"
+                        " sending auid="),
+        ("auid", "delimited", " "),
+        ("s2", "fixed", " pid="),
+        ("pid", "delimited", " "),
+        ("s3", "fixed", " subj="),
+        ("subj", "delimited", " "),
+        ("s4", "fixed", " res="),
+        _AU_STATUS,
+    ]),
+    "daemon_end": _audispd("DAEMON_END", [
+        ("s0", "fixed", " auditd normal halt, sending auid="),
+        ("auid", "delimited", " "),
+        ("s2", "fixed", " pid="),
+        ("pid", "delimited", " "),
+        ("s3", "fixed", " subj="),
+        ("subj", "optional", ("subj", "pattern", r"[^ ]+")),
+        ("s4", "fixed", " res="),
+        _AU_STATUS,
+    ]),
+    "daemon_resume": _audispd("DAEMON_RESUME", [
+        ("s0", "fixed", " auditd resuming logging, sending auid="),
+        ("auid", "delimited", " "),
+        ("s2", "fixed", " pid="),
+        ("pid", "delimited", " "),
+        ("s3", "fixed", " subj="),
+        ("subj", "delimited", " "),
+        ("s4", "fixed", " res="),
+        _AU_STATUS,
+    ]),
+    "daemon_start": _audispd("DAEMON_START", [
+        ("s0", "fixed", " auditd start, ver="),
+        ("ver", "float"),
+        ("s1", "fixed", " format="),
+        ("format", "delimited", " "),
+        ("s2", "fixed", " kernel="),
+        ("kernel", "delimited", " "),
+        ("s3", "fixed", " auid="),
+        ("auid", "delimited", " "),
+        ("s4", "fixed", " pid="),
+        ("pid", "delimited", " "),
+        ("s5", "fixed", " res="),
+        _AU_STATUS,
+    ]),
+    "execve": _audispd("EXECVE", [
+        ("s0", "fixed", " argc="),
+        ("argc", "int"),
+        # RepeatedElementDataModelElement(min_repeat=1): >=1 arg
+        ("args", "pattern", rf"(?: a{_AU_INT}={_AU_EXECARG})+"),
+    ]),
+    "fdpair": _audispd("FD_PAIR", _au_ints("fd0", "fd1")),
+    "login": _audispd("LOGIN", [
+        ("s0", "fixed", " login"),
+    ] + _au_ints("pid", "uid") + [
+        ("s3", "wordlist", [" old auid=", " old-auid="]),
+        ("auid_old", "int"),
+        ("s4", "wordlist", [" new auid=", " auid="]),
+        ("auid_new", "int"),
+        ("s5", "wordlist", [" old ses=", " old-ses="]),
+        ("ses_old", "int"),
+        ("s6", "wordlist", [" new ses=", " ses="]),
+        ("ses_new", "int"),
+        ("result", "pattern", rf"(?: res={_AU_INT})?"),
+    ]),
+    "mac_status": _audispd("MAC_STATUS", _au_ints("enforcing", "old_enforcing") + [
+        ("s2", "fixed", " auid="),
+        ("auid", "delimited", " "),
+        ("s3", "fixed", " ses="),
+        ("ses", "int"),
+    ]),
+    "netfilter_cfg": _audispd("NETFILTER_CFG", [
+        ("s0", "fixed", " table="),
+        ("table", "wordlist", ["filter", "mangle", "nat"]),
+    ] + _au_ints("family", "entries")),
+    "netfilter_pkt": _audispd("NETFILTER_PKT", [
+        ("s0", "fixed", " mark=0x"),
+        ("mark", "pattern", r"[0-9a-f]+"),
+        ("s1", "fixed", " saddr="),
+        ("saddr", "pattern", _AU_IPANY),
+        ("s2", "fixed", " daddr="),
+        ("daddr", "pattern", _AU_IPANY),
+        ("s3", "fixed", " proto="),
+        ("proto", "int"),
+    ]),
+    "objpid": _audispd("OBJ_PID", [
+        ("s0", "fixed", " opid="),
+        ("opid", "int"),
+        ("s1", "fixed", " oauid="),
+        ("oauid", "pattern", _AU_SINT),
+        ("s2", "fixed", " ouid="),
+        ("ouid", "int"),
+        ("s3", "fixed", " oses="),
+        ("oses", "pattern", _AU_SINT),
+        ("s4", "fixed", " obj="),
+        ("obj", "delimited", " "),
+        ("s5", "fixed", " ocomm="),
+        ("ocomm", "pattern", _AU_EXECARG),
+    ]),
+    # FirstMatch fsinfo: inodeinfo probes before the bare noinfo
+    # fallback (reference :561-580)
+    "path_inode": _audispd("PATH", [
+        ("s0", "fixed", " item="),
+        ("item", "int"),
+        ("s1", "fixed", " name="),
+        ("name", "pattern", _AU_EXECARG),
+        ("s2", "fixed", " inode="),
+        ("inode", "int"),
+        ("s3", "fixed", " dev="),
+        ("dev", "varbyte", "0123456789abcdef:"),
+        ("s4", "fixed", " mode="),
+        ("mode", "pattern", r"\d+"),
+        ("s5", "fixed", " ouid="),
+        ("ouid", "int"),
+        ("s6", "fixed", " ogid="),
+        ("ogid", "int"),
+        ("s7", "fixed", " rdev="),
+        ("rdev", "varbyte", "0123456789abcdef:"),
+        ("s8", "fixed", " nametype="),
+        ("nametype", "wordlist", ["CREATE", "DELETE", "NORMAL",
+                                  "PARENT", "UNKNOWN"]),
+    ]),
+    "path_noinfo": _audispd("PATH", [
+        ("s0", "fixed", " item="),
+        ("item", "int"),
+        ("s1", "fixed", " name="),
+        ("name", "pattern", _AU_EXECARG),
+        ("s2", "fixed", " nametype="),
+        ("nametype", "wordlist", ["CREATE", "DELETE", "NORMAL",
+                                  "PARENT", "UNKNOWN"]),
+    ]),
+    "proctitle": _audispd("PROCTITLE", [
+        ("s0", "fixed", " proctitle="),
+        ("proctitle", "pattern", _AU_EXECARG),
+    ]),
+    "selinux_err": _audispd("SELINUX_ERR", [
+        ("s0", "fixed", " op="),
+        ("op", "delimited", " "),
+        ("s1", "fixed", " reason="),
+        ("reason", "delimited", " "),
+        ("s2", "fixed", " scontext="),
+        ("scontext", "delimited", " "),
+        ("s3", "fixed", " tcontext="),
+        ("tcontext", "delimited", " "),
+        ("s4", "fixed", " tclass="),
+        ("tclass", "delimited", " "),
+        ("s5", "fixed", " perms="),
+        ("perms", "varbyte", _AU_PERMS),
+    ]),
+    "service_start": _audispd("SERVICE_START", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='"),
+        # OptionalMatch(Delimited(" ")) commits if >=1 non-space byte
+        # follows; the next literal begins with a space, so a plain
+        # optional group has the same accept set
+        ("msg", "optional", ("msg", "pattern", r"[^ ]+")),
+        ("s5", "fixed", ' comm="'),
+        ("comm", "delimited", '"'),
+        ("s6", "fixed", '" exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "service_stop": _audispd("SERVICE_STOP", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='"),
+        ("msg", "optional", ("msg", "pattern", r"[^ ]+")),
+        ("s5", "fixed", ' comm="'),
+        ("comm", "delimited", '"'),
+        ("s6", "fixed", '" exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "sockaddr": _audispd("SOCKADDR", [
+        ("s0", "fixed", " saddr="),
+        ("sockaddr", "pattern", r"[0-9A-F]+"),
+    ]),
+    "socketcall": _audispd("SOCKETCALL", [
+        ("s0", "fixed", " nargs="),
+        ("nargs", "int"),
+        ("args", "pattern", rf"(?: a{_AU_INT}={_AU_INT})+"),
+    ]),
+    "syscall": _audispd("SYSCALL", [
+        ("s0", "fixed", " arch="),
+        ("arch", "pattern", r"[0-9a-f]+"),
+        ("s1", "fixed", " syscall="),
+        ("syscall", "int"),
+        ("personality", "pattern", rf"(?: per={_AU_INT})?"),
+        ("result", "pattern",
+         rf"(?: success=(?:no|yes) exit={_AU_SINT})?"),
+        ("s4", "fixed", " a0="),
+        ("arg0", "pattern", r"[0-9a-f]+"),
+        ("s5", "fixed", " a1="),
+        ("arg1", "pattern", r"[0-9a-f]+"),
+        ("s6", "fixed", " a2="),
+        ("arg2", "pattern", r"[0-9a-f]+"),
+        ("s7", "fixed", " a3="),
+        ("arg3", "pattern", r"[0-9a-f]+"),
+    ] + _au_ints("items", "ppid", "pid", "auid", "uid", "gid", "euid",
+                 "suid", "fsuid", "egid", "sgid", "fsgid") + [
+        ("s20", "fixed", " tty="),
+        ("tty", "delimited", " "),
+        ("s21", "fixed", " ses="),
+        ("sesid", "int"),
+        ("s22", "fixed", " comm="),
+        ("command", "pattern", _AU_EXECARG),
+        ("s23", "fixed", ' exe="'),
+        ("executable", "delimited", '"'),
+        ("s24", "fixed", '" key='),
+        ("key", "any"),
+    ]),
+    "unknown_proctitle": _audispd("UNKNOWN[1327]", [
+        ("s0", "fixed", " proctitle="),
+        ("proctitle", "pattern", _AU_EXECARG),
+    ]),
+    "useracct": _audispd("USER_ACCT", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='op=PAM:accounting acct=\""),
+        ("username", "delimited", '"'),
+        ("s5", "fixed", '" exe="'),
+    ] + _au_pam_tail('" (hostname=', ")'")),
+    "userauth": _audispd("USER_AUTH", _au_ints("pid", "uid", "auid", "ses") + [
+        ("s4", "fixed", " msg='op=PAM:authentication acct=\""),
+        ("username", "delimited", '"'),
+        ("s5", "fixed", '" exe="'),
+    ] + _au_pam_tail('" hostname=', "'")),
+    "user_cmd": _audispd("USER_CMD", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s3", "fixed", " msg='"),
+        ("msg", "delimited", " "),
+        ("s4", "fixed", ' cmd="'),
+        ("cmd", "delimited", '"'),
+        ("s5", "fixed", '" (terminal=pts/0 res='),
+        _AU_STATUS,
+        ("s7", "fixed", ")'"),
+    ]),
+    "userend": _audispd("USER_END", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s4", "fixed", " msg='PAM: session close acct=\""),
+        ("username", "delimited", '"'),
+        ("s5", "fixed", '" : exe="'),
+    ] + _au_pam_tail('" (hostname=', ")'")),
+    "usererr": _audispd("USER_ERR", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s3", "fixed", " msg='PAM: bad_ident acct=? : exe=\""),
+    ] + _au_pam_tail('" (hostname=', ")'")),
+    "userlogin": _audispd("USER_LOGIN", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s3", "fixed", " msg='acct=\""),
+        ("acct", "delimited", '"'),
+        ("s4", "fixed", '": exe="'),
+    ] + _au_pam_tail('" (hostname=', ")'")),
+    "user_role_change": _audispd("USER_ROLE_CHANGE", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s3", "fixed", " subj="),
+        ("subj", "delimited", " "),
+        ("s4", "fixed", " msg='pam: "),
+        ("msg", "delimited", " "),
+        ("s5", "fixed", " selected-context="),
+        ("selected_context", "delimited", " "),
+        ("s6", "fixed", ' exe="'),
+    ] + _au_pam_tail('" (hostname=', ")'")),
+    "userstart": _audispd("USER_START", [
+        ("s", "fixed", " "),
+        ("user", "delimited", " "),
+    ] + _au_ints("pid", "uid", "auid") + [
+        ("s3", "fixed", " msg='PAM: session open acct=\""),
+        ("username", "delimited", '"'),
+        ("s4", "fixed", '" : exe="'),
+    ] + _au_pam_tail('" (hostname=', ")'")),
+}
+
+# the ~99 catch-all branches: AnyByteDataModelElement (>=1 byte)
+_AUDISPD_ANY_TYPES = [
+    "ANOM_ACCESS_FS", "ANOM_ADD_ACCT", "ANOM_AMTU_FAIL",
+    "ANOM_CRYPTO_FAIL", "ANOM_DEL_ACCT", "ANOM_LOGIN_ACCT",
+    "ANOM_LOGIN_FAILURES", "ANOM_LOGIN_LOCATION",
+    "ANOM_LOGIN_SESSIONS", "ANOM_LOGIN_TIME", "ANOM_MAX_DAC",
+    "ANOM_MAX_MAC", "ANOM_MK_EXEC", "ANOM_MOD_ACCT",
+    "ANOM_RBAC_FAIL", "ANOM_RBAC_INTEGRITY_FAIL", "ANOM_ROOT_TRANS",
+    "AVC", "AVC_PATH", "CAPSET", "CHGRP_ID", "CHUSER_ID",
+    "CRYPTO_FAILURE_USER", "CRYPTO_KEY_USER", "CRYPTO_LOGIN",
+    "CRYPTO_LOGOUT", "CRYPTO_PARAM_CHANGE_USER", "CRYPTO_REPLAY_USER",
+    "CRYPTO_TEST_USER", "DAC_CHECK", "DAEMON_ACCEPT", "DAEMON_CLOSE",
+    "DAEMON_ROTATE", "DEL_GROUP", "DEL_USER", "EOE", "FS_RELABEL",
+    "GRP_AUTH", "INTEGRITY_DATA", "INTEGRITY_HASH",
+    "INTEGRITY_METADATA", "INTEGRITY_PCR", "INTEGRITY_RULE",
+    "INTEGRITY_STATUS", "IPC", "IPC_SET_PERM", "KERNEL",
+    "KERNEL_OTHER", "LABEL_LEVEL_CHANGE", "LABEL_OVERRIDE",
+    "MAC_CIPSOV4_ADD", "MAC_CIPSOV4_DEL", "MAC_CONFIG_CHANGE",
+    "MAC_IPSEC_EVENT", "MAC_MAP_ADD", "MAC_MAP_DEL",
+    "MAC_POLICY_LOAD", "MAC_UNLBL_ALLOW", "MAC_UNLBL_STCADD",
+    "MAC_UNLBL_STCDEL", "MMAP", "MQ_GETSETATTR", "MQ_NOTIFY",
+    "MQ_OPEN", "MQ_SENDRECV", "RESP_ACCT_LOCK",
+    "RESP_ACCT_LOCK_TIMED", "RESP_ACCT_REMOTE",
+    "RESP_ACCT_UNLOCK_TIMED", "RESP_ALERT", "RESP_ANOMALY",
+    "RESP_EXEC", "RESP_HALT", "RESP_KILL_PROC", "RESP_SEBOOL",
+    "RESP_SINGLE", "RESP_TERM_ACCESS", "RESP_TERM_LOCK",
+    "ROLE_ASSIGN", "ROLE_MODIFY", "ROLE_REMOVE", "SYSTEM_BOOT",
+    "SYSTEM_RUNLEVEL", "SYSTEM_SHUTDOWN", "TRUSTED_APP", "TTY",
+    "USER_AVC", "USER_CHAUTHTOK", "USER_LABELED_EXPORT",
+    "USER_LOGOUT", "USER_MAC_POLICY_LOAD", "USER_MGMT",
+    "USER_SELINUX_ERR", "USER_TTY", "USER_UNLABELED_EXPORT",
+    "USYS_CONFIG", "VIRT_CONTROL", "VIRT_MACHINE_ID", "VIRT_RESOURCE",
+]
+for _t in _AUDISPD_ANY_TYPES:
+    AUDISPD_SPECS[_t.lower()] = _audispd(_t, [("payload", "any")])
+
+# the non-record alternative of the top FirstMatch (reference :943)
+AUDISPD_SPECS["queue_full"] = [
+    ("pre", "pattern", r"(?:audispd: |audisp-remote: )?"),
+    ("q0", "fixed", "queue is full - dropping event"),
+]

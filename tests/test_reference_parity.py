@@ -2757,3 +2757,145 @@ def test_exim_model_parity():
         assert full == (got is not None), (line, full, got)
         n += 1
     assert n >= 1000
+
+
+_AUDISPD_P = "type=%s msg=audit(1605264822.196:1234):"
+_AUDISPD_PAM = (' exe="/usr/sbin/sshd" hostname=h.example.com addr=10.0.0.1'
+                " terminal=pts/1 res=success'")
+_AUDISPD_PAM_PAREN = (' exe="/usr/sbin/sshd" (hostname=h.example.com'
+                      " addr=10.0.0.1 terminal=ssh res=success)'")
+
+
+def _audispd_lines() -> dict:
+    P, pam, pam_paren = _AUDISPD_P, _AUDISPD_PAM, _AUDISPD_PAM_PAREN
+    return {
+        "addgroup": P % "ADD_GROUP" + " pid=6062 uid=0 auid=4294967295 ses=4294967295 subj=unconfined msg='op=adding group acct=\"pgsql\"" + pam,
+        "adduser": P % "ADD_USER" + " pid=6062 uid=0 auid=4294967295 ses=4294967295 subj=unconfined msg='op=adding user id=117" + pam,
+        "adduser_home": P % "ADD_USER" + " pid=6062 uid=0 auid=4294967295 ses=4294967295 subj=unconfined msg='op=adding home directory id=117" + pam,
+        "anom_abend": P % "ANOM_ABEND" + ' auid=4294967295 uid=33 gid=33 ses=4294967295 subj=unconfined pid=4425 comm="apache2" reason="memory violation" sig=11',
+        "anom_exec": P % "ANOM_EXEC" + " someuser pid=4 uid=5 auid=6 ses=7 msg='op=PAM:unix_chkpwd acct=\"root\" exe=\"/sbin/unix_chkpwd\" (hostname=h.x.com, addr=10.0.0.2, terminal=ssh res=failed)'",
+        "anom_promiscuous": P % "ANOM_PROMISCUOUS" + " dev=eth0 prom=256 old_prom=0 auid=4294967295 uid=0 gid=0 ses=4294967295",
+        "bprmfcaps": P % "BPRM_FCAPS" + " fver=2 fp=0000000000200000 fi=0000000000000000 fe=1 old_pp=0000000000000000 old_pi=0000000000000000 old_pe=0000000000000000 new_pp=0000000000200000 new_pi=0000000000000000 new_pe=0000000000200000",
+        "conf_change": P % "CONFIG_CHANGE" + ' auid=4294967295 ses=4294967295 op="add_rule" path="/etc/passwd" key=(null) list=4 res=1',
+        "credacq": P % "CRED_ACQ" + " pid=6062 uid=0 auid=1000 ses=7 msg='op=PAM:setcred acct=\"root\"" + pam,
+        "creddisp": P % "CRED_DISP" + " pid=6062 uid=0 auid=1000 ses=7 msg='op=PAM:setcred acct=\"root\"" + pam,
+        "credrefr": P % "CRED_REFR" + " pid=6062 uid=0 auid=1000 ses=7 msg='op=PAM:setcred acct=\"root\" exe=\"/usr/sbin/sshd\" hostname=10.0.0.3 addr=10.0.0.3 terminal=ssh res=success'",
+        "crypto_session": P % "CRYPTO_SESSION" + " zeus pid=8 uid=0 auid=4294967295 msg='op=start direction=from-server cipher=aes128-ctr ksize=128 rport=53482 laddr=192.168.10.21 lport=22 id=4294967295 exe=\"/usr/sbin/sshd\" (hostname=?, addr=192.168.10.9, terminal=? res=success)'",
+        "cwd": P % "CWD" + '  cwd="/home/user"',
+        "cwd_hex": P % "CWD" + "  cwd=2F686F6D65",
+        "daemon_abort": P % "DAEMON_ABORT" + " auditd error halt, auid=4294967295 pid=3 res=failed",
+        "daemon_config": P % "DAEMON_CONFIG" + " auditd error getting hup info - no change, sending auid=? pid=? subj=? res=failed",
+        "daemon_end": P % "DAEMON_END" + " auditd normal halt, sending auid=4294967295 pid=1 subj= res=success",
+        "daemon_end2": P % "DAEMON_END" + " auditd normal halt, sending auid=4294967295 pid=1 subj=unconfined res=success",
+        "daemon_resume": P % "DAEMON_RESUME" + " auditd resuming logging, sending auid=? pid=? subj=? res=success",
+        "daemon_start": P % "DAEMON_START" + " auditd start, ver=2.8 format=raw kernel=4.15.0-112-generic auid=4294967295 pid=617 res=success",
+        "execve": P % "EXECVE" + ' argc=3 a0="usermod" a1=2D70 a2=(null)',
+        "fdpair": P % "FD_PAIR" + " fd0=5 fd1=6",
+        "login": P % "LOGIN" + " login pid=6062 uid=0 old auid=4294967295 new auid=0 old ses=4294967295 new ses=1 res=1",
+        "login_dash": P % "LOGIN" + " login pid=6062 uid=0 old-auid=4294967295 auid=0 old-ses=4294967295 ses=1",
+        "mac_status": P % "MAC_STATUS" + " enforcing=1 old_enforcing=0 auid=4294967295 ses=4294967295",
+        "netfilter_cfg": P % "NETFILTER_CFG" + " table=filter family=2 entries=0",
+        "netfilter_pkt": P % "NETFILTER_PKT" + " mark=0xae1a saddr=127.0.0.1 daddr=127.0.0.1 proto=17",
+        "netfilter_pkt6": P % "NETFILTER_PKT" + " mark=0x1 saddr=::1 daddr=fe80::1 proto=58",
+        "objpid": P % "OBJ_PID" + ' opid=4232 oauid=-1 ouid=33 oses=-1 obj=unconfined ocomm="apache2"',
+        "path_inode": P % "PATH" + ' item=0 name="/etc/passwd" inode=137627 dev=fe:01 mode=0100644 ouid=0 ogid=0 rdev=00:00 nametype=NORMAL',
+        "path_noinfo": P % "PATH" + " item=1 name=(null) nametype=UNKNOWN",
+        "proctitle": P % "PROCTITLE" + " proctitle=2F7573722F7362696E2F61706163686532002D6B007374617274",
+        "selinux_err": P % "SELINUX_ERR" + " op=security_compute_av reason=bounds scontext=system_u:system_r:anon_webapp_t:s0-s0:c0,c100,c200 tcontext=system_u:object_r:security_t:s0 tclass=dir perms=ioctl,read,lock",
+        "service_start": P % "SERVICE_START" + " pid=1 uid=0 auid=4294967295 ses=4294967295 msg='unit=anacron comm=\"systemd\" exe=\"/lib/systemd/systemd\" hostname=? addr=? terminal=? res=success'",
+        "service_start_nomsg": P % "SERVICE_START" + " pid=1 uid=0 auid=4294967295 ses=4294967295 msg=' comm=\"systemd\" exe=\"/lib/systemd/systemd\" hostname=? addr=? terminal=? res=success'",
+        "service_stop": P % "SERVICE_STOP" + " pid=1 uid=0 auid=4294967295 ses=4294967295 msg='unit=anacron comm=\"systemd\" exe=\"/lib/systemd/systemd\" hostname=? addr=? terminal=? res=success'",
+        "sockaddr": P % "SOCKADDR" + " saddr=01002F7661722F72756E2F6E7363642F736F636B6574",
+        "socketcall": P % "SOCKETCALL" + " nargs=3 a0=4 a1=5 a2=6",
+        "syscall": "audispd: " + P % "SYSCALL" + ' arch=c000003e syscall=59 success=yes exit=0 a0=55f6ad34d6a0 a1=55f6ad34d740 a2=55f6ad34d758 a3=8 items=2 ppid=6063 pid=6064 auid=4294967295 uid=0 gid=0 euid=0 suid=0 fsuid=0 egid=0 sgid=0 fsgid=0 tty=(none) ses=4294967295 comm="usermod" exe="/usr/sbin/usermod" key=(null)',
+        "syscall_min": P % "SYSCALL" + ' arch=c000003e syscall=1 a0=7f a1=0 a2=1 a3=0 items=0 ppid=1 pid=2 auid=3 uid=4 gid=5 euid=6 suid=7 fsuid=8 egid=9 sgid=10 fsgid=11 tty=pts0 ses=12 comm="x" exe="/bin/x" key="k"',
+        "syscall_per": P % "SYSCALL" + ' arch=c000003e syscall=1 per=400000 success=no exit=-13 a0=7f a1=0 a2=1 a3=0 items=0 ppid=1 pid=2 auid=3 uid=4 gid=5 euid=6 suid=7 fsuid=8 egid=9 sgid=10 fsgid=11 tty=pts0 ses=12 comm="x" exe="/bin/x" key="k"',
+        "unknown_proctitle": P % "UNKNOWN[1327]" + " proctitle=22002D6322",
+        "useracct": P % "USER_ACCT" + " pam pid=9 uid=0 auid=1000 ses=2 msg='op=PAM:accounting acct=\"user1\"" + pam_paren,
+        "userauth": P % "USER_AUTH" + " pid=9 uid=0 auid=1000 ses=2 msg='op=PAM:authentication acct=\"user1\"" + pam,
+        "user_cmd": P % "USER_CMD" + " pam pid=9 uid=0 auid=1000 msg='cwd=/home/user cmd=\"ls -la\" (terminal=pts/0 res=success)'",
+        "userend": P % "USER_END" + " pam pid=9 uid=0 auid=1000 msg='PAM: session close acct=\"user1\" :" + pam_paren,
+        "usererr": P % "USER_ERR" + " pam pid=9 uid=0 auid=1000 msg='PAM: bad_ident acct=? : exe=\"/usr/sbin/sshd\" (hostname=h.x.com addr=10.0.0.1 terminal=ssh res=failed)'",
+        "userlogin": P % "USER_LOGIN" + " pam pid=9 uid=0 auid=1000 msg='acct=\"user1\":" + pam_paren,
+        "user_role_change": P % "USER_ROLE_CHANGE" + " pam pid=9 uid=0 auid=1000 subj=unconfined msg='pam: default-context=x selected-context=y" + pam_paren,
+        "userstart": P % "USER_START" + " pam pid=9 uid=0 auid=1000 msg='PAM: session open acct=\"user1\" :" + pam_paren,
+        "queue_full": "queue is full - dropping event",
+        "queue_full_pre": "audispd: queue is full - dropping event",
+        "avc": P % "AVC" + " whatever payload here",
+        "eoe": P % "EOE" + " ",
+        "tty": "audisp-remote: " + P % "TTY" + " tty data",
+        "user_avc": P % "USER_AVC" + " pid=1 uid=103 auid=4294967295 ses=4294967295 msg=anything goes",
+    }
+
+
+def test_audispd_model_parity():
+    """conf-available AudispdParsingModel (946 lines: 41 structured
+    audit-record branches + ~99 AnyByte catch-alls behind an
+    ElementValueBranch on the type token, the ExecArgument
+    quoted/(null)/hex leaf, LOGIN's dash/space alternatives and the
+    NETFILTER_PKT ipv4-or-ipv6 FirstMatch) vs AUDISPD_SPECS: one
+    positive line per structured variant agrees with the reference
+    model on full-match AND mutation fuzz over all of them stays at
+    zero divergence (truncation / insertion / case flips)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import AUDISPD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import line_model_regex
+
+    ref = _load_generic_model("AudispdParsingModel").get_model()
+    compiled = [(n, line_model_regex(s)[0]) for n, s in AUDISPD_SPECS.items()]
+
+    def ours(line):
+        arr = pa.array([line], pa.string())
+        for n_, pat in compiled:
+            if pc.extract_regex(arr, pat).is_valid()[0].as_py():
+                return n_
+        return None
+
+    lines = _audispd_lines()
+    for name, line in lines.items():
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        got = ours(line)
+        assert full and got is not None, (name, full, got)
+
+    # negative controls: unknown type, no preamble, empty payload for a
+    # structured type, leading-zero seconds, missing tag space
+    for line in ("type=NOPE msg=audit(1.2:3): x", "random text",
+                 "type=AVC msg=audit(1.2:3):",
+                 "type=AVC msg=audit(01.2:3): x",
+                 "audispd:type=AVC msg=audit(1.2:3): x"):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        assert full == (ours(line) is not None), line
+
+    # mutation fuzz: zero divergence
+    rng = np.random.default_rng(17)
+    keys = list(lines)
+    n = 0
+    for _ in range(1500):
+        line = lines[keys[int(rng.integers(0, len(keys)))]]
+        m = int(rng.integers(0, 4))
+        if m == 1:
+            line = line[: int(rng.integers(1, len(line)))]
+        elif m == 2:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + chr(int(rng.integers(32, 127))) + line[i:]
+        elif m == 3:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + line[i].swapcase() + line[i + 1:]
+        d = line.encode()
+        try:
+            me = ref.get_match_element("x", MatchContext(d))
+        except Exception:
+            continue
+        full = me is not None and me.match_string == d
+        got = ours(line)
+        assert full == (got is not None), (line, full, got)
+        n += 1
+    assert n >= 1200
