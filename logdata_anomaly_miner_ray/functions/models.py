@@ -16,12 +16,14 @@ tomcat, ssmtp, rsyslog (with its optional instance-number heads),
 the syslog preamble (SyslogPreambleModel.py) and its composition
 with a payload model, and the aminer's own JSON event model
 (AminerParsingModel → aminer_event_schema(), a JsonSchema with
-optional prefix '_'). The remaining conf-available models — exim,
-audispd and the AIT-LDS-specific SyslogParsingModel (dovecot /
-postfix branches) — follow the same mechanical translation of
-their Sequence trees — each FirstMatch alternative
-(and each optional SUB-SEQUENCE) becomes a whole-line variant;
-parity tests drive the REFERENCE model objects on shared fixtures
+optional prefix '_'), exim (EximGenericParsingModel.py, 44
+variants), audispd (AudispdParsingModel.py, 41 structured + 99
+catch-all variants) and the AIT-LDS-specific SyslogParsingModel
+(SYSLOG_AIT_SPECS, 135 variants: dovecot/horde/account-tool/daemon
+branches) — ALL 16 conf-available generic models. Each FirstMatch
+alternative (and each optional SUB-SEQUENCE with secondary
+captures) becomes a whole-line variant; parity + mutation-fuzz
+tests drive the REFERENCE model objects on shared fixtures
 (tests/test_reference_parity.py).
 """
 
@@ -2407,3 +2409,750 @@ AUDISPD_SPECS["queue_full"] = [
     ("pre", "pattern", r"(?:audispd: |audisp-remote: )?"),
     ("q0", "fixed", "queue is full - dropping event"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# AIT-LDS SyslogParsingModel (reference conf-available/generic/
+# SyslogParsingModel.py:17-1010): '%b %d %H:%M:%S' syslog head + host
+# + one FirstMatch over ~60 service branches (dovecot / horde webmail
+# / account tools / cron / sshd / su / kernel / systemd units / boot
+# probes / dhclient / mail + db daemons). Translation notes beyond
+# the shared divergence classes (see module docstring):
+# - the DateTimeModelElement head is VALUE-strict per the reference
+#   algorithm (DateTimeModelElement.py:214-260): %b = exact locale
+#   month-name table; %d/%H/%M/%S are fixed 2-byte windows parsed by
+#   Python int() — so space-padded (" 1"), trailing-space ("1 ") and
+#   "+d"/-0 forms all parse, and value 0 for the DAY is substituted
+#   with the current day (datetime build, :278-286). The fragments
+#   below enumerate exactly the int()-accepted 2-byte windows in
+#   range; calendar coupling (Feb 29/30 vs the stateful start_year)
+#   is the one documented superset, unreachable from the fixture set.
+# - multi-leaf OptionalMatch sub-sequences with secondary captures
+#   collapse to ONE optional pattern leaf (blob capture), mirroring
+#   the audispd translation.
+# - the horde branches end in Delimited(" [") catch-alls; a lazy run
+#   would ACCEPT a msg containing an early " [" that the reference's
+#   first-occurrence cut rejects, and a single fuzz insertion can
+#   create one — _NO_SP_LBRACK is the 2-state-DFA fragment for
+#   "nonempty run not containing ' ['" (RE2 has no lookahead).
+# ---------------------------------------------------------------------------
+
+_AIT_D2 = r"(?:[0-2]\d|3[01]|[ +]\d|\d |-0)"
+_AIT_H2 = r"(?:[01]\d|2[0-3]|[ +]\d|\d |-0)"
+_AIT_MS2 = r"(?:[0-5]\d|[ +]\d|\d |-0)"
+_AIT_DT = (r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
+           + _AIT_D2 + " " + _AIT_H2 + ":" + _AIT_MS2 + ":" + _AIT_MS2)
+_AIT_ALPHA = ("!'#$%&\"()*+,-./0123456789:;<>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "\\^_`abcdefghijklmnopqrstuvwxyz{|}~=[]")
+# nonempty run with no " [" substring (2-state DFA, no lookahead)
+_NO_SP_LBRACK = r"(?:(?:[^ ]| +[^ \[])+ *| +)"
+
+
+def _ait(body: list[tuple]) -> list[tuple]:
+    return [
+        ("time", "pattern", _AIT_DT),
+        ("sp1", "fixed", " "),
+        ("host", "delimited", " "),
+    ] + body
+
+
+def _ait_user_info(tag: str = "") -> list[tuple]:
+    # shared dovecot user_info sequence (reference :21-58); six
+    # OptionalMatch slots inlined (blob captures for sub-sequences)
+    return [
+        (f"u0{tag}", "fixed", "user=<"),
+        (f"user{tag}", "optional", (f"user{tag}", "pattern", r"[^>]+")),
+        (f"u1{tag}", "fixed", ">"),
+        (f"method{tag}", "optional",
+         (f"method{tag}", "pattern", r", method=[^,]+")),
+        (f"u2{tag}", "fixed", ", rip="),
+        (f"rip{tag}", "ipv4"),
+        (f"u3{tag}", "fixed", ", lip="),
+        (f"lip{tag}", "ipv4"),
+        (f"mpid{tag}", "optional",
+         (f"mpid{tag}", "pattern", r", mpid=(?:0|[1-9]\d*)")),
+        (f"sec{tag}", "optional", (f"sec{tag}", "fixed", ", secured")),
+        (f"tls{tag}", "optional", (f"tls{tag}", "fixed", ", TLS")),
+        (f"hs{tag}", "optional",
+         (f"hs{tag}", "pattern", r" handshaking:.+?")),
+        (f"u4{tag}", "fixed", ", session=<"),
+        (f"session{tag}", "delimited", ">"),
+        (f"u5{tag}", "fixed", ">"),
+    ]
+
+
+_AIT_HORDE_TAIL: list[tuple] = [
+    ("ht0", "fixed", " [pid "),
+    ("hpid", "int"),
+    ("ht1", "fixed", " on line "),
+    ("hline", "int"),
+    ("ht2", "fixed", ' of "'),
+    ("hpath", "delimited", '"'),
+    ("ht3", "fixed", '"]'),
+]
+
+
+def _ait_pam_session(head: str) -> list[tuple]:
+    # pam_unix(...): session opened/closed for user X [by (uid=N)]
+    return [
+        ("b0", "fixed", head),
+        ("pam", "delimited", "("),
+        ("b1", "fixed", "("),
+        ("pname", "delimited", ")"),
+        ("b2", "fixed", "): session "),
+        ("status", "wordlist", ["opened", "closed"]),
+        ("b3", "fixed", " for user "),
+        ("user", "varbyte", _AIT_ALPHA),
+        ("uid", "optional", ("uid", "pattern", r" by \(uid=(?:0|[1-9]\d*)\)")),
+    ]
+
+
+def _ait_simple(lit: str, pid: bool, sep: str = "]: ",
+                payload: tuple | None = None) -> list[tuple]:
+    # " name[pid]<sep><any>" / " name<sep><any>" catch-all branches
+    body: list[tuple] = [("svc0", "fixed", lit)]
+    if pid:
+        body += [("pid", "int"), ("svc1", "fixed", sep)]
+    if payload is None:
+        payload = ("msg", "any")
+    if payload:
+        body.append(payload)
+    return _ait(body)
+
+
+SYSLOG_AIT_SPECS: dict[str, list[tuple]] = {}
+
+# --- dovecot: imap(<user>): <message> (reference :65-126) ---
+_DOVE_IMAP: list[tuple] = [
+    ("d0", "fixed", " dovecot: imap("),
+    ("iuser", "delimited", ")"),
+    ("d1", "fixed", "): "),
+]
+SYSLOG_AIT_SPECS["dovecot_imap_logout"] = _ait(_DOVE_IMAP + [
+    ("m0", "fixed", "Logged out in="),
+    ("inb", "int"),
+    ("m1", "fixed", " out="),
+    ("outb", "int"),
+])
+SYSLOG_AIT_SPECS["dovecot_imap_err_mail"] = _ait(_DOVE_IMAP + [
+    ("m0", "wordlist",
+     ["Error: Failed to autocreate mailbox INBOX: Internal error occurred. "
+      "Refer to server log for more information. [",
+      "Failed to autocreate mailbox INBOX: Internal error occurred. "
+      "Refer to server log for more information. ["]),
+    ("err_time", "delimited", "]"),
+    ("m1", "fixed", "]"),
+])
+SYSLOG_AIT_SPECS["dovecot_imap_err_open"] = _ait(_DOVE_IMAP + [
+    ("m0", "fixed", "Error: "),
+    ("fname", "delimited", "("),
+    ("m1", "fixed", "("),
+    ("arg", "delimited", ")"),
+    ("m2", "fixed", ") failed: Permission denied (euid="),
+    ("euid", "int"),
+    ("m3", "fixed", "("),
+    ("euser", "delimited", ")"),
+    ("m4", "fixed", ") egid="),
+    ("egid", "int"),
+    ("m5", "fixed", "("),
+    ("guser", "delimited", ")"),
+    ("m6", "fixed", ") missing +w perm: "),
+    ("mpath", "delimited", ","),
+    ("m7", "fixed", ", we're not in group "),
+    ("gid", "int"),
+    ("m8", "fixed", "("),
+    ("gname", "delimited", ")"),
+    ("m9", "fixed", "), dir owned by "),
+    ("owner", "delimited", " "),
+    ("m10", "fixed", " mode="),
+    ("mode", "delimited", ")"),
+    ("m11", "fixed", ")"),
+    ("setb", "optional", ("setb", "pattern", r" \(set[^=]+=[^)]+\)")),
+])
+
+# --- dovecot: imap-login: ... (reference :127-159) ---
+_DOVE_LOGIN = [("d0", "fixed", " dovecot: imap-login: ")]
+for _dk, _dlit in [
+    ("auth_failed", None),
+    ("no_auth", "(no auth attempts in "),
+    ("before_auth", "(disconnected before auth was ready, waited "),
+]:
+    if _dlit is None:
+        _mid: list[tuple] = [
+            ("m0", "fixed", "Disconnected (auth failed, "),
+            ("attempts", "int"),
+            ("m1", "fixed", " attempts in "),
+        ]
+    else:
+        _mid = [("m0", "fixed", "Disconnected " + _dlit)]
+    SYSLOG_AIT_SPECS[f"dovecot_login_disc_{_dk}"] = _ait(
+        _DOVE_LOGIN + _mid + [
+            ("duration", "int"),
+            ("m2", "fixed", " secs): "),
+        ] + _ait_user_info())
+SYSLOG_AIT_SPECS["dovecot_login_login"] = _ait(_DOVE_LOGIN + [
+    ("m0", "fixed", "Login: "),
+] + _ait_user_info())
+SYSLOG_AIT_SPECS["dovecot_login_anvil"] = _ait(_DOVE_LOGIN + [
+    ("m0", "fixed", "Error: anvil:"),
+    ("msg", "any"),
+])
+SYSLOG_AIT_SPECS["dovecot_login_auth_responding"] = _ait(_DOVE_LOGIN + [
+    ("m0", "fixed", "Warning: Auth process not responding, "
+                    "delayed sending initial response (greeting): "),
+] + _ait_user_info())
+
+# --- remaining dovecot sub-branches (reference :160-194) ---
+SYSLOG_AIT_SPECS["dovecot_auth"] = _ait([
+    ("d0", "fixed", " dovecot: auth: "), ("msg", "any")])
+SYSLOG_AIT_SPECS["dovecot_auth_worker"] = _ait([
+    ("d0", "fixed", " dovecot: auth-worker("),
+    ("pid", "int"),
+    ("d1", "fixed", "):"),
+    ("msg", "any"),
+])
+for _dk, _dlit in [("master", "master: "), ("ssl_params", "ssl-params: "),
+                   ("log", "log: ")]:
+    SYSLOG_AIT_SPECS[f"dovecot_{_dk}"] = _ait([
+        ("d0", "fixed", " dovecot: " + _dlit), ("msg", "any")])
+SYSLOG_AIT_SPECS["dovecot2_warning"] = _ait([
+    ("d0", "fixed", " dovecot["),
+    ("pid", "int"),
+    ("d1", "fixed", "]: Warning: "),
+    ("msg", "any"),
+])
+
+# --- chfn (reference :195-202) ---
+SYSLOG_AIT_SPECS["chfn"] = _ait([
+    ("s0", "fixed", " chfn["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: changed user '"),
+    ("user", "delimited", "'"),
+    ("s2", "fixed", "' information"),
+])
+
+# --- HORDE (reference :203-326); every branch ends in _AIT_HORDE_TAIL ---
+_HORDE = [("h0", "fixed", " HORDE: ")]
+SYSLOG_AIT_SPECS["horde_imp_login"] = _ait(_HORDE + [
+    ("h1", "fixed", "[imp] Login success for "),
+    ("user", "delimited", " "),
+    ("h2", "fixed", " ("),
+    ("ip", "delimited", ")"),
+    ("fwd", "optional", ("fwd", "pattern", r"\) \([^)]+")),
+    ("h3", "fixed", ") to {"),
+    ("imap_addr", "delimited", "}"),
+    ("h4", "fixed", "}"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_imp_message_sent"] = _ait(_HORDE + [
+    ("h1", "fixed", "[imp] Message sent to "),
+    ("recepients", "delimited", " from"),
+    ("h2", "fixed", " from "),
+    ("user", "delimited", " "),
+    ("h3", "fixed", " ("),
+    ("ip", "ipv4"),
+    ("h4", "fixed", ")"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_imp_login_failed"] = _ait(_HORDE + [
+    ("h1", "fixed", "[imp] FAILED LOGIN for "),
+    ("user", "delimited", " "),
+    ("h2", "fixed", " ("),
+    ("ip", "ipv4"),
+    ("h3", "fixed", ") to {"),
+    ("imap_addr", "delimited", "}"),
+    ("h4", "fixed", "}"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_imp_status"] = _ait(_HORDE + [
+    ("h1", "fixed", '[imp] [status] Could not open mailbox "INBOX".'),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_imp_sync_token"] = _ait(_HORDE + [
+    ("h1", "fixed", "[imp] [getSyncToken] IMAP error reported by server."),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_imp_auth_failed"] = _ait(_HORDE + [
+    ("h1", "fixed", "[imp] ["),
+    ("type", "delimited", "]"),
+    ("h2", "fixed", "] Authentication failed."),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_horde_login"] = _ait(_HORDE + [
+    ("h1", "fixed", "[horde] Login success for "),
+    ("user", "delimited", " "),
+    ("h2", "fixed", " to horde ("),
+    ("ip", "ipv4"),
+    ("h3", "fixed", ")"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_horde_logout"] = _ait(_HORDE + [
+    ("h1", "fixed", "[horde] User "),
+    ("user", "delimited", " "),
+    ("h2", "fixed", " logged out of Horde ("),
+    ("ip", "ipv4"),
+    ("h3", "fixed", ")"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_horde_login_failed"] = _ait(_HORDE + [
+    ("h1", "fixed", "[horde] FAILED LOGIN for "),
+    ("user", "delimited", " "),
+    ("h2", "fixed", " to horde ("),
+    ("ip", "ipv4"),
+    ("h3", "fixed", ")"),
+] + _AIT_HORDE_TAIL)
+_HORDE_FN = [
+    ("h1", "wordlist", ["[nag]", "[turba]", "[horde]"]),
+    ("h2", "fixed", " PHP ERROR: "),
+]
+SYSLOG_AIT_SPECS["horde_fn_declaration"] = _ait(_HORDE + _HORDE_FN + [
+    ("h3", "fixed", "Declaration of "),
+    ("fn1", "delimited", "("),
+    ("h4", "fixed", "("),
+    ("arg1", "optional", ("arg1", "pattern", r"[^)]+")),
+    ("h5", "fixed", ") should be compatible with "),
+    ("fn2", "delimited", "("),
+    ("h6", "fixed", "("),
+    ("arg2", "optional", ("arg2", "pattern", r"[^)]+")),
+    ("h7", "fixed", ")"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_fn_finfo"] = _ait(_HORDE + _HORDE_FN + [
+    ("h3", "fixed", "finfo_file(): Empty filename or path"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_fn_headers"] = _ait(_HORDE + _HORDE_FN + [
+    ("h3", "fixed", "Cannot modify header information - "
+                    "headers already sent"),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_guest"] = _ait(_HORDE + [
+    ("h1", "fixed", "Guest user is not authorized for Horde (Host: "),
+    ("ip", "ipv4"),
+    ("h2", "fixed", ")."),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_php_error"] = _ait(_HORDE + [
+    ("h1", "fixed", "PHP ERROR: "),
+    ("msg", "pattern", _NO_SP_LBRACK),
+] + _AIT_HORDE_TAIL)
+SYSLOG_AIT_SPECS["horde_free_msg"] = _ait(_HORDE + [
+    ("msg", "pattern", _NO_SP_LBRACK),
+] + _AIT_HORDE_TAIL)
+
+# --- useradd / groupadd / chpasswd / usermod / chage (ref :327-422) ---
+_UADD_NEW_USER: list[tuple] = [
+    ("m0", "fixed", "new user: name="),
+    ("user", "delimited", ","),
+    ("m1", "fixed", ", UID="),
+    ("nuid", "int"),
+    ("m2", "fixed", ", GID="),
+    ("ngid", "int"),
+    ("m3", "fixed", ", home="),
+    ("home", "delimited", ","),
+    ("m4", "fixed", ", shell="),
+    ("shell", "varbyte", _AIT_ALPHA),
+]
+_UADD_NEW_GROUP: list[tuple] = [
+    ("m0", "fixed", "new group: name="),
+    ("group", "delimited", ","),
+    ("m1", "fixed", ", GID="),
+    ("ngid", "int"),
+]
+
+
+def _ait_tool(name: str) -> list[tuple]:
+    return [
+        ("s0", "fixed", f" {name}["),
+        ("pid", "int"),
+        ("s1", "fixed", "]: "),
+    ]
+
+
+SYSLOG_AIT_SPECS["useradd_cmd"] = _ait(_ait_tool("useradd") + [
+    ("m0", "fixed", "add '"),
+    ("user", "delimited", "'"),
+    ("m1", "fixed", "' to "),
+    ("shadow", "optional", ("shadow", "fixed", "shadow ")),
+    ("m2", "fixed", "group '"),
+    ("group", "delimited", "'"),
+    ("m3", "fixed", "'"),
+])
+SYSLOG_AIT_SPECS["useradd_new_user"] = _ait(
+    _ait_tool("useradd") + _UADD_NEW_USER)
+SYSLOG_AIT_SPECS["useradd_new_group"] = _ait(
+    _ait_tool("useradd") + _UADD_NEW_GROUP)
+SYSLOG_AIT_SPECS["groupadd_cmd_gid"] = _ait(_ait_tool("groupadd") + [
+    ("m0", "fixed", "group added to "),
+    ("gpath", "delimited", ":"),
+    ("m1", "fixed", ": name="),
+    ("group", "delimited", ","),
+    ("m2", "fixed", ", GID="),
+    ("ngid", "int"),
+])
+SYSLOG_AIT_SPECS["groupadd_cmd_any"] = _ait(_ait_tool("groupadd") + [
+    ("m0", "fixed", "group added to "),
+    ("gpath", "delimited", ":"),
+    ("m1", "fixed", ": name="),
+    ("group", "any"),
+])
+SYSLOG_AIT_SPECS["groupadd_new_user"] = _ait(
+    _ait_tool("groupadd") + _UADD_NEW_USER)
+SYSLOG_AIT_SPECS["groupadd_new_group"] = _ait(
+    _ait_tool("groupadd") + _UADD_NEW_GROUP)
+SYSLOG_AIT_SPECS["chpasswd"] = _ait(_ait_tool("chpasswd") + [
+    ("m0", "fixed", "pam_unix("),
+    ("pname", "delimited", ")"),
+    ("m1", "fixed", "): password changed for "),
+    ("user", "any"),
+])
+SYSLOG_AIT_SPECS["usermod"] = _ait(_ait_tool("usermod") + [
+    ("m0", "fixed", "change user '"),
+    ("user", "delimited", "'"),
+    ("m1", "fixed", "' password"),
+])
+SYSLOG_AIT_SPECS["chage"] = _ait(_ait_tool("chage") + [
+    ("m0", "fixed", "changed password expiry for "),
+    ("user", "any"),
+])
+
+# --- cron / crontab (reference :423-476) ---
+_AIT_CRON_HEAD: list[tuple] = [
+    ("s0", "wordlist", [" CRON[", " cron["]),
+    ("pid", "int"),
+    ("s1", "fixed", "]: "),
+]
+SYSLOG_AIT_SPECS["cron_cmd"] = _ait(_AIT_CRON_HEAD + [
+    ("m0", "fixed", "("),
+    ("user", "delimited", ")"),
+    ("m1", "fixed", ") CMD "),
+    ("cmd_msg", "any"),
+])
+SYSLOG_AIT_SPECS["cron_session"] = _ait(_AIT_CRON_HEAD + [
+    ("pam", "delimited", "("),
+    ("m0", "fixed", "("),
+    ("pname", "delimited", ")"),
+    ("m1", "fixed", "): session "),
+    ("status", "wordlist", ["opened", "closed"]),
+    ("m2", "fixed", " for user "),
+    ("user", "varbyte", _AIT_ALPHA),
+    ("uid", "optional", ("uid", "pattern", r" by \(uid=(?:0|[1-9]\d*)\)")),
+])
+SYSLOG_AIT_SPECS["cron_pidfile"] = _ait(_AIT_CRON_HEAD + [
+    ("m0", "fixed", "(CRON) INFO (pidfile fd = "),
+    ("fd", "int"),
+    ("m1", "fixed", ")"),
+])
+SYSLOG_AIT_SPECS["cron_no_mta"] = _ait(_AIT_CRON_HEAD + [
+    ("m0", "fixed", "(CRON) info (No MTA installed, discarding output)")])
+SYSLOG_AIT_SPECS["cron_reboot"] = _ait(_AIT_CRON_HEAD + [
+    ("m0", "fixed", "(CRON) INFO (Running @reboot jobs)")])
+SYSLOG_AIT_SPECS["crontab_command"] = _ait(_ait_tool("crontab") + [
+    ("m0", "fixed", "("),
+    ("user", "delimited", ")"),
+    ("m1", "fixed", ") "),
+    ("command", "wordlist", ["REPLACE", "LIST"]),
+    ("m2", "fixed", " ("),
+    ("tuser", "delimited", ")"),
+    ("m3", "fixed", ")"),
+])
+SYSLOG_AIT_SPECS["crontab_no_mta"] = _ait(_ait_tool("crontab") + [
+    ("m0", "fixed", "(CRON) info (No MTA installed, discarding output)")])
+SYSLOG_AIT_SPECS["crontab_reboot"] = _ait(_ait_tool("crontab") + [
+    ("m0", "fixed", "(CRON) INFO (Running @reboot jobs)")])
+
+# --- sudo / auth (reference :477-506) ---
+SYSLOG_AIT_SPECS["sudo"] = _ait_simple(" sudo: ", False)
+SYSLOG_AIT_SPECS["auth_failure"] = _ait([
+    ("s0", "fixed", " auth: "),
+    ("pam", "delimited", "("),
+    ("m0", "fixed", "("),
+    ("pname", "delimited", ")"),
+    ("m1", "fixed", "): authentication failure; logname="),
+    ("logname", "optional", ("logname", "pattern", r"[^ ]+")),
+    ("m2", "fixed", " uid="),
+    ("uid", "int"),
+    ("m3", "fixed", " euid="),
+    ("euid", "int"),
+    ("m4", "fixed", " tty="),
+    ("tty", "delimited", " "),
+    ("m5", "fixed", " ruser="),
+    ("ruser", "delimited", " "),
+    ("m6", "fixed", " rhost="),
+    ("rhost", "ipv4"),
+    ("user", "optional", ("user", "pattern",
+     r"  user=[" + __import__("re").escape(_AIT_ALPHA) + r"]+")),
+])
+
+# --- systemd family (reference :507-554) ---
+SYSLOG_AIT_SPECS["systemd"] = _ait_simple(" systemd[", True)
+SYSLOG_AIT_SPECS["systemd2_session"] = _ait(
+    _ait_pam_session(" systemd: "))
+SYSLOG_AIT_SPECS["systemd_modules_load"] = _ait([
+    ("s0", "fixed", " systemd-modules-load["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: Inserted module '"),
+    ("module", "delimited", "'"),
+    ("s2", "fixed", "'"),
+])
+SYSLOG_AIT_SPECS["systemd_networkd_wait_online"] = _ait([
+    ("s0", "fixed", " systemd-networkd-wait-online["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: "),
+    ("mode", "wordlist", ["managing", "ignoring"]),
+    ("s2", "fixed", ": "),
+    ("interface", "any"),
+])
+SYSLOG_AIT_SPECS["systemd_fsck"] = _ait_simple(" systemd-fsck[", True)
+SYSLOG_AIT_SPECS["systemd_udevd"] = _ait_simple(" systemd-udevd[", True)
+
+# --- sshd (reference :555-637; distinct from SshdParsingModel) ---
+_AIT_SSHD = _ait_tool("sshd")
+SYSLOG_AIT_SPECS["sshd_pam_session"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "pam_unix("),
+    ("pname", "delimited", ")"),
+    ("m1", "fixed", "): session "),
+    ("status", "wordlist", ["opened", "closed"]),
+    ("m2", "fixed", " for user "),
+    ("user", "varbyte", _AIT_ALPHA),
+    ("uid", "optional", ("uid", "pattern", r" by \(uid=(?:0|[1-9]\d*)\)")),
+])
+SYSLOG_AIT_SPECS["sshd_pam_passwd"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "pam_unix("),
+    ("pname", "delimited", ")"),
+    ("m1", "fixed", "): password changed for "),
+    ("group", "any"),
+])
+SYSLOG_AIT_SPECS["sshd_publickey"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Accepted publickey for "),
+    ("user", "delimited", " "),
+    ("m1", "fixed", " from "),
+    ("ip", "ipv4"),
+    ("m2", "fixed", " port "),
+    ("port", "int"),
+    ("m3", "fixed", " ssh2: RSA "),
+    ("rsa", "any"),
+])
+SYSLOG_AIT_SPECS["sshd_ident"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Did not receive identification string from "),
+    ("ip", "ipv4"),
+    ("m1", "fixed", " port "),
+    ("port", "int"),
+])
+SYSLOG_AIT_SPECS["sshd_listening"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Server listening on "),
+    ("ip", "delimited", " "),
+    ("m1", "fixed", " port "),
+    ("port", "int"),
+    ("m2", "fixed", "."),
+])
+SYSLOG_AIT_SPECS["sshd_signal"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Received signal"),
+    ("remainder", "any"),
+])
+SYSLOG_AIT_SPECS["sshd_rec_disconnect"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Received disconnect from "),
+    ("ip", "ipv4"),
+    ("m1", "fixed", " port "),
+    ("port", "int"),
+    ("remainder", "any"),
+])
+SYSLOG_AIT_SPECS["sshd_disconnected_user"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Disconnected from user "),
+    ("user", "delimited", " "),
+    ("m1", "fixed", " "),
+    ("ip", "ipv4"),
+    ("m2", "fixed", " port "),
+    ("port", "int"),
+])
+SYSLOG_AIT_SPECS["sshd_disconnected"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Disconnected from "),
+    ("user", "optional", ("user", "pattern", r"user [^ ]+ ")),
+    ("ip", "ipv4"),
+    ("m1", "fixed", " port "),
+    ("port", "int"),
+])
+SYSLOG_AIT_SPECS["sshd_timeout"] = _ait(_AIT_SSHD + [
+    ("m0", "fixed", "Timeout, client not responding.")])
+
+# --- su (reference :639-670) ---
+_AIT_SU = _ait_tool("su")
+SYSLOG_AIT_SPECS["su_pam_session"] = _ait(_AIT_SU + [
+    ("m0", "fixed", "pam_unix("),
+    ("pname", "delimited", ")"),
+    ("m1", "fixed", "): session "),
+    ("status", "wordlist", ["opened", "closed"]),
+    ("m2", "fixed", " for user "),
+    ("user", "varbyte", _AIT_ALPHA),
+    ("uid", "optional", ("uid", "pattern", r" by \(uid=(?:0|[1-9]\d*)\)")),
+])
+SYSLOG_AIT_SPECS["su_successful"] = _ait(_AIT_SU + [
+    ("m0", "fixed", "Successful su for "),
+    ("user", "varbyte", _AIT_ALPHA),
+    ("m1", "fixed", " by "),
+    ("su_user", "varbyte", _AIT_ALPHA),
+])
+SYSLOG_AIT_SPECS["su_plus"] = _ait(_AIT_SU + [
+    ("m0", "fixed", "+"),
+    ("msg", "any"),
+])
+
+# --- kernel (optional [id]) + audit daemons (reference :671-702) ---
+SYSLOG_AIT_SPECS["kernel_id"] = _ait([
+    ("s0", "fixed", " kernel["),
+    ("kid", "int"),
+    ("s1", "fixed", "]: "),
+    ("kernel_msg", "any"),
+])
+SYSLOG_AIT_SPECS["kernel"] = _ait([
+    ("s0", "fixed", " kernel: "),
+    ("kernel_msg", "any"),
+])
+SYSLOG_AIT_SPECS["augenrules"] = _ait_simple(" augenrules[", True)
+SYSLOG_AIT_SPECS["auditd"] = _ait_simple(" auditd[", True)
+SYSLOG_AIT_SPECS["auditd2"] = _ait_simple(" auditd: ", False)
+SYSLOG_AIT_SPECS["audispd"] = _ait_simple(" audispd: ", False)
+
+# --- boot-probe / logger one-liners (reference :703-746) ---
+for _sk, _slit in [
+    ("liblogging", " liblogging-stdlog: "), ("os_prober", " os-prober: "),
+    ("macosx_prober", " macosx-prober: "), ("haiku", " 83haiku: "),
+    ("efi", " 05efi: "), ("freedos", " 10freedos: "), ("qnx", " 10qnx: "),
+    ("microsoft", " 20microsoft: "), ("utility", " 30utility: "),
+    ("mounted_tests", " 50mounted-tests: "), ("rsyslogd", " rsyslogd: "),
+]:
+    SYSLOG_AIT_SPECS[_sk] = _ait_simple(_slit, False)
+SYSLOG_AIT_SPECS["timesyncd"] = _ait_simple(" systemd-timesyncd[", True)
+
+# --- systemd-logind (reference :753-774) ---
+_AIT_LOGIND = [
+    ("s0", "fixed", " systemd-logind["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: "),
+]
+SYSLOG_AIT_SPECS["logind_new"] = _ait(_AIT_LOGIND + [
+    ("m0", "fixed", "New session "),
+    ("session", "delimited", " "),
+    ("m1", "fixed", " of user"),
+    ("user", "any"),
+])
+SYSLOG_AIT_SPECS["logind_removed"] = _ait(_AIT_LOGIND + [
+    ("m0", "fixed", "Removed session "),
+    ("session", "int"),
+    ("m1", "fixed", "."),
+])
+SYSLOG_AIT_SPECS["logind_buttons"] = _ait(_AIT_LOGIND + [
+    ("m0", "fixed", "Watching system buttons on /dev/input/event"),
+    ("event_type", "any"),
+])
+SYSLOG_AIT_SPECS["logind_new_seat"] = _ait(_AIT_LOGIND + [
+    ("m0", "fixed", "New seat seat0.")])
+
+# --- "]:"-separated daemons, no space (reference :775-804) ---
+for _sk, _slit in [
+    ("grub", " grub-common["), ("polkitd", " polkitd["),
+    ("dbus", " dbus-daemon["), ("hostnamed", " systemd-hostnamed["),
+    ("apport", " apport["),
+]:
+    SYSLOG_AIT_SPECS[_sk] = _ait_simple(_slit, True, sep="]:")
+SYSLOG_AIT_SPECS["resolved"] = _ait_simple(" systemd-resolved[", True)
+SYSLOG_AIT_SPECS["networkd"] = _ait_simple(" systemd-networkd[", True)
+SYSLOG_AIT_SPECS["networkd_dispatcher"] = _ait([
+    ("s0", "fixed", " networkd-dispatcher["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: No valid path found for "),
+    ("interface", "any"),
+])
+SYSLOG_AIT_SPECS["motd"] = _ait_simple(" 50-motd-news[", True)
+SYSLOG_AIT_SPECS["freshclam"] = _ait_simple(" freshclam[", True)
+
+# --- dhclient (reference :836-871): payload is OPTIONAL ---
+_AIT_DHCLIENT = [
+    ("s0", "fixed", " dhclient["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: "),
+]
+SYSLOG_AIT_SPECS["dhclient_request"] = _ait(_AIT_DHCLIENT + [
+    ("m0", "fixed", "DHCPREQUEST of "),
+    ("src_ip", "ipv4"),
+    ("m1", "fixed", " on "),
+    ("iface", "delimited", " "),
+    ("m2", "fixed", " to "),
+    ("dst_ip", "ipv4"),
+    ("m3", "fixed", " port "),
+    ("port", "int"),
+    # optional xid sub-seq; HexStringModelElement default = LOWERCASE
+    ("xid", "optional", ("xid", "pattern", r" \(xid=0x[0-9a-f]+\)")),
+])
+SYSLOG_AIT_SPECS["dhclient_ack"] = _ait(_AIT_DHCLIENT + [
+    ("m0", "fixed", "DHCPACK of "),
+    ("dst_ip", "ipv4"),
+    ("m1", "fixed", " from "),
+    ("src_ip", "ipv4"),
+])
+SYSLOG_AIT_SPECS["dhclient_bound"] = _ait(_AIT_DHCLIENT + [
+    ("m0", "fixed", "bound to "),
+    ("ip", "ipv4"),
+    ("m1", "fixed", " -- renewal in "),
+    ("seconds", "int"),
+    ("m2", "fixed", " seconds."),
+])
+SYSLOG_AIT_SPECS["dhclient_any"] = _ait(_AIT_DHCLIENT + [
+    ("skipped_msg", "any")])
+SYSLOG_AIT_SPECS["dhclient_empty"] = _ait(list(_AIT_DHCLIENT))
+
+# --- remaining daemons (reference :872-1006) ---
+SYSLOG_AIT_SPECS["apparmor"] = _ait_simple(" apparmor[", True)
+SYSLOG_AIT_SPECS["snapd_apparmor"] = _ait_simple(" snapd-apparmor[", True)
+SYSLOG_AIT_SPECS["snapd"] = _ait_simple(" snapd[", True)
+SYSLOG_AIT_SPECS["cloud_init_pid"] = _ait([
+    ("s0", "fixed", " cloud-init["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: "),
+    ("msg", "any"),
+])
+SYSLOG_AIT_SPECS["cloud_init"] = _ait_simple(" cloud-init: ", False)
+SYSLOG_AIT_SPECS["irqbalance"] = _ait([
+    ("s0", "fixed", " /usr/sbin/irqbalance"),
+    ("msg", "any"),
+])
+SYSLOG_AIT_SPECS["pollinate"] = _ait_simple(" pollinate[", True)
+SYSLOG_AIT_SPECS["lxcfs"] = _ait_simple(" lxcfs[", True)
+SYSLOG_AIT_SPECS["accounts_daemon"] = _ait_simple(" accounts-daemon[", True)
+SYSLOG_AIT_SPECS["ec2"] = _ait([
+    ("s0", "fixed", " ec2: "),
+    ("msg", "optional", ("msg", "pattern", r".+")),
+])
+SYSLOG_AIT_SPECS["dnsmasq"] = _ait_simple(" dnsmasq[", True)
+for _sk, _slit in [("etc_maradns_mararc", " etc_maradns_mararc["),
+                   ("etc_maradns_mararc_zs", " etc_maradns_mararc-zs[")]:
+    SYSLOG_AIT_SPECS[_sk] = _ait([
+        ("s0", "fixed", _slit),
+        ("pid", "int"),
+        ("s1", "fixed", "]: "),
+        ("msg", "optional", ("msg", "pattern", r".+")),
+    ])
+SYSLOG_AIT_SPECS["ifup"] = _ait_simple(" ifup[", True)
+SYSLOG_AIT_SPECS["root"] = _ait_simple(" root: ", False)
+SYSLOG_AIT_SPECS["ntpd"] = _ait_simple(" ntpd[", True)
+SYSLOG_AIT_SPECS["ntp"] = _ait_simple(" ntp[", True)
+SYSLOG_AIT_SPECS["exim4_pid"] = _ait([
+    ("s0", "fixed", " exim4["),
+    ("pid", "int"),
+    ("s1", "fixed", "]: "),
+    ("msg", "any"),
+])
+SYSLOG_AIT_SPECS["exim4"] = _ait_simple(" exim4: ", False)
+SYSLOG_AIT_SPECS["mysqld_safe"] = _ait_simple(" mysqld_safe[", True)
+SYSLOG_AIT_SPECS["mysqld"] = _ait_simple(" mysqld[", True)
+SYSLOG_AIT_SPECS["php70"] = _ait([
+    ("s0", "fixed", " php7.0-"),
+    ("service", "delimited", ":"),
+    ("s1", "fixed", ": "),
+    ("msg", "any"),
+])
+SYSLOG_AIT_SPECS["libapache2_mod_php70"] = _ait_simple(
+    " libapache2-mod-php7.0: ", False)
+SYSLOG_AIT_SPECS["php"] = _ait([
+    ("s0", "fixed", " php-"),
+    ("service", "delimited", ":"),
+    ("s1", "fixed", ": "),
+    ("msg", "any"),
+])
+SYSLOG_AIT_SPECS["apache2_postinst"] = _ait_simple(
+    " apache2.postinst: ", False)
+SYSLOG_AIT_SPECS["smbd"] = _ait_simple(" smbd[", True)
+SYSLOG_AIT_SPECS["ut"] = _ait_simple(" ut[", True)
+SYSLOG_AIT_SPECS["apachectl"] = _ait(_ait_tool("apachectl") + [
+    ("m0", "fixed", "AH00548: NameVirtualHost has no effect and will be "
+                    "removed in the next release "),
+    ("cfg_path", "any"),
+])

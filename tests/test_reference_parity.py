@@ -2899,3 +2899,249 @@ def test_audispd_model_parity():
         assert full == (got is not None), (line, full, got)
         n += 1
     assert n >= 1200
+
+
+_AIT_P = "Mar 16 08:12:45 mail"
+_AIT_LINES = {
+ "dovecot_imap_logout": " dovecot: imap(alice): Logged out in=123 out=4567",
+ "dovecot_imap_err_mail": " dovecot: imap(alice): Error: Failed to autocreate mailbox INBOX: Internal error occurred. Refer to server log for more information. [2020-03-16 08:12:45]",
+ "dovecot_imap_err_mail2": " dovecot: imap(alice): Failed to autocreate mailbox INBOX: Internal error occurred. Refer to server log for more information. [2020-03-16 08:12:45]",
+ "dovecot_imap_err_open": " dovecot: imap(alice): Error: open(/var/mail/alice) failed: Permission denied (euid=1001(alice) egid=1001(alice) missing +w perm: /var/mail, we're not in group 8(mail), dir owned by root mode=0755)",
+ "dovecot_imap_err_open_set": " dovecot: imap(alice): Error: open(/var/mail/alice) failed: Permission denied (euid=1001(alice) egid=1001(alice) missing +w perm: /var/mail, we're not in group 8(mail), dir owned by root mode=0755) (setgid=8)",
+ "dovecot_login_disc_auth_failed": " dovecot: imap-login: Disconnected (auth failed, 3 attempts in 12 secs): user=<bob>, method=PLAIN, rip=10.0.0.5, lip=192.168.1.2, mpid=777, secured, TLS handshaking: read(size=20) failed, session=<abc123>",
+ "dovecot_login_disc_no_auth": " dovecot: imap-login: Disconnected (no auth attempts in 5 secs): user=<>, rip=10.0.0.5, lip=192.168.1.2, session=<s1>",
+ "dovecot_login_disc_before_auth": " dovecot: imap-login: Disconnected (disconnected before auth was ready, waited 10 secs): user=<carol>, rip=10.0.0.6, lip=192.168.1.2, secured, session=<s2>",
+ "dovecot_login_login": " dovecot: imap-login: Login: user=<dave>, method=PLAIN, rip=10.1.1.1, lip=10.1.1.2, mpid=999, TLS, session=<sess01>",
+ "dovecot_login_anvil": " dovecot: imap-login: Error: anvil: connection refused",
+ "dovecot_login_auth_responding": " dovecot: imap-login: Warning: Auth process not responding, delayed sending initial response (greeting): user=<eve>, rip=10.2.2.2, lip=10.2.2.3, session=<zz9>",
+ "dovecot_auth": " dovecot: auth: Debug: client in: AUTH 1 PLAIN service=imap",
+ "dovecot_auth_worker": " dovecot: auth-worker(3123): sql(alice,10.0.0.1): Password mismatch",
+ "dovecot_master": " dovecot: master: Warning: Killed with signal 15",
+ "dovecot_ssl_params": " dovecot: ssl-params: Generating SSL parameters",
+ "dovecot_log": " dovecot: log: Warning: Log rotated",
+ "dovecot2_warning": " dovecot[123]: Warning: Something odd happened",
+ "chfn": " chfn[456]: changed user 'root' information",
+ "horde_imp_login": ' HORDE: [imp] Login success for alice (10.0.0.1) to {imap.example.com:143} [pid 1234 on line 125 of "/var/www/horde/imp/lib/Auth.php"]',
+ "horde_imp_login_fwd": ' HORDE: [imp] Login success for alice (10.0.0.1) (proxy.example.com) to {imap.example.com:143} [pid 1234 on line 125 of "/var/www/horde/imp/lib/Auth.php"]',
+ "horde_imp_message_sent": ' HORDE: [imp] Message sent to bob@example.com from alice (10.0.0.2) [pid 99 on line 42 of "/var/www/x.php"]',
+ "horde_imp_login_failed": ' HORDE: [imp] FAILED LOGIN for mallory (10.0.0.3) to {imap.example.com:143} [pid 7 on line 9 of "/a.php"]',
+ "horde_imp_status": ' HORDE: [imp] [status] Could not open mailbox "INBOX". [pid 3 on line 4 of "/b.php"]',
+ "horde_imp_sync_token": ' HORDE: [imp] [getSyncToken] IMAP error reported by server. [pid 3 on line 4 of "/b.php"]',
+ "horde_imp_auth_failed": ' HORDE: [imp] [imp] Authentication failed. [pid 5 on line 6 of "/c.php"]',
+ "horde_horde_login": ' HORDE: [horde] Login success for alice to horde (10.0.0.4) [pid 11 on line 12 of "/d.php"]',
+ "horde_horde_logout": ' HORDE: [horde] User alice logged out of Horde (10.0.0.4) [pid 11 on line 12 of "/d.php"]',
+ "horde_horde_login_failed": ' HORDE: [horde] FAILED LOGIN for eve to horde (10.0.0.5) [pid 13 on line 14 of "/e.php"]',
+ "horde_fn_declaration": ' HORDE: [nag] PHP ERROR: Declaration of Nag_Driver::open($args) should be compatible with Horde_Driver::open() [pid 15 on line 16 of "/f.php"]',
+ "horde_fn_finfo": ' HORDE: [turba] PHP ERROR: finfo_file(): Empty filename or path [pid 17 on line 18 of "/g.php"]',
+ "horde_fn_headers": ' HORDE: [horde] PHP ERROR: Cannot modify header information - headers already sent [pid 19 on line 20 of "/h.php"]',
+ "horde_guest": ' HORDE: Guest user is not authorized for Horde (Host: 10.0.0.6). [pid 21 on line 22 of "/i.php"]',
+ "horde_php_error": ' HORDE: PHP ERROR: Undefined index: foo [pid 23 on line 24 of "/j.php"]',
+ "horde_free_msg": ' HORDE: Some free-form message without brackets [pid 25 on line 26 of "/k.php"]',
+ "useradd_cmd": " useradd[100]: add 'newuser' to group 'users'",
+ "useradd_cmd_shadow": " useradd[100]: add 'newuser' to shadow group 'users'",
+ "useradd_new_user": " useradd[100]: new user: name=newuser, UID=1005, GID=1005, home=/home/newuser, shell=/bin/bash",
+ "useradd_new_group": " useradd[100]: new group: name=newgroup, GID=1006",
+ "groupadd_cmd_gid": " groupadd[101]: group added to /etc/group: name=dev, GID=1007",
+ "groupadd_cmd_any": " groupadd[101]: group added to /etc/gshadow: name=dev",
+ "groupadd_new_user": " groupadd[101]: new user: name=newuser, UID=1005, GID=1005, home=/home/newuser, shell=/bin/bash",
+ "groupadd_new_group": " groupadd[101]: new group: name=dev, GID=1007",
+ "chpasswd": " chpasswd[102]: pam_unix(chpasswd:chauthtok): password changed for alice",
+ "usermod": " usermod[103]: change user 'bob' password",
+ "chage": " chage[104]: changed password expiry for carol",
+ "cron_cmd": " CRON[105]: (root) CMD (cd / && run-parts /etc/cron.hourly)",
+ "cron_cmd_low": " cron[105]: (root) CMD touch /tmp/x",
+ "cron_session": " CRON[106]: pam_unix(cron:session): session opened for user root by (uid=0)",
+ "cron_session_closed": " CRON[106]: pam_unix(cron:session): session closed for user root",
+ "cron_pidfile": " CRON[107]: (CRON) INFO (pidfile fd = 3)",
+ "cron_no_mta": " CRON[108]: (CRON) info (No MTA installed, discarding output)",
+ "cron_reboot": " CRON[109]: (CRON) INFO (Running @reboot jobs)",
+ "crontab_command": " crontab[110]: (root) REPLACE (alice)",
+ "crontab_no_mta": " crontab[111]: (CRON) info (No MTA installed, discarding output)",
+ "crontab_reboot": " crontab[112]: (CRON) INFO (Running @reboot jobs)",
+ "sudo": " sudo: alice : TTY=pts/0 ; PWD=/home/alice ; USER=root ; COMMAND=/bin/ls",
+ "auth_failure": " auth: pam_unix(dovecot:auth): authentication failure; logname= uid=0 euid=0 tty=dovecot ruser=alice rhost=10.0.0.7  user=alice",
+ "auth_failure_logname": " auth: pam_unix(dovecot:auth): authentication failure; logname=bob uid=0 euid=0 tty=dovecot ruser=alice rhost=10.0.0.7",
+ "systemd": " systemd[1]: Started Session 1 of user root.",
+ "systemd2_session": " systemd: pam_unix(systemd-user:session): session opened for user root by (uid=0)",
+ "systemd_modules_load": " systemd-modules-load[280]: Inserted module 'msr'",
+ "systemd_networkd_wait_online": " systemd-networkd-wait-online[321]: managing: ens3",
+ "systemd_fsck": " systemd-fsck[330]: /dev/sda1: clean, 300/64000 files",
+ "systemd_udevd": " systemd-udevd[340]: link_config: autonegotiation is unset",
+ "sshd_pam_session": " sshd[1000]: pam_unix(sshd:session): session opened for user ubuntu by (uid=0)",
+ "sshd_pam_passwd": " sshd[1000]: pam_unix(sshd:passwd): password changed for ubuntu",
+ "sshd_publickey": " sshd[1001]: Accepted publickey for ubuntu from 10.0.0.8 port 51000 ssh2: RSA SHA256:abcdefg",
+ "sshd_ident": " sshd[1002]: Did not receive identification string from 10.0.0.9 port 52000",
+ "sshd_listening": " sshd[1003]: Server listening on 0.0.0.0 port 22.",
+ "sshd_signal": " sshd[1004]: Received signal 15; terminating.",
+ "sshd_rec_disconnect": " sshd[1005]: Received disconnect from 10.0.0.10 port 53000:11: disconnected by user",
+ "sshd_disconnected_user": " sshd[1006]: Disconnected from user ubuntu 10.0.0.11 port 54000",
+ "sshd_disconnected": " sshd[1007]: Disconnected from 10.0.0.12 port 55000",
+ "sshd_timeout": " sshd[1008]: Timeout, client not responding.",
+ "su_pam_session": " su[1100]: pam_unix(su:session): session opened for user root by (uid=1000)",
+ "su_successful": " su[1101]: Successful su for root by alice",
+ "su_plus": " su[1102]: + /dev/pts/1 alice:root",
+ "kernel_id": " kernel[12345]: segfault at 0 ip 00007f error 4",
+ "kernel": " kernel: [ 0.000000] Booting Linux on physical CPU 0x0",
+ "augenrules": " augenrules[1200]: /sbin/augenrules: No change",
+ "auditd": " auditd[1201]: Audit daemon rotating log files",
+ "auditd2": " auditd: Error receiving audit netlink packet",
+ "audispd": " audispd: queue is full - dropping event",
+ "liblogging": " liblogging-stdlog: [origin software=rsyslogd] start",
+ "os_prober": " os-prober: debug: running /usr/lib/os-probes/50mounted-tests",
+ "macosx_prober": " macosx-prober: debug: no hfs partitions",
+ "haiku": " 83haiku: debug: no haiku partitions",
+ "efi": " 05efi: debug: Not on UEFI platform",
+ "freedos": " 10freedos: debug: /dev/sda1 is not a FAT partition",
+ "qnx": " 10qnx: debug: /dev/sda1 is not a QNX4 partition",
+ "microsoft": " 20microsoft: debug: /dev/sda1 is not a MS partition",
+ "utility": " 30utility: debug: /dev/sda1 is not a utility partition",
+ "mounted_tests": " 50mounted-tests: debug: mounted using GRUB",
+ "rsyslogd": " rsyslogd: rsyslogd was HUPed",
+ "timesyncd": " systemd-timesyncd[400]: Synchronized to time server 1.2.3.4:123",
+ "logind_new": " systemd-logind[500]: New session c1 of user ubuntu.",
+ "logind_removed": " systemd-logind[500]: Removed session 1.",
+ "logind_buttons": " systemd-logind[500]: Watching system buttons on /dev/input/event0 (Power Button)",
+ "logind_new_seat": " systemd-logind[500]: New seat seat0.",
+ "grub": " grub-common[600]: grub-editenv: error: cannot open file",
+ "polkitd": " polkitd[601]: started daemon version 0.105",
+ "dbus": " dbus-daemon[602]: [system] Successfully activated service",
+ "hostnamed": " systemd-hostnamed[603]: Changed host name to mail",
+ "apport": " apport[604]: Logged error report",
+ "resolved": " systemd-resolved[605]: Positive Trust Anchors:",
+ "networkd": " systemd-networkd[606]: ens3: Gained IPv6LL",
+ "networkd_dispatcher": " networkd-dispatcher[607]: No valid path found for iwconfig",
+ "motd": " 50-motd-news[608]: Fetched from motd server",
+ "freshclam": " freshclam[609]: daily.cld updated (version 25800)",
+ "dhclient_request": " dhclient[700]: DHCPREQUEST of 10.0.0.13 on ens3 to 10.0.0.1 port 67 (xid=0x1a2b3c)",
+ "dhclient_request_noxid": " dhclient[700]: DHCPREQUEST of 10.0.0.13 on ens3 to 10.0.0.1 port 67",
+ "dhclient_ack": " dhclient[700]: DHCPACK of 10.0.0.13 from 10.0.0.1",
+ "dhclient_bound": " dhclient[700]: bound to 10.0.0.13 -- renewal in 1500 seconds.",
+ "dhclient_any": " dhclient[700]: Created duid from machine-id.",
+ "dhclient_empty": " dhclient[700]: ",
+ "apparmor": " apparmor[800]: Reloading AppArmor profiles",
+ "snapd_apparmor": " snapd-apparmor[801]: Loading profiles",
+ "snapd": " snapd[802]: AppArmor status: apparmor is enabled",
+ "cloud_init_pid": " cloud-init[900]: Cloud-init v. 20.1 running 'init'",
+ "cloud_init": " cloud-init: #############################",
+ "irqbalance": " /usr/sbin/irqbalance: Balancing is ineffective on systems with a single cpu.",
+ "pollinate": " pollinate[901]: system was previously seeded at Mon Mar 16",
+ "lxcfs": " lxcfs[902]: Running constructor lxcfs_init to reload liblxcfs",
+ "accounts_daemon": " accounts-daemon[903]: started daemon version 0.6.45",
+ "ec2": " ec2: -----BEGIN SSH HOST KEY FINGERPRINTS-----",
+ "ec2_empty": " ec2: ",
+ "dnsmasq": " dnsmasq[904]: started, version 2.79 cachesize 150",
+ "etc_maradns_mararc": " etc_maradns_mararc[905]: Starting MaraDNS",
+ "etc_maradns_mararc_zs": " etc_maradns_mararc-zs[906]: Starting zoneserver",
+ "ifup": " ifup[907]: ens3=ens3",
+ "root": " root: shutdown now initiated",
+ "ntpd": " ntpd[908]: Listen normally on 3 ens3 10.0.0.14:123",
+ "ntp": " ntp[909]: Server dropped: no data",
+ "exim4_pid": " exim4[910]: Start queue run: pid=910",
+ "exim4": " exim4: ALERT: exim paniclog has non-zero size",
+ "mysqld_safe": " mysqld_safe[911]: Starting mysqld daemon with databases from /var/lib/mysql",
+ "mysqld": " mysqld[912]: Version: '5.7.30' socket: '/var/run/mysqld.sock'",
+ "php70": " php7.0-fpm: [pool www] child 123 started",
+ "libapache2_mod_php70": " libapache2-mod-php7.0: Reloading configuration",
+ "php": " php-fpm: [pool www] child exited with code 0",
+ "apache2_postinst": " apache2.postinst: Enabling site 000-default",
+ "smbd": " smbd[913]: Failed to fetch record",
+ "ut": " ut[914]: some unstructured message",
+ "apachectl": " apachectl[915]: AH00548: NameVirtualHost has no effect and will be removed in the next release /etc/apache2/sites-enabled/000-default.conf:1",
+ # DateTimeModelElement int()-window quirks (DateTimeModelElement.py
+ # :242-260): day "00" -> substituted with the current day; "+5" ->
+ # int-parsed sign form — both full matches in the reference
+ "@day_zero": "Mar 00 08:12:45 mail root: day zero quirk",
+ "@day_plus": "Mar +5 08:12:45 mail root: plus-day quirk",
+ "@day_trailing_space": "Mar 5  08:12:45 mail root: trailing-space day",
+}
+
+
+def _ait_lines() -> dict:
+    # "@"-keyed entries are whole lines (datetime-quirk fixtures);
+    # others get the shared preamble prepended
+    return {k: (v if k.startswith("@") else _AIT_P + v)
+            for k, v in _AIT_LINES.items()}
+
+
+def test_syslog_ait_model_parity():
+    """conf-available AIT-LDS SyslogParsingModel (1010 lines: syslog
+    %b-%d head + ~60 service branches incl. the dovecot imap/login
+    user_info optional chain, horde webmail branches with their
+    Delimited(' [') catch-alls, account tools, cron, sshd, su, kernel
+    and ~45 daemon catch-alls) vs SYSLOG_AIT_SPECS (135 whole-line
+    variants): one positive line per structured variant agrees with
+    the reference model on full-match AND mutation fuzz over all of
+    them stays at zero divergence (truncation / insertion / case
+    flips). The DateTimeModelElement head is emulated value-exactly
+    (int()-window forms incl. day-00 / '+d' / trailing-space) and the
+    horde catch-alls use a first-occurrence DFA fragment instead of a
+    lazy run so mutated ' [' insertions stay in parity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aminer.parsing.MatchContext import MatchContext
+    from logdata_anomaly_miner_ray.functions.models import SYSLOG_AIT_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import line_model_regex
+
+    ref = _load_generic_model("SyslogParsingModel").get_model()
+    compiled = [(n, line_model_regex(s)[0])
+                for n, s in SYSLOG_AIT_SPECS.items()]
+
+    def ours(line):
+        arr = pa.array([line], pa.string())
+        for n_, pat in compiled:
+            if pc.extract_regex(arr, pat).is_valid()[0].as_py():
+                return n_
+        return None
+
+    lines = _ait_lines()
+    for name, line in lines.items():
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        got = ours(line)
+        assert full and got is not None, (name, full, got)
+
+    # negative controls: unknown service, bad month, single-space
+    # single-digit day (the 2-byte window eats the following space),
+    # out-of-range day/hour, empty payload on a structured branch
+    for line in (_AIT_P + " nosuchsvc[1]: hello",
+                 "Xar 16 08:12:45 mail root: x",
+                 "Mar 1 08:12:45 mail root: x",
+                 "Mar 40 08:12:45 mail root: x",
+                 "Mar 16 25:12:45 mail root: x",
+                 "Mar 16 08:61:45 mail root: x",
+                 _AIT_P + " sshd[1]: ",
+                 _AIT_P + " dovecot: pop3: unknown subservice",
+                 "Mar 16 08:12:45  dovecot: master: x"):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        assert full == (ours(line) is not None), line
+
+    # mutation fuzz: zero divergence
+    rng = np.random.default_rng(23)
+    keys = list(lines)
+    n = 0
+    for _ in range(2000):
+        line = lines[keys[int(rng.integers(0, len(keys)))]]
+        m = int(rng.integers(0, 4))
+        if m == 1:
+            line = line[: int(rng.integers(1, len(line)))]
+        elif m == 2:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + chr(int(rng.integers(32, 127))) + line[i:]
+        elif m == 3:
+            i = int(rng.integers(0, len(line)))
+            line = line[:i] + line[i].swapcase() + line[i + 1:]
+        d = line.encode()
+        try:
+            me = ref.get_match_element("x", MatchContext(d))
+        except Exception:
+            continue
+        full = me is not None and me.match_string == d
+        got = ours(line)
+        assert full == (got is not None), (line, full, got)
+        n += 1
+    assert n >= 1500
