@@ -650,6 +650,76 @@ def q_sshd_model_events(sf_dir: str):
     return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def q_audispd_model_events(sf_dir: str):
+    """conf-available AudispdParsingModel (the branchiest of the 16
+    generic models: 41 structured + 99 catch-all variants behind the
+    audit-record preamble) over synthetic audit lines — 5 structured
+    families + the queue-full sentinel + garbage, deterministic per
+    event row; oracle reconstructs winner + folded fields in SQL.
+    Reference: conf-available/generic/AudispdParsingModel.py."""
+    from logdata_anomaly_miner_ray.functions.models import AUDISPD_SPECS
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines_first_match
+
+    def render(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        lines = []
+        for e, u in zip(eid, uid):
+            m = e % 7
+            pre = f"type=%s msg=audit({1600000000 + e % 86400}.{e % 1000}:{e % 90000 + 1}):"
+            if m == 0:
+                lines.append(pre % "CONFIG_CHANGE" + f' auid={u} ses={e % 500} op="add_rule" path="/etc/rule{e % 50}" key=(null) list=4 res=1')
+            elif m == 1:
+                lines.append(pre % "FD_PAIR" + f" fd0={e % 100} fd1={e % 100 + 1}")
+            elif m == 2:
+                lines.append(pre % "LOGIN" + f" login pid={u} uid=0 old auid=4294967295 new auid={u} old ses=4294967295 new ses=1 res=1")
+            elif m == 3:
+                lines.append(pre % "NETFILTER_CFG" + f" table=filter family=2 entries={e % 10}")
+            elif m == 4:
+                lines.append(pre % "SYSTEM_BOOT" + f" system boot payload {e}")
+            elif m == 5:
+                lines.append("audispd: queue is full - dropping event")
+            else:
+                lines.append("### not an audit record ###")
+        return pa.table(
+            {"event_id": batch["event_id"], "line": pa.array(lines, pa.string())}
+        )
+
+    rendered = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        render, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    parsed = parse_lines_first_match(rendered, AUDISPD_SPECS, line_col="line")
+
+    def project(t: pa.Table) -> pa.Table:
+        def col(n, typ):
+            return t[n] if n in t.column_names else pa.nulls(t.num_rows, typ)
+
+        fams = ("conf_change", "fdpair", "login", "netfilter_cfg",
+                "system_boot")
+        model = pc.coalesce(t["model"], pa.scalar("", pa.string()))
+        atime = pc.coalesce(*[col(f"{f}.time", pa.int64()) for f in fams])
+        aseq = pc.coalesce(*[col(f"{f}.seq", pa.int64()) for f in fams])
+        val = pc.coalesce(col("conf_change.ses", pa.int64()),
+                          col("fdpair.fd0", pa.int64()),
+                          col("login.auid_new", pa.int64()),
+                          col("netfilter_cfg.entries", pa.int64()))
+        sval = pc.coalesce(col("conf_change.path", pa.string()),
+                           col("system_boot.payload", pa.string()),
+                           pa.scalar("", pa.string()))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "model": model,
+                "atime": atime,
+                "aseq": aseq,
+                "val": val,
+                "sval": sval,
+            }
+        )
+
+    return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def q_line_model_events(sf_dir: str):
     """Declarative line model (Sequence of Fixed/Decimal/WhiteSpace
     leaves + OptionalMatchModelElement), oracle-verified by
@@ -1659,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_extract_events": q_xml_extract_events,
         "line_model_events": q_line_model_events,
         "sshd_model_events": q_sshd_model_events,
+        "audispd_model_events": q_audispd_model_events,
         "datetime_parse_events": q_datetime_parse_events,
         "allowlist_rules_events": q_allowlist_rules_events,
         "implication_support_events": q_implication_support_events,
@@ -1972,6 +2043,25 @@ SELECT event_id,
        event_id % 7 != 0 AS parse_ok,
        CASE WHEN event_id % 7 != 0 THEN user_id END AS xid,
        CASE WHEN event_id % 7 != 0 THEN event_type ELSE '' END AS xt
+FROM events""",
+        "audispd_model_events": """
+SELECT event_id,
+       CASE CAST(event_id % 7 AS INTEGER)
+         WHEN 0 THEN 'conf_change' WHEN 1 THEN 'fdpair'
+         WHEN 2 THEN 'login' WHEN 3 THEN 'netfilter_cfg'
+         WHEN 4 THEN 'system_boot' WHEN 5 THEN 'queue_full'
+         ELSE '' END AS model,
+       CASE WHEN event_id % 7 <= 4
+            THEN 1600000000 + event_id % 86400 END AS atime,
+       CASE WHEN event_id % 7 <= 4
+            THEN event_id % 90000 + 1 END AS aseq,
+       CASE CAST(event_id % 7 AS INTEGER)
+         WHEN 0 THEN event_id % 500 WHEN 1 THEN event_id % 100
+         WHEN 2 THEN user_id WHEN 3 THEN event_id % 10 END AS val,
+       CASE CAST(event_id % 7 AS INTEGER)
+         WHEN 0 THEN '/etc/rule' || CAST(event_id % 50 AS VARCHAR)
+         WHEN 4 THEN ' system boot payload ' || CAST(event_id AS VARCHAR)
+         ELSE '' END AS sval
 FROM events""",
         "sshd_model_events": """
 SELECT event_id,
