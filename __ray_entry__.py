@@ -774,6 +774,60 @@ def q_line_model_events(sf_dir: str):
     return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def q_unparsed_diagnosis_events(sf_dir: str):
+    """VerboseUnparsedAtomHandler diagnosis as columns (reference
+    analysis/UnparsedAtomHandlers.py:75-100 over DebugMatchContext,
+    parsing/MatchContext.py:47-104): parse_lines(diagnose=True)
+    emits, for every unparsed row, the byte length of the longest
+    matched leaf prefix and the remaining suffix (the reference's
+    shortest_unmatched_data). Two deterministic failure families
+    land the diagnosis at different leaves so the oracle recomputes
+    both offsets arithmetically."""
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    def render(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        lines = []
+        for e, u in zip(eid, uid):
+            if e % 11 == 0:
+                # fails at the ' t=' fixed leaf, after the int
+                lines.append(f"u={u} T={e}")
+            elif e % 5 == 0:
+                # fails at the ' k=' fixed leaf, after the word
+                lines.append(f"u={u} t=x{e} j=7")
+            else:
+                lines.append(f"u={u} t=t{e} k={e % 1000}")
+        return pa.table(
+            {"event_id": batch["event_id"], "line": pa.array(lines, pa.string())}
+        )
+
+    spec = [
+        ("f0", "fixed", "u="),
+        ("u", "int"),
+        ("f1", "fixed", " t="),
+        ("t", "word"),
+        ("f2", "fixed", " k="),
+        ("k", "int"),
+    ]
+    rendered = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        render, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    parsed = parse_lines(rendered, spec, line_col="line", diagnose=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "parse_ok": t["parse_ok"],
+                "plen": t["matched_prefix_len"],
+                "rest": t["unmatched_data"],
+            }
+        )
+
+    return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def q_datetime_parse_events(sf_dir: str):
     """DateTimeModelElement depth (reference
     parsing/DateTimeModelElement.py:70-420): %z timezone-name and
@@ -1728,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_schema_events": q_json_schema_events,
         "xml_extract_events": q_xml_extract_events,
         "line_model_events": q_line_model_events,
+        "unparsed_diagnosis_events": q_unparsed_diagnosis_events,
         "sshd_model_events": q_sshd_model_events,
         "audispd_model_events": q_audispd_model_events,
         "datetime_parse_events": q_datetime_parse_events,
@@ -2074,6 +2129,18 @@ SELECT event_id,
             THEN 1000 + event_id % 50000 END AS port,
        CASE WHEN event_id % 6 IN (0, 1, 3, 4)
             THEN 'u' || CAST(event_id AS VARCHAR) ELSE '' END AS u
+FROM events""",
+        "unparsed_diagnosis_events": """
+SELECT event_id,
+       event_id % 11 != 0 AND event_id % 5 != 0 AS parse_ok,
+       CASE WHEN event_id % 11 = 0
+            THEN 2 + LENGTH(CAST(user_id AS VARCHAR))
+            WHEN event_id % 5 = 0
+            THEN 6 + LENGTH(CAST(user_id AS VARCHAR))
+                 + LENGTH(CAST(event_id AS VARCHAR)) END AS plen,
+       CASE WHEN event_id % 11 = 0
+            THEN ' T=' || CAST(event_id AS VARCHAR)
+            WHEN event_id % 5 = 0 THEN ' j=7' END AS rest
 FROM events""",
         "line_model_events": """
 SELECT event_id,

@@ -698,22 +698,55 @@ def line_model_parse_fn(spec: list[tuple], line_col: str = "line"):
 
 
 def parse_lines(
-    ds: "ray.data.Dataset", spec: list[tuple], line_col: str = "line"
+    ds: "ray.data.Dataset", spec: list[tuple], line_col: str = "line",
+    diagnose: bool = False,
 ) -> "ray.data.Dataset":
     """Apply a compiled line model to a string/binary column: ONE
     vectorized ``pc.extract_regex`` per block (RE2, no per-row
     Python), then typed casts per field — int/float null-on-failure,
     ipv4 → uint32 int, hex → parsed bytes length-checked, datetime →
     timestamp[us]. Rows that do not match the model keep nulls and
-    ``parse_ok = false`` (the reference's unparsed-atom path)."""
+    ``parse_ok = false`` (the reference's unparsed-atom path).
+
+    ``diagnose=True`` adds the VerboseUnparsedAtomHandler columns
+    (reference analysis/UnparsedAtomHandlers.py:75-100 over
+    parsing/MatchContext.py:47-104 DebugMatchContext): for each
+    UNPARSED row, ``matched_prefix_len`` = bytes consumed by the
+    longest leaf-prefix of the model that still matches (the
+    reference's stepwise per-leaf consumption before the failing
+    leaf) and ``unmatched_data`` = the remaining suffix (the
+    reference's shortest_unmatched_data). Parsed rows keep nulls.
+    Cost: up to len(spec) extra vectorized extractions over ONLY the
+    failed subset of each block."""
     return ds.map_batches(
-        _make_parse(spec, line_col),
+        _make_parse(spec, line_col, diagnose=diagnose),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
 
-def _make_parse(spec: list[tuple], line_col: str):
+def line_model_prefixes(spec: list[tuple]) -> list[tuple[str, bool]]:
+    """Cumulative UNANCHORED-at-end prefix patterns of a line model,
+    one per spec entry — the regex analogue of the reference
+    MatchContext consumption boundary after each leaf. The bool flag
+    marks prefixes ending in an int/float-family leaf: the reference
+    DecimalInteger/Float REJECTS '0'+digit outright rather than
+    matching the '0' (DecimalIntegerValueModelElement.py:
+    leading-zero check), so their remainder must not start with a
+    digit (RE2 has no lookahead — the caller guards the rest
+    group)."""
+    out = []
+    for k in range(1, len(spec) + 1):
+        pattern, _ = line_model_regex(spec[:k])
+        kind = spec[k - 1][1]
+        if kind == "optional":
+            kind = spec[k - 1][2][1]
+        out.append((pattern[:-1], kind in ("int", "sint", "float", "sfloat")))
+    return out
+
+
+def _make_parse(spec: list[tuple], line_col: str, diagnose: bool = False):
     pattern, fields = line_model_regex(spec)
+    prefixes = line_model_prefixes(spec) if diagnose else []
 
     def parse(batch: pa.Table) -> pa.Table:
         col = batch[line_col]
@@ -723,6 +756,33 @@ def _make_parse(spec: list[tuple], line_col: str):
         ex = pc.extract_regex(s, pattern)
         ok = pc.is_valid(ex)
         out = batch.append_column("parse_ok", ok)
+        if diagnose:
+            import numpy as np
+
+            n = len(s)
+            okn = ok.to_numpy(zero_copy_only=False)
+            rest = np.full(n, None, dtype=object)
+            idx = np.flatnonzero(~okn)
+            if idx.size:
+                sub = pc.take(s, pa.array(idx, pa.int64()))
+                # zero leaves consumed -> the whole line is unmatched
+                best = np.array(sub.to_pylist(), dtype=object)
+                for pfx, int_final in prefixes:
+                    rest_frag = (r"(?P<zz_rest>|[^0-9].*)$" if int_final
+                                 else r"(?P<zz_rest>.*)$")
+                    aux = pc.extract_regex(sub, pfx + rest_frag)
+                    rv = pc.struct_field(aux, "zz_rest").to_numpy(
+                        zero_copy_only=False)
+                    m = np.array([v is not None for v in rv])
+                    # prefixes grow monotonically: later (longer)
+                    # matches overwrite, yielding the deepest reach
+                    best[m] = rv[m]
+                rest[idx] = best
+            rest_arr = pa.array(rest, pa.string())
+            plen = pc.subtract(
+                pc.binary_length(s), pc.binary_length(rest_arr))
+            out = out.append_column("matched_prefix_len", plen)
+            out = out.append_column("unmatched_data", rest_arr)
         for name, tag, arg in fields:
             if tag == "debug":
                 # auxiliary extraction against the prefix up to the

@@ -3145,3 +3145,80 @@ def test_syslog_ait_model_parity():
         assert full == (got is not None), (line, full, got)
         n += 1
     assert n >= 1500
+
+
+def test_verbose_unparsed_diagnosis_parity(aminer_env):
+    """VerboseUnparsedAtomHandler diagnosis (reference
+    analysis/UnparsedAtomHandlers.py:75-100 over DebugMatchContext,
+    parsing/MatchContext.py:47-104): for unparsed lines, the
+    reference reports the shortest unmatched data — the suffix left
+    after the deepest per-leaf consumption. parse_lines(diagnose=
+    True) must emit the same suffix (unmatched_data) and its byte
+    offset (matched_prefix_len) for an equivalent Sequence model."""
+    from aminer.analysis.UnparsedAtomHandlers import VerboseUnparsedAtomHandler
+    from aminer.input.LogAtom import LogAtom
+    from aminer.parsing.DecimalIntegerValueModelElement import (
+        DecimalIntegerValueModelElement,
+    )
+    from aminer.parsing.DelimitedDataModelElement import DelimitedDataModelElement
+    from aminer.parsing.FixedDataModelElement import FixedDataModelElement
+    from aminer.parsing.MatchContext import MatchContext
+    from aminer.parsing.SequenceModelElement import SequenceModelElement
+
+    from logdata_anomaly_miner_ray.functions.parsing import _make_parse
+
+    _, Recorder = aminer_env
+    ref_model = SequenceModelElement("model", [
+        FixedDataModelElement("f0", b"u="),
+        DecimalIntegerValueModelElement("u"),
+        FixedDataModelElement("f1", b" t="),
+        DelimitedDataModelElement("t", b" "),
+        FixedDataModelElement("f2", b" k="),
+        DecimalIntegerValueModelElement("k"),
+    ])
+    spec = [
+        ("f0", "fixed", "u="), ("u", "int"), ("f1", "fixed", " t="),
+        ("t", "delimited", " "), ("f2", "fixed", " k="), ("k", "int"),
+    ]
+    fn = _make_parse(spec, "line", diagnose=True)
+
+    lines = [
+        "u=12 t=login k=7",          # parses fully
+        "u=12 t!broken",             # fails at ' t='
+        "garbage",                   # fails at 'u='
+        "u=007 t=x k=1",             # possessive int: '0' then fail
+        "u=5 t=x k=",                # fails at the last int leaf
+        "u=5 t=x j=9",               # fails at ' k='
+        "u= t=x k=1",                # int leaf needs >=1 digit
+        "u=3 t=x k=4 trailing",      # int stops, trailing unconsumed
+    ]
+    out = fn(pa.table({"line": pa.array(lines, pa.string())}))
+
+    rec = Recorder()
+    handler = VerboseUnparsedAtomHandler([rec], ref_model)
+    n_checked = 0
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref_model.get_match_element("x", MatchContext(d))
+        ref_parsed = me is not None and me.match_string == d
+        # the reference treats a PARTIAL top-level match as parsed at
+        # the atom level only when the model consumed everything —
+        # mirror parse_ok against full-consumption like the gate does
+        assert out["parse_ok"][i].as_py() == ref_parsed, line
+        if ref_parsed:
+            assert out["unmatched_data"][i].as_py() is None
+            continue
+        atom = LogAtom(d, None, 0.0, None)
+        rec.events.clear()
+        handler.receive_atom(atom)
+        (etype, _, edata), = rec.events
+        assert etype == "Input.VerboseUnparsedAtomHandler"
+        dbg = "\n".join(edata["DebugLog"])
+        marker = 'Shortest unmatched data: "'
+        j = dbg.index(marker)
+        ref_rest = dbg[j + len(marker):dbg.index('"', j + len(marker))]
+        got_rest = out["unmatched_data"][i].as_py()
+        assert got_rest == ref_rest, (line, got_rest, ref_rest)
+        assert out["matched_prefix_len"][i].as_py() == len(d) - len(ref_rest)
+        n_checked += 1
+    assert n_checked >= 6
