@@ -82,3 +82,92 @@ def test_meta_reduction_tiers_agree(ray_session, monkeypatch):
     assert a == b
     assert any(k[1] == "frequency" for k in a)  # meta-derived checks present
     assert any(k[1] == "ordering" for k in a)
+
+
+def test_resume_after_midrun_crash_byte_identical(ray_session, tmp_path, monkeypatch):
+    """Checkpoint/resume drill, CI scale (SURVEY §7.2 M8): a run that
+    dies AFTER a check's violation parquet is written but BEFORE its
+    manifest entry lands (the documented crash window,
+    pipelines/validate.py run_check) must, on resume, redo exactly
+    the unmarked checks and produce outputs identical to an
+    uninterrupted run — same violation rows per check, same verdicts,
+    same per-run text_sha256_xor byte-identity proof."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.pipelines import validate as V
+    from logdata_anomaly_miner_ray.sources.pages import make_pages_block, ts_index_block
+
+    pages_tab = make_pages_block(0, 4000)
+    ts_tab = ts_index_block(0, 4000)
+
+    def clean_outputs(out_dir):
+        checks = sorted(d for d in os.listdir(out_dir) if d.startswith("check="))
+        rows = {}
+        for c in checks:
+            try:
+                t = pads.dataset(os.path.join(out_dir, c)).to_table()
+                rows[c] = sorted(json.dumps(r, default=str, sort_keys=True)
+                                 for r in t.to_pylist())
+            except FileNotFoundError:
+                rows[c] = []
+        return rows
+
+    def verdict_map(out):
+        return {
+            r["check"]: (r["pass"], r["n_violations"], r["text_sha256_xor"])
+            for r in out["verdicts"].to_pylist()
+        }
+
+    # uninterrupted reference run
+    out_a = str(tmp_path / "a")
+    a = V.run_suite(rd.from_arrow(pages_tab), ts_index=rd.from_arrow(ts_tab),
+                    out_dir=out_a)
+
+    # crashed run: die inside mark_done('frequency') — parquet
+    # written, manifest not updated (frequency runs after the keyed
+    # thread is joined, so the crash is deterministic)
+    out_b = str(tmp_path / "b")
+    orig_mark = V.CheckpointManifest.mark_done
+
+    def exploding_mark(self, name, **kw):
+        if name == "frequency":
+            raise RuntimeError("simulated mid-run kill")
+        return orig_mark(self, name, **kw)
+
+    monkeypatch.setattr(V.CheckpointManifest, "mark_done", exploding_mark)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated mid-run kill"):
+        V.run_suite(rd.from_arrow(pages_tab), ts_index=rd.from_arrow(ts_tab),
+                    out_dir=out_b)
+    monkeypatch.setattr(V.CheckpointManifest, "mark_done", orig_mark)
+
+    # some checks must already be checkpointed, frequency must not
+    mani = V.CheckpointManifest(out_b)
+    assert mani.is_done("broadcast_checks") or mani.is_done("uniqueness_url")
+    assert not mani.is_done("frequency")
+
+    # resume: completed checks are skipped (their maker never runs),
+    # the unmarked tail is redone
+    ran: list[str] = []
+    orig_mark2 = V.CheckpointManifest.mark_done
+
+    def recording_mark(self, name, **kw):
+        ran.append(name)
+        return orig_mark2(self, name, **kw)
+
+    monkeypatch.setattr(V.CheckpointManifest, "mark_done", recording_mark)
+    b = V.run_suite(rd.from_arrow(pages_tab), ts_index=rd.from_arrow(ts_tab),
+                    out_dir=out_b)
+    assert "frequency" in ran
+    assert "broadcast_checks" not in ran and "uniqueness_url" not in ran
+
+    # byte-identical outputs: violation rows per check, verdict
+    # pass/fail + counts, and the xor-of-sha256 text identity proof
+    assert clean_outputs(out_a) == clean_outputs(out_b)
+    assert verdict_map(a) == verdict_map(b)
