@@ -1389,6 +1389,30 @@ def q_minhash_pairs_documents(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_pairs_documents(sf_dir: str):
+    """EXACT word 3-gram Jaccard similarity join (≥ 0.4) via
+    prefix-filtered candidate generation (Bayardo et al. WWW'07) +
+    the shared exact-verify tail — the no-miss-probability
+    counterpart of the MinHash query. Oracle: the same all-pairs
+    shingle-set intersection in SQL at the lower threshold."""
+    from logdata_anomaly_miner_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        k_shingle=3,
+        jaccard_threshold=0.4,
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64)),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64)),
+            "jac_e6": _scaled_int(pa.array(out["jaccard"].to_numpy(np.float64)), 1_000_000),
+        }
+    )
+
+
 def q_dedup_clusters_documents(sf_dir: str):
     """Near-dup CLUSTER assignment: SimHash pairs (md5 mode, same
     oracle-exact pair set) fed through distributed connected
@@ -1801,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q_langid_documents,
         "fingerprints_documents": q_fingerprints_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
+        "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "clean_corpus_documents": q_clean_corpus_documents,
@@ -2694,6 +2719,20 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, CAST(ROUND(ni / nu * 1000000) AS BIGINT) AS jac_e6
 FROM p WHERE nu > 0 AND ni / nu >= 0.5""",
+        "ngram_jaccard_pairs_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS s
+       FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE AS ni,
+             len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS nu
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(ROUND(ni / nu * 1000000) AS BIGINT) AS jac_e6
+FROM p WHERE nu > 0 AND ni / nu >= 0.4""",
         "ivf_topk_embeddings": """
 SELECT vec_id,
        CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

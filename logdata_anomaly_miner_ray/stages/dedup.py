@@ -245,9 +245,12 @@ def _lsh_collision_pairs(
         explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                              "id_b": pd.Series(dtype=np.int64)})
+    def band_pairs(g: pd.DataFrame) -> pa.Table:
+        # returns ARROW so output block types match the shuffle's
+        # (arrow) empty blocks — mixed block types trip Ray's
+        # downstream shuffle assert
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
         if len(g) < 2:
             return empty
         g = g.sort_values(["bh", id_col], kind="mergesort")
@@ -283,9 +286,10 @@ def _lsh_collision_pairs(
                 out_b.append(ids[e:full_e])
         if not out_a:
             return empty
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+        })
 
     return exploded.groupby("gk").map_groups(band_pairs, batch_format="pandas")
 
@@ -337,16 +341,45 @@ def minhash_verified_pairs(
 
     Output (id_a, id_b, jaccard) is recomputable by a SQL engine's
     all-pairs shingle intersection at test scale."""
+    pairs_ds = _lsh_collision_pairs(
+        ds, text_col, id_col,
+        num_perm=num_perm, num_bands=num_bands, k_shingle=k_shingle,
+    )
+    return verify_pairs_exact_jaccard(
+        ds, pairs_ds, text_col, id_col,
+        k_shingle=k_shingle, jaccard_threshold=jaccard_threshold,
+        driver_text_limit=driver_text_limit,
+        driver_pair_limit=driver_pair_limit,
+        n_verify_groups=n_verify_groups,
+        trace_name="minhash_verified_pairs",
+    )
+
+
+def verify_pairs_exact_jaccard(
+    ds: "ray.data.Dataset",
+    pairs_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 3,
+    jaccard_threshold: float = 0.5,
+    driver_text_limit: int = 4096,
+    driver_pair_limit: int = 200_000,
+    n_verify_groups: int = 512,
+    trace_name: str = "verify_pairs",
+) -> pd.DataFrame:
+    """EXACT word k-gram Jaccard verification of a candidate-pair
+    Dataset ``(id_a, id_b)`` (duplicates across generators allowed —
+    deduped inside). The shared tail of ``minhash_verified_pairs``
+    and ``ngram_jaccard_pairs``; see the former's docstring for the
+    two tiers (bounded driver fold vs dataset-native end-to-end)."""
     import ray as _ray
 
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
          "jaccard": pd.Series(dtype=np.float64)}
     )
-    pairs_ds = _lsh_collision_pairs(
-        ds, text_col, id_col,
-        num_perm=num_perm, num_bands=num_bands, k_shingle=k_shingle,
-    ).materialize()
+    pairs_ds = pairs_ds.materialize()
     n_raw = pairs_ds.count()
     if n_raw == 0:
         return empty
@@ -366,7 +399,8 @@ def minhash_verified_pairs(
         .to_pandas()["mid"].to_numpy()
     )
     _dedup_trace(
-        "minhash_verified_pairs tier=%s n_raw=%d n_ids=%d",
+        "%s tier=%s n_raw=%d n_ids=%d",
+        trace_name,
         "driver" if (n_raw <= driver_pair_limit and len(wanted) <= driver_text_limit)
         else "dataset", n_raw, len(wanted),
     )
@@ -411,64 +445,104 @@ def minhash_verified_pairs(
         tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
-    def prep(g: pd.DataFrame) -> pd.DataFrame:
+    def prep(g: pd.DataFrame) -> pa.Table:
         # same pair from several bands lands in the same bucket —
         # global dedup without any extra shuffle; member rows drive
-        # the text replication join
+        # the text replication join. Returns ARROW so the output
+        # block type matches the shuffle's (arrow) empty blocks —
+        # mixed pandas/arrow block types trip Ray's shuffle assert.
         g = g.drop_duplicates(["id_a", "id_b"])
-        bk = int(g["bucket"].iloc[0])
+        bk = np.int64(g["bucket"].iloc[0])
         members = np.unique(np.concatenate(
             [g["id_a"].to_numpy(np.int64), g["id_b"].to_numpy(np.int64)]
         ))
-        pair_rows = pd.DataFrame({
-            "bucket": g["bucket"].to_numpy(np.int64), "kind": np.int64(0),
-            "id_a": g["id_a"].to_numpy(np.int64),
-            "id_b": g["id_b"].to_numpy(np.int64),
-            "mid": np.int64(-1), "text": "",
+        np_, nm = len(g), len(members)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(
+                [g["bucket"].to_numpy(np.int64), np.full(nm, bk)]
+            ), pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(np_, np.int64), np.ones(nm, np.int64)]
+            ), pa.int64()),
+            "id_a": pa.array(np.concatenate(
+                [g["id_a"].to_numpy(np.int64), np.full(nm, -1, np.int64)]
+            ), pa.int64()),
+            "id_b": pa.array(np.concatenate(
+                [g["id_b"].to_numpy(np.int64), np.full(nm, -1, np.int64)]
+            ), pa.int64()),
+            "mid": pa.array(np.concatenate(
+                [np.full(np_, -1, np.int64), members]
+            ), pa.int64()),
+            "text": pa.array([""] * (np_ + nm), pa.string()),
         })
-        member_rows = pd.DataFrame({
-            "bucket": np.full(len(members), bk, dtype=np.int64),
-            "kind": np.int64(1),
-            "id_a": np.int64(-1), "id_b": np.int64(-1),
-            "mid": members, "text": "",
-        })
-        return pd.concat([pair_rows, member_rows], ignore_index=True)
 
     prep_ds = tagged.groupby("bucket").map_groups(
         prep, batch_format="pandas"
     ).materialize()
     pairs_part = prep_ds.filter(expr="kind == 0")
-    members_ds = prep_ds.filter(expr="kind == 1").select_columns(["bucket", "mid"])
+    members_ds = prep_ds.filter(expr="kind == 1")
 
+    # Text replication join (member rows × candidate texts on mid) is
+    # expressed as union + ONE coarse-keyed groupby-merge rather than
+    # Dataset.join: Ray's hash-shuffle reduce emits ZERO-COLUMN empty
+    # blocks for output partitions that received no groups, and
+    # Dataset.join crashes on them ("No match ... FieldRef") while the
+    # groupby shuffle tolerates them (map_batches BYPASSES empty
+    # blocks, so they cannot be normalized away in a narrow pass).
     wref = _ray.put(wanted)
+    n_att = np.int64(max(1, n_verify_groups))
 
     def gather(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         keep = np.isin(ids, _ray.get(wref))
         t = batch.select([id_col, text_col]).filter(pa.array(keep))
-        return t.rename_columns(["mid", "text"])
-
-    texts_ds = ds.map_batches(
-        gather, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-    npart = int(max(8, min(256, n_raw // 200_000 + 8)))
-    replicated = members_ds.join(
-        texts_ds, join_type="inner", num_partitions=npart, on=("mid",)
-    )
-
-    def as_union(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+        mid = t[0].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
         return pa.table({
-            "bucket": batch["bucket"],
-            "kind": pa.array(np.full(n, 1, dtype=np.int64)),
-            "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
-            "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
-            "mid": batch["mid"],
-            "text": batch["text"],
+            "ck": pa.array(mid % n_att, pa.int64()),
+            "bucket": pa.array(np.full(n, -1, dtype=np.int64)),
+            "mid": pa.array(mid, pa.int64()),
+            "is_text": pa.array(np.ones(n, dtype=np.bool_)),
+            "text": t[1],
         })
 
-    text_rows = replicated.map_batches(
-        as_union, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    texts_ck = ds.map_batches(
+        gather, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def member_ck(batch: pa.Table) -> pa.Table:
+        mid = batch["mid"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table({
+            "ck": pa.array(mid % n_att, pa.int64()),
+            "bucket": batch["bucket"],
+            "mid": batch["mid"],
+            "is_text": pa.array(np.zeros(n, dtype=np.bool_)),
+            "text": pa.array([""] * n, pa.string()),
+        })
+
+    members_ck = members_ds.map_batches(
+        member_ck, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        tm = g[g["is_text"]]
+        mm = g[~g["is_text"]]
+        merged = mm[["bucket", "mid"]].merge(
+            tm[["mid", "text"]], on="mid", how="inner"
+        )
+        n = len(merged)
+        return pa.table({
+            "bucket": pa.array(merged["bucket"].to_numpy(np.int64), pa.int64()),
+            "kind": pa.array(np.full(n, 1, dtype=np.int64), pa.int64()),
+            "id_a": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            "id_b": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            "mid": pa.array(merged["mid"].to_numpy(np.int64), pa.int64()),
+            "text": pa.array(merged["text"].tolist(), pa.string()),
+        })
+
+    text_rows = members_ck.union(texts_ck).groupby("ck").map_groups(
+        attach, batch_format="pandas"
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -502,6 +576,152 @@ def minhash_verified_pairs(
     if len(out) == 0:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    jaccard_threshold: float = 0.5,
+    n_sub_buckets: int = 256,
+    max_bucket: int = 4096,
+    driver_text_limit: int = 4096,
+    driver_pair_limit: int = 200_000,
+    n_verify_groups: int = 512,
+) -> pd.DataFrame:
+    """EXACT n-gram-Jaccard similarity join: every ``(id_a < id_b)``
+    pair with word ``k_shingle``-gram set Jaccard ≥ threshold — the
+    exact counterpart of MinHash LSH (no banding miss probability).
+
+    Candidate generation is the public prefix-filtering scheme
+    (Chaudhuri et al. SSJoin / Bayardo et al. "Scaling Up All Pairs
+    Similarity Search", WWW'07): order each document's DISTINCT
+    shingle hashes by a global total order (the hash value itself);
+    any pair with Jaccard ≥ t must share a shingle within each side's
+    first ``n - ceil(t·n) + 1`` shingles, so only those prefix
+    shingles are indexed. One groupby on the (coarse-bucketed)
+    shingle hash emits same-shingle pairs, pruned by the length
+    filter (``min(n_a, n_b) ≥ t·max(n_a, n_b)`` — a necessary
+    condition for J ≥ t). Verification reuses the shared exact-
+    Jaccard tail (``verify_pairs_exact_jaccard``), so false
+    candidates cost only the verify pass and true pairs are decided
+    on the real token sets.
+
+    Exactness caveats, both documented bounds rather than silent
+    drops: (a) candidate identity uses 64-bit shingle hashes — a
+    cross-document hash collision (~2⁻⁶⁴ per shingle pair) can only
+    ADD candidates, and a within-prefix collision could in principle
+    shift a prefix boundary; (b) a prefix shingle shared by more than
+    ``max_bucket`` documents caps at all-pairs-within-cap + hub star
+    pairs with a WARNING (same skew guard + recall bound as the LSH
+    stages; raise ``max_bucket`` or pre-drop stop-shingles for
+    exactness on pathological skew). Scale shape matches the LSH
+    stages: per-block vectorized prefix extraction, one bounded keyed
+    shuffle of (hash, id, set-size) rows — raw text never shuffles."""
+    from ..functions.text import shingle_hashes
+
+    t = float(jaccard_threshold)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sh, rid = shingle_hashes(batch[text_col], k=k_shingle)
+        schema = {
+            "gk": pa.int64(), "sh": pa.int64(), id_col: pa.int64(),
+            "nsh": pa.int64(),
+        }
+        if len(sh) == 0:
+            return pa.table({c: pa.array([], tp) for c, tp in schema.items()})
+        order = np.lexsort((sh, rid))
+        sh, rid = sh[order], rid[order]
+        keep = np.concatenate(
+            [[True], (rid[1:] != rid[:-1]) | (sh[1:] != sh[:-1])]
+        )
+        sh, rid = sh[keep], rid[keep]
+        row_start = np.searchsorted(rid, np.arange(n))
+        row_end = np.searchsorted(rid, np.arange(n), side="right")
+        nsh = row_end - row_start
+        plen = np.where(
+            nsh > 0, nsh - np.ceil(t * nsh).astype(np.int64) + 1, 0
+        )
+        pos = np.arange(len(sh)) - row_start[rid]
+        pmask = pos < plen[rid]
+        shi = sh[pmask].view(np.int64)
+        rid_p = rid[pmask]
+        return pa.table(
+            {
+                "gk": pa.array(shi % np.int64(n_sub_buckets), pa.int64()),
+                "sh": pa.array(shi, pa.int64()),
+                id_col: pa.array(ids[rid_p].astype(np.int64), pa.int64()),
+                "nsh": pa.array(nsh[rid_p], pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["sh", id_col], kind="mergesort")
+        sh = g["sh"].to_numpy()
+        ids = g[id_col].to_numpy()
+        nsh = g["nsh"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sh)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            full_e = e
+            if e - s > max_bucket:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "prefix-shingle bucket of size %d capped at "
+                    "max_bucket=%d: all-pairs within the cap + hub star "
+                    "pairs beyond it (connectivity preserved; non-hub "
+                    "pairs among the overflow are a recall bound)",
+                    e - s, max_bucket,
+                )
+                e = s + max_bucket
+            iu = np.triu_indices(e - s, k=1)
+            na, nb = nsh[s:e][iu[0]], nsh[s:e][iu[1]]
+            # length filter: J ≤ min/max, so J ≥ t needs min ≥ t·max
+            # (tiny epsilon so float rounding never drops a true pair)
+            lkeep = np.minimum(na, nb) + 1e-9 >= t * np.maximum(na, nb)
+            out_a.append(ids[s:e][iu[0][lkeep]])
+            out_b.append(ids[s:e][iu[1][lkeep]])
+            if full_e > e:
+                hub = np.full(full_e - e, ids[s])
+                out_a.append(hub)
+                out_b.append(ids[e:full_e])
+        if not out_a:
+            return empty
+        out = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        # local dedup: a pair sharing several prefix shingles in this
+        # coarse group would otherwise replicate into the verify pass
+        out = out.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+        return pa.table({
+            "id_a": pa.array(out["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(out["id_b"].to_numpy(np.int64), pa.int64()),
+        })
+
+    pairs = exploded.groupby("gk").map_groups(bucket_pairs, batch_format="pandas")
+    return verify_pairs_exact_jaccard(
+        ds, pairs, text_col, id_col,
+        k_shingle=k_shingle, jaccard_threshold=jaccard_threshold,
+        driver_text_limit=driver_text_limit,
+        driver_pair_limit=driver_pair_limit,
+        n_verify_groups=n_verify_groups,
+        trace_name="ngram_jaccard_pairs",
+    )
 
 
 def simhash_fingerprints(

@@ -124,6 +124,85 @@ def test_minhash_verified_pairs_dataset_tier_matches_driver(monkeypatch, capsys)
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_ngram_jaccard_pairs_matches_bruteforce_both_tiers(monkeypatch, capsys):
+    """EXACT prefix-filtered n-gram Jaccard join vs a brute-force
+    all-pairs oracle at three thresholds — unlike MinHash, no banding
+    miss probability, so the pair set must match exactly (ids AND
+    Jaccard values). The driver_pair_limit=0 rerun exercises the
+    dataset-native verify tier on the same input."""
+    from logdata_anomaly_miner_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(0, 25))
+        docs.append(" ".join(rng.choice(vocab, size=n)))
+    for i in range(0, 70, 10):  # planted near-dups
+        toks = docs[i].split()
+        if len(toks) > 8:
+            toks[3] = "zz"
+            docs[i + 1] = " ".join(toks)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+
+    def grams(s):
+        toks = s.split()
+        return {tuple(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))}
+
+    monkeypatch.setenv("GRAFT_TRACE", "1")
+    for t in (0.3, 0.6):
+        exp = []
+        for a in range(len(docs)):
+            ga = grams(docs[a])
+            for b in range(a + 1, len(docs)):
+                gb = grams(docs[b])
+                if not ga and not gb:
+                    continue
+                j = len(ga & gb) / len(ga | gb)
+                if j >= t:
+                    exp.append((a, b, j))
+        exp = (
+            pd.DataFrame(exp, columns=["id_a", "id_b", "jaccard"])
+            .astype({"id_a": np.int64, "id_b": np.int64})
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        got = ngram_jaccard_pairs(ds, "text", "doc_id", jaccard_threshold=t)
+        pd.testing.assert_frame_equal(got, exp)
+        got_ds = ngram_jaccard_pairs(
+            ds, "text", "doc_id", jaccard_threshold=t,
+            driver_pair_limit=0, n_verify_groups=5,
+        )
+        pd.testing.assert_frame_equal(got_ds, exp)
+    err = capsys.readouterr().err
+    assert "ngram_jaccard_pairs tier=driver" in err
+    assert "ngram_jaccard_pairs tier=dataset" in err
+
+
+def test_ngram_jaccard_borderline_threshold_kept():
+    """A pair sitting EXACTLY on the threshold (J = 2/4 = 0.5 with
+    t = 0.5) must survive both the prefix length computation and the
+    min/max length filter — ≥ is inclusive end to end."""
+    from logdata_anomaly_miner_ray.stages.dedup import ngram_jaccard_pairs
+
+    # doc A: shingles {abc, bcd, cde} (3); doc B: {abc, bcd, dxy} —
+    # build via tokens: A = a b c d e (shingles abc bcd cde),
+    # B = a b c d x y → shingles abc bcd cdx dxy (4) → J = 2/5 = 0.4
+    a = "a b c d e"          # {abc, bcd, cde}
+    b = "a b c d x"          # {abc, bcd, cdx} → inter 2, union 4 → 0.5
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.array([1, 2], np.int64), "text": [a, b]})
+    )
+    got = ngram_jaccard_pairs(ds, "text", "doc_id", jaccard_threshold=0.5)
+    assert len(got) == 1
+    assert got["jaccard"].iloc[0] == pytest.approx(0.5)
+    got2 = ngram_jaccard_pairs(ds, "text", "doc_id", jaccard_threshold=0.51)
+    assert len(got2) == 0
+
+
 def test_lsh_bucket_cap_keeps_connectivity_via_star_pairs():
     """>max_bucket near-identical docs sharing every band hash: the
     cap must NOT orphan the overflow members — hub star pairs keep
