@@ -642,8 +642,12 @@ def ngram_jaccard_pairs(
         row_start = np.searchsorted(rid, np.arange(n))
         row_end = np.searchsorted(rid, np.arange(n), side="right")
         nsh = row_end - row_start
+        # epsilon inside the ceil: if t·n is mathematically an integer
+        # but fp-inflated, a spurious round-up would SHRINK the prefix
+        # and could miss a true pair; rounding down only enlarges the
+        # candidate set (verification is exact)
         plen = np.where(
-            nsh > 0, nsh - np.ceil(t * nsh).astype(np.int64) + 1, 0
+            nsh > 0, nsh - np.ceil(t * nsh - 1e-9).astype(np.int64) + 1, 0
         )
         pos = np.arange(len(sh)) - row_start[rid]
         pmask = pos < plen[rid]
