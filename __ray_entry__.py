@@ -1413,6 +1413,57 @@ def q_ngram_jaccard_pairs_documents(sf_dir: str):
     )
 
 
+def q_decontaminate_documents(sf_dir: str):
+    """Eval-set n-gram decontamination (Brown et al. 2020 appendix C):
+    documents whose text shares any word 4-gram with the deterministic
+    eval subset (doc_id % 41 == 0), with the count of distinct shared
+    grams. Eval grams broadcast once; the corpus side is one
+    shuffle-free pass. Oracle recomputes gram membership on strings."""
+    from logdata_anomaly_miner_ray.stages.decontam import decontaminate
+
+    def _mod41(want_zero: bool):
+        def f(t: pa.Table) -> pa.Table:
+            r = t["doc_id"].to_numpy(zero_copy_only=False) % 41 == 0
+            return t.filter(pa.array(r if want_zero else ~r))
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.map_batches(
+        _mod41(False), batch_format="pyarrow", batch_size=None)
+    eval_ds = docs.map_batches(
+        _mod41(True), batch_format="pyarrow", batch_size=None)
+    out = decontaminate(corpus, eval_ds, "text", "doc_id", k=4)
+    df = out.to_pandas()
+    if len(df) == 0:  # empty Datasets lose their schema through to_pandas
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "n_hits": pd.Series(dtype=np.int64)}
+        )
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "n_hits": df["n_hits"].to_numpy(np.int64)}
+    )
+
+
+def q_dup_span_coverage_documents(sf_dir: str):
+    """Duplicate-span coverage (Lee et al. 2022 exact-substring dedup,
+    gram-fingerprint recast): per document, total word 8-gram
+    positions and positions whose gram occurs in ≥2 distinct
+    documents. One bounded keyed shuffle of per-(doc, gram) count
+    rows; the duplicated-gram set never materializes."""
+    from logdata_anomaly_miner_ray.stages.decontam import dup_span_coverage
+
+    out = dup_span_coverage(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id", w=8
+    )
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "n_pos": df["n_pos"].to_numpy(np.int64),
+         "n_dup_pos": df["n_dup_pos"].to_numpy(np.int64)}
+    )
+
+
 def q_dedup_clusters_documents(sf_dir: str):
     """Near-dup CLUSTER assignment: SimHash pairs (md5 mode, same
     oracle-exact pair set) fed through distributed connected
@@ -1826,6 +1877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_documents": q_fingerprints_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "dup_span_coverage_documents": q_dup_span_coverage_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "clean_corpus_documents": q_clean_corpus_documents,
@@ -2733,6 +2786,30 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, CAST(ROUND(ni / nu * 1000000) AS BIGINT) AS jac_e6
 FROM p WHERE nu > 0 AND ni / nu >= 0.4""",
+        "decontaminate_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 3, 0)),
+                i -> array_to_string(toks[i:i+3], ' '))) AS s
+       FROM t),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 41 <> 0)
+SELECT tr.doc_id, count(*) AS n_hits
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id""",
+        "dup_span_coverage_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS pos
+      FROM t),
+g AS (SELECT doc_id, array_to_string(toks[pos:pos+7], ' ') AS g FROM p),
+d AS (SELECT g AS gg FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, count(*) AS n_pos, count(d.gg) AS n_dup_pos
+FROM g LEFT JOIN d ON g.g = d.gg
+GROUP BY doc_id""",
         "ivf_topk_embeddings": """
 SELECT vec_id,
        CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

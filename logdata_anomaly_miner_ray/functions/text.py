@@ -185,6 +185,34 @@ def shingle_hashes(
     return splitmix64(h[valid]), row_id[: len(th) - k + 1][valid]
 
 
+def shingle_hashes2(arr, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2, row_id) of all word k-shingles per row — TWO
+    independent 64-bit hashes per shingle (one tokenization pass).
+
+    The (h1, h2) pair is an effectively collision-free 128-bit gram
+    identity (same exactness standard as the md5 content hash in
+    exact dedup): stages that count gram membership WITHOUT an exact
+    string-verification tail (decontamination, duplicate-span
+    coverage) key on the pair so a single-hash collision cannot
+    silently alter counts. h1 matches ``shingle_hashes`` exactly.
+    """
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    th = token_hashes(data, starts, ends)
+    if len(th) < k:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), np.zeros(0, dtype=np.int64)
+    th2 = splitmix64(th ^ np.uint64(0xA5A5A5A55A5A5A5A))
+    with np.errstate(over="ignore"):
+        h = th[: len(th) - k + 1].copy()
+        g = th2[: len(th2) - k + 1].copy()
+        for j in range(1, k):
+            h = h * np.uint64(0x100000001B3) + th[j : len(th) - k + 1 + j]
+            g = g * np.uint64(0xD6E8FEB86659FD93) + th2[j : len(th2) - k + 1 + j]
+    valid = row_id[: len(th) - k + 1] == row_id[k - 1 :]
+    return splitmix64(h[valid]), splitmix64(g[valid]), row_id[: len(th) - k + 1][valid]
+
+
 N_SYM = 257  # 256 byte values + the reference's virtual boundary marker
 _BOUND = 256
 

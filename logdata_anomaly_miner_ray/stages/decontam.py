@@ -1,0 +1,298 @@
+"""Eval-set decontamination and duplicate-span coverage.
+
+Two corpus-hygiene operators a large-scale training-data pipeline
+needs beyond near-dup detection (complementing stages/dedup.py):
+
+- ``decontaminate``: flag training documents containing any word
+  k-gram that also occurs in an EVAL/benchmark document set — the
+  published n-gram-overlap decontamination procedure (Brown et al.
+  2020 "Language Models are Few-Shot Learners" appendix C; also
+  used by PaLM / Llama data cards). The eval side is small by
+  definition (benchmarks), so its gram set broadcasts once via
+  ``ray.put`` and the 100-TB training side is ONE shuffle-free
+  ``map_batches`` pass.
+
+- ``dup_span_coverage``: per document, how many of its w-gram
+  positions are covered by a gram occurring in ≥2 DISTINCT
+  documents — the gram-fingerprint recast of exact substring
+  deduplication (Lee et al. 2022 "Deduplicating Training Data Makes
+  Language Models Better"; suffix arrays are replaced by a bounded
+  keyed shuffle of per-(doc, gram) count rows). The set of
+  duplicated grams never materializes anywhere: cross-doc detection
+  and per-doc partial sums happen inside one coarse-bucket
+  ``map_groups``, and a second coarse groupby sums partials per doc.
+
+Gram identity in BOTH operators is the 128-bit ``(h1, h2)`` pair
+from ``functions.text.shingle_hashes2`` — two independent rolling
+hashes, the same effectively-collision-free standard as the md5
+content hash in exact dedup — because neither operator has an exact
+string-verification tail (a single-hash collision would silently
+alter counts; a 128-bit one cannot in practice). Raw text never
+shuffles in either operator.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ._taskcache import cached_task_fn
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _distinct_grams_per_row(arr, k: int):
+    """(h1, h2, row_id) of each row's DISTINCT k-grams (uint64 ×2)."""
+    from ..functions.text import shingle_hashes2
+
+    h1, h2, rid = shingle_hashes2(arr, k=k)
+    if len(h1) == 0:
+        return h1, h2, rid
+    order = np.lexsort((h2, h1, rid))
+    h1, h2, rid = h1[order], h2[order], rid[order]
+    keep = np.concatenate(
+        [[True], (rid[1:] != rid[:-1]) | (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+    )
+    return h1[keep], h2[keep], rid[keep]
+
+
+def eval_gram_set(
+    eval_ds: "ray.data.Dataset",
+    text_col: str,
+    k: int = 5,
+    max_eval_grams: int = 50_000_000,
+) -> pd.DataFrame:
+    """Distinct word k-grams of the EVAL set as a two-column uint64
+    frame (h1, h2), gathered to the driver.
+
+    Eval/benchmark sets are small by definition — the gather is
+    bounded by ``max_eval_grams`` (a hard error, not a silent
+    truncation: dropping eval grams would under-flag contamination).
+    50M grams ≈ 800 MB of hash pairs, far above any benchmark suite.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h1, h2, _ = _distinct_grams_per_row(batch[text_col], k)
+        if len(h1):  # block-local dedupe shrinks the gather
+            u = np.unique(np.stack([h1, h2], axis=1), axis=0)
+            h1, h2 = u[:, 0], u[:, 1]
+        return pa.table(
+            {"h1": pa.array(h1.view(np.int64), pa.int64()),
+             "h2": pa.array(h2.view(np.int64), pa.int64())}
+        )
+
+    parts = []
+    total = 0
+    for b in eval_ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        total += b.num_rows
+        if total > max_eval_grams:
+            raise ValueError(
+                f"eval gram set exceeds max_eval_grams={max_eval_grams}; "
+                "the eval side of decontamination must be the SMALL side "
+                "(raise the cap only with matching driver memory)"
+            )
+        parts.append(b)
+    if not parts:
+        return pd.DataFrame({"h1": np.zeros(0, np.int64), "h2": np.zeros(0, np.int64)})
+    t = pa.concat_tables(parts)
+    df = pd.DataFrame(
+        {"h1": t["h1"].to_numpy(zero_copy_only=False),
+         "h2": t["h2"].to_numpy(zero_copy_only=False)}
+    )
+    return df.drop_duplicates(ignore_index=True)
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_eval_grams: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Flag training documents sharing any word k-gram with the eval
+    set (Brown et al. 2020 appendix-C n-gram decontamination).
+
+    Returns a Dataset of ``(id_col, n_hits)`` — ``n_hits`` = number
+    of the document's DISTINCT k-grams present in the eval gram set —
+    with one row per contaminated document (``n_hits ≥ 1``).
+
+    Scale shape: the eval gram set (small side) broadcasts ONCE as a
+    ``ray.put`` blob and each worker process builds its membership
+    index once (task-cached); the training corpus streams through a
+    single shuffle-free ``map_batches`` pass — per batch, distinct
+    128-bit gram keys are joined against the index with a vectorized
+    pandas hash merge and hit counts segment-reduce per row. Output
+    is only the contaminated rows, so nothing corpus-sized gathers.
+    """
+    grams = eval_gram_set(eval_ds, text_col, k=k, max_eval_grams=max_eval_grams)
+    blob = ray.put({"h1": grams["h1"].to_numpy(), "h2": grams["h2"].to_numpy()})
+
+    class Decontaminate:
+        def __init__(self, blob_ref, text_col: str, id_col: str, k: int):
+            d = ray.get(blob_ref)
+            # h1 → sorted positions, h2 verified within the equal-h1
+            # run: numpy searchsorted membership on the 128-bit pair
+            # (no per-gram Python objects in the hot path)
+            order = np.lexsort((d["h2"], d["h1"]))
+            self.e1 = np.ascontiguousarray(d["h1"][order])
+            self.e2 = np.ascontiguousarray(d["h2"][order])
+            self.text_col, self.id_col, self.k = text_col, id_col, k
+
+        def _member(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+            lo = np.searchsorted(self.e1, h1, side="left")
+            hi = np.searchsorted(self.e1, h1, side="right")
+            hit = np.zeros(len(h1), dtype=bool)
+            one = np.flatnonzero(hi - lo == 1)  # the ~always case
+            hit[one] = self.e2[lo[one]] == h2[one]
+            # an equal-h1 run longer than 1 needs an eval-internal
+            # 64-bit hash collision (~E²/2⁶⁵ expected) — loop is cold
+            for i in np.flatnonzero(hi - lo > 1):
+                a, b = lo[i], hi[i]
+                j = np.searchsorted(self.e2[a:b], h2[i])
+                hit[i] = j < (b - a) and self.e2[a + j] == h2[i]
+            return hit
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            h1, h2, rid = _distinct_grams_per_row(batch[self.text_col], self.k)
+            empty = pa.table(
+                {self.id_col: pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+            if len(h1) == 0 or len(self.e1) == 0:
+                return empty
+            hit = self._member(h1.view(np.int64), h2.view(np.int64))
+            if not hit.any():
+                return empty
+            n_hits = np.bincount(rid[hit], minlength=len(ids))
+            nz = np.flatnonzero(n_hits)
+            return pa.table(
+                {self.id_col: pa.array(ids[nz].astype(np.int64), pa.int64()),
+                 "n_hits": pa.array(n_hits[nz].astype(np.int64), pa.int64())}
+            )
+
+    return ds.map_batches(
+        cached_task_fn(
+            Decontaminate, cache_on=(blob, text_col, id_col, k),
+            blob_ref=blob, text_col=text_col, id_col=id_col, k=k,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+def dup_span_coverage(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    n_sub_buckets: int = 256,
+    n_doc_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Per-document duplicate-span coverage: of a document's w-gram
+    positions, how many carry a gram occurring in ≥2 DISTINCT
+    documents (gram-fingerprint recast of Lee et al. 2022 exact
+    substring dedup; the W-token window replaces the 50-char
+    suffix-array threshold).
+
+    Returns a Dataset of ``(id_col, n_pos, n_dup_pos)`` — total gram
+    positions and duplicated-gram positions — one row per document
+    with ≥1 gram (documents shorter than w tokens emit nothing).
+
+    Scale shape: one explode pass emits ONE row per (document,
+    distinct gram) — ``(gk, h1, h2, id, cnt)`` where ``cnt`` is the
+    gram's position count within the document (documents never span
+    blocks, so per-(doc, gram) counts are already global) — keyed by
+    the coarse bucket ``gk = h1 % n_sub_buckets``. A single
+    ``groupby(gk).map_groups`` detects cross-document grams (run
+    length ≥ 2 over the sorted 128-bit keys: rows are unique per
+    (doc, gram), so run length = distinct-doc count) and immediately
+    segment-sums per-document partials, so the duplicated-gram set
+    never materializes. A second coarse groupby on
+    ``id % n_doc_buckets`` sums partials into exact per-document
+    totals. Raw text never shuffles; shuffle volume is 5 int64s per
+    (doc, distinct gram).
+    """
+    from ..functions.text import shingle_hashes2
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        schema = {
+            "gk": pa.int64(), "h1": pa.int64(), "h2": pa.int64(),
+            id_col: pa.int64(), "cnt": pa.int64(),
+        }
+        h1, h2, rid = shingle_hashes2(batch[text_col], k=w)
+        if len(h1) == 0:
+            return pa.table({c: pa.array([], tp) for c, tp in schema.items()})
+        order = np.lexsort((h2, h1, rid))
+        h1, h2, rid = h1[order], h2[order], rid[order]
+        new = np.concatenate(
+            [[True], (rid[1:] != rid[:-1]) | (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(h1)))
+        h1, h2, rid = h1[starts], h2[starts], rid[starts]
+        h1i = h1.view(np.int64)
+        return pa.table(
+            {
+                "gk": pa.array(h1i % np.int64(n_sub_buckets), pa.int64()),
+                "h1": pa.array(h1i, pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                id_col: pa.array(ids[rid].astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def bucket_partials(g: pd.DataFrame) -> pa.Table:
+        # rows are unique per (doc, gram) globally → within the full
+        # gk bucket, a (h1, h2) run's length IS its distinct-doc count
+        order = np.lexsort((g["h2"].to_numpy(), g["h1"].to_numpy()))
+        h1 = g["h1"].to_numpy()[order]
+        h2 = g["h2"].to_numpy()[order]
+        ids = g[id_col].to_numpy()[order]
+        cnt = g["cnt"].to_numpy()[order]
+        new = np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] >= 2
+        uids, uinv = np.unique(ids, return_inverse=True)
+        n_pos = np.bincount(uinv, weights=cnt, minlength=len(uids))
+        n_dup = np.bincount(uinv[dup], weights=cnt[dup], minlength=len(uids))
+        return pa.table(
+            {
+                "dk": pa.array(uids % np.int64(n_doc_buckets), pa.int64()),
+                id_col: pa.array(uids, pa.int64()),
+                "n_pos": pa.array(n_pos.astype(np.int64), pa.int64()),
+                "n_dup_pos": pa.array(n_dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = exploded.groupby("gk").map_groups(
+        bucket_partials, batch_format="pandas"
+    )
+
+    def doc_totals(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(id_col, sort=True)[["n_pos", "n_dup_pos"]].sum()
+        return pa.table(
+            {
+                id_col: pa.array(s.index.to_numpy(np.int64), pa.int64()),
+                "n_pos": pa.array(s["n_pos"].to_numpy(np.int64), pa.int64()),
+                "n_dup_pos": pa.array(s["n_dup_pos"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return partials.groupby("dk").map_groups(doc_totals, batch_format="pandas")
