@@ -129,3 +129,56 @@ def test_eval_gram_set_distinct():
     g = eval_gram_set(_ds([(1, "a b a b a b"), (2, "a b a b")]), "text", k=2)
     # distinct grams: "a b", "b a"
     assert len(g) == 2
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz of the gram kernel (no Ray in the loop)
+# ---------------------------------------------------------------------------
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from logdata_anomaly_miner_ray.functions.text import shingle_hashes, shingle_hashes2
+from logdata_anomaly_miner_ray.stages.decontam import _distinct_grams_per_row
+
+_ASCII_WS = re.compile(r"[\t\n\x0b\x0c\r ]+")
+
+FUZZ_TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _tok(s: str) -> list[str]:
+    return [t for t in _ASCII_WS.split(s) if t]
+
+
+@settings(max_examples=80, deadline=None)
+@given(FUZZ_TEXTS, st.integers(min_value=1, max_value=4))
+def test_shingle_hashes2_h1_matches_shingle_hashes(rows, k):
+    arr = pa.array(rows, pa.string())
+    h1a, rida = shingle_hashes(arr, k=k)
+    h1b, h2b, ridb = shingle_hashes2(arr, k=k)
+    assert np.array_equal(h1a, h1b) and np.array_equal(rida, ridb)
+    # h2 is genuinely independent: per-row window counts still agree
+    assert len(h2b) == len(h1b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(FUZZ_TEXTS, st.integers(min_value=1, max_value=4))
+def test_distinct_gram_counts_match_string_brute_force(rows, k):
+    arr = pa.array(rows, pa.string())
+    h1, h2, rid = _distinct_grams_per_row(arr, k)
+    got = {int(r): int(c) for r, c in zip(*np.unique(rid, return_counts=True))}
+    want = {}
+    for i, s in enumerate(rows):
+        toks = _tok(s)
+        gs = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        if gs:
+            want[i] = len(gs)
+    assert got == want
