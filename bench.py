@@ -177,12 +177,55 @@ def run_bench() -> dict:
         minhash_sec = min(minhash_sec, time.time() - t0)
     timings["minhash_stage"] = round(minhash_sec, 3)
 
+    # corpus-hygiene stages over the same 400k-row pages table:
+    # duplicate-span coverage (one keyed shuffle of per-(doc, gram)
+    # rows) and eval-set decontamination (broadcast eval grams + one
+    # shuffle-free pass). Round-4 additions — reported under
+    # `extra_stages`, NOT folded into the headline `value`, so totals
+    # stay comparable against BENCH_r03 and older.
+    extra_stages: dict[str, float] = {}
+    if not os.environ.get("GRAFT_SUITE_ONLY"):
+        from logdata_anomaly_miner_ray.stages.decontam import (
+            decontaminate,
+            dup_span_coverage,
+        )
+
+        def _hygiene_input():
+            return rd.read_parquet(PAGES_DIR, columns=["row_idx", "text"])
+
+        dup_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            dup_span_coverage(_hygiene_input(), "text", "row_idx", w=8).count()
+            dup_sec = min(dup_sec, time.time() - t0)
+        extra_stages["dup_span_stage"] = round(dup_sec, 3)
+
+        def _mod_split(want_zero: bool):
+            def f(t: "_pa.Table") -> "_pa.Table":
+                r = t["row_idx"].to_numpy(zero_copy_only=False) % 1009 == 0
+                return t.filter(_pa.array(r if want_zero else ~r))
+            return f
+
+        dec_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            corpus = _hygiene_input().map_batches(
+                _mod_split(False), batch_format="pyarrow", batch_size=None)
+            eval_ds = _hygiene_input().map_batches(
+                _mod_split(True), batch_format="pyarrow", batch_size=None)
+            decontaminate(corpus, eval_ds, "text", "row_idx", k=8).count()
+            dec_sec = min(dec_sec, time.time() - t0)
+        extra_stages["decontam_stage"] = round(dec_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_stages": extra_stages,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "pages_rows": PAGES_ROWS,
