@@ -1464,6 +1464,30 @@ def q_dup_span_coverage_documents(sf_dir: str):
     )
 
 
+def q_bloom_incremental_new_documents(sf_dir: str):
+    """Bloom-prefiltered incremental dedup vs a prior snapshot
+    (stages/bloom.py): snapshot = documents with doc_id % 3 != 0,
+    batch = ALL documents, so 2/3 of the batch are guaranteed exact
+    re-ingests the prefilter + exact verify must drop. Bloom-negative
+    rows never travel; only candidates enter exact verification.
+    Oracle recomputes membership on raw text (NOT EXISTS anti-join),
+    so a hash/bitmap bug surfaces as an id-set mismatch."""
+    from logdata_anomaly_miner_ray.stages.bloom import bloom_new_ids
+
+    def _snap_only(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy(zero_copy_only=False) % 3 != 0
+        return t.filter(pa.array(keep))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    snap = docs.map_batches(
+        _snap_only, batch_format="pyarrow", batch_size=None)
+    out = bloom_new_ids(docs, snap, "text", "doc_id")
+    df = out.to_pandas()
+    if len(df) == 0:  # empty Datasets lose their schema through to_pandas
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)})
+
+
 def q_dedup_clusters_documents(sf_dir: str):
     """Near-dup CLUSTER assignment: SimHash pairs (md5 mode, same
     oracle-exact pair set) fed through distributed connected
@@ -1879,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "dup_span_coverage_documents": q_dup_span_coverage_documents,
+        "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "clean_corpus_documents": q_clean_corpus_documents,
@@ -2810,6 +2835,12 @@ d AS (SELECT g AS gg FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
 SELECT doc_id, count(*) AS n_pos, count(d.gg) AS n_dup_pos
 FROM g LEFT JOIN d ON g.g = d.gg
 GROUP BY doc_id""",
+        "bloom_incremental_new_documents": """
+SELECT d.doc_id
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM documents s
+    WHERE s.doc_id % 3 <> 0 AND s.text = d.text)""",
         "ivf_topk_embeddings": """
 SELECT vec_id,
        CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

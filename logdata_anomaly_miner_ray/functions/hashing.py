@@ -37,6 +37,21 @@ def md5_hex(arr) -> list[str]:
     ]
 
 
+def md5_u64_pair(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 halves of the md5 digest per row of a string
+    column — the 128-bit content identity used by the bloom-filter
+    prefilter (Kirsch-Mitzenmacher double hashing derives any number
+    of bloom positions from the two halves)."""
+    data, offsets = flat_utf8(arr)
+    mv = memoryview(data)
+    n = len(offsets) - 1
+    raw = b"".join(
+        hashlib.md5(mv[offsets[i] : offsets[i + 1]]).digest() for i in range(n)
+    )
+    both = np.frombuffer(raw, dtype="<u8").reshape(n, 2) if n else np.empty((0, 2), np.uint64)
+    return np.ascontiguousarray(both[:, 0]), np.ascontiguousarray(both[:, 1])
+
+
 def sha256_hex(arr) -> list[str]:
     """sha256 hex digest per row — used for the byte-identity
     invariant on ``text`` (BASELINE.json input_hint)."""
