@@ -1464,6 +1464,73 @@ def q_dup_span_coverage_documents(sf_dir: str):
     )
 
 
+def q_pii_redaction_documents(sf_dir: str):
+    """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
+    tokens) with per-type counts. The synthetic corpus has no digits,
+    so PII spans are injected deterministically from doc_id (doc_id %
+    4 == 0 rows stay clean as the negative control) IDENTICALLY in
+    Arrow and SQL; the oracle then recomputes the masking with
+    DuckDB's regexp_replace/'g' + regexp_extract_all — both engines
+    are RE2, so redacted text compares bit-exact."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import with_pii_redaction
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        pad4 = pc.utf8_slice_codeunits(s(d % 10000 + 10000), 1)
+        pad4b = pc.utf8_slice_codeunits(s(d % 7000 + 10000), 1)
+        pii = pc.binary_join_element_wise(
+            t["text"], " u", s(d), "@ex", s(d % 5), ".com 10.", s(d % 256),
+            ".0.1 call 555-123-", pad4, " ssn 321-54-", pad4b, "",
+        )
+        txt = pc.if_else(pa.array(d % 4 == 0), t["text"], pii)
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", batch_size=None)
+    out = with_pii_redaction(ds, "text", out_col="red_text").to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "red_text": out["red_text"].astype(str),
+         "n_email": out["n_email"].to_numpy(np.int64),
+         "n_ipv4": out["n_ipv4"].to_numpy(np.int64),
+         "n_ssn": out["n_ssn"].to_numpy(np.int64),
+         "n_phone": out["n_phone"].to_numpy(np.int64)}
+    )
+
+
+def q_quota_sample_documents(sf_dir: str):
+    """Per-source quota sampling (data mixing): keep the k=10 docs
+    per source with the smallest SQL-reproducible priority
+    md5(CAST(doc_id AS VARCHAR)) — deterministic, content-derived,
+    and computed with NO global sort via the mergeable per-block
+    top-k partials of stages/_agg.topk_per_group. Oracle:
+    row_number() OVER (PARTITION BY source ORDER BY md5, doc_id)."""
+    from logdata_anomaly_miner_ray.functions.hashing import md5_hex
+    from logdata_anomaly_miner_ray.stages._agg import topk_per_group
+
+    def stamp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        prio = md5_hex(pc.cast(t["doc_id"], pa.string()))
+        return t.append_column("prio", pa.array(prio, pa.string()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        stamp, batch_format="pyarrow", batch_size=None)
+    out = topk_per_group(
+        ds, ["source"], "prio", k=10, tiebreak_cols=("doc_id",), ascending=True
+    ).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "source": out["source"].astype(str)}
+    )
+
+
 def q_bloom_incremental_new_documents(sf_dir: str):
     """Bloom-prefiltered incremental dedup vs a prior snapshot
     (stages/bloom.py): snapshot = documents with doc_id % 3 != 0,
@@ -1904,6 +1971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "dup_span_coverage_documents": q_dup_span_coverage_documents,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
+        "pii_redaction_documents": q_pii_redaction_documents,
+        "quota_sample_documents": q_quota_sample_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "clean_corpus_documents": q_clean_corpus_documents,
@@ -2841,6 +2910,39 @@ FROM documents d
 WHERE NOT EXISTS (
     SELECT 1 FROM documents s
     WHERE s.doc_id % 3 <> 0 AND s.text = d.text)""",
+        "pii_redaction_documents": r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text
+              ELSE text || ' u' || CAST(doc_id AS VARCHAR)
+                   || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.com 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.1 call 555-123-'
+                   || substr(CAST(doc_id % 10000 + 10000 AS VARCHAR), 2)
+                   || ' ssn 321-54-'
+                   || substr(CAST(doc_id % 7000 + 10000 AS VARCHAR), 2)
+         END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS red_text,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+       len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+FROM inj""",
+        "quota_sample_documents": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10""",
         "ivf_topk_embeddings": """
 SELECT vec_id,
        CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

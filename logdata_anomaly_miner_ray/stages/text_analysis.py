@@ -70,6 +70,59 @@ def with_quality_score(
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+# (name, RE2 pattern, mask token). SSN before the lookalike phone
+# shape; the \b anchors make the two digit-group layouts disjoint.
+# Patterns follow the public Dolma-style PII masking recipe
+# (Soldaini et al. 2024: email/IP/phone regex -> special tokens);
+# AMiner's analogue is value-rewrite sanitization in event output
+# (reference aminer/events/EventData.py render pipeline).
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def with_pii_redaction(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = DEFAULT_PII_PATTERNS,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Mask PII spans with typed tokens and append per-type match
+    counts (``n_<name>`` int64 columns). One shuffle-free pass; the
+    kernels are RE2 via ``pc.count_substring_regex`` /
+    ``pc.replace_substring_regex`` on the zero-copy string column —
+    the same engine DuckDB's regexp_* use, so the SQL oracle matches
+    bit-for-bit.
+
+    Semantics (mirrored exactly by the oracle): counts are measured
+    on the ORIGINAL text per pattern; replacements apply
+    sequentially in pattern order (a span consumed by an earlier
+    pattern can still be counted by a later one — e.g. an IPv4-like
+    email domain counts under both)."""
+    import pyarrow.compute as pc
+
+    dst = out_col or text_col
+
+    def add(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        red = txt
+        counts = []
+        for name, pat, tok in patterns:
+            counts.append(
+                (f"n_{name}", pc.cast(pc.count_substring_regex(txt, pattern=pat), pa.int64()))
+            )
+            red = pc.replace_substring_regex(red, pattern=pat, replacement=tok)
+        cols = {c: batch[c] for c in batch.column_names}
+        cols[dst] = red
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 class LangIdScorer:
     """Actor-pool language-ID: stopword regex hit-rates per language
     + CJK codepoint share. Arrow-native: counts come from RE2 via
