@@ -1464,6 +1464,52 @@ def q_dup_span_coverage_documents(sf_dir: str):
     )
 
 
+def q_dup_span_rewrite_documents(sf_dir: str):
+    """Exact duplicate-window dedup REWRITE (Lee et al. 2022 / C4
+    style): remove every non-overlapping word 8-gram window occurring
+    in >= 2 distinct documents and emit the cleaned text. A boilerplate
+    sentence of exactly 8 tokens is injected deterministically from
+    doc_id (header on doc_id % 5 != 0 -> window-aligned duplicate;
+    footer on doc_id % 7 == 0 -> usually misaligned, exercising short
+    final windows) IDENTICALLY in Arrow and SQL; the oracle recomputes
+    the whole rewrite on strings, so cleaned text compares bit-exact."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.decontam import dup_span_rewrite
+
+    bp = "please subscribe to our newsletter for more updates"
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].cast(pa.string())
+        bps = pa.array([bp] * len(d), pa.string())
+        cur = pc.if_else(
+            pa.array(d % 5 != 0),
+            pc.binary_join_element_wise(bps, txt, " "), txt)
+        cur = pc.if_else(
+            pa.array(d % 7 == 0),
+            pc.binary_join_element_wise(cur, bps, " "), cur)
+        return pa.table({"doc_id": t["doc_id"], "text": cur})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", batch_size=None)
+    out = dup_span_rewrite(ds, "text", "doc_id", w=8)
+    df = out.to_pandas()
+    if len(df) == 0:  # empty Datasets lose their schema through to_pandas
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "clean_text": pd.Series(dtype=str),
+             "n_win": pd.Series(dtype=np.int64),
+             "n_dup": pd.Series(dtype=np.int64)}
+        )
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "clean_text": df["clean_text"].astype(str),
+         "n_win": df["n_win"].to_numpy(np.int64),
+         "n_dup": df["n_dup"].to_numpy(np.int64)}
+    )
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -1970,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "dup_span_coverage_documents": q_dup_span_coverage_documents,
+        "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -2904,6 +2951,30 @@ d AS (SELECT g AS gg FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
 SELECT doc_id, count(*) AS n_pos, count(d.gg) AS n_dup_pos
 FROM g LEFT JOIN d ON g.g = d.gg
 GROUP BY doc_id""",
+        "dup_span_rewrite_documents": r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN base || ' please subscribe to our newsletter for more updates'
+              ELSE base END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 5 <> 0
+                    THEN 'please subscribe to our newsletter for more updates ' || text
+                    ELSE text END AS base
+        FROM documents)),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM inj WHERE trim(text) <> ''),
+p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 8)) AS pos FROM t),
+wn AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS g FROM p),
+d AS (SELECT g FROM wn GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+k AS (SELECT wn.doc_id, wn.pos, wn.g, (d.g IS NOT NULL) AS is_dup
+      FROM wn LEFT JOIN d ON wn.g = d.g)
+SELECT doc_id,
+       string_agg(g, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup) AS clean_text,
+       count(*) AS n_win,
+       count(*) FILTER (WHERE is_dup) AS n_dup
+FROM k GROUP BY doc_id
+HAVING count(*) FILTER (WHERE NOT is_dup) > 0""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d

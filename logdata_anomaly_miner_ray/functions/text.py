@@ -213,6 +213,55 @@ def shingle_hashes2(arr, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return splitmix64(h[valid]), splitmix64(g[valid]), row_id[: len(th) - k + 1][valid]
 
 
+def window_hashes(
+    arr, w: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Hashes of each row's NON-OVERLAPPING w-token windows.
+
+    Windows are the token ranges ``[j*w, min((j+1)*w, n_tokens))`` of
+    the row's whitespace tokens — the last window of a row may be
+    shorter. Returns ``(h1, h2, wlen, win_ord, row_id)`` with one
+    entry per window; ``(h1, h2, wlen)`` is an effectively
+    collision-free 128-bit identity of the window's token SEQUENCE
+    (two independent random-coefficient linear combinations of
+    per-token hashes — order-dependent, same exactness standard as
+    ``shingle_hashes2``), and window equality under it matches string
+    equality of the tokens joined by single spaces (tokens contain no
+    whitespace). ``win_ord`` is the window's ordinal within its row.
+    One tokenization pass, no per-row Python."""
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    n = len(starts)
+    if n == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        zi = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), zi, zi.copy(), zi.copy()
+    th = token_hashes(data, starts, ends)
+    th2 = splitmix64(th ^ np.uint64(0xC3C3C3C35C5C5C5C))
+    nrows = len(offsets) - 1
+    cnt = np.bincount(row_id, minlength=nrows)
+    first = _excl_cumsum(cnt)  # first[r] = index of row r's first token
+    j_in_row = np.arange(n, dtype=np.int64) - first[row_id]
+    jw = j_in_row % w
+    ws_idx = np.flatnonzero(jw == 0)  # window segment starts (rows
+    # always start a new window: j_in_row resets to 0 per row)
+    with np.errstate(over="ignore"):
+        pw1 = np.empty(w, dtype=np.uint64)
+        pw1[0] = 1
+        pw2 = np.empty(w, dtype=np.uint64)
+        pw2[0] = 1
+        if w > 1:
+            pw1[1:] = np.multiply.accumulate(
+                np.full(w - 1, np.uint64(0x100000001B3), dtype=np.uint64))
+            pw2[1:] = np.multiply.accumulate(
+                np.full(w - 1, np.uint64(0xD6E8FEB86659FD93), dtype=np.uint64))
+        h1 = splitmix64(np.add.reduceat(th * pw1[jw], ws_idx))
+        h2 = splitmix64(np.add.reduceat(th2 * pw2[jw], ws_idx))
+    wlen = np.diff(np.append(ws_idx, n)).astype(np.int64)
+    win_ord = (j_in_row[ws_idx] // w).astype(np.int64)
+    return h1, h2, wlen, win_ord, row_id[ws_idx].astype(np.int64)
+
+
 N_SYM = 257  # 256 byte values + the reference's virtual boundary marker
 _BOUND = 256
 

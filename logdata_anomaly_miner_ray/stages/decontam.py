@@ -191,6 +191,255 @@ def decontaminate(
     )
 
 
+def _rebuild_kept_text(texts, ids: np.ndarray, dup_window_mask, w: int):
+    """Vectorized cleaned-text assembly: drop every token of a
+    duplicated window, join the kept tokens with single spaces (the
+    window separator and the in-window token separator coincide, so
+    the result equals the kept windows joined by ' ').
+
+    ``dup_window_mask(doc_ids, win_ords) -> bool[n_windows]``.
+    Returns ``(clean pa.StringArray, n_win, n_dup, keep_row_mask)``
+    per input row; rows with no tokens or with every window
+    duplicated get ``keep_row_mask=False``. Byte movement is one
+    numpy gather/scatter over the batch's flat utf-8 buffer — no
+    per-row Python."""
+    from ..functions.text import _excl_cumsum, flat_utf8, token_spans
+
+    data, offsets = flat_utf8(texts)
+    nrows = len(offsets) - 1
+    starts, ends, row_id = token_spans(data, offsets)
+    n = len(starts)
+    if n == 0:
+        empty = pa.array([""] * nrows, pa.string())
+        z = np.zeros(nrows, np.int64)
+        return empty, z, z.copy(), np.zeros(nrows, bool)
+    cnt = np.bincount(row_id, minlength=nrows)
+    first = _excl_cumsum(cnt)
+    j_in_row = np.arange(n, dtype=np.int64) - first[row_id]
+    is_ws_start = (j_in_row % w) == 0
+    ws_idx = np.flatnonzero(is_ws_start)
+    win_of_tok = np.cumsum(is_ws_start) - 1
+    win_row = row_id[ws_idx]
+    win_ord = (j_in_row[ws_idx] // w).astype(np.int64)
+    dup_w = dup_window_mask(ids[win_row].astype(np.int64), win_ord)
+    n_win = np.bincount(win_row, minlength=nrows).astype(np.int64)
+    n_dup = np.bincount(win_row[dup_w], minlength=nrows).astype(np.int64)
+
+    keep_tok = ~dup_w[win_of_tok]
+    ks, ke, krow = starts[keep_tok], ends[keep_tok], row_id[keep_tok]
+    lens = (ke - ks).astype(np.int64)
+    kept_cnt = np.bincount(krow, minlength=nrows).astype(np.int64)
+    row_bytes = (
+        np.bincount(krow, weights=lens, minlength=nrows).astype(np.int64)
+        + np.maximum(kept_cnt - 1, 0)
+    )
+    out_offsets = _excl_cumsum(row_bytes)
+    out = np.full(int(out_offsets[-1]), 32, np.uint8)  # gaps = separators
+    seq = lens + 1
+    gex = np.cumsum(seq) - seq  # global exclusive cumsum over kept tokens
+    kfirst = _excl_cumsum(kept_cnt)
+    base_per_row = np.zeros(nrows, np.int64)
+    has = kept_cnt > 0
+    base_per_row[has] = gex[kfirst[:-1][has]]
+    dst_start = out_offsets[:-1][krow] + (gex - base_per_row[krow])
+    total = int(lens.sum())
+    if total:
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        out[np.repeat(dst_start, lens) + intra] = data[np.repeat(ks, lens) + intra]
+    clean = pa.Array.from_buffers(
+        pa.utf8(), nrows,
+        [None, pa.py_buffer(out_offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(out.tobytes())],
+    )
+    return clean, n_win, n_dup, has
+
+
+def dup_span_rewrite(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    n_sub_buckets: int = 256,
+    n_doc_buckets: int = 64,
+    broadcast_dup_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Exact duplicate-WINDOW dedup REWRITE — the cleaned-corpus
+    counterpart of ``dup_span_coverage`` (C4 / Lee et al. 2022 style:
+    remove every non-overlapping w-token window whose exact token
+    text occurs in ≥ 2 DISTINCT documents; alignment-sensitive by
+    construction — the gram recast of the suffix-array procedure).
+
+    Returns ``(id_col, clean_text, n_win, n_dup)`` — cleaned text =
+    kept windows joined by single spaces (whitespace-normalizing for
+    every document), one row per document with ≥ 1 KEPT window
+    (all-duplicate and zero-token documents are dropped). A window
+    repeated only WITHIN one document is kept.
+
+    Scale shape: window identity is the 128-bit ``(h1, h2, wlen)``
+    from ``functions.text.window_hashes``. Pass A explodes one narrow
+    row per (doc, window position) under a coarse gram bucket; one
+    ``map_groups`` finds windows with ≥ 2 distinct docs and emits
+    ONLY the duplicated (doc, window-ordinal) pairs. Pass B rewrites:
+    below ``broadcast_dup_limit`` the dup-position pairs broadcast
+    once (``ray.put``) and the corpus streams through one
+    shuffle-free pass — raw text never moves; above it, text unions
+    with the dup positions into ONE coarse doc-bucket groupby (the
+    dup-heavy tier: text shuffles once, the standard union +
+    coarse-key merge from CLAUDE.md). Tier choice traces via
+    GRAFT_TRACE=1."""
+    from ..functions.text import window_hashes
+    from .bloom import _pair_member_mask, _sorted_pairs
+    from .dedup import _dedup_trace
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h1, h2, wlen, word, rid = window_hashes(batch[text_col], w)
+        h1i = h1.view(np.int64)
+        return pa.table(
+            {
+                "gk": pa.array(h1i % np.int64(n_sub_buckets), pa.int64()),
+                "h1": pa.array(h1i, pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "wl": pa.array(wlen, pa.int64()),
+                id_col: pa.array(ids[rid].astype(np.int64), pa.int64()),
+                "ord": pa.array(word, pa.int64()),
+            }
+        )
+
+    def find_dups(g: pd.DataFrame) -> pa.Table:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        wl = g["wl"].to_numpy()
+        ids = g[id_col].to_numpy()
+        ords = g["ord"].to_numpy()
+        order = np.lexsort((ords, ids, wl, h2, h1))
+        h1, h2, wl = h1[order], h2[order], wl[order]
+        ids, ords = ids[order], ords[order]
+        new = np.concatenate(
+            [[True],
+             (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | (wl[1:] != wl[:-1])]
+        )
+        run_id = np.cumsum(new) - 1
+        new_doc = new | np.concatenate([[True], ids[1:] != ids[:-1]])
+        ndoc = np.bincount(run_id, weights=new_doc)
+        dup = ndoc[run_id] >= 2
+        return pa.table(
+            {id_col: pa.array(ids[dup], pa.int64()),
+             "ord": pa.array(ords[dup], pa.int64())}
+        )
+
+    dup_pos = (
+        ds.map_batches(
+            explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby("gk")
+        .map_groups(find_dups, batch_format="pandas")
+    ).materialize()  # narrow (id, ord) dup rows only — reused by count + pass B
+    n_dup_pos = dup_pos.count()
+    tier = "broadcast" if n_dup_pos <= broadcast_dup_limit else "shuffle"
+    _dedup_trace("dup_span_rewrite: %d dup positions, tier=%s", n_dup_pos, tier)
+
+    out_schema = {
+        id_col: pa.int64(), "clean_text": pa.string(),
+        "n_win": pa.int64(), "n_dup": pa.int64(),
+    }
+
+    def rewrite_table(texts, ids: np.ndarray, pairs: np.ndarray) -> pa.Table:
+        def mask(doc_ids: np.ndarray, ords: np.ndarray) -> np.ndarray:
+            return _pair_member_mask(
+                pairs, doc_ids.astype(np.uint64), ords.astype(np.uint64)
+            )
+
+        clean, n_win, n_dup, keep = _rebuild_kept_text(texts, ids, mask, w)
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                id_col: pa.array(ids[k].astype(np.int64), pa.int64()),
+                "clean_text": clean.take(pa.array(k, pa.int64())),
+                "n_win": pa.array(n_win[k], pa.int64()),
+                "n_dup": pa.array(n_dup[k], pa.int64()),
+            }
+        )
+
+    if tier == "broadcast":
+        if n_dup_pos == 0:
+            pairs_np = np.empty((0, 2), np.uint64)
+        else:
+            dp = dup_pos.to_pandas()
+            pairs_np = _sorted_pairs(
+                dp[id_col].to_numpy(np.uint64), dp["ord"].to_numpy(np.uint64)
+            )
+        pairs_ref = ray.put(pairs_np)
+
+        class Rewrite:
+            def __init__(self, pairs_ref, text_col, id_col):
+                self.pairs = ray.get(pairs_ref)
+                self.text_col, self.id_col = text_col, id_col
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+                return rewrite_table(batch[self.text_col], ids, self.pairs)
+
+        return ds.map_batches(
+            cached_task_fn(
+                Rewrite, cache_on=(pairs_ref, text_col, id_col, w),
+                pairs_ref=pairs_ref, text_col=text_col, id_col=id_col,
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+
+    # dup-heavy tier: union text + dup positions under a coarse doc
+    # bucket; groupby UDFs return ARROW tables (CLAUDE.md: keeps empty
+    # output partitions' block types uniform)
+    def tag_text(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dk": pa.array(ids % np.int64(n_doc_buckets), pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "txt": batch[text_col].cast(pa.string()),
+                "ord": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_pos(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dk": pa.array(ids % np.int64(n_doc_buckets), pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "txt": pa.array([None] * len(ids), pa.string()),
+                "ord": batch["ord"],
+            }
+        )
+
+    tagged = ds.map_batches(
+        tag_text, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        dup_pos.map_batches(
+            tag_pos, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+
+    def rewrite_group(g: pd.DataFrame) -> pa.Table:
+        is_text = g["ord"].to_numpy() < 0
+        tx = g[is_text]
+        if not len(tx):
+            return pa.table({c: pa.array([], tp) for c, tp in out_schema.items()})
+        pos = g[~is_text]
+        pairs = _sorted_pairs(
+            pos[id_col].to_numpy(np.uint64), pos["ord"].to_numpy(np.uint64)
+        )
+        return rewrite_table(
+            pa.array(tx["txt"].tolist(), pa.string()),
+            tx[id_col].to_numpy(np.int64), pairs,
+        )
+
+    return tagged.groupby("dk").map_groups(rewrite_group, batch_format="pandas")
+
+
 def dup_span_coverage(
     ds: "ray.data.Dataset",
     text_col: str,
