@@ -330,10 +330,14 @@ def dup_span_rewrite(
              "ord": pa.array(ords[dup], pa.int64())}
         )
 
+    from ._shuffle import shuffle_parallelism
+
     dup_pos = (
         ds.map_batches(
             explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
+        .repartition(shuffle_parallelism())  # narrow rows: size the
+        # shuffle matrix to the cluster, not the input block count
         .groupby("gk")
         .map_groups(find_dups, batch_format="pandas")
     ).materialize()  # narrow (id, ord) dup rows only — reused by count + pass B
@@ -502,9 +506,12 @@ def dup_span_coverage(
             }
         )
 
+    from ._shuffle import shuffle_parallelism
+
     exploded = ds.map_batches(
         explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    ).repartition(shuffle_parallelism())  # narrow rows: size the
+    # shuffle matrix to the cluster, not the input block count
 
     def bucket_partials(g: pd.DataFrame) -> pa.Table:
         # rows are unique per (doc, gram) globally → within the full
