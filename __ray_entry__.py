@@ -1510,6 +1510,92 @@ def q_dup_span_rewrite_documents(sf_dir: str):
     )
 
 
+def q_pack_sequences_documents(sf_dir: str):
+    """Concat-and-chunk sequence-packing manifest (GPT-style loader
+    packing): documents in doc_id order, one EOS separator token
+    between documents, fixed 128-token training sequences. The global
+    token offsets come from a distributed exclusive prefix scan
+    (per-block sums -> driver scan -> broadcast bases); the oracle is
+    a SQL window cumsum over the same order — integer-exact."""
+    from logdata_anomaly_miner_ray.stages.packing import pack_sequences
+
+    out = pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", seq_len=128, sep_tokens=1,
+    )
+    df = out.to_pandas()
+    cols = ["doc_id", "n_tok", "tok_start", "seq_first", "seq_last",
+            "off_in_first"]
+    if len(df) == 0:  # empty Datasets lose their schema through to_pandas
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    return pd.DataFrame({c: df[c].to_numpy(np.int64) for c in cols})
+
+
+def q_url_normalize_documents(sf_dir: str):
+    """URL canonicalization (RFC 3986 syntax-based normalization as
+    applied before web-corpus URL dedup): raw URLs are synthesized
+    deterministically from doc_id IDENTICALLY in Arrow and SQL
+    (mixed-case scheme/host, www., default and non-default ports,
+    utm_* params in every position, fragments), then both engines
+    normalize — scheme/host lowercase, www./default-port/fragment/
+    utm_*/bare-root-slash dropped. Both are RE2, so the canonical
+    URLs compare bit-exact."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.functions.url import normalize_url_array
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        def pick(mask, val, other=""):
+            return pc.if_else(
+                pa.array(mask),
+                pa.array([val] * len(d), pa.string()),
+                other if isinstance(other, (pa.Array, pa.ChunkedArray))
+                else pa.array([other] * len(d), pa.string()),
+            )
+
+        scheme = pick(d % 2 == 0, "http://", "HTTPS://")
+        www = pick(d % 3 == 0, "WWW.")
+        host = pc.binary_join_element_wise(
+            www, "Site", s(d % 13), ".ORG", "")
+        port = pick(d % 4 == 0, ":80", pick(d % 4 == 1, ":443",
+                                            pick(d % 4 == 2, ":8080")))
+        path = pc.if_else(
+            pa.array(d % 5 == 0),
+            pa.array(["/"] * len(d), pa.string()),
+            pc.binary_join_element_wise(
+                pa.array(["/p/"] * len(d), pa.string()), s(d % 7), ""),
+        )
+        q1 = pc.binary_join_element_wise(
+            pa.array(["?utm_source=x&q="] * len(d), pa.string()), s(d % 11), "")
+        q2 = pc.binary_join_element_wise(
+            pa.array(["?q="] * len(d), pa.string()), s(d % 11), "&utm_b=2", "")
+        query = pc.if_else(pa.array(d % 3 == 0), q1,
+                           pc.if_else(pa.array(d % 3 == 1), q2,
+                                      pa.array([""] * len(d), pa.string())))
+        frag = pc.if_else(
+            pa.array(d % 6 == 0),
+            pc.binary_join_element_wise(
+                pa.array(["#Sec"] * len(d), pa.string()), s(d % 9), ""),
+            pa.array([""] * len(d), pa.string()),
+        )
+        url = pc.binary_join_element_wise(scheme, host, port, path, query, frag, "")
+        return pa.table(
+            {"doc_id": t["doc_id"], "url_norm": normalize_url_array(url)})
+
+    out = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build, batch_format="pyarrow", batch_size=None)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "url_norm": df["url_norm"].astype(str)}
+    )
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -2017,6 +2103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "dup_span_coverage_documents": q_dup_span_coverage_documents,
         "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "url_normalize_documents": q_url_normalize_documents,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -2975,6 +3063,66 @@ SELECT doc_id,
        count(*) FILTER (WHERE is_dup) AS n_dup
 FROM k GROUP BY doc_id
 HAVING count(*) FILTER (WHERE NOT is_dup) > 0""",
+        "pack_sequences_documents": r"""
+WITH t AS (SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tok
+           FROM documents WHERE trim(text) <> ''),
+c AS (SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok + 1) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      FROM t)
+SELECT doc_id, n_tok, tok_start,
+       tok_start // 128 AS seq_first,
+       (tok_start + n_tok - 1) // 128 AS seq_last,
+       tok_start % 128 AS off_in_first
+FROM c""",
+        "url_normalize_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                  WHEN doc_id % 4 = 1 THEN ':443'
+                  WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/'
+                  ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=x&q=' || CAST(doc_id % 11 AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?q=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_b=2'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0
+                  THEN '#Sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END)
+         AS url
+  FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(url,
+                '#.*$', ''), 'utm_[^&#]*&', '', 'g'),
+                '[?&]utm_[^&#]*$', '') AS u
+       FROM raw),
+parts AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS sch,
+         lower(regexp_extract(u,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+         regexp_replace(u,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
+  FROM s1),
+canon AS (
+  SELECT doc_id, u, sch,
+         CASE WHEN sch = 'http'
+              THEN regexp_replace(regexp_replace(host, '^www\.', ''), ':80$', '')
+              WHEN sch = 'https'
+              THEN regexp_replace(regexp_replace(host, '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(host, '^www\.', '') END AS host,
+         regexp_replace(rest, '^/$', '') AS rest
+  FROM parts)
+SELECT doc_id,
+       CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+            THEN sch || '://' || host || rest ELSE u END AS url_norm
+FROM canon""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d
