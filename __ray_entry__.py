@@ -1596,6 +1596,29 @@ def q_url_normalize_documents(sf_dir: str):
     )
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table (the
+    cluster-then-curate primitive: SemDeDup / domain-discovery
+    pipelines). k=10, 2 Lloyd iterations, init = the 10 smallest
+    vec_ids, squared-L2 argmin with low-cluster-id tie-break, empty
+    clusters keep their centroid. Each iteration is one shuffle-free
+    pass (per-block partial sums -> driver fold -> broadcast). The
+    oracle unrolls both iterations in SQL; assignments are discrete,
+    so fp summation-order drift only matters at exact distance ties
+    (measure-zero here; verified at all three scales)."""
+    from logdata_anomaly_miner_ray.stages.clustering import kmeans_assign
+
+    out, _ = kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", k=10, n_iter=2,
+    )
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].to_numpy(np.int64),
+         "cluster": df["cluster"].to_numpy(np.int64)}
+    )
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -2105,6 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -3123,6 +3147,39 @@ SELECT doc_id,
        CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
             THEN sch || '://' || host || rest ELSE u END AS url_norm
 FROM canon""",
+        "kmeans_embeddings": r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM e ORDER BY vec_id LIMIT 10),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c0.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_distance(e.v, c0.v), c0.cid) AS rn
+         FROM e CROSS JOIN c0)
+       WHERE rn = 1),
+x1 AS (SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
+       FROM a1 JOIN e USING (vec_id)),
+m1 AS (SELECT cid, dim, avg(val) AS val FROM x1 GROUP BY cid, dim),
+u1 AS (SELECT cid, list(val ORDER BY dim) AS v FROM m1 GROUP BY cid),
+c1 AS (SELECT c0.cid, COALESCE(u1.v, c0.v) AS v FROM c0 LEFT JOIN u1 USING (cid)),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c1.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_distance(e.v, c1.v), c1.cid) AS rn
+         FROM e CROSS JOIN c1)
+       WHERE rn = 1),
+x2 AS (SELECT a2.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
+       FROM a2 JOIN e USING (vec_id)),
+m2 AS (SELECT cid, dim, avg(val) AS val FROM x2 GROUP BY cid, dim),
+u2 AS (SELECT cid, list(val ORDER BY dim) AS v FROM m2 GROUP BY cid),
+c2 AS (SELECT c1.cid, COALESCE(u2.v, c1.v) AS v FROM c1 LEFT JOIN u2 USING (cid)),
+a3 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c2.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_distance(e.v, c2.v), c2.cid) AS rn
+         FROM e CROSS JOIN c2)
+       WHERE rn = 1)
+SELECT vec_id, cid AS cluster FROM a3""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d

@@ -1,0 +1,144 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+Corpus-level clustering is a first-class curation operator for LLM
+training data — cluster-then-filter / cluster-balanced sampling
+(SemDeDup, Abbas et al. 2023; DoReMi-style domain discovery) all
+start from a k-means assignment over document embeddings.
+
+Scale shape — each Lloyd iteration is ONE shuffle-free streaming
+pass, never an all-to-all:
+
+- centroids live on the driver (k × d float64, tiny) and broadcast
+  per iteration via ``ray.put``;
+- every block emits per-cluster partial sums ``(cluster, count,
+  sum-vector)`` — at most k rows per block regardless of block size —
+  and the driver folds them (bounded by k × n_blocks, the same
+  driver-fold contract as the suite's meta reduction; at k or
+  partition counts where that bound matters, fold via a dataset
+  ``groupby(cluster)`` instead — the partials are already mergeable);
+- the final pass emits ``(id, cluster)`` assignments, streaming.
+
+Determinism: init = the k vectors with smallest id (selected via
+bounded per-block min-k partials, no global sort); squared-L2
+assignment with ties broken toward the lower cluster id; an empty
+cluster keeps its previous centroid. Everything is reproducible from
+the input alone, which is what makes the DuckDB oracle possible.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ._taskcache import cached_task_fn
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy flat read)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _assign(emb: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||²; first (lowest id) centroid wins ties."""
+    d2 = -2.0 * (emb @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+) -> tuple["ray.data.Dataset", np.ndarray]:
+    """Lloyd's k-means: returns ``(assignments, centroids)`` where
+    assignments is a Dataset of ``(id_col, cluster)`` and centroids
+    the final (k, d) float64 array. See module docstring for the
+    execution shape and determinism rules."""
+
+    def min_k(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {id_col: pa.array(ids[take].astype(np.int64), pa.int64()),
+             emb_col: batch[emb_col].take(pa.array(take, pa.int64()))}
+        )
+
+    cand = ds.map_batches(
+        min_k, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()  # ≤ k rows per block
+    cand.sort(key=lambda r: r[id_col])
+    cent = np.asarray([r[emb_col] for r in cand[:k]], dtype=np.float64)
+    if len(cent) == 0:
+        raise ValueError("kmeans_assign: empty input")
+    kk, d = len(cent), cent.shape[1]
+
+    class Partials:
+        def __init__(self, cref, emb_col):
+            self.c = ray.get(cref)
+            self.emb_col = emb_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _as_matrix(batch[self.emb_col])
+            a = _assign(emb, self.c)
+            cnt = np.bincount(a, minlength=len(self.c))
+            sums = np.zeros_like(self.c)
+            np.add.at(sums, a, emb)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(self.c)), pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+        parts = ds.map_batches(
+            cached_task_fn(Partials, cache_on=(cref, emb_col),
+                           cref=cref, emb_col=emb_col),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).take_all()  # ≤ k rows per block — bounded driver fold
+        cnt = np.zeros(kk, np.int64)
+        sums = np.zeros((kk, d), np.float64)
+        for r in parts:
+            cnt[r["cluster"]] += r["cnt"]
+            sums[r["cluster"]] += np.asarray(r["s"], np.float64)
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / cnt[nz, None]  # empty cluster keeps its centroid
+
+    cref = ray.put(cent)
+
+    class Emit:
+        def __init__(self, cref, emb_col, id_col):
+            self.c = ray.get(cref)
+            self.emb_col, self.id_col = emb_col, id_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _as_matrix(batch[self.emb_col])
+            a = _assign(emb, self.c)
+            return pa.table(
+                {
+                    self.id_col: batch[self.id_col].cast(pa.int64()),
+                    "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                }
+            )
+
+    out = ds.map_batches(
+        cached_task_fn(Emit, cache_on=(cref, emb_col, id_col),
+                       cref=cref, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return out, cent
