@@ -1619,6 +1619,27 @@ def q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    (k=10, 2 iterations — identical lifecycle to kmeans_embeddings),
+    then within each cluster drop vectors cosine-similar (>= 0.45, the
+    fixture's near-dup band) to any lower-id cluster-mate. keep is
+    0/1. The oracle reuses the unrolled k-means SQL and an EXISTS
+    domination check with list_cosine_similarity."""
+    from logdata_anomaly_miner_ray.stages.clustering import semdedup
+
+    out = semdedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", k=10, n_iter=2, cosine_threshold=0.45,
+    )
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].to_numpy(np.int64),
+         "cluster": df["cluster"].to_numpy(np.int64),
+         "keep": df["keep"].to_numpy(np.int64)}
+    )
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -2129,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -2163,6 +2185,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "pages_suite": q_pages_suite_sf,
     }
+
+
+# Unrolled 2-iteration Lloyd's k-means (k=10, init = 10 smallest
+# vec_ids, low-cid tie-break, empty clusters keep their centroid) —
+# shared by the kmeans_embeddings and semdedup_embeddings oracles.
+_KMEANS_CTE = r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       FROM e ORDER BY vec_id LIMIT 10),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c0.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_distance(e.v, c0.v), c0.cid) AS rn
+         FROM e CROSS JOIN c0)
+       WHERE rn = 1),
+x1 AS (SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
+       FROM a1 JOIN e USING (vec_id)),
+m1 AS (SELECT cid, dim, avg(val) AS val FROM x1 GROUP BY cid, dim),
+u1 AS (SELECT cid, list(val ORDER BY dim) AS v FROM m1 GROUP BY cid),
+c1 AS (SELECT c0.cid, COALESCE(u1.v, c0.v) AS v FROM c0 LEFT JOIN u1 USING (cid)),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c1.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_distance(e.v, c1.v), c1.cid) AS rn
+         FROM e CROSS JOIN c1)
+       WHERE rn = 1),
+x2 AS (SELECT a2.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
+       FROM a2 JOIN e USING (vec_id)),
+m2 AS (SELECT cid, dim, avg(val) AS val FROM x2 GROUP BY cid, dim),
+u2 AS (SELECT cid, list(val ORDER BY dim) AS v FROM m2 GROUP BY cid),
+c2 AS (SELECT c1.cid, COALESCE(u2.v, c1.v) AS v FROM c1 LEFT JOIN u2 USING (cid)),
+a3 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c2.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_distance(e.v, c2.v), c2.cid) AS rn
+         FROM e CROSS JOIN c2)
+       WHERE rn = 1)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3147,39 +3207,16 @@ SELECT doc_id,
        CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
             THEN sch || '://' || host || rest ELSE u END AS url_norm
 FROM canon""",
-        "kmeans_embeddings": r"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-       FROM e ORDER BY vec_id LIMIT 10),
-a1 AS (SELECT vec_id, cid FROM (
-         SELECT e.vec_id, c0.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_distance(e.v, c0.v), c0.cid) AS rn
-         FROM e CROSS JOIN c0)
-       WHERE rn = 1),
-x1 AS (SELECT a1.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
-       FROM a1 JOIN e USING (vec_id)),
-m1 AS (SELECT cid, dim, avg(val) AS val FROM x1 GROUP BY cid, dim),
-u1 AS (SELECT cid, list(val ORDER BY dim) AS v FROM m1 GROUP BY cid),
-c1 AS (SELECT c0.cid, COALESCE(u1.v, c0.v) AS v FROM c0 LEFT JOIN u1 USING (cid)),
-a2 AS (SELECT vec_id, cid FROM (
-         SELECT e.vec_id, c1.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_distance(e.v, c1.v), c1.cid) AS rn
-         FROM e CROSS JOIN c1)
-       WHERE rn = 1),
-x2 AS (SELECT a2.cid, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS dim
-       FROM a2 JOIN e USING (vec_id)),
-m2 AS (SELECT cid, dim, avg(val) AS val FROM x2 GROUP BY cid, dim),
-u2 AS (SELECT cid, list(val ORDER BY dim) AS v FROM m2 GROUP BY cid),
-c2 AS (SELECT c1.cid, COALESCE(u2.v, c1.v) AS v FROM c1 LEFT JOIN u2 USING (cid)),
-a3 AS (SELECT vec_id, cid FROM (
-         SELECT e.vec_id, c2.cid,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_distance(e.v, c2.v), c2.cid) AS rn
-         FROM e CROSS JOIN c2)
-       WHERE rn = 1)
+        "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
+        "semdedup_embeddings": _KMEANS_CTE + """
+SELECT a3.vec_id, a3.cid AS cluster,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM a3 b JOIN e eb ON eb.vec_id = b.vec_id
+         WHERE b.cid = a3.cid AND b.vec_id < a3.vec_id
+           AND list_cosine_similarity(ea.v, eb.v) >= 0.45)
+       THEN 0 ELSE 1 END AS keep
+FROM a3 JOIN e ea ON ea.vec_id = a3.vec_id""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d

@@ -142,3 +142,80 @@ def kmeans_assign(
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     return out, cent
+
+
+def semdedup(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    k: int = 10,
+    n_iter: int = 2,
+    cosine_threshold: float = 0.45,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+    embeddings, then WITHIN each cluster drop every vector whose
+    cosine similarity to any LOWER-id vector in the cluster reaches
+    ``cosine_threshold`` (a deterministic, non-recursive keep rule —
+    dominated-by-any-earlier — in place of the paper's random
+    exemplar choice, so the result is reproducible and
+    SQL-checkable). Returns ``(id_col, cluster, keep)`` with keep as
+    int64 0/1.
+
+    Scale shape: the k-means passes are shuffle-free (see
+    ``kmeans_assign``); the only shuffle co-locates each cluster's
+    embedding rows for the in-cluster pairwise pass. Within-cluster
+    work is O(m²) on cluster size m — SemDeDup's own design point:
+    k is chosen ∝ corpus size so clusters stay worker-sized (the
+    paper uses 50k clusters for LAION-440M). Cluster-id groups are
+    exactly k, so the groupby fan-in is bounded by construction.
+    """
+    _, cent = kmeans_assign(ds, emb_col, id_col, k=k, n_iter=n_iter)
+    cref = ray.put(cent)
+
+    class Tag:
+        def __init__(self, cref, emb_col, id_col):
+            self.c = ray.get(cref)
+            self.emb_col, self.id_col = emb_col, id_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _as_matrix(batch[self.emb_col])
+            a = _assign(emb, self.c)
+            return pa.table(
+                {
+                    self.id_col: batch[self.id_col].cast(pa.int64()),
+                    "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                    self.emb_col: batch[self.emb_col],
+                }
+            )
+
+    tagged = ds.map_batches(
+        cached_task_fn(Tag, cache_on=(cref, emb_col, id_col, "semdedup"),
+                       cref=cref, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+    import pandas as pd
+
+    def prune(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = np.stack(
+            [np.asarray(v, np.float64) for v in g[emb_col].to_numpy()[order]]
+        )
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        e = emb / norms[:, None]
+        sims = e @ e.T
+        dominated = np.triu(sims >= cosine_threshold, 1).any(axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(len(ids), int(g["cluster"].iloc[0]), np.int64),
+                    pa.int64()),
+                "keep": pa.array((~dominated).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return tagged.groupby("cluster").map_groups(prune, batch_format="pandas")

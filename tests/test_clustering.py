@@ -80,6 +80,52 @@ def test_kmeans_partition_invariant_and_separated_clusters():
                 lab[srt][sel]).argmax()).mean() > 0.9
 
 
+def _semdedup_replay(ids, emb, k, n_iter, tau):
+    a, cent = _replay(ids, emb, k, n_iter)
+    srt = np.argsort(ids)
+    ids_s, emb_s, a_s = ids[srt], emb[srt], a[srt]
+    norms = np.linalg.norm(emb_s, axis=1)
+    norms[norms == 0] = 1.0
+    e = emb_s / norms[:, None]
+    keep = {}
+    for c in range(k):
+        sel = np.flatnonzero(a_s == c)
+        sims = e[sel] @ e[sel].T
+        dom = np.triu(sims >= tau, 1).any(axis=0)
+        for i, d in zip(sel, dom):
+            keep[int(ids_s[i])] = (int(a_s[i]), 0 if d else 1)
+    return keep
+
+
+def test_semdedup_matches_replay_and_drops_planted_dups():
+    from logdata_anomaly_miner_ray.stages.clustering import semdedup
+
+    ids, emb = _make(150, 8, 3, seed=5)
+    # plant near-duplicates of three existing rows (higher ids lose);
+    # tau=0.99999 so only the planted copies are dominated (natural
+    # cluster-mates of this gaussian fixture reach ~0.992)
+    emb = np.vstack([emb, emb[:3] + 1e-6])
+    ids = np.concatenate([ids, [1000, 1001, 1002]])
+    want = _semdedup_replay(ids, emb, 3, 2, 0.99999)
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "embedding": pa.array(list(emb.astype(np.float64)),
+                                   pa.list_(pa.float64()))}
+        )
+    ).repartition(4)
+    out = semdedup(ds, "embedding", "vec_id", k=3, n_iter=2,
+                   cosine_threshold=0.99999)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            got[r["vec_id"]] = (r["cluster"], r["keep"])
+    assert got == want
+    for pid in (1000, 1001, 1002):  # planted copies are dominated
+        assert got[pid][1] == 0
+    assert sum(v[1] for v in got.values()) == len(got) - 3
+
+
 def test_kmeans_empty_cluster_keeps_centroid():
     # k=3 over 2 tight far-apart blobs: one init centroid goes empty
     emb = np.vstack([np.zeros((5, 2)), np.full((5, 2), 100.0)])
