@@ -1640,6 +1640,26 @@ def q_semdedup_embeddings(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str):
+    """Token-aligned document chunking (32-token chunks): the
+    row-explosion preprocessing step before embedding / packing.
+    Shuffle-free; chunk text assembled with one gather/scatter. The
+    oracle rebuilds every chunk string in SQL — bit-exact."""
+    from logdata_anomaly_miner_ray.stages.text_analysis import chunk_documents
+
+    out = chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", max_tokens=32,
+    )
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "chunk_ord": df["chunk_ord"].to_numpy(np.int64),
+         "n_tok": df["n_tok"].to_numpy(np.int64),
+         "chunk_text": df["chunk_text"].astype(str)}
+    )
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -2151,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize_documents": q_url_normalize_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "chunk_documents": q_chunk_documents,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -3217,6 +3238,16 @@ SELECT a3.vec_id, a3.cid AS cluster,
            AND list_cosine_similarity(ea.v, eb.v) >= 0.45)
        THEN 0 ELSE 1 END AS keep
 FROM a3 JOIN e ea ON ea.vec_id = a3.vec_id""",
+        "chunk_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+p AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), 32)) AS pos FROM t)
+SELECT doc_id,
+       (pos - 1) // 32 AS chunk_ord,
+       least(32, len(toks) - pos + 1) AS n_tok,
+       array_to_string(toks[pos:pos+31], ' ') AS chunk_text
+FROM p""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d

@@ -262,6 +262,60 @@ def window_hashes(
     return h1, h2, wlen, win_ord, row_id[ws_idx].astype(np.int64)
 
 
+def chunk_rows(
+    arr, w: int = 64
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Split every row into consecutive w-token chunks (the last
+    chunk of a row may be shorter). Returns ``(chunks, row_id,
+    chunk_ord, n_tok)`` — one entry per chunk, ``chunks`` a
+    StringArray of the chunk's tokens joined by single spaces
+    (whitespace-normalizing), ``chunk_ord`` the chunk's ordinal
+    within its row. Rows with zero tokens emit nothing. One
+    tokenization pass; chunk text assembled with a single numpy
+    gather/scatter over the batch's flat utf-8 buffer — no per-row
+    Python."""
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    n = len(starts)
+    if n == 0:
+        zi = np.zeros(0, dtype=np.int64)
+        return pa.array([], pa.string()), zi, zi.copy(), zi.copy()
+    nrows = len(offsets) - 1
+    cnt = np.bincount(row_id, minlength=nrows)
+    first = _excl_cumsum(cnt)
+    j_in_row = np.arange(n, dtype=np.int64) - first[row_id]
+    is_cs = (j_in_row % w) == 0  # chunk-start tokens (rows always
+    # start a new chunk: j_in_row resets to 0 per row)
+    cs_idx = np.flatnonzero(is_cs)
+    chunk_of_tok = np.cumsum(is_cs) - 1
+    nchunks = len(cs_idx)
+    lens = (ends - starts).astype(np.int64)
+    wlen = np.diff(np.append(cs_idx, n)).astype(np.int64)
+    chunk_bytes = (
+        np.bincount(chunk_of_tok, weights=lens, minlength=nchunks).astype(np.int64)
+        + wlen - 1
+    )
+    out_offsets = _excl_cumsum(chunk_bytes)
+    out = np.full(int(out_offsets[-1]), 32, np.uint8)  # gaps = separators
+    seq = lens + 1
+    gex = np.cumsum(seq) - seq  # global exclusive cumsum over tokens
+    base_per_chunk = gex[cs_idx]
+    dst_start = out_offsets[:-1][chunk_of_tok] + (gex - base_per_chunk[chunk_of_tok])
+    total = int(lens.sum())
+    if total:
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        out[np.repeat(dst_start, lens) + intra] = data[np.repeat(starts, lens) + intra]
+    chunks = pa.Array.from_buffers(
+        pa.utf8(), nchunks,
+        [None, pa.py_buffer(out_offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(out.tobytes())],
+    )
+    chunk_ord = (j_in_row[cs_idx] // w).astype(np.int64)
+    return chunks, row_id[cs_idx].astype(np.int64), chunk_ord, wlen
+
+
 N_SYM = 257  # 256 byte values + the reference's virtual boundary marker
 _BOUND = 256
 

@@ -47,6 +47,41 @@ def with_token_stats(
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+) -> "ray.data.Dataset":
+    """Token-aligned document chunking — the standard preprocessing
+    row explosion before embedding / context-window packing: every
+    document splits into consecutive ``max_tokens``-token chunks
+    (final chunk shorter; zero-token documents emit nothing; chunk
+    text is the tokens joined by single spaces, i.e. whitespace-
+    normalizing). Returns ``(id_col, chunk_ord, n_tok, chunk_text)``.
+
+    Embarrassingly parallel (no shuffle): the explosion happens
+    per-block via ``functions.text.chunk_rows`` (one tokenization
+    pass + one gather/scatter byte assembly, no per-row Python)."""
+    from ..functions.text import chunk_rows
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        chunks, rid, cord, wlen = chunk_rows(batch[text_col], max_tokens)
+        return pa.table(
+            {
+                id_col: pa.array(ids[rid].astype(np.int64), pa.int64()),
+                "chunk_ord": pa.array(cord, pa.int64()),
+                "n_tok": pa.array(wlen, pa.int64()),
+                "chunk_text": chunks,
+            }
+        )
+
+    return ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def with_quality_score(
     ds: "ray.data.Dataset",
     text_col: str = "text",
