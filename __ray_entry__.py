@@ -1660,6 +1660,22 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_corpus_report_documents(sf_dir: str):
+    """Per-(source, lang) corpus card: docs / token sums+extrema /
+    char sums / high-quality count / langid-agreement count, all
+    fused in ONE shuffle-free pass with per-block partials on the
+    tiny composite key. Quality is thresholded on the e6-ROUNDED
+    integer so the count is SQL-bit-exact; the oracle recomputes the
+    quality and langid kernels and groups."""
+    from logdata_anomaly_miner_ray.stages.text_analysis import corpus_report
+
+    out = corpus_report(
+        _read(sf_dir, "documents",
+              ["doc_id", "text", "source", "lang", "n_chars"])
+    )
+    return out
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -2172,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "chunk_documents": q_chunk_documents,
+        "corpus_report_documents": q_corpus_report_documents,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -3248,6 +3265,63 @@ SELECT doc_id,
        least(32, len(toks) - pos + 1) AS n_tok,
        array_to_string(toks[pos:pos+31], ' ') AS chunk_text
 FROM p""",
+        "corpus_report_documents": r"""
+WITH q AS (
+  SELECT doc_id,
+    (CASE WHEN trim(text) = '' THEN 0
+          ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS tc,
+    greatest(strlen(text), 1)::DOUBLE AS slen,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS na,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS nd,
+    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE AS npn
+  FROM documents),
+qe AS (
+  SELECT doc_id, CAST(ROUND((
+    0.25 * (least(tc / 100.0, 1.0) * (CASE WHEN tc >= 5 THEN 1.0 ELSE 0.0 END))
+  + 0.35 * least((na / slen) / 0.7, 1.0)
+  + 0.2 * greatest(1.0 - 2.0 * (npn / slen), 0.0)
+  + 0.2 * greatest(1.0 - 2.0 * (nd / slen), 0.0)) * 1000000) AS BIGINT) AS q_e6,
+  CAST(tc AS BIGINT) AS n_tok
+  FROM q),
+ls AS (
+  SELECT doc_id,
+    greatest(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END, 1)::DOUBLE AS nt,
+    len(regexp_extract_all(lower(text),
+        '\b(the|and|of|to|in|is|that|for|with|was|are)\b'))::DOUBLE AS c_en,
+    len(regexp_extract_all(lower(text),
+        '\b(der|die|das|und|ist|nicht|mit|ein|eine|von|zu)\b'))::DOUBLE AS c_de,
+    len(regexp_extract_all(lower(text),
+        '\b(le|la|les|et|est|une|des|dans|pour|que|pas)\b'))::DOUBLE AS c_fr,
+    len(regexp_extract_all(lower(text),
+        '\b(el|la|los|las|es|una|del|para|con|por|que)\b'))::DOUBLE AS c_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]'))::DOUBLE AS c_cjk,
+    greatest(length(text), 1)::DOUBLE AS nc
+  FROM documents),
+lsc AS (
+  SELECT doc_id, c_en/nt AS s_en, c_de/nt AS s_de, c_fr/nt AS s_fr,
+         c_es/nt AS s_es, c_cjk/nc AS s_cjk
+  FROM ls),
+pl AS (
+  SELECT doc_id,
+  CASE WHEN s_cjk > 0.2 THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es) > 0.01 THEN
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END
+       ELSE 'xx' END AS pred_lang
+  FROM lsc)
+SELECT d.source, d.lang,
+       count(*) AS n_docs,
+       sum(qe.n_tok) AS sum_tokens,
+       min(qe.n_tok) AS min_tokens,
+       max(qe.n_tok) AS max_tokens,
+       sum(d.n_chars) AS sum_chars,
+       sum(CASE WHEN qe.q_e6 >= 500000 THEN 1 ELSE 0 END) AS n_quality_hi,
+       sum(CASE WHEN pl.pred_lang = d.lang THEN 1 ELSE 0 END) AS n_lang_match
+FROM documents d JOIN qe USING (doc_id) JOIN pl USING (doc_id)
+GROUP BY d.source, d.lang""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d

@@ -93,16 +93,22 @@ def with_quality_score(
     the usual web-text pre-filter signals."""
 
     def add(batch: pa.Table) -> pa.Table:
-        tc = token_counts(batch[text_col]).astype(np.float64)
-        fr = char_class_fractions(batch[text_col])
-        length_score = np.clip(tc / 100.0, 0, 1) * (tc >= min_tokens)
-        alpha_score = np.clip(fr["alpha_frac"] / 0.7, 0, 1)
-        punct_pen = np.clip(1.0 - 2.0 * fr["punct_frac"], 0, 1)
-        digit_pen = np.clip(1.0 - 2.0 * fr["digit_frac"], 0, 1)
-        score = 0.25 * length_score + 0.35 * alpha_score + 0.2 * punct_pen + 0.2 * digit_pen
+        score = quality_scores(batch[text_col], min_tokens)
         return batch.append_column(score_name, pa.array(score, pa.float64()))
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def quality_scores(col, min_tokens: int = 5) -> np.ndarray:
+    """The composite [0,1] quality score as a plain array (shared by
+    ``with_quality_score`` and ``corpus_report``)."""
+    tc = token_counts(col).astype(np.float64)
+    fr = char_class_fractions(col)
+    length_score = np.clip(tc / 100.0, 0, 1) * (tc >= min_tokens)
+    alpha_score = np.clip(fr["alpha_frac"] / 0.7, 0, 1)
+    punct_pen = np.clip(1.0 - 2.0 * fr["punct_frac"], 0, 1)
+    digit_pen = np.clip(1.0 - 2.0 * fr["digit_frac"], 0, 1)
+    return 0.25 * length_score + 0.35 * alpha_score + 0.2 * punct_pen + 0.2 * digit_pen
 
 
 # (name, RE2 pattern, mask token). SSN before the lookalike phone
@@ -214,6 +220,87 @@ class LangIdScorer:
             zero_copy_batch=True,
             batch_size=batch_size,
         )
+
+
+def corpus_report(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    n_chars_col: str = "n_chars",
+    quality_hi_e6: int = 500_000,
+) -> "pd.DataFrame":
+    """The per-(source, lang) corpus card: one fused pass computes
+    every per-doc signal (token count, quality score, language-ID
+    prediction) and pre-aggregates per block by the tiny
+    (source, lang) key, so only ≤ |sources × langs| partial rows per
+    block leave the workers — the partial/combiner pattern for a
+    bounded group key (no dataset shuffle at all; the final merge is
+    a driver fold over key-space × n_blocks rows). Quality is
+    thresholded on the e6-ROUNDED integer (``quality_hi_e6``) so the
+    count is reproducible bit-exactly in SQL.
+
+    Returns a pandas DataFrame: (source, lang, n_docs, sum_tokens,
+    min_tokens, max_tokens, sum_chars, n_quality_hi, n_lang_match).
+    """
+    import pandas as pd
+
+    from ._taskcache import cached_task_fn
+
+    class Partial:
+        def __init__(self, text_col, source_col, lang_col, n_chars_col, hi):
+            self.lid = LangIdScorer()
+            self.text_col, self.source_col = text_col, source_col
+            self.lang_col, self.n_chars_col = lang_col, n_chars_col
+            self.hi = hi
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = self.lid(
+                batch if self.text_col == "text"
+                else batch.append_column("text", batch[self.text_col])
+            )
+            q_e6 = np.round(
+                quality_scores(batch[self.text_col]) * 1e6).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "source": batch[self.source_col].to_pandas(),
+                    "lang": batch[self.lang_col].to_pandas(),
+                    "n_tok": token_counts(batch[self.text_col]),
+                    "n_chars": batch[self.n_chars_col].to_pandas(),
+                    "q_hi": (q_e6 >= self.hi).astype(np.int64),
+                    "l_match": (
+                        scored["pred_lang"].to_pandas()
+                        == batch[self.lang_col].to_pandas()
+                    ).astype(np.int64),
+                }
+            )
+            g = df.groupby(["source", "lang"], sort=True).agg(
+                n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum"),
+                min_tokens=("n_tok", "min"), max_tokens=("n_tok", "max"),
+                sum_chars=("n_chars", "sum"), n_quality_hi=("q_hi", "sum"),
+                n_lang_match=("l_match", "sum"),
+            ).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(
+        cached_task_fn(
+            Partial,
+            cache_on=(text_col, source_col, lang_col, n_chars_col,
+                      quality_hi_e6, "corpus_report"),
+            text_col=text_col, source_col=source_col, lang_col=lang_col,
+            n_chars_col=n_chars_col, hi=quality_hi_e6,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).to_pandas()  # ≤ key-space × n_blocks rows by construction
+    out = parts.groupby(["source", "lang"], sort=True).agg(
+        n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+        min_tokens=("min_tokens", "min"), max_tokens=("max_tokens", "max"),
+        sum_chars=("sum_chars", "sum"), n_quality_hi=("n_quality_hi", "sum"),
+        n_lang_match=("n_lang_match", "sum"),
+    ).reset_index()
+    for c in out.columns[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 def with_fingerprints(
