@@ -1,0 +1,125 @@
+"""Reproducible corpus-hygiene / curation drills over a large pages
+table (the BASELINE.md round-4 hygiene-at-scale numbers).
+
+    python scripts/drill.py gen --rows 50000000 --pages /tmp/graft_pages_50M
+    python scripts/hygiene_drill.py decontam --pages /tmp/graft_pages_50M
+    python scripts/hygiene_drill.py dupspan  --pages /tmp/graft_pages_50M --files 100
+    python scripts/hygiene_drill.py pack     --pages /tmp/graft_pages_50M
+
+Each subcommand prints one JSON line with rows / sec / docs_per_sec /
+driver peak RSS. `--files N` limits the input to the first N parquet
+files (dup-span's gram shuffle spills ~2.5 GB per 1M rows — size to
+the sandbox disk).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import resource
+import sys
+import time
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _init():
+    import logging
+
+    import ray
+    import ray.data  # noqa: F401
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _result(name: str, rows: int, t0: float, **extra) -> int:
+    dt = time.time() - t0
+    out = {name: {"rows": rows, "sec": round(dt, 1),
+                  "docs_per_sec": round(rows / dt),
+                  "driver_peak_rss_gb": round(
+                      resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6,
+                      2),
+                  **extra}}
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["decontam", "dupspan", "pack"])
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--files", type=int, default=0,
+                    help="limit to the first N parquet files (0 = all)")
+    ap.add_argument("--eval-mod", type=int, default=9973,
+                    help="decontam: every Nth row is the eval side")
+    ap.add_argument("--w", type=int, default=8)
+    ap.add_argument("--seq-len", type=int, default=2048)
+    args = ap.parse_args(argv)
+
+    _init()
+    import ray
+    import ray.data as rd
+
+    files = sorted(glob.glob(f"{args.pages}/*.parquet"))
+    if args.files:
+        files = files[: args.files]
+    if not files:
+        ap.error(f"no parquet files under {args.pages}")
+
+    def read():
+        return rd.read_parquet(files, columns=["row_idx", "text"])
+
+    if args.mode == "decontam":
+        from logdata_anomaly_miner_ray.stages.decontam import decontaminate
+
+        mod = args.eval_mod
+
+        def evalside(t: pa.Table) -> pa.Table:
+            r = t["row_idx"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(r % mod == 0))
+
+        eval_ds = read().map_batches(
+            evalside, batch_format="pyarrow", batch_size=None)
+        t0 = time.time()
+        hits = decontaminate(read(), eval_ds, "text", "row_idx", k=8).count()
+        rows = len(files) * 50_000
+        rc = _result("decontam", rows, t0, hit_docs=hits)
+    elif args.mode == "dupspan":
+        from logdata_anomaly_miner_ray.stages.decontam import dup_span_coverage
+
+        t0 = time.time()
+        n = dup_span_coverage(read(), "text", "row_idx", w=args.w).count()
+        rc = _result("dupspan", n, t0)
+    else:
+        from logdata_anomaly_miner_ray.stages.packing import pack_sequences
+
+        t0 = time.time()
+        out = pack_sequences(read(), "text", "row_idx",
+                             seq_len=args.seq_len, sep_tokens=1)
+
+        def tail(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"m": pa.array([int(b["seq_last"].to_numpy().max())],
+                               pa.int64()),
+                 "n": pa.array([len(b)], pa.int64())})
+
+        agg = out.map_batches(
+            tail, batch_format="pyarrow", batch_size=None).to_pandas()
+        rc = _result("pack", int(agg["n"].sum()), t0,
+                     n_sequences=int(agg["m"].max()) + 1)
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
