@@ -1676,6 +1676,33 @@ def q_corpus_report_documents(sf_dir: str):
     return out
 
 
+def q_oov_gram_rate_documents(sf_dir: str):
+    """Reference-corpus novelty (integer-exact CCNet perplexity-filter
+    recast): distinct word 3-grams per document and how many are
+    unseen in the deterministic reference slice (doc_id % 17 == 0).
+    Reference grams broadcast once; one shuffle-free corpus pass."""
+    from logdata_anomaly_miner_ray.stages.decontam import oov_gram_rate
+
+    def _mod17(want_zero: bool):
+        def f(t: pa.Table) -> pa.Table:
+            r = t["doc_id"].to_numpy(zero_copy_only=False) % 17 == 0
+            return t.filter(pa.array(r if want_zero else ~r))
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.map_batches(
+        _mod17(False), batch_format="pyarrow", batch_size=None)
+    ref_ds = docs.map_batches(
+        _mod17(True), batch_format="pyarrow", batch_size=None)
+    out = oov_gram_rate(corpus, ref_ds, "text", "doc_id", k=3)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "n_grams": df["n_grams"].to_numpy(np.int64),
+         "n_oov": df["n_oov"].to_numpy(np.int64)}
+    )
+
+
 def q_pii_redaction_documents(sf_dir: str):
     """PII masking (Dolma-style email/IP/SSN/phone regex -> typed
     tokens) with per-type counts. The synthetic corpus has no digits,
@@ -2189,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": q_semdedup_embeddings,
         "chunk_documents": q_chunk_documents,
         "corpus_report_documents": q_corpus_report_documents,
+        "oov_gram_rate_documents": q_oov_gram_rate_documents,
         "bloom_incremental_new_documents": q_bloom_incremental_new_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -3322,6 +3350,19 @@ SELECT d.source, d.lang,
        sum(CASE WHEN pl.pred_lang = d.lang THEN 1 ELSE 0 END) AS n_lang_match
 FROM documents d JOIN qe USING (doc_id) JOIN pl USING (doc_id)
 GROUP BY d.source, d.lang""",
+        "oov_gram_rate_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS s
+       FROM t),
+rf AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 <> 0)
+SELECT tr.doc_id, count(*) AS n_grams, count(*) - count(rf.g) AS n_oov
+FROM tr LEFT JOIN rf USING (g)
+GROUP BY tr.doc_id""",
         "bloom_incremental_new_documents": """
 SELECT d.doc_id
 FROM documents d

@@ -219,6 +219,18 @@ def run_bench() -> dict:
             dec_sec = min(dec_sec, time.time() - t0)
         extra_stages["decontam_stage"] = round(dec_sec, 3)
 
+        from logdata_anomaly_miner_ray.stages.packing import pack_sequences
+
+        pack_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            pack_sequences(
+                _hygiene_input(), "text", "row_idx", seq_len=2048
+            ).count()
+            pack_sec = min(pack_sec, time.time() - t0)
+        extra_stages["pack_stage"] = round(pack_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",

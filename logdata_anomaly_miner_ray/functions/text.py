@@ -307,6 +307,11 @@ def chunk_rows(
             np.cumsum(lens) - lens, lens
         )
         out[np.repeat(dst_start, lens) + intra] = data[np.repeat(starts, lens) + intra]
+    if int(out_offsets[-1]) >= 2**31:  # utf8 offsets are int32; Ray's
+        # 128 MB block cap keeps real blocks far below this
+        raise ValueError(
+            "chunk_rows: block output exceeds 2 GiB; lower the input "
+            "block size (DataContext.target_max_block_size)")
     chunks = pa.Array.from_buffers(
         pa.utf8(), nchunks,
         [None, pa.py_buffer(out_offsets.astype(np.int32).tobytes()),

@@ -110,6 +110,31 @@ def eval_gram_set(
     return df.drop_duplicates(ignore_index=True)
 
 
+class _GramIndex:
+    """Sorted-array membership over 128-bit (h1, h2) gram keys:
+    h1 → searchsorted run, h2 verified within the equal-h1 run (no
+    per-gram Python objects in the hot path)."""
+
+    def __init__(self, d: dict):
+        order = np.lexsort((d["h2"], d["h1"]))
+        self.e1 = np.ascontiguousarray(d["h1"][order])
+        self.e2 = np.ascontiguousarray(d["h2"][order])
+
+    def member(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        lo = np.searchsorted(self.e1, h1, side="left")
+        hi = np.searchsorted(self.e1, h1, side="right")
+        hit = np.zeros(len(h1), dtype=bool)
+        one = np.flatnonzero(hi - lo == 1)  # the ~always case
+        hit[one] = self.e2[lo[one]] == h2[one]
+        # an equal-h1 run longer than 1 needs a reference-internal
+        # 64-bit hash collision (~E²/2⁶⁵ expected) — loop is cold
+        for i in np.flatnonzero(hi - lo > 1):
+            a, b = lo[i], hi[i]
+            j = np.searchsorted(self.e2[a:b], h2[i])
+            hit[i] = j < (b - a) and self.e2[a + j] == h2[i]
+        return hit
+
+
 def decontaminate(
     ds: "ray.data.Dataset",
     eval_ds: "ray.data.Dataset",
@@ -138,28 +163,8 @@ def decontaminate(
 
     class Decontaminate:
         def __init__(self, blob_ref, text_col: str, id_col: str, k: int):
-            d = ray.get(blob_ref)
-            # h1 → sorted positions, h2 verified within the equal-h1
-            # run: numpy searchsorted membership on the 128-bit pair
-            # (no per-gram Python objects in the hot path)
-            order = np.lexsort((d["h2"], d["h1"]))
-            self.e1 = np.ascontiguousarray(d["h1"][order])
-            self.e2 = np.ascontiguousarray(d["h2"][order])
+            self.idx = _GramIndex(ray.get(blob_ref))
             self.text_col, self.id_col, self.k = text_col, id_col, k
-
-        def _member(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-            lo = np.searchsorted(self.e1, h1, side="left")
-            hi = np.searchsorted(self.e1, h1, side="right")
-            hit = np.zeros(len(h1), dtype=bool)
-            one = np.flatnonzero(hi - lo == 1)  # the ~always case
-            hit[one] = self.e2[lo[one]] == h2[one]
-            # an equal-h1 run longer than 1 needs an eval-internal
-            # 64-bit hash collision (~E²/2⁶⁵ expected) — loop is cold
-            for i in np.flatnonzero(hi - lo > 1):
-                a, b = lo[i], hi[i]
-                j = np.searchsorted(self.e2[a:b], h2[i])
-                hit[i] = j < (b - a) and self.e2[a + j] == h2[i]
-            return hit
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -168,9 +173,9 @@ def decontaminate(
                 {self.id_col: pa.array([], pa.int64()),
                  "n_hits": pa.array([], pa.int64())}
             )
-            if len(h1) == 0 or len(self.e1) == 0:
+            if len(h1) == 0 or len(self.idx.e1) == 0:
                 return empty
-            hit = self._member(h1.view(np.int64), h2.view(np.int64))
+            hit = self.idx.member(h1.view(np.int64), h2.view(np.int64))
             if not hit.any():
                 return empty
             n_hits = np.bincount(rid[hit], minlength=len(ids))
@@ -183,6 +188,68 @@ def decontaminate(
     return ds.map_batches(
         cached_task_fn(
             Decontaminate, cache_on=(blob, text_col, id_col, k),
+            blob_ref=blob, text_col=text_col, id_col=id_col, k=k,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+def oov_gram_rate(
+    ds: "ray.data.Dataset",
+    ref_ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_ref_grams: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Reference-corpus novelty score — the integer-exact recast of
+    CCNet-style LM-perplexity quality filtering (Wenzek et al. 2020):
+    per document, how many of its DISTINCT word k-grams are UNSEEN in
+    a reference corpus. A high OOV fraction marks out-of-domain or
+    garbled text exactly where a reference-trained LM would assign
+    high perplexity, but the counts are integers, so the result is
+    bit-reproducible (no float LM scores).
+
+    Returns ``(id_col, n_grams, n_oov)`` — one row per document with
+    ≥1 k-gram. Scale shape identical to ``decontaminate``: the
+    reference gram set broadcasts once, the corpus streams through
+    ONE shuffle-free pass.
+    """
+    grams = eval_gram_set(ref_ds, text_col, k=k, max_eval_grams=max_ref_grams)
+    blob = ray.put({"h1": grams["h1"].to_numpy(), "h2": grams["h2"].to_numpy()})
+
+    class Oov:
+        def __init__(self, blob_ref, text_col: str, id_col: str, k: int):
+            self.idx = _GramIndex(ray.get(blob_ref))
+            self.text_col, self.id_col, self.k = text_col, id_col, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            h1, h2, rid = _distinct_grams_per_row(batch[self.text_col], self.k)
+            if len(h1) == 0:
+                return pa.table(
+                    {self.id_col: pa.array([], pa.int64()),
+                     "n_grams": pa.array([], pa.int64()),
+                     "n_oov": pa.array([], pa.int64())}
+                )
+            if len(self.idx.e1) == 0:
+                hit = np.zeros(len(h1), dtype=bool)
+            else:
+                hit = self.idx.member(h1.view(np.int64), h2.view(np.int64))
+            n_grams = np.bincount(rid, minlength=len(ids))
+            n_oov = np.bincount(rid[~hit], minlength=len(ids))
+            nz = np.flatnonzero(n_grams)
+            return pa.table(
+                {self.id_col: pa.array(ids[nz].astype(np.int64), pa.int64()),
+                 "n_grams": pa.array(n_grams[nz].astype(np.int64), pa.int64()),
+                 "n_oov": pa.array(n_oov[nz].astype(np.int64), pa.int64())}
+            )
+
+    return ds.map_batches(
+        cached_task_fn(
+            Oov, cache_on=(blob, text_col, id_col, k, "oov"),
             blob_ref=blob, text_col=text_col, id_col=id_col, k=k,
         ),
         batch_format="pyarrow",
@@ -248,6 +315,11 @@ def _rebuild_kept_text(texts, ids: np.ndarray, dup_window_mask, w: int):
             np.cumsum(lens) - lens, lens
         )
         out[np.repeat(dst_start, lens) + intra] = data[np.repeat(ks, lens) + intra]
+    if int(out_offsets[-1]) >= 2**31:  # utf8 offsets are int32; Ray's
+        # 128 MB block cap keeps real blocks far below this
+        raise ValueError(
+            "_rebuild_kept_text: block output exceeds 2 GiB; lower the "
+            "input block size (DataContext.target_max_block_size)")
     clean = pa.Array.from_buffers(
         pa.utf8(), nrows,
         [None, pa.py_buffer(out_offsets.astype(np.int32).tobytes()),

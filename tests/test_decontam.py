@@ -182,3 +182,30 @@ def test_distinct_gram_counts_match_string_brute_force(rows, k):
         if gs:
             want[i] = len(gs)
     assert got == want
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_oov_gram_rate_matches_brute_force(k):
+    from logdata_anomaly_miner_ray.stages.decontam import oov_gram_rate
+
+    ref_rows = [(100 + i, t) for i, t in enumerate(EVAL)]
+    out = oov_gram_rate(_ds(CORPUS), _ds(ref_rows), "text", "doc_id",
+                        k=k).to_pandas()
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_oov))
+           for r in out.itertuples()}
+    ref = set()
+    for t in EVAL:
+        ref.update(_grams(t, k))
+    want = {}
+    for i, t in CORPUS:
+        g = set(_grams(t, k))
+        if g:
+            want[i] = (len(g), len(g - ref))
+    assert got == want
+
+
+def test_oov_gram_rate_empty_reference_marks_everything_oov():
+    from logdata_anomaly_miner_ray.stages.decontam import oov_gram_rate
+
+    out = oov_gram_rate(_ds(CORPUS), _ds([]), "text", "doc_id", k=2).to_pandas()
+    assert (out["n_oov"] == out["n_grams"]).all()
