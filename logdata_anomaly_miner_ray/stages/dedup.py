@@ -128,7 +128,12 @@ def minhash_lsh_candidate_pairs(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from ._shuffle import shuffle_parallelism
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).repartition(shuffle_parallelism())  # narrow rows: size the
+    # shuffle matrix to the cluster, not the input block count
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """One call per bounded (band, bh mod n_sub) shard — large
@@ -241,9 +246,12 @@ def _lsh_collision_pairs(
             }
         )
 
+    from ._shuffle import shuffle_parallelism
+
     exploded = ds.map_batches(
         explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    ).repartition(shuffle_parallelism())  # narrow rows: size the
+    # shuffle matrix to the cluster, not the input block count
 
     def band_pairs(g: pd.DataFrame) -> pa.Table:
         # returns ARROW so output block types match the shuffle's
@@ -662,9 +670,12 @@ def ngram_jaccard_pairs(
             }
         )
 
+    from ._shuffle import shuffle_parallelism
+
     exploded = ds.map_batches(
         explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    ).repartition(shuffle_parallelism())  # narrow rows: size the
+    # shuffle matrix to the cluster, not the input block count
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
@@ -795,7 +806,11 @@ def simhash_near_dup_pairs(
             }
         )
 
-    exploded = fps.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from ._shuffle import shuffle_parallelism
+
+    exploded = fps.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).repartition(shuffle_parallelism())  # narrow rows: see above
 
     def chunk_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """One call per bounded (chunk, value mod n_sub) shard; ch
