@@ -1596,6 +1596,90 @@ def q_url_normalize_documents(sf_dir: str):
     )
 
 
+def q_extract_text_documents(sf_dir: str):
+    """HTML → visible-text extraction round-trip — the north-star
+    per-row invariant ("byte-identical extracted text per url",
+    BASELINE.json input_hint) made a first-class check. Each
+    document's text is wrapped in a realistic deterministic HTML page
+    (head/title/style/script boilerplate laden with entities and
+    angle brackets, comments, nav/h1 block structure, inline <b>
+    markup injected mid-text, whitespace noise, an entity-encoded
+    visible suffix on doc_id%7 rows — functions/html.build_page_html),
+    serialized to binary, and the vectorized RE2 extraction chain
+    (functions/html.extract_text_array) must recover the page's
+    visible text byte-identically. The oracle states the expected
+    visible text directly over the table, so any divergence anywhere
+    in the build → serialize → extract chain breaks the value hash.
+    One zero-copy map_batches pass; no shuffle."""
+    from logdata_anomaly_miner_ray.functions.html import (
+        build_page_html,
+        extract_text_array,
+    )
+
+    def rt(t: pa.Table) -> pa.Table:
+        html = build_page_html(t["doc_id"], t["text"]).cast(pa.binary())
+        return pa.table(
+            {"doc_id": t["doc_id"], "extracted": extract_text_array(html)}
+        )
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rt, batch_format="pyarrow", batch_size=None)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "extracted": df["extracted"].astype(str)}
+    )
+
+
+def q_tfidf_top_terms_documents(sf_dir: str):
+    """Inverted-index statistics + TF-IDF-ordered top terms per
+    document (stages/ranking.py): one tokenization pass → (doc, term,
+    tf) with NO shuffle (docs are block-local), per-block DF partials
+    → one narrow cluster-sized groupby, broadcast (term, df) join
+    tier, per-block head-k. Ordering is the exact integer key
+    (tf DESC, df ASC, term ASC) — TF-IDF with the monotone log
+    removed, so the output is bit-exact vs SQL window row_number."""
+    from logdata_anomaly_miner_ray.stages.ranking import tfidf_top_terms
+
+    out = tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "term": df["term"].astype(str),
+         "tf": df["tf"].to_numpy(np.int64),
+         "df": df["df"].to_numpy(np.int64),
+         "rnk": df["rnk"].to_numpy(np.int64)}
+    )
+
+
+_SEARCH_TERMS = ["the", "scan", "window", "query", "spark"]
+
+
+def q_term_search_documents(sf_dir: str):
+    """Exact lexical search (the integer-exact core of a BM25
+    ranker): broadcast query-term set, per-block (doc, term, tf) +
+    doc_len, mergeable per-term top-k partials — the shuffle carries
+    at most k rows per term per block; no global sort. Ordered by
+    (tf DESC, doc_len ASC, doc_id ASC) — BM25's per-term score is
+    monotone ↑tf / ↓doc_len for a fixed term, so this IS the BM25
+    ranking for single-term queries, with no float in the
+    oracle-checked columns."""
+    from logdata_anomaly_miner_ray.stages.ranking import term_search_topk
+
+    out = term_search_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        _SEARCH_TERMS, k=10)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"term": df["term"].astype(str),
+         "doc_id": df["doc_id"].to_numpy(np.int64),
+         "tf": df["tf"].to_numpy(np.int64),
+         "doc_len": df["doc_len"].to_numpy(np.int64),
+         "rnk": df["rnk"].to_numpy(np.int64)}
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (the
     cluster-then-curate primitive: SemDeDup / domain-discovery
@@ -2212,6 +2296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
+        "extract_text_documents": q_extract_text_documents,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "term_search_documents": q_term_search_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "chunk_documents": q_chunk_documents,
@@ -3227,6 +3314,43 @@ SELECT doc_id, n_tok, tok_start,
        (tok_start + n_tok - 1) // 128 AS seq_last,
        tok_start % 128 AS off_in_first
 FROM c""",
+        "extract_text_documents": """
+SELECT doc_id,
+       'home Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+       || (CASE WHEN doc_id % 7 = 0 THEN ' & more' ELSE '' END)
+       AS extracted
+FROM documents""",
+        "tfidf_top_terms_documents": r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+), tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk2 GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tk2 GROUP BY 1),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC)::BIGINT AS rnk
+  FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, df, rnk FROM r WHERE rnk <= 5""",
+        "term_search_documents": r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+), tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tk2 GROUP BY 1),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk2
+       WHERE term IN ('the', 'scan', 'window', 'query', 'spark')
+       GROUP BY 1, 2),
+r AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len,
+         row_number() OVER (
+           PARTITION BY tf.term
+           ORDER BY tf.tf DESC, dl.doc_len ASC, tf.doc_id ASC)::BIGINT AS rnk
+  FROM tf JOIN dl USING (doc_id))
+SELECT term, doc_id, tf, doc_len, rnk FROM r WHERE rnk <= 10""",
         "url_normalize_documents": r"""
 WITH raw AS (
   SELECT doc_id,

@@ -208,6 +208,7 @@ def topk_per_group(
     tiebreak_cols: tuple = (),
     ascending: bool = False,
     n_buckets: int = 64,
+    rank_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Top-k rows per group (SQL ``row_number() OVER (PARTITION BY
     ... ORDER BY ...) <= k``) with NO global sort: a per-block
@@ -215,7 +216,11 @@ def topk_per_group(
     by k x groups-in-block — top-k is a mergeable semigroup), then
     ``coarse_grouped`` folds the partials under a bounded bucket key.
     Ties on ``order_col`` break by ``tiebreak_cols`` ascending, so
-    the result is deterministic and SQL-reproducible."""
+    the result is deterministic and SQL-reproducible. ``rank_col``
+    optionally appends the 1-based per-group row_number, computed in
+    the FINAL fold where every surviving row of a group is present
+    (a downstream per-block rank would be wrong if map_groups split a
+    group's output across blocks)."""
     import pandas as pd
 
     sort_cols = [order_col, *tiebreak_cols]
@@ -230,5 +235,16 @@ def topk_per_group(
             .head(k)
         )
 
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = head_k(df)
+        if rank_col is not None:
+            out = out.copy()
+            out[rank_col] = (
+                out.groupby(list(group_cols), sort=False).cumcount() + 1
+            ).astype("int64")
+        return out
+
     partials = ds.map_batches(head_k, batch_format="pandas", batch_size=None)
-    return coarse_grouped(partials, list(group_cols), head_k, n_buckets=n_buckets)
+    return coarse_grouped(
+        partials, list(group_cols),
+        final if rank_col is not None else head_k, n_buckets=n_buckets)
