@@ -1680,6 +1680,69 @@ def q_term_search_documents(sf_dir: str):
     )
 
 
+def q_extract_links_documents(sf_dir: str):
+    """Anchor extraction over deterministic link-bearing pages
+    (functions/html.build_link_page_html + extract_links_table): each
+    document's page carries one external entity-encoded anchor, k =
+    1 + doc_id % 4 internal /doc/<t> anchors with formula-derived
+    targets, and decoy anchors inside <script> and comments that must
+    NOT surface. The oracle re-derives every (doc_id, pos, href)
+    arithmetically from doc_id, so any extraction divergence (subtree
+    drops, attribute parsing, entity decode, ordering) breaks the
+    hash. One zero-copy map_batches pass; no shuffle."""
+    from logdata_anomaly_miner_ray.functions.html import (
+        build_link_page_html,
+        extract_links_table,
+    )
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def links(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return extract_links_table(ids, build_link_page_html(ids, n_docs))
+
+    out = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        links, batch_format="pyarrow", batch_size=None)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "pos": df["pos"].to_numpy(np.int64),
+         "href": df["href"].astype(str)}
+    )
+
+
+def q_pagerank_documents(sf_dir: str):
+    """Distributed PageRank over the extracted link graph in exact
+    int64 fixed-point (stages/graph.py): total mass 10^12 units,
+    r0 = S//n, contribution = r//outdeg, r' = (15*(S//n))//100 +
+    (85*sum_in)//100 — integer sums are order-independent, so the
+    result is bit-identical at any partitioning/cluster size, and a
+    SQL oracle unrolls the same recurrence with DuckDB // division.
+    3 iterations; edges come from the SAME vectorized anchor
+    extraction the extract_links query checks (build → extract →
+    parse target), so the whole chain is oracle-gated. Broadcast tier
+    (rank vector via ray.put, sparse per-block bincount partials, one
+    shuffle-free pass per iteration); the scale tier (ranks as a
+    Dataset, 2 coarse keyed shuffles/iter) is exercised in tests."""
+    from logdata_anomaly_miner_ray.stages.graph import link_edges, pagerank
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    out = pagerank(
+        link_edges(_read(sf_dir, "documents", ["doc_id"]), n_docs),
+        n_docs, iters=3)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"node": df["node"].to_numpy(np.int64),
+         "rank_fp": df["rank_fp"].to_numpy(np.int64)}
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (the
     cluster-then-curate primitive: SemDeDup / domain-discovery
@@ -2299,6 +2362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_documents": q_extract_text_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "term_search_documents": q_term_search_documents,
+        "extract_links_documents": q_extract_links_documents,
+        "pagerank_documents": q_pagerank_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "chunk_documents": q_chunk_documents,
@@ -3351,6 +3416,54 @@ r AS (
            ORDER BY tf.tf DESC, dl.doc_len ASC, tf.doc_id ASC)::BIGINT AS rnk
   FROM tf JOIN dl USING (doc_id))
 SELECT term, doc_id, tf, doc_len, rnk FROM r WHERE rnk <= 10""",
+        "extract_links_documents": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+k AS (SELECT doc_id, 1 + doc_id % 4 AS outdeg FROM documents),
+j AS (SELECT doc_id, outdeg,
+             unnest(generate_series(0, outdeg - 1))::BIGINT AS jj
+      FROM k)
+SELECT doc_id, 1::BIGINT AS pos,
+       'https://example.com/?id=' || CAST(doc_id AS VARCHAR)
+       || '&ref=nav' AS href
+FROM documents
+UNION ALL
+SELECT j.doc_id, jj + 2 AS pos,
+       '/doc/' || CAST((j.doc_id * 31 + 7 * jj + 1) % nn.n AS VARCHAR)
+       AS href
+FROM j CROSS JOIN nn""",
+        "pagerank_documents": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),
+j AS (SELECT src, outdeg,
+             unnest(generate_series(0, outdeg - 1))::BIGINT AS jj
+      FROM k),
+e AS (SELECT j.src, j.outdeg,
+             (j.src * 31 + 7 * jj + 1) % nn.n AS dst
+      FROM j CROSS JOIN nn),
+r0 AS (SELECT doc_id AS node, 1000000000000 // nn.n AS r
+       FROM documents CROSS JOIN nn),
+i1 AS (SELECT e.dst AS node, SUM(r0.r // e.outdeg)::BIGINT AS inm
+       FROM e JOIN r0 ON r0.node = e.src GROUP BY 1),
+r1 AS (SELECT d.doc_id AS node,
+              (15 * (1000000000000 // nn.n)) // 100
+              + (85 * COALESCE(i1.inm, 0)) // 100 AS r
+       FROM documents d CROSS JOIN nn
+       LEFT JOIN i1 ON i1.node = d.doc_id),
+i2 AS (SELECT e.dst AS node, SUM(r1.r // e.outdeg)::BIGINT AS inm
+       FROM e JOIN r1 ON r1.node = e.src GROUP BY 1),
+r2 AS (SELECT d.doc_id AS node,
+              (15 * (1000000000000 // nn.n)) // 100
+              + (85 * COALESCE(i2.inm, 0)) // 100 AS r
+       FROM documents d CROSS JOIN nn
+       LEFT JOIN i2 ON i2.node = d.doc_id),
+i3 AS (SELECT e.dst AS node, SUM(r2.r // e.outdeg)::BIGINT AS inm
+       FROM e JOIN r2 ON r2.node = e.src GROUP BY 1),
+r3 AS (SELECT d.doc_id AS node,
+              (15 * (1000000000000 // nn.n)) // 100
+              + (85 * COALESCE(i3.inm, 0)) // 100 AS r
+       FROM documents d CROSS JOIN nn
+       LEFT JOIN i3 ON i3.node = d.doc_id)
+SELECT node, r AS rank_fp FROM r3""",
         "url_normalize_documents": r"""
 WITH raw AS (
   SELECT doc_id,

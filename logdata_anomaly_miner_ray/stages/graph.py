@@ -1,0 +1,294 @@
+"""Link-graph operators over a web corpus: edge extraction from HTML
+anchors and distributed PageRank in exact integer fixed-point.
+
+A crawl-scale corpus pipeline needs the link graph twice: as a
+quality / centrality signal for curation (PageRank-weighted sampling)
+and as the seed structure for crawl frontier analysis. Both recast
+Ray-Data-first here:
+
+- ``link_edges``: documents → (src, dst, outdeg) in ONE stateless
+  zero-copy pass (build the deterministic link page, extract anchors
+  with the vectorized RE2 chain in functions/html.py, keep internal
+  ``/doc/<id>`` targets, count outdeg per src block-locally — a doc's
+  links live wholly in its block, so NO shuffle).
+
+- ``pagerank``: damped PageRank, but over **int64 fixed-point mass**
+  instead of floats: total mass ``S = 10^12`` units, ``r0 = S // n``
+  per node, and each iteration computes
+
+      contribution(s) = r(s) // outdeg(s)
+      r'(d) = (15 * (S // n)) // 100 + (85 * sum_in(d)) // 100
+
+  entirely in integer arithmetic. Integer sums are associative and
+  commutative with NO rounding, so the result is bit-identical
+  regardless of partitioning, summation order, or cluster size — the
+  same reproducibility discipline the engine applies to every
+  oracle-checked float (CLAUDE.md: scaled BIGINTs), applied to an
+  iterative algorithm. A SQL oracle unrolls the same recurrence
+  (DuckDB ``//`` floor-division) and matches exactly. The iteration
+  converges to the float PageRank within ~1e-10 relative mass (the
+  truncation loses < 1 unit per node per step out of ~10^12/n).
+
+  Two execution tiers per iteration:
+
+  - broadcast (n ≤ ``max_broadcast_nodes``): the rank vector ships
+    once via ``ray.put`` (int64, 8 bytes/node); each edge block
+    bincounts its contributions into a sparse (node, inm) partial and
+    the driver folds partials into the next dense vector. One
+    shuffle-free pass per iteration; driver memory O(n). At 8 bytes a
+    node this tier holds to ~10^8 nodes on a 16 GB driver.
+  - scale (unbounded n): ranks stay a Dataset. Contributions attach
+    to edges via union + ONE coarse-keyed (hash(src) mod P)
+    groupby-merge — NOT ``Dataset.join``, which deadlocks when
+    ``num_partitions`` exceeds cluster CPUs and crashes on the
+    zero-column empty blocks hash-shuffle groupbys emit (CLAUDE.md) —
+    then per-block partial sums per dst fold under a second coarse
+    groupby, and missing nodes take the teleport-only value via a
+    union with the node list. Two bounded shuffles per iteration of
+    NARROW int64 rows; raw pages never enter the loop.
+
+Node ids are assumed dense 0..n-1 (the corpus doc_id contract;
+asserted in the broadcast tier). Dangling nodes (outdeg 0) simply
+contribute nothing — their mass leaks, which the fixed teleport term
+replenishes; the deterministic link builder gives every node
+outdeg ≥ 1 so the oracle never exercises leakage.
+
+Reference anchors (behavioral): the reference engine's learn-then
+-score lifecycle over per-path value graphs is
+aminer/analysis/EventCorrelationDetector.py (hypothesis graph edges
+with support counts); here the graph is the hyperlink graph and the
+iterated score is PageRank mass.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._shuffle import shuffle_parallelism
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+__all__ = ["link_edges", "pagerank", "PAGERANK_SCALE"]
+
+# total fixed-point mass: 10^12 units keep 85*inm < 2^63 with
+# room (85 * 10^12 ≈ 2^46.3) while giving ~10^12/n units per node
+PAGERANK_SCALE = 10**12
+
+
+def link_edges(
+    ds: "ray.data.Dataset", n_docs: int, *, id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """(src, dst, outdeg) from the deterministic link pages: build →
+    extract → keep internal ``/doc/<id>`` anchors → per-src outdeg
+    (block-local; a doc's anchors never cross blocks). One zero-copy
+    pass, no shuffle."""
+    from ..functions.html import build_link_page_html, extract_links_table
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        html = build_link_page_html(ids, n_docs)
+        links = extract_links_table(ids, html)
+        internal = links.filter(pc.starts_with(links["href"], "/doc/"))
+        src = internal["doc_id"].to_numpy(zero_copy_only=False)
+        dst = pc.cast(
+            pc.utf8_slice_codeunits(internal["href"], 5, 2**31),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        # outdeg per src: srcs are contiguous in extraction order
+        if len(src):
+            uniq, counts = np.unique(src, return_counts=True)
+            deg = np.repeat(counts, counts).astype(np.int64)
+        else:
+            deg = np.array([], dtype=np.int64)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "outdeg": pa.array(deg, pa.int64()),
+        })
+
+    return ds.map_batches(
+        edges, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _teleport(n_nodes: int, total: int) -> int:
+    return (15 * (total // n_nodes)) // 100
+
+
+def pagerank(
+    edges: "ray.data.Dataset", n_nodes: int, *, iters: int = 3,
+    total: int = PAGERANK_SCALE, max_broadcast_nodes: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Damped PageRank in exact int64 fixed-point → (node, rank_fp)
+    with ``sum(rank_fp) ≤ total``; see module docstring for the
+    recurrence, reproducibility argument, and the two tiers."""
+    import ray
+    import ray.data as rd
+
+    edges = edges.materialize()
+    if n_nodes <= max_broadcast_nodes:
+        r = np.full(n_nodes, total // n_nodes, dtype=np.int64)
+        tele = np.int64(_teleport(n_nodes, total))
+        for _ in range(iters):
+            ref = ray.put(r)
+
+            def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+                rv = ray.get(_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+                contrib = rv[src] // deg
+                # sparse per-block partial: only touched nodes ship
+                nodes, inv = np.unique(dst, return_inverse=True)
+                inm = np.zeros(len(nodes), dtype=np.int64)
+                np.add.at(inm, inv, contrib)
+                return pa.table({
+                    "node": pa.array(nodes, pa.int64()),
+                    "inm": pa.array(inm, pa.int64()),
+                })
+
+            inm = np.zeros(n_nodes, dtype=np.int64)
+            for b in edges.map_batches(
+                partial, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True,
+            ).iter_batches(batch_format="pyarrow"):
+                nd = b["node"].to_numpy(zero_copy_only=False)
+                np.add.at(inm, nd, b["inm"].to_numpy(zero_copy_only=False))
+            r = tele + (85 * inm) // 100
+        return rd.from_arrow(pa.table({
+            "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+            "rank_fp": pa.array(r, pa.int64()),
+        }))
+
+    # ---- scale tier: ranks stay a Dataset; 2 coarse shuffles/iter ----
+    import pandas as pd
+
+    P = shuffle_parallelism()
+    tele = _teleport(n_nodes, total)
+    nodes_ds = edges.map_batches(
+        lambda t: pa.table({"node": pc.unique(t["src"])}),
+        batch_format="pyarrow", batch_size=None,
+    )  # src side only seeds ranks; missing-in targets fill via union
+
+    def _ck_of(arr_np: np.ndarray) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(arr_np), index=False).to_numpy()
+        return pa.array((h % np.uint64(P)).astype(np.int64))
+
+    ranks = None  # None ⇒ uniform r0, avoids materializing it
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        n = len(src)
+        return pa.table({
+            "ck": _ck_of(src),
+            "is_rank": pa.array(np.zeros(n, dtype=np.bool_)),
+            "src": batch["src"],
+            "dst": batch["dst"],
+            "outdeg": batch["outdeg"],
+            "r": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+        })
+
+    edges_tagged = edges.map_batches(
+        tag_edges, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).materialize()
+
+    for it in range(iters):
+        if ranks is None:
+            r0 = np.int64(total // n_nodes)
+
+            def contrib_direct(batch: pa.Table) -> pa.Table:
+                deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                c = r0 // deg
+                nodes, inv = np.unique(dst, return_inverse=True)
+                inm = np.zeros(len(nodes), dtype=np.int64)
+                np.add.at(inm, inv, c)
+                return pa.table({
+                    "node": pa.array(nodes, pa.int64()),
+                    "inm": pa.array(inm, pa.int64()),
+                })
+
+            contribs = edges.map_batches(
+                contrib_direct, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+        else:
+            def tag_ranks(batch: pa.Table) -> pa.Table:
+                nd = batch["node"].to_numpy(zero_copy_only=False)
+                n = len(nd)
+                return pa.table({
+                    "ck": _ck_of(nd),
+                    "is_rank": pa.array(np.ones(n, dtype=np.bool_)),
+                    "src": batch["node"],
+                    "dst": pa.array(np.full(n, -1, dtype=np.int64),
+                                    pa.int64()),
+                    "outdeg": pa.array(np.ones(n, dtype=np.int64),
+                                       pa.int64()),
+                    "r": batch["rank_fp"],
+                })
+
+            rt = ranks.map_batches(
+                tag_ranks, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+
+            def attach(g: pd.DataFrame) -> pa.Table:
+                side = g[g["is_rank"]]
+                e = g[~g["is_rank"]]
+                m = e[["src", "dst", "outdeg"]].merge(
+                    side[["src", "r"]], on="src", how="inner")
+                if not len(m):
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "inm": pa.array([], pa.int64())})
+                c = m["r"].to_numpy(np.int64) // m["outdeg"].to_numpy(
+                    np.int64)
+                dst = m["dst"].to_numpy(np.int64)
+                nodes, inv = np.unique(dst, return_inverse=True)
+                inm = np.zeros(len(nodes), dtype=np.int64)
+                np.add.at(inm, inv, c)
+                return pa.table({
+                    "node": pa.array(nodes, pa.int64()),
+                    "inm": pa.array(inm, pa.int64()),
+                })
+
+            contribs = edges_tagged.union(rt).groupby("ck").map_groups(
+                attach, batch_format="pandas")
+
+        # fold partials per node + teleport fill: union with the node
+        # list (inm 0) so teleport-only nodes appear, ONE coarse
+        # groupby sums and applies the recurrence
+        base = nodes_ds.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "inm": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow", batch_size=None)
+
+        def add_nk(batch: pa.Table) -> pa.Table:
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            return batch.append_column("nk", _ck_of(nd))
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            s = g.groupby("node", sort=False)["inm"].sum()
+            nd = s.index.to_numpy(np.int64)
+            rk = tele + (85 * s.to_numpy(np.int64)) // 100
+            return pa.table({
+                "node": pa.array(nd, pa.int64()),
+                "rank_fp": pa.array(rk, pa.int64()),
+            })
+
+        ranks = (
+            contribs.union(base)
+            .map_batches(add_nk, batch_format="pyarrow", batch_size=None)
+            .groupby("nk")
+            .map_groups(lambda g: fold(g.drop(columns="nk")),
+                        batch_format="pandas")
+            .materialize()
+        )
+    return ranks

@@ -1,0 +1,115 @@
+"""stages/graph.py + functions/html link extraction vs brute force.
+
+The brute force recomputes edges and the integer fixed-point PageRank
+recurrence with plain Python dicts; both tiers must agree with it
+bit-exactly regardless of block layout (integer sums are
+order-independent — that is the point of the fixed-point design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from logdata_anomaly_miner_ray.functions.html import (
+    build_link_page_html,
+    extract_links_table,
+)
+from logdata_anomaly_miner_ray.stages.graph import (
+    PAGERANK_SCALE,
+    link_edges,
+    pagerank,
+)
+
+N = 37  # small prime-ish corpus: targets wrap, no duplicate edges
+
+
+def _ds(n_blocks: int = 4) -> "rd.Dataset":
+    t = pa.table({"doc_id": pa.array(list(range(N)), pa.int64())})
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+def _brute_edges():
+    edges = []
+    for i in range(N):
+        k = 1 + i % 4
+        for j in range(k):
+            edges.append((i, (i * 31 + 7 * j + 1) % N, k))
+    return edges
+
+
+def _brute_pagerank(iters: int = 3, total: int = PAGERANK_SCALE):
+    edges = _brute_edges()
+    r = {i: total // N for i in range(N)}
+    tele = (15 * (total // N)) // 100
+    for _ in range(iters):
+        inm = {i: 0 for i in range(N)}
+        for s, d, k in edges:
+            inm[d] += r[s] // k
+        r = {i: tele + (85 * inm[i]) // 100 for i in range(N)}
+    return r
+
+
+def test_link_page_extraction_matches_formula():
+    ids = pa.array(list(range(N)), pa.int64())
+    html = build_link_page_html(ids, N)
+    links = extract_links_table(ids, html).to_pandas()
+    got = sorted(map(tuple, links.itertuples(index=False)))
+    want = []
+    for i in range(N):
+        want.append((i, 1, f"https://example.com/?id={i}&ref=nav"))
+        for j in range(1 + i % 4):
+            want.append((i, j + 2, f"/doc/{(i * 31 + 7 * j + 1) % N}"))
+    assert got == sorted(want)
+    # script/comment anchors never surface
+    assert not any("/not-a-link" in h or "/commented-out" in h
+                   for _, _, h in got)
+
+
+def test_link_edges_block_invariant():
+    want = sorted(_brute_edges())
+    for nb in (1, 5):
+        e = link_edges(_ds(nb), N).to_pandas()
+        got = sorted(zip(e["src"], e["dst"], e["outdeg"]))
+        assert [tuple(map(int, x)) for x in got] == want
+
+
+def test_pagerank_broadcast_tier_exact():
+    r = pagerank(link_edges(_ds(), N), N, iters=3).to_pandas()
+    got = dict(zip(r["node"].astype(int), r["rank_fp"].astype(int)))
+    assert got == _brute_pagerank(3)
+
+
+def test_pagerank_scale_tier_exact():
+    r = pagerank(
+        link_edges(_ds(), N), N, iters=2, max_broadcast_nodes=0
+    ).to_pandas()
+    got = dict(zip(r["node"].astype(int), r["rank_fp"].astype(int)))
+    assert got == _brute_pagerank(2)
+
+
+def test_pagerank_mass_conserved_and_positive():
+    r = pagerank(link_edges(_ds(), N), N, iters=4).to_pandas()
+    tot = int(r["rank_fp"].sum())
+    # truncation only ever loses mass: ≤ 1 unit per floor-division
+    assert 0 < tot <= PAGERANK_SCALE
+    assert tot > PAGERANK_SCALE - 100 * N * 4
+    assert (r["rank_fp"].to_numpy() > 0).all()
+
+
+def test_pagerank_tracks_float_pagerank():
+    """The fixed-point iterate stays within ~1e-9 relative mass of
+    the float recurrence with the same (truncating) teleport."""
+    edges = _brute_edges()
+    rf = {i: PAGERANK_SCALE / N for i in range(N)}
+    tele = (15 * (PAGERANK_SCALE // N)) // 100
+    for _ in range(3):
+        inm = {i: 0.0 for i in range(N)}
+        for s, d, k in edges:
+            inm[d] += rf[s] / k
+        rf = {i: tele + 0.85 * inm[i] for i in range(N)}
+    fp = _brute_pagerank(3)
+    for i in range(N):
+        assert abs(fp[i] - rf[i]) / PAGERANK_SCALE < 1e-9
