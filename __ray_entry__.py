@@ -1631,6 +1631,35 @@ def q_extract_text_documents(sf_dir: str):
     )
 
 
+def q_normalize_text_documents(sf_dir: str):
+    """Unicode canonicalization (functions/text.normalize_nfc_lower):
+    decomposed combining sequences are injected deterministically
+    (every 'a' → 'A'+U+0300, every 'e' → 'E'+U+0301 — the corpus text
+    is ASCII, so the injection is reversible and the oracle can state
+    it in SQL via chr()), then NFC-composed and Unicode-lowercased.
+    Arrow's utf8proc kernels and DuckDB's nfc_normalize/lower
+    implement the same Unicode algorithms, so the output value-hash
+    is exact. One zero-copy map_batches pass; no shuffle."""
+    from logdata_anomaly_miner_ray.functions.text import normalize_nfc_lower
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t["text"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.replace_substring(s, "a", "A\u0300")
+        s = pc.replace_substring(s, "e", "E\u0301")
+        return pa.table({"doc_id": t["doc_id"],
+                         "norm_text": normalize_nfc_lower(s)})
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", batch_size=None)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "norm_text": df["norm_text"].astype(str)}
+    )
+
+
 def q_tfidf_top_terms_documents(sf_dir: str):
     """Inverted-index statistics + TF-IDF-ordered top terms per
     document (stages/ranking.py): one tokenization pass → (doc, term,
@@ -2360,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "extract_text_documents": q_extract_text_documents,
+        "normalize_text_documents": q_normalize_text_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "term_search_documents": q_term_search_documents,
         "extract_links_documents": q_extract_links_documents,
@@ -3384,6 +3414,12 @@ SELECT doc_id,
        'home Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
        || (CASE WHEN doc_id % 7 = 0 THEN ' & more' ELSE '' END)
        AS extracted
+FROM documents""",
+        "normalize_text_documents": """
+SELECT doc_id,
+       lower(nfc_normalize(
+         replace(replace(text, 'a', 'A' || chr(768)),
+                 'e', 'E' || chr(769)))) AS norm_text
 FROM documents""",
         "tfidf_top_terms_documents": r"""
 WITH tk AS (

@@ -491,3 +491,36 @@ def pretoken_counts(arr) -> np.ndarray:
     starts = (cls != 0) & (cls != prev)
     cs = _excl_cumsum(starts)
     return _row_sums(cs, offsets)
+
+
+def normalize_nfc_lower(arr) -> pa.Array:
+    """Canonical Unicode normalization for corpus text: NFC
+    composition followed by Unicode lowercasing — the first cleaning
+    step of CCNet-style pipelines, and the transform that makes
+    byte-identical text comparisons meaningful across crawls that
+    emit decomposed (NFD) sequences.
+
+    ASCII rows are NFC by definition, so the fast path is one
+    vectorized ``string_is_ascii`` check + ``utf8_lower``; only a
+    block that actually contains non-ASCII rows pays a per-row
+    ``unicodedata.normalize`` pass (the same rare-block fallback
+    discipline as html.binary_to_utf8). pyarrow's own
+    ``utf8_normalize`` is NOT used: in this Arrow build its
+    form="NFC"/"NFKC" options actually apply NFD/NFKD (composition
+    never runs — verified against unicodedata, which implements the
+    official UCD algorithm and agrees with DuckDB's
+    ``nfc_normalize``, so the SQL oracle reproduces the output
+    bit-exactly)."""
+    import unicodedata
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    if not mask.all():
+        arr = pa.array(
+            [v if v is None or ok else unicodedata.normalize("NFC", v)
+             for v, ok in zip(arr.to_pylist(), mask)],
+            pa.string(),
+        )
+    out = pc.utf8_lower(arr)
+    return out if isinstance(out, pa.Array) else out.combine_chunks()

@@ -98,3 +98,27 @@ def test_pages_generator_extraction_identity():
     t = make_pages_block(0, 2000, seed=42)
     got = extract_text_array(t["html"])
     assert got.to_pylist() == t["text"].to_pylist()
+
+
+def test_normalize_nfc_lower():
+    """NFC must actually COMPOSE (pyarrow's utf8_normalize form='NFC'
+    applies NFD in this build — the kernel works around it), ASCII
+    rows take the vectorized fast path unchanged, and lowercasing is
+    Unicode-aware."""
+    import unicodedata
+
+    import pyarrow as pa
+
+    from logdata_anomaly_miner_ray.functions.text import normalize_nfc_lower
+
+    deco = "CafÉ Àx"          # decomposed E-acute, A-grave
+    comp = "café àx"            # the composed lowercase target
+    out = normalize_nfc_lower(
+        pa.array(["Hello WORLD", deco, None, "ÉΣ"])
+    ).to_pylist()
+    assert out[0] == "hello world"
+    assert out[1] == comp
+    assert [unicodedata.name(c, "?") for c in out[1]] == [
+        unicodedata.name(c, "?") for c in comp]
+    assert out[2] is None
+    assert out[3] == "éσ"
