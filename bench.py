@@ -231,6 +231,25 @@ def run_bench() -> dict:
             pack_sec = min(pack_sec, time.time() - t0)
         extra_stages["pack_stage"] = round(pack_sec, 3)
 
+        # north-star byte-level transform: HTML -> visible text over
+        # every page's html payload (one zero-copy RE2-chain pass)
+        from logdata_anomaly_miner_ray.functions.html import extract_text_array
+
+        def _extract(t: "_pa.Table") -> "_pa.Table":
+            return _pa.table(
+                {"row_idx": t["row_idx"],
+                 "text": extract_text_array(t["html"])})
+
+        ext_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            rd.read_parquet(PAGES_DIR, columns=["row_idx", "html"]).map_batches(
+                _extract, batch_format="pyarrow", batch_size=None
+            ).count()
+            ext_sec = min(ext_sec, time.time() - t0)
+        extra_stages["extract_stage"] = round(ext_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",

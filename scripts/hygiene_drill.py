@@ -56,7 +56,8 @@ def _result(name: str, rows: int, t0: float, **extra) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["decontam", "dupspan", "pack"])
+    ap.add_argument("mode", choices=[
+        "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -100,6 +101,37 @@ def main(argv=None) -> int:
         t0 = time.time()
         n = dup_span_coverage(read(), "text", "row_idx", w=args.w).count()
         rc = _result("dupspan", n, t0)
+    elif args.mode == "extract":
+        # north-star transform at scale: html -> visible text over
+        # every page payload, one zero-copy RE2-chain pass
+        from logdata_anomaly_miner_ray.functions.html import extract_text_array
+
+        def extract(t: pa.Table) -> pa.Table:
+            return pa.table({"row_idx": t["row_idx"],
+                             "text": extract_text_array(t["html"])})
+
+        t0 = time.time()
+        n = rd.read_parquet(files, columns=["row_idx", "html"]).map_batches(
+            extract, batch_format="pyarrow", batch_size=None).count()
+        rc = _result("extract", n, t0)
+    elif args.mode == "tfidf":
+        from logdata_anomaly_miner_ray.stages.ranking import tfidf_top_terms
+
+        t0 = time.time()
+        n = tfidf_top_terms(read(), k=5, id_col="row_idx").count()
+        rc = _result("tfidf", n, t0)
+    elif args.mode == "pagerank":
+        from logdata_anomaly_miner_ray.stages.graph import link_edges, pagerank
+
+        import pyarrow.parquet as pq
+
+        n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        ids = rd.read_parquet(files, columns=["row_idx"])
+        t0 = time.time()
+        edges = link_edges(ids, n_docs, id_col="row_idx")
+        n = pagerank(edges, n_docs, iters=3).count()
+        rc = _result("pagerank", n, t0,
+                     edges=int(2.5 * n_docs))  # E[outdeg] = 2.5
     else:
         from logdata_anomaly_miner_ray.stages.packing import pack_sequences
 
