@@ -1631,6 +1631,24 @@ def q_extract_text_documents(sf_dir: str):
     )
 
 
+def q_split_assign_documents(sf_dir: str):
+    """Deterministic content-keyed train/val/test split
+    (stages/sampling.split_assign): md5(CAST(doc_id AS VARCHAR))
+    compared lexicographically against fixed hex-prefix boundaries
+    (≈90/5/5). Re-sharding, re-ordering, or growing the corpus never
+    moves an existing document between splits — the stability
+    property a 100 TB training pipeline needs. Shuffle-free; oracle
+    is the same CASE over DuckDB's md5()."""
+    from logdata_anomaly_miner_ray.stages.sampling import split_assign
+
+    out = split_assign(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "split": df["split"].astype(str)}
+    )
+
+
 def q_normalize_text_documents(sf_dir: str):
     """Unicode canonicalization (functions/text.normalize_nfc_lower):
     decomposed combining sequences are injected deterministically
@@ -2389,6 +2407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "extract_text_documents": q_extract_text_documents,
+        "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "term_search_documents": q_term_search_documents,
@@ -3414,6 +3433,12 @@ SELECT doc_id,
        'home Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
        || (CASE WHEN doc_id % 7 = 0 THEN ' & more' ELSE '' END)
        AS extracted
+FROM documents""",
+        "split_assign_documents": """
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e666' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'f333' THEN 'val'
+            ELSE 'test' END AS split
 FROM documents""",
         "normalize_text_documents": """
 SELECT doc_id,

@@ -190,3 +190,52 @@ def log_backoff_history(
             move_pos = next(it)
             hist = hist[: max_items - move_pos - 1] + hist[max_items - move_pos:] + [v]
     return hist
+
+
+def split_assign(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    boundaries: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test split keyed on content, not
+    position: each row's split is decided by the lexicographic rank
+    of ``md5(CAST(id AS VARCHAR))`` against fixed hex-prefix
+    boundaries — the industry-standard stable split (the assignment
+    never changes when the corpus is re-sharded, re-ordered, grown,
+    or re-run, and adding documents never moves an existing one
+    between splits). ``boundaries`` maps split name to an EXCLUSIVE
+    upper-bound hex prefix, in ascending order; the last entry should
+    bound at 'g' (> every hex digest). Default ≈ 90/5/5:
+    ``{"train": "e666", "val": "f333", "test": "g"}``
+    (0xe666/0x10000 = 89.99%, then 5% each).
+
+    Shuffle-free and embarrassingly parallel (one md5 per row —
+    hashlib runs at C speed; the comparison is vectorized). The SQL
+    oracle is a CASE over ``md5(CAST(id AS VARCHAR))`` with the same
+    hex thresholds, so the assignment is oracle-exact."""
+    from ..functions.hashing import md5_hex
+
+    if boundaries is None:
+        boundaries = {"train": "e666", "val": "f333", "test": "g"}
+    names = list(boundaries)
+    bounds = [boundaries[n] for n in names]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = np.array(md5_hex(pc.cast(col, pa.string())), dtype=object)
+        split = np.full(len(h), names[-1], dtype=object)
+        # assign from the last boundary down so earlier (smaller)
+        # ranges overwrite: equivalent to the first-match CASE
+        for name, ub in zip(names[::-1], bounds[::-1]):
+            split[h < ub] = name
+        return pa.table({
+            id_col: col,
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -110,3 +110,34 @@ def test_tail_values_matches_reference_reduction():
             .sort_values("i")
         )
         assert out["v"].tolist() == tail, (n, mx, mn)
+
+
+def test_split_assign_stable_and_exhaustive():
+    """The split is keyed on content (md5 of the id), so it is
+    invariant to block layout AND to corpus growth: the assignment of
+    ids 0..999 inside a 2000-row corpus equals their assignment in a
+    1000-row corpus."""
+    import hashlib
+
+    from logdata_anomaly_miner_ray.stages.sampling import split_assign
+
+    def run(n, blocks):
+        t = pa.table({"doc_id": pa.array(list(range(n)), pa.int64())})
+        out = split_assign(
+            rd.from_arrow(t).repartition(blocks), "doc_id").to_pandas()
+        return dict(zip(out["doc_id"].astype(int), out["split"]))
+
+    a = run(1000, 3)
+    b = run(1000, 7)
+    assert a == b
+    big = run(2000, 5)
+    assert all(big[i] == a[i] for i in range(1000))
+    # brute-force boundary check
+    for i in range(1000):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        want = "train" if h < "e666" else ("val" if h < "f333" else "test")
+        assert a[i] == want
+    # ~90/5/5 at n=1000
+    from collections import Counter
+    c = Counter(a.values())
+    assert 850 < c["train"] < 950 and c["val"] > 20 and c["test"] > 20
