@@ -152,13 +152,31 @@ def pagerank(
                     "inm": pa.array(inm, pa.int64()),
                 })
 
-            inm = np.zeros(n_nodes, dtype=np.int64)
+            # materialize BEFORE iterating: iter_batches on an
+            # unmaterialized pipeline paces execution at driver pull
+            # speed (measured 35 s vs 0.7 s for this very pass —
+            # CLAUDE.md); materialize runs it cluster-parallel and
+            # the driver then drains finished blocks zero-copy
+            nds, vals = [], []
             for b in edges.map_batches(
                 partial, batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True,
-            ).iter_batches(batch_format="pyarrow"):
-                nd = b["node"].to_numpy(zero_copy_only=False)
-                np.add.at(inm, nd, b["inm"].to_numpy(zero_copy_only=False))
+            ).materialize().iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                nds.append(b["node"].to_numpy(zero_copy_only=False))
+                vals.append(b["inm"].to_numpy(zero_copy_only=False))
+            # ONE weighted bincount folds every sparse partial:
+            # float64 sums of int64 values are exact here (total mass
+            # ≤ 10^12 < 2^53), and bincount is ~100× np.add.at
+            if nds:
+                inm = np.bincount(
+                    np.concatenate(nds),
+                    weights=np.concatenate(vals).astype(np.float64),
+                    minlength=n_nodes,
+                ).astype(np.int64)
+            else:
+                inm = np.zeros(n_nodes, dtype=np.int64)
             r = tele + (85 * inm) // 100
         return rd.from_arrow(pa.table({
             "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),

@@ -184,9 +184,13 @@ def exact_quantiles(
             v = _col_values(batch, col)
             return pa.table({"v": pa.array(v.astype(dtype))})
 
+        # materialize before pulling: raw-value gathers are MB-scale
+        # and iter_batches on an unmaterialized pipeline drains at
+        # driver pace (~11 MB/s measured; CLAUDE.md) — materialize
+        # runs the projection cluster-parallel, the drain is zero-copy
         for b in ds.map_batches(
             gather_all, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow"):
+        ).materialize().iter_batches(batch_format="pyarrow"):
             arr = b["v"].to_numpy()
             if len(arr):
                 pools.append(arr)

@@ -165,7 +165,10 @@ def tfidf_top_terms(
     import ray
 
     td = term_doc_table(ds, text_col=text_col, id_col=id_col).materialize()
-    df = doc_frequency(td)
+    # materialize: count() + the broadcast gather below would
+    # otherwise execute twice, and iter_batches on an unmaterialized
+    # pipeline pulls MB-scale outputs at driver pace (CLAUDE.md)
+    df = doc_frequency(td).materialize()
     n_terms = df.count()
     if n_terms <= max_broadcast_terms:
         df_tbl = pa.concat_tables(
