@@ -1790,6 +1790,31 @@ def q_pagerank_documents(sf_dir: str):
     )
 
 
+def q_indegree_hist_documents(sf_dir: str):
+    """Link-graph degree distribution (stages/graph.indegree_histogram)
+    — the standard power-law QA over a crawl graph: per-block sparse
+    (dst, cnt) partials, one coarse-keyed per-node sum, then a tiny
+    histogram groupby. Integer counts end-to-end; nodes with zero
+    in-links are not emitted (invisible to the edge list), matching
+    the SQL GROUP BY. Edges come from the same oracle-gated anchor
+    extraction as pagerank."""
+    import pyarrow.parquet as pq
+
+    from logdata_anomaly_miner_ray.stages.graph import (
+        indegree_histogram,
+        link_edges,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    out = indegree_histogram(
+        link_edges(_read(sf_dir, "documents", ["doc_id"]), n_docs))
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"indegree": df["indegree"].to_numpy(np.int64),
+         "n_nodes": df["n_nodes"].to_numpy(np.int64)}
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (the
     cluster-then-curate primitive: SemDeDup / domain-discovery
@@ -2413,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_documents": q_term_search_documents,
         "extract_links_documents": q_extract_links_documents,
         "pagerank_documents": q_pagerank_documents,
+        "indegree_hist_documents": q_indegree_hist_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
         "chunk_documents": q_chunk_documents,
@@ -3492,6 +3518,16 @@ SELECT j.doc_id, jj + 2 AS pos,
        '/doc/' || CAST((j.doc_id * 31 + 7 * jj + 1) % nn.n AS VARCHAR)
        AS href
 FROM j CROSS JOIN nn""",
+        "indegree_hist_documents": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),
+j AS (SELECT src, outdeg,
+             unnest(generate_series(0, outdeg - 1))::BIGINT AS jj
+      FROM k),
+e AS (SELECT j.src, (j.src * 31 + 7 * jj + 1) % nn.n AS dst
+      FROM j CROSS JOIN nn),
+deg AS (SELECT dst, count(*)::BIGINT AS indegree FROM e GROUP BY 1)
+SELECT indegree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1""",
         "pagerank_documents": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),

@@ -310,3 +310,51 @@ def pagerank(
             .materialize()
         )
     return ranks
+
+
+def indegree_histogram(
+    edges: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Degree-distribution QA for the link graph: (indegree,
+    n_nodes) — how many nodes have each in-link count. The standard
+    power-law sanity check on a crawl graph, and a two-level
+    aggregation exercise: per-block sparse (dst, cnt) partials →
+    one narrow coarse-keyed groupby summing per node → per-block
+    (indegree, n) partials → one tiny groupby. Nodes with zero
+    in-links are NOT emitted (they are invisible to the edge list);
+    callers that need them subtract sum(n_nodes) from the node count.
+    """
+    import pandas as pd
+
+    from ._agg import coarse_grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(dst, return_counts=True)
+        return pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = edges.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+    def per_node(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", sort=False)["cnt"].sum()
+        deg, n = np.unique(s.to_numpy(np.int64), return_counts=True)
+        return pa.table({
+            "indegree": pa.array(deg, pa.int64()),
+            "n_part": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    per_bucket = coarse_grouped(partials, ["node"], per_node)
+
+    def hist_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("indegree", sort=False)["n_part"].sum()
+        return pd.DataFrame({
+            "indegree": s.index.to_numpy(np.int64),
+            "n_nodes": s.to_numpy(np.int64),
+        })
+
+    return coarse_grouped(per_bucket, ["indegree"], hist_fold, n_buckets=32)

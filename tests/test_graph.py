@@ -113,3 +113,17 @@ def test_pagerank_tracks_float_pagerank():
     fp = _brute_pagerank(3)
     for i in range(N):
         assert abs(fp[i] - rf[i]) / PAGERANK_SCALE < 1e-9
+
+
+def test_indegree_histogram():
+    from collections import Counter
+
+    from logdata_anomaly_miner_ray.stages.graph import indegree_histogram
+
+    hist = indegree_histogram(link_edges(_ds(5), N)).to_pandas()
+    got = dict(zip(hist["indegree"].astype(int), hist["n_nodes"].astype(int)))
+    deg = Counter(d for _, d, _ in _brute_edges())
+    want = Counter(deg.values())
+    assert got == dict(want)
+    # total edges conserved through both aggregation levels
+    assert sum(k * v for k, v in got.items()) == len(_brute_edges())
