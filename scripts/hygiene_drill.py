@@ -65,6 +65,8 @@ def main(argv=None) -> int:
                     help="decontam: every Nth row is the eval side")
     ap.add_argument("--w", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--scale-tier", action="store_true",
+                    help="pagerank: force the dataset-ranks tier")
     args = ap.parse_args(argv)
 
     _init()
@@ -129,9 +131,12 @@ def main(argv=None) -> int:
         ids = rd.read_parquet(files, columns=["row_idx"])
         t0 = time.time()
         edges = link_edges(ids, n_docs, id_col="row_idx")
-        n = pagerank(edges, n_docs, iters=3).count()
-        rc = _result("pagerank", n, t0,
-                     edges=int(2.5 * n_docs))  # E[outdeg] = 2.5
+        n = pagerank(
+            edges, n_docs, iters=3,
+            max_broadcast_nodes=0 if args.scale_tier else 50_000_000,
+        ).count()
+        rc = _result("pagerank", n, t0, edges=int(2.5 * n_docs),
+                     tier="scale" if args.scale_tier else "broadcast")
     else:
         from logdata_anomaly_miner_ray.stages.packing import pack_sequences
 
