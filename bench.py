@@ -250,6 +250,30 @@ def run_bench() -> dict:
             ext_sec = min(ext_sec, time.time() - t0)
         extra_stages["extract_stage"] = round(ext_sec, 3)
 
+        from logdata_anomaly_miner_ray.stages.graph import link_edges, pagerank
+        from logdata_anomaly_miner_ray.stages.ranking import tfidf_top_terms
+
+        tfidf_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            tfidf_top_terms(_hygiene_input(), k=5, id_col="row_idx").count()
+            tfidf_sec = min(tfidf_sec, time.time() - t0)
+        extra_stages["tfidf_stage"] = round(tfidf_sec, 3)
+
+        pr_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            pagerank(
+                link_edges(
+                    rd.read_parquet(PAGES_DIR, columns=["row_idx"]),
+                    PAGES_ROWS, id_col="row_idx"),
+                PAGES_ROWS, iters=3,
+            ).count()
+            pr_sec = min(pr_sec, time.time() - t0)
+        extra_stages["pagerank_stage"] = round(pr_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",
