@@ -257,6 +257,8 @@ def extract_links_table(doc_id, html) -> pa.Table:
         doc_id = pa.array(doc_id, pa.int64())
     if isinstance(doc_id, pa.ChunkedArray):
         doc_id = doc_id.combine_chunks()
+    if not isinstance(html, (pa.Array, pa.ChunkedArray)):
+        html = pa.array(html)
     s = binary_to_utf8(html)
     if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()

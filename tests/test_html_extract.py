@@ -122,3 +122,63 @@ def test_normalize_nfc_lower():
         unicodedata.name(c, "?") for c in comp]
     assert out[2] is None
     assert out[3] == "éσ"
+
+
+def test_extract_links_vs_stdlib_htmlparser():
+    """Cross-engine check: the RE2 chain's anchor extraction must
+    agree with Python's stdlib html.parser on the deterministic link
+    pages (a genuinely independent implementation — tokenizer-based,
+    entity-decoding, script-aware)."""
+    from html.parser import HTMLParser
+
+    import pyarrow as pa
+
+    from logdata_anomaly_miner_ray.functions.html import (
+        build_link_page_html,
+        extract_links_table,
+    )
+
+    class LinkParser(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.links = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style", "noscript", "template", "svg",
+                       "head"):
+                self._skip += 1
+            if tag == "a" and not self._skip:
+                for k, v in attrs:
+                    if k == "href":
+                        self.links.append(v)
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style", "noscript", "template", "svg",
+                       "head") and self._skip:
+                self._skip -= 1
+
+    n = 53
+    ids = pa.array(list(range(n)), pa.int64())
+    pages = build_link_page_html(ids, n).to_pylist()
+    got = extract_links_table(ids, pages).to_pandas()
+    for i in range(n):
+        p = LinkParser()
+        p.feed(pages[i])
+        mine = list(got[got["doc_id"] == i].sort_values("pos")["href"])
+        assert mine == p.links, f"doc {i}: {mine} != {p.links}"
+
+
+def test_extract_text_entity_single_pass():
+    """'&amp;lt;' must decode to the literal '&lt;' (single-pass
+    rule), and '&amp;' inside attribute-adjacent text decodes once."""
+    import pyarrow as pa
+
+    from logdata_anomaly_miner_ray.functions.html import extract_text_array
+
+    out = extract_text_array(pa.array([
+        "<p>a &amp;lt; b</p>",
+        "<p>x &amp;amp; y</p>",
+        "<p>5 &lt; 6 &gt; 4 &quot;q&quot; &#39;s&#39;</p>",
+    ])).to_pylist()
+    assert out == ["a &lt; b", "x &amp; y", "5 < 6 > 4 \"q\" 's'"]
