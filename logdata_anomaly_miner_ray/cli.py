@@ -255,10 +255,16 @@ def main(argv: list[str] | None = None) -> int:
                     "n_rows": int(state.get("n_rows", 0)),
                 }))
                 return 0
+        raw_pages = None
+        if cfg.checks.get("extraction", {}).get("enabled", False):
+            # opt-in faithfulness check needs the html column the
+            # suite read pruned away — a second (column-pruned) scan
+            raw_pages = rd.read_parquet(args.input, include_paths=True)
         out = validate(
             pages, state, ts_index=tsx, out_dir=args.out, narrow=narrow,
             resume=not args.no_resume,
             allowed_langs=cfg_file.get("allowed_langs"),
+            raw_pages=raw_pages,
         )
         verdicts = out["verdicts"]
         import pyarrow.parquet as pq

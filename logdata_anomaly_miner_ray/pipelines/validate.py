@@ -748,6 +748,7 @@ def validate(
     resume: bool = True,
     allowed_langs: list[str] | None = None,
     narrow: "rd.Dataset | None" = None,
+    raw_pages: "rd.Dataset | None" = None,
 ) -> dict:
     config: SuiteConfig = state.get("config") or SuiteConfig()
     manifest = CheckpointManifest(out_dir) if out_dir else None
@@ -873,6 +874,37 @@ def validate(
         zero_copy_batch=True,
     ).materialize()
     _trace("validate.fused_pass", _t_fused)
+
+    # ---- optional extraction-faithfulness check (the north-star
+    # per-row invariant: text == extract(html), byte-identical).
+    # Opt-in (checks.extraction.enabled) because it re-reads the wide
+    # html column the suite otherwise prunes before every pass; one
+    # zero-copy RE2-chain pass, violations only are emitted.
+    if raw_pages is not None and bool(
+        ck.get("extraction", {}).get("enabled", False)
+    ):
+        from ..functions.html import extract_text_array
+
+        def _extraction_violations():
+            def f(t: pa.Table) -> pa.Table:
+                got = extract_text_array(t["html"])
+                bad = pc.fill_null(pc.not_equal(got, t["text"]), True)
+                v = t.filter(bad)
+                ve = pc.filter(got, bad)  # kernel handles chunked masks
+                return pa.table({
+                    "url": v["url"],
+                    "text_len": pc.utf8_length(v["text"]).cast(pa.int64()),
+                    "extracted_len": pc.utf8_length(ve).cast(pa.int64()),
+                })
+
+            return raw_pages.select_columns(
+                ["url", "html", "text"]
+            ).map_batches(
+                f, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True,
+            )
+
+        run_check("extraction_faithful", _extraction_violations)
     # Meta rows reduce INSIDE the dataset (per-block partials + one
     # tiny groupby each) — the driver touches only the aggregated
     # results, never a data-proportional row stream (violations
@@ -1301,9 +1333,17 @@ def run_suite(
     out_dir: str | None = None,
     config: SuiteConfig | None = None,
 ) -> dict:
+    raw = pages
     pages = prune_to_suite_columns(pages)
     state, narrow = fit_and_narrow(pages, config)
-    out = validate(pages, state, ts_index=ts_index, out_dir=out_dir, narrow=narrow)
+    ext_on = bool(
+        ((config.checks if config else None) or {})
+        .get("extraction", {}).get("enabled", False)
+    )
+    out = validate(
+        pages, state, ts_index=ts_index, out_dir=out_dir, narrow=narrow,
+        raw_pages=raw if ext_on else None,
+    )
     out["state"] = state
     return out
 

@@ -171,3 +171,41 @@ def test_resume_after_midrun_crash_byte_identical(ray_session, tmp_path, monkeyp
     # pass/fail + counts, and the xor-of-sha256 text identity proof
     assert clean_outputs(out_a) == clean_outputs(out_b)
     assert verdict_map(a) == verdict_map(b)
+
+
+def test_extraction_faithfulness_check(ray_session):
+    """Opt-in north-star check: text must equal extract(html)
+    byte-identically per row. One corrupted row -> exactly one
+    violation naming its url; clean corpus -> pass with 0; the check
+    never runs unless enabled (it re-reads the pruned html column)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.pipelines.validate import run_suite
+    from logdata_anomaly_miner_ray.schema import SuiteConfig
+    from logdata_anomaly_miner_ray.sources.pages import make_pages_block
+
+    def verdicts(out):
+        return {r["check"]: (r["pass"], r["n_violations"])
+                for r in out["verdicts"].to_pylist()}
+
+    t = make_pages_block(0, 800)
+    cfg = SuiteConfig(checks={"extraction": {"enabled": True}})
+    clean = verdicts(run_suite(rd.from_arrow(t), config=cfg))
+    assert clean["extraction_faithful"] == (True, 0)
+
+    # corrupt row 5's text (html untouched)
+    texts = t["text"].to_pylist()
+    texts[5] = texts[5] + " TAMPERED"
+    bad_t = t.set_column(
+        t.schema.get_field_index("text"), "text",
+        pa.array(texts, pa.string()))
+    out = run_suite(rd.from_arrow(bad_t), config=cfg)
+    v = verdicts(out)
+    assert v["extraction_faithful"] == (False, 1)
+    viol = out["violations"]["extraction_faithful"].to_pandas()
+    assert list(viol["url"]) == [t["url"][5].as_py()]
+
+    # disabled by default: the check row must be absent entirely
+    off = verdicts(run_suite(rd.from_arrow(bad_t), config=SuiteConfig()))
+    assert "extraction_faithful" not in off
