@@ -1727,6 +1727,30 @@ def q_term_search_documents(sf_dir: str):
     )
 
 
+def q_bm25_topk_documents(sf_dir: str):
+    """Okapi BM25 (k1=1.2, b=0.75) per-term top-k with the tf/doc-len
+    saturation trade-off expressed as an EXACT integer ordering key:
+    sat_key = (3*T + 9*N*doc_len)*1e9 // tf (score DESC == key ASC;
+    idf is constant within a term and drops out; see
+    stages/ranking.bm25_topk). Two passes — a 2-ints-per-block corpus
+    stats partial, then broadcast query set + per-block keys +
+    mergeable per-term top-k partials; no float anywhere."""
+    from logdata_anomaly_miner_ray.stages.ranking import bm25_topk
+
+    out = bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        _SEARCH_TERMS, k=10)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"term": df["term"].astype(str),
+         "doc_id": df["doc_id"].to_numpy(np.int64),
+         "tf": df["tf"].to_numpy(np.int64),
+         "doc_len": df["doc_len"].to_numpy(np.int64),
+         "sat_key": df["sat_key"].to_numpy(np.int64),
+         "rnk": df["rnk"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_links_documents(sf_dir: str):
     """Anchor extraction over deterministic link-bearing pages
     (functions/html.build_link_page_html + extract_links_table): each
@@ -2436,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": q_normalize_text_documents,
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "term_search_documents": q_term_search_documents,
+        "bm25_topk_documents": q_bm25_topk_documents,
         "extract_links_documents": q_extract_links_documents,
         "pagerank_documents": q_pagerank_documents,
         "indegree_hist_documents": q_indegree_hist_documents,
@@ -3503,6 +3528,29 @@ r AS (
            ORDER BY tf.tf DESC, dl.doc_len ASC, tf.doc_id ASC)::BIGINT AS rnk
   FROM tf JOIN dl USING (doc_id))
 SELECT term, doc_id, tf, doc_len, rnk FROM r WHERE rnk <= 10""",
+        "bm25_topk_documents": r"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+), tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+              count(*)::BIGINT AS t FROM tk2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tk2 GROUP BY 1),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk2
+       WHERE term IN ('the', 'scan', 'window', 'query', 'spark')
+       GROUP BY 1, 2),
+keyed AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.doc_len,
+         CAST((CAST(3 * st.t + 9 * st.n * dl.doc_len AS HUGEINT)
+               * 1000000000) // tf.tf AS BIGINT) AS sat_key
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN st),
+r AS (
+  SELECT term, doc_id, tf, doc_len, sat_key,
+         row_number() OVER (
+           PARTITION BY term
+           ORDER BY sat_key ASC, doc_id ASC)::BIGINT AS rnk
+  FROM keyed)
+SELECT term, doc_id, tf, doc_len, sat_key, rnk FROM r WHERE rnk <= 10""",
         "extract_links_documents": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 k AS (SELECT doc_id, 1 + doc_id % 4 AS outdeg FROM documents),

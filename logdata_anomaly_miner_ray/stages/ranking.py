@@ -61,6 +61,8 @@ __all__ = [
     "doc_frequency",
     "tfidf_top_terms",
     "term_search_topk",
+    "corpus_token_stats",
+    "bm25_topk",
 ]
 
 _WS = r"\s+"  # RE2 ASCII class — identical in Arrow and DuckDB
@@ -242,6 +244,102 @@ def tfidf_top_terms(
     return topk_per_group(
         joined, ["doc_id"], "tf", k, tiebreak_cols=("df", "term"),
         ascending=False, rank_col="rnk")
+
+
+def corpus_token_stats(
+    ds: "ray.data.Dataset", *, text_col: str = "text",
+) -> tuple[int, int]:
+    """(n_docs, n_tokens) for a text corpus in ONE narrow partial
+    pass: each block emits two ints (its row count and its non-empty
+    whitespace-token count — the same RE2 ``\\s+`` tokenization as
+    the rest of this module, so a DuckDB oracle reproduces the totals
+    with ``regexp_split_to_array``); the driver folds the per-block
+    pairs (bounded by block count, never by data)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text, _WS)
+        flat = pc.list_flatten(toks)
+        n_tok = int(pc.sum(
+            pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py() or 0)
+        return pa.table({
+            "nd": pa.array([batch.num_rows], pa.int64()),
+            "nt": pa.array([n_tok], pa.int64())})
+
+    parts = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).to_pandas()
+    return int(parts["nd"].sum()), int(parts["nt"].sum())
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset", query_terms: list[str], *, k: int = 10,
+    scale: int = 10**9, text_col: str = "text", id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Okapi BM25 per-term top-k with NO float in any checked column
+    — the tf/doc-length saturation trade-off ``term_search_topk``'s
+    lexicographic (tf DESC, dl ASC) order deliberately omits.
+
+    For a fixed term, BM25 (k1=1.2, b=0.75) ranks by
+    ``tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/T)`` — idf is constant
+    within the term and drops out. Score DESC is EXACTLY integer key
+    ASC for ``sat_key = (3·T + 9·N·dl)·scale // tf`` (multiply the
+    denominator/tf rational through by 10·T; the constant factor
+    cancels). Both this engine and the DuckDB oracle compute the SAME
+    floor division on the same integers, so ranks are bit-identical
+    by construction; the floored key preserves the TRUE BM25 order
+    whenever ``tf_max² ≤ scale`` (distinct rationals n1/t1 ≠ n2/t2
+    differ by ≥ 1/(t1·t2)); beyond that, equal keys tie-break
+    (doc_id ASC) identically in both engines. ``scale`` is a
+    precision dial: the int64 envelope requires
+    ``(3·T + 9·N·dl_max)·scale < 2^63`` (asserted per block with a
+    clear error) — at 100-TB token counts pass a smaller scale, or
+    pre-shard the corpus; the distributed shape (broadcast query set,
+    per-block keys, mergeable per-term top-k partials — at most k
+    rows per term per block ever shuffle) is scale-ready.
+
+    Two passes: (1) ``corpus_token_stats`` (two ints per block), then
+    (2) the hits pass computes (term, doc_id, tf, doc_len, sat_key)
+    per block and feeds ``topk_per_group``. Returns (term, doc_id,
+    tf, doc_len, sat_key, rnk) with rnk 1-based per term.
+    """
+    n_docs, n_tokens = corpus_token_stats(ds, text_col=text_col)
+    qset = pa.array(sorted(set(query_terms)), pa.string())
+    lim = (2**63 - 1) // scale
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = _tokens_flat(ids.cast(pa.int64()), text)
+        dl = flat.group_by(["doc_id"]).aggregate([([], "count_all")])
+        dl = dl.rename_columns(["doc_id", "doc_len"])
+        hit = flat.filter(pc.is_in(flat["term"], value_set=qset))
+        tf = hit.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["doc_id", "term", "tf"])
+        j = tf.join(dl, keys=["doc_id"], join_type="inner")
+        dlv = j["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfv = j["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = 3 * n_tokens + 9 * n_docs * dlv
+        if num.size and int(num.max()) > lim:
+            raise ValueError(
+                "bm25_topk int64 envelope exceeded: "
+                f"(3*T + 9*N*dl_max)={int(num.max())} > 2^63/scale={lim}; "
+                "pass a smaller `scale` (precision dial) for this corpus")
+        key = num * np.int64(scale) // tfv
+        return j.append_column("sat_key", pa.array(key, pa.int64()))
+
+    scored = ds.map_batches(
+        score_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    return topk_per_group(
+        scored, ["term"], "sat_key", k, tiebreak_cols=("doc_id",),
+        ascending=True, rank_col="rnk")
 
 
 def term_search_topk(

@@ -108,3 +108,64 @@ def test_term_search_topk():
     got = _sorted_tuples(out, ["term", "doc_id", "tf", "doc_len", "rnk"])
     assert got == sorted(want)
     assert "missing" not in set(out["term"])
+
+
+def _brute_bm25(terms, k=2, scale=10**9):
+    tf, _ = _brute_tf_df()
+    dl = {d: len(t.split()) for d, t in DOCS}
+    n_docs = len(DOCS)
+    n_tok = sum(dl.values())
+    want = []
+    for q in terms:
+        hits = []
+        for (d, w), f in tf.items():
+            if w != q:
+                continue
+            key = (3 * n_tok + 9 * n_docs * dl[d]) * scale // f
+            hits.append((key, d, f, dl[d]))
+        hits.sort()
+        for r, (key, d, f, L) in enumerate(hits[:k], 1):
+            want.append((q, d, f, L, key, r))
+    return sorted(want)
+
+
+def test_bm25_topk_matches_brute_force():
+    from logdata_anomaly_miner_ray.stages.ranking import bm25_topk
+
+    terms = ["a", "the", "c", "missing"]
+    out = bm25_topk(_ds(), terms, k=2).to_pandas()
+    got = _sorted_tuples(
+        out, ["term", "doc_id", "tf", "doc_len", "sat_key", "rnk"])
+    assert got == _brute_bm25(terms, k=2)
+
+
+def test_bm25_saturation_beats_lexicographic():
+    """BM25 must rank a shorter doc with LOWER tf above a much longer
+    doc with higher tf when the length penalty dominates — the case
+    (tf DESC, dl ASC) lexicographic search gets wrong by design."""
+    from logdata_anomaly_miner_ray.stages.ranking import bm25_topk
+
+    long_doc = "q q " + "pad " * 400
+    docs = [(0, "q x"), (1, long_doc.strip())]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs], pa.string())})
+    out = bm25_topk(rd.from_arrow(t).repartition(2), ["q"], k=2).to_pandas()
+    out = out.sort_values("rnk")
+    # doc 0: tf=1, dl=2; doc 1: tf=2, dl=402 — BM25 puts doc 0 first
+    assert out["doc_id"].tolist() == [0, 1]
+    # the lexicographic order (tf DESC) would put doc 1 first
+    lex = term_search_topk(
+        rd.from_arrow(t).repartition(2), ["q"], k=2).to_pandas()
+    assert lex.sort_values("rnk")["doc_id"].tolist() == [1, 0]
+
+
+def test_bm25_block_layout_invariance_and_overflow_guard():
+    from logdata_anomaly_miner_ray.stages.ranking import bm25_topk
+
+    cols = ["term", "doc_id", "tf", "doc_len", "sat_key", "rnk"]
+    a = bm25_topk(_ds(1), ["a", "c"], k=3).to_pandas()
+    b = bm25_topk(_ds(7), ["a", "c"], k=3).to_pandas()
+    assert _sorted_tuples(a, cols) == _sorted_tuples(b, cols)
+    # Ray wraps the worker's ValueError in RayTaskError — match text
+    with pytest.raises(Exception, match="envelope exceeded"):
+        bm25_topk(_ds(2), ["a"], k=1, scale=2**62).to_pandas()
