@@ -1751,6 +1751,26 @@ def q_bm25_topk_documents(sf_dir: str):
     )
 
 
+def q_bpe_pair_counts_documents(sf_dir: str):
+    """Vocabulary-induction statistics: corpus-wide adjacent
+    codepoint-pair occurrence counts over whitespace pretokens — the
+    exact first-merge counting step of a BPE trainer
+    (stages/vocab.bpe_pair_counts). Offset-vectorized
+    utf8_slice_codeunits pair explode (codepoint semantics == DuckDB
+    substr), per-block Arrow group_by partials, ONE narrow groupby
+    (rows bounded by distinct pairs per block, not corpus size), then
+    mergeable local top-k + a k-rows-per-block driver fold."""
+    from logdata_anomaly_miner_ray.stages.vocab import bpe_pair_counts
+
+    out = bpe_pair_counts(
+        _read(sf_dir, "documents", ["text"]), k=20).to_pandas()
+    return pd.DataFrame(
+        {"pair": out["pair"].astype(str),
+         "cnt": out["cnt"].to_numpy(np.int64),
+         "rnk": out["rnk"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_links_documents(sf_dir: str):
     """Anchor extraction over deterministic link-bearing pages
     (functions/html.build_link_page_html + extract_links_table): each
@@ -2461,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
         "term_search_documents": q_term_search_documents,
         "bm25_topk_documents": q_bm25_topk_documents,
+        "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
         "extract_links_documents": q_extract_links_documents,
         "pagerank_documents": q_pagerank_documents,
         "indegree_hist_documents": q_indegree_hist_documents,
@@ -3551,6 +3572,21 @@ r AS (
            ORDER BY sat_key ASC, doc_id ASC)::BIGINT AS rnk
   FROM keyed)
 SELECT term, doc_id, tf, doc_len, sat_key, rnk FROM r WHERE rnk <= 10""",
+        "bpe_pair_counts_documents": r"""
+WITH tk AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+  FROM documents
+), tk2 AS (SELECT tok FROM tk WHERE length(tok) >= 2),
+p AS (
+  SELECT substr(tok, unnest(generate_series(1, length(tok) - 1)), 2)
+         AS pair
+  FROM tk2),
+c AS (SELECT pair, count(*)::BIGINT AS cnt FROM p GROUP BY 1),
+r AS (SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair ASC)::BIGINT
+             AS rnk
+      FROM c)
+SELECT pair, cnt, rnk FROM r WHERE rnk <= 20""",
         "extract_links_documents": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 k AS (SELECT doc_id, 1 + doc_id % 4 AS outdeg FROM documents),
