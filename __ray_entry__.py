@@ -1771,6 +1771,29 @@ def q_bpe_pair_counts_documents(sf_dir: str):
     )
 
 
+def q_dsir_weights_documents(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023) with the exact
+    integer likelihood-ratio score (stages/importance.dsir_weights):
+    tokens hash to 64 buckets via the first 4 md5 nibbles (the
+    SQL-reproducible hash family), target = lang 'en'; per-bucket
+    score s_b = ((ct+1)*(Tr+B)*1e6) // ((cr+1)*(Tt+B)) folded from
+    2*B-ints-per-block partials; doc weight = sum of its tokens'
+    scores in a shuffle-free second pass. The faithful float log-LLR
+    column (w_llr) is user-facing and excluded here (DuckDB ln is
+    1-ulp off numpy on ~25% of inputs, measured)."""
+    from logdata_anomaly_miner_ray.stages.importance import dsir_weights
+
+    out = dsir_weights(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_col="lang", target_value="en", n_buckets=64,
+    ).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "n_tok": out["n_tok"].to_numpy(np.int64),
+         "weight": out["weight"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_links_documents(sf_dir: str):
     """Anchor extraction over deterministic link-bearing pages
     (functions/html.build_link_page_html + extract_links_table): each
@@ -2482,6 +2505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_documents": q_term_search_documents,
         "bm25_topk_documents": q_bm25_topk_documents,
         "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
+        "dsir_weights_documents": q_dsir_weights_documents,
         "extract_links_documents": q_extract_links_documents,
         "pagerank_documents": q_pagerank_documents,
         "indegree_hist_documents": q_indegree_hist_documents,
@@ -3572,6 +3596,38 @@ r AS (
            ORDER BY sat_key ASC, doc_id ASC)::BIGINT AS rnk
   FROM keyed)
 SELECT term, doc_id, tf, doc_len, sat_key, rnk FROM r WHERE rnk <= 10""",
+        "dsir_weights_documents": r"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(text, '\s+')) AS tok
+  FROM documents
+), tk2 AS (SELECT doc_id, lang, tok FROM tk WHERE tok <> ''),
+bkt AS (
+  SELECT doc_id, lang,
+         ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 64
+         AS bk
+  FROM tk2),
+cnt AS (
+  SELECT bk,
+         count(*) FILTER (WHERE lang = 'en')::BIGINT AS ct,
+         count(*)::BIGINT AS cr
+  FROM bkt GROUP BY bk),
+tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM cnt),
+sc AS (
+  SELECT bk,
+         CAST((CAST(ct + 1 AS HUGEINT) * (tr + 64) * 1000000)
+              // (CAST(cr + 1 AS HUGEINT) * (tt + 64)) AS BIGINT) AS s
+  FROM cnt CROSS JOIN tot),
+w AS (
+  SELECT bkt.doc_id, count(*)::BIGINT AS n_tok,
+         CAST(sum(sc.s) AS BIGINT) AS weight
+  FROM bkt JOIN sc USING (bk) GROUP BY 1)
+SELECT d.doc_id, coalesce(w.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(w.weight, 0)::BIGINT AS weight
+FROM documents d LEFT JOIN w USING (doc_id)""",
         "bpe_pair_counts_documents": r"""
 WITH tk AS (
   SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
