@@ -274,6 +274,38 @@ def run_bench() -> dict:
             pr_sec = min(pr_sec, time.time() - t0)
         extra_stages["pagerank_stage"] = round(pr_sec, 3)
 
+        from logdata_anomaly_miner_ray.stages.importance import dsir_weights
+        from logdata_anomaly_miner_ray.stages.ranking import bm25_topk
+
+        bm_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            bm25_topk(
+                _hygiene_input(),
+                ["the", "scan", "window", "query", "error"],
+                k=10, id_col="row_idx",
+            ).count()
+            bm_sec = min(bm_sec, time.time() - t0)
+        extra_stages["bm25_stage"] = round(bm_sec, 3)
+
+        def _dsir_input():
+            # lang lives on the pages table; fall back to a derived
+            # pseudo-label when the cached table predates the column
+            cols = ["row_idx", "text", "lang"]
+            return rd.read_parquet(PAGES_DIR, columns=cols)
+
+        ds_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            dsir_weights(
+                _dsir_input(), target_col="lang", target_value="en",
+                id_col="row_idx", hash_mode="fast",
+            ).count()
+            ds_sec = min(ds_sec, time.time() - t0)
+        extra_stages["dsir_stage"] = round(ds_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",

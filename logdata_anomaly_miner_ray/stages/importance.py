@@ -32,10 +32,11 @@ likelihood RATIOS; the faithful DSIR log-likelihood-ratio weight
 (DuckDB's ln differs from numpy's by 1 ulp on ~25% of inputs,
 measured).
 
-The per-token md5 is a C-speed hashlib loop (the price of SQL
-reproducibility — same trade as functions/hashing.simhash64_md5); a
-production 100-TB tier would swap in a vectorized 64-bit hash with
-identical plumbing.
+Two hash tiers, identical plumbing: ``hash_mode="md5"`` (per-token
+C-speed hashlib loop — the price of SQL reproducibility, same trade
+as functions/hashing.simhash64_md5) for oracle-checked runs, and
+``hash_mode="fast"`` (one vectorized ``pd.util.hash_pandas_object``
+pass per block) for the 100-TB tier.
 """
 
 from __future__ import annotations
@@ -69,6 +70,21 @@ def _flat_tokens(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return rows[km], flat.filter(keep)
 
 
+def _buckets_fast(flat: pa.Array, n_buckets: int) -> np.ndarray:
+    """Vectorized bucket id per token (the 100-TB tier):
+    ``pd.util.hash_pandas_object`` — one C pass over the column, no
+    per-token Python call. Deterministic across processes/runs (fixed
+    default hash key) but NOT reproducible in SQL; the md5 mode is
+    the oracle-checkable one. Identical plumbing either way."""
+    import pandas as pd
+
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64)
+    h = pd.util.hash_pandas_object(
+        pd.Series(flat.to_pandas()), index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
 def _buckets_md5(flat: pa.Array, n_buckets: int) -> np.ndarray:
     """Bucket id per token: int of the first 4 hex nibbles of
     md5(token), mod n_buckets — bit-identical to the DuckDB
@@ -95,6 +111,7 @@ def dsir_bucket_scores(
     ds: "ray.data.Dataset", *, target_col: str = "lang",
     target_value: str = "en", n_buckets: int = 64,
     text_col: str = "text", scale: int = 10**6,
+    hash_mode: str = "md5",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pass 1: fold per-block (target, raw) bucket counts and return
     (s_b int64 scores, ct, cr). Partials are 2·n_buckets ints per
@@ -105,7 +122,7 @@ def dsir_bucket_scores(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         rows, flat = _flat_tokens(text)
-        bk = _buckets_md5(flat, n_buckets)
+        bk = _hash_fn(hash_mode)(flat, n_buckets)
         tgt = pc.equal(batch[target_col], target_value).to_numpy(
             zero_copy_only=False)
         is_t = tgt[rows]
@@ -134,11 +151,19 @@ def dsir_bucket_scores(
     return s, ct, cr
 
 
+def _hash_fn(mode: str):
+    if mode == "md5":
+        return _buckets_md5
+    if mode == "fast":
+        return _buckets_fast
+    raise ValueError(f"unknown hash_mode {mode!r} (md5|fast)")
+
+
 def dsir_weights(
     ds: "ray.data.Dataset", *, target_col: str = "lang",
     target_value: str = "en", n_buckets: int = 64,
     text_col: str = "text", id_col: str = "doc_id",
-    scale: int = 10**6,
+    scale: int = 10**6, hash_mode: str = "md5",
 ) -> "ray.data.Dataset":
     """Per-document importance weights → (doc_id, n_tok, weight,
     w_llr): ``weight`` = Σ per-token exact-integer ratio scores
@@ -149,7 +174,8 @@ def dsir_weights(
 
     s, ct, cr = dsir_bucket_scores(
         ds, target_col=target_col, target_value=target_value,
-        n_buckets=n_buckets, text_col=text_col, scale=scale)
+        n_buckets=n_buckets, text_col=text_col, scale=scale,
+        hash_mode=hash_mode)
     b = int(n_buckets)
     tt, tr = int(ct.sum()), int(cr.sum())
     llr = (np.log(ct + 1.0) - np.log(tt + b)
@@ -162,7 +188,7 @@ def dsir_weights(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         rows, flat = _flat_tokens(text)
-        bk = _buckets_md5(flat, n_buckets)
+        bk = _hash_fn(hash_mode)(flat, n_buckets)
         n = batch.num_rows
         n_tok = np.bincount(rows, minlength=n).astype(np.int64)
         # integer weights sum via add.at (np.bincount only sums in

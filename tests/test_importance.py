@@ -94,3 +94,17 @@ def test_dsir_weights_block_layout_invariance():
     at = sorted(map(tuple, a[cols].itertuples(index=False)))
     bt = sorted(map(tuple, b[cols].itertuples(index=False)))
     assert at == bt
+
+
+def test_dsir_fast_hash_tier_plumbing():
+    """The vectorized fast-hash tier shares every downstream step:
+    same token counts, weights consistent with its own bucket scores,
+    layout-invariant."""
+    a = dsir_weights(_ds(1), n_buckets=B, hash_mode="fast").to_pandas()
+    b = dsir_weights(_ds(6), n_buckets=B, hash_mode="fast").to_pandas()
+    cols = ["doc_id", "n_tok", "weight"]
+    assert sorted(map(tuple, a[cols].itertuples(index=False))) == \
+        sorted(map(tuple, b[cols].itertuples(index=False)))
+    md5 = dsir_weights(_ds(3), n_buckets=B).to_pandas()
+    assert a.sort_values("doc_id")["n_tok"].tolist() == \
+        md5.sort_values("doc_id")["n_tok"].tolist()
