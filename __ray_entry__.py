@@ -1596,6 +1596,76 @@ def q_url_normalize_documents(sf_dir: str):
     )
 
 
+def _synth_url_table(t: pa.Table) -> pa.Table:
+    """(doc_id, url, n_chars) with URLs synthesized deterministically
+    from doc_id IDENTICALLY in Arrow and SQL: mixed-case scheme/host,
+    www., default and non-default ports, and an unparseable variant
+    every 17th row (no scheme → null host in both engines)."""
+    import pyarrow.compute as pc
+
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(d)
+
+    def s(a):
+        return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+    def const(v):
+        return pa.array([v] * n, pa.string())
+
+    scheme = pc.if_else(pa.array(d % 2 == 0), const("http://"), const("HTTPS://"))
+    www = pc.if_else(pa.array(d % 3 == 0), const("WWW."), const(""))
+    host = pc.binary_join_element_wise(www, "Site", s(d % 13), ".ORG", "")
+    port = pc.if_else(
+        pa.array(d % 4 == 0), const(":80"),
+        pc.if_else(pa.array(d % 4 == 1), const(":443"),
+                   pc.if_else(pa.array(d % 4 == 2), const(":8080"), const(""))))
+    path = pc.binary_join_element_wise(const("/p/"), s(d % 7), "")
+    url = pc.binary_join_element_wise(scheme, host, port, path, "")
+    url = pc.if_else(
+        pa.array(d % 17 == 0),
+        pc.binary_join_element_wise(const("page-"), s(d), ""), url)
+    return pa.table({"doc_id": t["doc_id"], "url": url, "n_chars": t["n_chars"]})
+
+
+def q_host_stats_documents(sf_dir: str):
+    """Per-domain corpus stats (stages/webstats.host_stats): the host
+    key (lowercased authority, www./port stripped — RE2 in both
+    engines) groups a fused per-block partial pass; merge is the
+    two-tier driver-fold / coarse-key-groupby pattern. Unparseable
+    URLs group under the '(none)' sentinel. n_docs and sum_chars are
+    exact integers."""
+    from logdata_anomaly_miner_ray.stages.webstats import host_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _synth_url_table, batch_format="pyarrow", batch_size=None)
+    out = host_stats(ds, "url", ("n_chars",))
+    return pd.DataFrame(
+        {"host_key": out["host"].fillna("(none)").astype(str),
+         "n_docs": out["n_docs"].to_numpy(np.int64),
+         "sum_chars": out["sum_n_chars"].to_numpy(np.int64)}
+    )
+
+
+def q_blocklist_filter_documents(sf_dir: str):
+    """Domain blocklist filtering (stages/webstats.blocklist_filter):
+    the curated denylist broadcasts once (ray.put) and the corpus
+    streams through ONE shuffle-free is_in filter on the derived host
+    key; null-host (malformed-URL) rows are conservatively KEPT —
+    mirrored in SQL with an explicit IS NULL OR NOT IN."""
+    from logdata_anomaly_miner_ray.stages.webstats import blocklist_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _synth_url_table, batch_format="pyarrow", batch_size=None)
+    out = blocklist_filter(
+        ds, "url", ["site1.org", "site5.org", "site12.org"],
+        host_out_col="host",
+    ).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "host_key": out["host"].fillna("(none)").astype(str)}
+    )
+
+
 def q_extract_text_documents(sf_dir: str):
     """HTML → visible-text extraction round-trip — the north-star
     per-row invariant ("byte-identical extracted text per url",
@@ -2498,6 +2568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
+        "host_stats_documents": q_host_stats_documents,
+        "blocklist_filter_documents": q_blocklist_filter_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
@@ -3747,6 +3819,49 @@ SELECT doc_id,
        CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
             THEN sch || '://' || host || rest ELSE u END AS url_norm
 FROM canon""",
+        "host_stats_documents": r"""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, n_chars,
+         nullif(regexp_replace(regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', ''), ':[0-9]*$', ''), '') AS host
+  FROM raw)
+SELECT coalesce(host, '(none)') AS host_key,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM h GROUP BY 1""",
+        "blocklist_filter_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         nullif(regexp_replace(regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', ''), ':[0-9]*$', ''), '') AS host
+  FROM raw)
+SELECT doc_id, coalesce(host, '(none)') AS host_key
+FROM h
+WHERE host IS NULL OR host NOT IN ('site1.org', 'site5.org', 'site12.org')""",
         "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
         "semdedup_embeddings": _KMEANS_CTE + """

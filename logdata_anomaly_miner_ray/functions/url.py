@@ -31,6 +31,26 @@ import pyarrow.compute as pc
 _PARTS = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
 
 
+def host_of_array(arr) -> pa.Array:
+    """Host key per URL for domain-level curation (the group key of
+    per-domain stats / blocklist filtering in web-corpus pipelines,
+    cf. RefinedWeb's URL filtering stage): lowercased authority with
+    a leading ``www.`` and any ``:port`` suffix stripped. URLs that
+    don't parse as ``scheme://host...`` yield null. Vectorized RE2
+    end-to-end (extract + lower + replace), so a DuckDB
+    ``lower(regexp_extract(...))`` oracle reproduces it bit-exactly.
+    """
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, pa.string())
+    parts = pc.extract_regex(pc.cast(arr, pa.string()), _PARTS)
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    host = pc.replace_substring_regex(host, r":[0-9]*$", "")
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    return host
+
+
 def normalize_url_array(arr) -> pa.Array:
     """Canonicalize a string array of URLs (see module docstring)."""
     if not isinstance(arr, (pa.Array, pa.ChunkedArray)):

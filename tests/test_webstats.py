@@ -1,0 +1,76 @@
+"""Domain-level curation: host key, per-host stats, blocklist filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from logdata_anomaly_miner_ray.functions.url import host_of_array
+from logdata_anomaly_miner_ray.stages.webstats import blocklist_filter, host_stats
+
+URLS = [
+    "http://WWW.Example.COM/a",      # www + case
+    "https://example.com:443/b",     # port stripped by host key
+    "http://example.com:8080/c",     # any port stripped
+    "https://Other.ORG/",            # case
+    "not a url at all",              # null host
+    "ftp://Files.example.com/x",     # non-http scheme still parses
+    "http://other.org/page?q=1",
+]
+HOSTS = ["example.com", "example.com", "example.com", "other.org",
+         None, "files.example.com", "other.org"]
+
+
+def _ds(nblocks=3):
+    df = pd.DataFrame(
+        {"url": URLS, "n_chars": np.arange(len(URLS), dtype=np.int64) + 10}
+    )
+    return rd.from_pandas(df).repartition(nblocks)
+
+
+def test_host_of_array():
+    got = host_of_array(pa.array(URLS, pa.string())).to_pylist()
+    assert got == HOSTS
+
+
+def test_host_stats_driver_tier():
+    out = host_stats(_ds(), "url", ("n_chars",))
+    exp = (
+        pd.DataFrame({"host": HOSTS,
+                      "n_chars": np.arange(len(URLS), dtype=np.int64) + 10})
+        .groupby("host", dropna=False)
+        .agg(n_docs=("n_chars", "size"), sum_n_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    for _, r in exp.iterrows():
+        k = r["host"]
+        row = (out[out["host"] == k] if isinstance(k, str)
+               else out[out["host"].isna()]).iloc[0]
+        assert int(row["n_docs"]) == int(r["n_docs"])
+        assert int(row["sum_n_chars"]) == int(r["sum_n_chars"])
+
+
+def test_host_stats_scale_tier_matches_driver_tier():
+    a = host_stats(_ds(2), "url", ("n_chars",), driver_fold_limit=200_000)
+    b = host_stats(_ds(4), "url", ("n_chars",), driver_fold_limit=0)
+    ka = sorted(map(tuple, a.fillna("∅").itertuples(index=False)))
+    kb = sorted(map(tuple, b.fillna("∅").itertuples(index=False)))
+    assert ka == kb
+
+
+def test_blocklist_filter():
+    out = blocklist_filter(
+        _ds(), "url", ["example.com"], host_out_col="host"
+    ).to_pandas()
+    # the 3 example.com rows drop; null-host and other hosts survive
+    assert len(out) == 4
+    assert set(out["url"]) == {URLS[3], URLS[4], URLS[5], URLS[6]}
+    assert "example.com" not in set(out["host"].dropna())
+
+
+def test_blocklist_filter_empty_list_keeps_all():
+    out = blocklist_filter(_ds(), "url", []).to_pandas()
+    assert len(out) == len(URLS)
