@@ -1666,6 +1666,31 @@ def q_blocklist_filter_documents(sf_dir: str):
     )
 
 
+def q_mixture_repeat_documents(sf_dir: str):
+    """Epoch-weighted source mixture resampling
+    (stages/sampling.mixture_repeat): per-source EXACT rational epoch
+    multipliers — src0 ×3, src1 ×5/2, src2 ×1/2, src3 dropped, the
+    rest ×1. Integral epochs repeat every doc; the fractional epoch
+    is a deterministic content-keyed coin (first 4 md5 hex nibbles of
+    the id vs the exact remainder fraction), so the resampled
+    manifest is stable under re-sharding and corpus growth.
+    Shuffle-free; the oracle replays the integer rule with
+    generate_series + the strpos-nibble md5 recast."""
+    from logdata_anomaly_miner_ray.stages.sampling import mixture_repeat
+
+    out = mixture_repeat(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        "source",
+        {"src0": (3, 1), "src1": (5, 2), "src2": (1, 2), "src3": (0, 1)},
+        "doc_id",
+    ).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "source": out["source"].astype(str),
+         "copy": out["copy"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_text_documents(sf_dir: str):
     """HTML → visible-text extraction round-trip — the north-star
     per-row invariant ("byte-identical extracted text per url",
@@ -2570,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
+        "mixture_repeat_documents": q_mixture_repeat_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
@@ -3862,6 +3888,31 @@ h AS (
 SELECT doc_id, coalesce(host, '(none)') AS host_key
 FROM h
 WHERE host IS NULL OR host NOT IN ('site1.org', 'site5.org', 'site12.org')""",
+        "mixture_repeat_documents": r"""
+WITH par AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 5
+                     WHEN 'src2' THEN 1 WHEN 'src3' THEN 0
+                     ELSE 1 END AS p,
+         CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 2
+                     ELSE 1 END AS q,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS h16
+  FROM documents),
+n AS (
+  SELECT doc_id, source,
+         (p // q) + (CASE WHEN h16 * q < (p % q) * 65536
+                          THEN 1 ELSE 0 END) AS n_copies
+  FROM par)
+SELECT doc_id, source,
+       unnest(generate_series(0, n_copies - 1))::BIGINT AS copy
+FROM n WHERE n_copies > 0""",
         "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
         "semdedup_embeddings": _KMEANS_CTE + """

@@ -239,3 +239,72 @@ def split_assign(
 
     return ds.map_batches(
         assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def mixture_repeat(
+    ds: "ray.data.Dataset",
+    source_col: str = "source",
+    epochs: dict[str, tuple[int, int]] | None = None,
+    id_col: str = "doc_id",
+    default: tuple[int, int] = (1, 1),
+    priority: str = "md5",
+    seed: int = 1,
+) -> "ray.data.Dataset":
+    """Epoch-weighted source mixture resampling — the data-mixing
+    step of LLM training pipelines (per-source epoch multipliers as
+    published in the Llama / GPT-3 / Pile data cards: upsample
+    high-quality small sources by repeating them, downsample bulk
+    web crawl). ``epochs`` maps source → EXACT rational epochs
+    ``(p, q)``: every row of that source is emitted ``p // q`` times,
+    plus one more iff its content hash falls below the fractional
+    remainder — so a source with epochs 5/2 emits each doc 2 times
+    and half the docs (deterministically, content-keyed) a 3rd time,
+    and epochs 1/2 keeps a deterministic half. (0, 1) drops a source
+    entirely; missing sources use ``default``.
+
+    Output = input columns + ``copy`` (the epoch ordinal, 0-based);
+    rows with 0 copies disappear. Stable: re-sharding, re-ordering,
+    or growing the corpus never changes which copies an existing doc
+    gets (the same property split_assign guarantees).
+
+    ``priority="md5"`` keys the fractional coin on the first 4 hex
+    nibbles of ``md5(CAST(id AS VARCHAR))`` — bit-reproducible in SQL
+    (the strpos-nibble recast, cf. stages/importance.py); ``"hash64"``
+    is the vectorized splitmix64 tier with identical plumbing.
+    Shuffle-free: one map_batches pass, the epoch table broadcasts in
+    the task closure (it is a config-sized dict)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex
+
+    ep = {s: (int(p), int(q)) for s, (p, q) in (epochs or {}).items()}
+    dp, dq = int(default[0]), int(default[1])
+    if dq <= 0 or any(q <= 0 for _, q in ep.values()):
+        raise ValueError("epoch denominators must be positive")
+
+    def rep(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if priority == "md5":
+            hx = md5_hex(pc.cast(col, pa.string()))
+            h16 = np.array([int(h[:4], 16) for h in hx], dtype=np.int64)
+        else:
+            if pa.types.is_integer(col.type):
+                hu = hash_int64(col.to_numpy(zero_copy_only=False), seed=seed)
+            else:
+                data, off = flat_utf8(col)
+                hu = token_hashes(data, off[:-1], off[1:])
+            h16 = (hu % np.uint64(65536)).astype(np.int64)
+        src = pd.Series(batch[source_col].to_pandas())
+        p = src.map({s: v[0] for s, v in ep.items()}).fillna(dp).to_numpy(np.int64)
+        q = src.map({s: v[1] for s, v in ep.items()}).fillna(dq).to_numpy(np.int64)
+        n = p // q + (h16 * q < (p % q) * 65536)
+        idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        gex = np.cumsum(n) - n
+        copy = np.arange(len(idx), dtype=np.int64) - np.repeat(gex, n)
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("copy", pa.array(copy, pa.int64()))
+
+    return ds.map_batches(
+        rep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -141,3 +141,60 @@ def test_split_assign_stable_and_exhaustive():
     from collections import Counter
     c = Counter(a.values())
     assert 850 < c["train"] < 950 and c["val"] > 20 and c["test"] > 20
+
+
+def test_mixture_repeat_exact_semantics():
+    """Brute-force the rational-epoch rule: n = p//q + (h16*q < (p%q)*65536)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import mixture_repeat
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "source": [f"s{i % 4}" for i in range(200)],
+    })
+    ep = {"s0": (3, 1), "s1": (5, 2), "s2": (1, 2), "s3": (0, 1)}
+    out = mixture_repeat(
+        rd.from_pandas(df).repartition(3), "source", ep, "doc_id"
+    ).to_pandas()
+
+    exp_rows = []
+    for _, r in df.iterrows():
+        p, q = ep[r["source"]]
+        h16 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        n = p // q + (1 if h16 * q < (p % q) * 65536 else 0)
+        exp_rows += [(r["doc_id"], r["source"], c) for c in range(n)]
+    got = sorted(map(tuple, out[["doc_id", "source", "copy"]].itertuples(index=False)))
+    assert got == sorted(exp_rows)
+    assert not (out["source"] == "s3").any()          # dropped source
+    s0 = out[out["source"] == "s0"].groupby("doc_id").size()
+    assert (s0 == 3).all()                            # exact 3 epochs
+
+
+def test_mixture_repeat_stability_and_fast_tier():
+    """Re-sharding never changes an existing doc's copies; the
+    hash64 tier shares the plumbing (same integer-epoch counts)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import mixture_repeat
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "source": [f"s{i % 3}" for i in range(120)],
+    })
+    ep = {"s0": (5, 2), "s1": (1, 3)}
+    a = mixture_repeat(rd.from_pandas(df).repartition(2), "source", ep).to_pandas()
+    b = mixture_repeat(rd.from_pandas(df.iloc[::-1]).repartition(5), "source", ep).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "copy"]].itertuples(index=False)))
+    assert key(a) == key(b)
+    f = mixture_repeat(
+        rd.from_pandas(df).repartition(2), "source", ep, priority="hash64"
+    ).to_pandas()
+    # integral parts are hash-independent: every s0 doc appears >= 2x
+    s0 = f[f["source"] == "s0"].groupby("doc_id").size()
+    assert (s0 >= 2).all() and (s0 <= 3).all()
+    assert len(s0) == 40
