@@ -1691,6 +1691,67 @@ def q_mixture_repeat_documents(sf_dir: str):
     )
 
 
+def q_c4_line_filter_documents(sf_dir: str):
+    """C4-style line-level cleaning rewrite
+    (stages/text_analysis.c4_line_filter): the corpus text (flat
+    words) is first shaped into LINES deterministically and
+    IDENTICALLY in Arrow and SQL — 5-token windows joined by spaces,
+    a terminal-punctuation suffix cycling [. ! <none> ?] on
+    (doc_id + ord) % 4, and ' javascript' injected on
+    (doc_id + ord) % 7 — then both engines apply the published C4
+    line rules (terminal punctuation, ≥3 words, no blocklist phrase)
+    and the ≥2-kept-lines document gate, rebuilding clean_text as the
+    kept lines joined by newlines. One shuffle-free vectorized pass;
+    every predicate is the same RE2 on both sides."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import c4_line_filter
+
+    W = 5
+
+    def synth(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        cnt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        cnt = cnt.astype(np.int64)
+        first = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        j = np.arange(len(flat), dtype=np.int64) - first[parent]
+        starts = np.flatnonzero(j % W == 0)
+        line_tok_off = np.concatenate([starts, [len(flat)]]).astype(np.int32)
+        line_strs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(line_tok_off, pa.int32()), flat),
+            " ")
+        line_parent = parent[starts]
+        line_ord = j[starts] // W
+        d = t["doc_id"].to_numpy(zero_copy_only=False)[line_parent]
+        m4 = ((d + line_ord) % 4).astype(np.int64)
+        sfx = np.array([".", "!", "", "?"], dtype=object)[m4]
+        inj = np.where((d + line_ord) % 7 == 0, " javascript", "")
+        full = pc.binary_join_element_wise(
+            line_strs, pa.array(inj.tolist(), pa.string()),
+            pa.array(sfx.tolist(), pa.string()), "")
+        n_lines_row = np.bincount(line_parent, minlength=t.num_rows)
+        row_off = np.concatenate([[0], np.cumsum(n_lines_row)]).astype(np.int32)
+        text2 = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(row_off, pa.int32()), full),
+            "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": text2})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=None)
+    out = c4_line_filter(ds, min_words=3, min_lines=2).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "clean_text": out["clean_text"].astype(str),
+         "n_lines": out["n_lines"].to_numpy(np.int64),
+         "n_kept": out["n_kept"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_text_documents(sf_dir: str):
     """HTML → visible-text extraction round-trip — the north-star
     per-row invariant ("byte-identical extracted text per url",
@@ -2596,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": q_host_stats_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
+        "c4_line_filter_documents": q_c4_line_filter_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
@@ -3913,6 +3975,34 @@ n AS (
 SELECT doc_id, source,
        unnest(generate_series(0, n_copies - 1))::BIGINT AS copy
 FROM n WHERE n_copies > 0""",
+        "c4_line_filter_documents": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+l AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 5)) AS pos
+      FROM t),
+l2 AS (SELECT doc_id, (pos - 1) // 5 AS ord,
+              array_to_string(toks[pos:pos+4], ' ')
+              || (CASE WHEN (doc_id + (pos - 1) // 5) % 7 = 0
+                       THEN ' javascript' ELSE '' END)
+              || (CASE (doc_id + (pos - 1) // 5) % 4
+                       WHEN 0 THEN '.' WHEN 1 THEN '!'
+                       WHEN 2 THEN '' ELSE '?' END) AS line
+       FROM l),
+k AS (SELECT doc_id, ord, line,
+             CASE WHEN regexp_matches(line, '[.!?"]$')
+                   AND len(regexp_extract_all(line, '\S+')) >= 3
+                   AND NOT regexp_matches(line,
+                         '(?i)javascript|lorem ipsum|\{')
+             THEN 1 ELSE 0 END AS keep
+      FROM l2),
+agg AS (SELECT doc_id,
+               count(*)::BIGINT AS n_lines,
+               sum(keep)::BIGINT AS n_kept,
+               string_agg(line, chr(10) ORDER BY ord)
+                 FILTER (WHERE keep = 1) AS clean_text
+        FROM k GROUP BY doc_id)
+SELECT doc_id, clean_text, n_lines, n_kept
+FROM agg WHERE n_kept >= 2""",
         "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
         "semdedup_embeddings": _KMEANS_CTE + """

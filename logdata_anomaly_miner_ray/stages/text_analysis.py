@@ -413,3 +413,78 @@ def repetition_arrays(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
             )
             np.maximum.at(top_gram, keys // len(puniq), cnt)
     return n_lines, n_dup, n_grams, top_gram
+
+
+def c4_line_filter(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_lines: int = 5,
+    terminal_re: str = r'[.!?"]$',
+    blocklist: tuple = ("javascript", "lorem ipsum", "{"),
+) -> "ray.data.Dataset":
+    """C4-style line-level cleaning REWRITE (Raffel et al. 2020 §2.2,
+    the published C4 heuristics; also the line-wise stage of
+    RefinedWeb): keep only lines that (a) end in a terminal
+    punctuation mark, (b) have at least ``min_words`` words, and
+    (c) contain no blocklist phrase (case-insensitive literal match;
+    C4 uses "javascript" / "lorem ipsum" / "{"); then drop any
+    document with fewer than ``min_lines`` surviving lines.
+
+    Returns ``(id_col, clean_text, n_lines, n_kept)`` — clean text =
+    kept lines joined by '\\n', one row per SURVIVING document.
+
+    Fully vectorized and shuffle-free: ONE map_batches pass per
+    block does split_pattern → flat line array + parent indices,
+    three RE2 predicates on the flat array, and a ListArray rebuild +
+    binary_join — no per-row Python anywhere (the idiom of
+    functions/text.flat_utf8). Every predicate is an RE2 the DuckDB
+    oracle reproduces verbatim."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    block_re = "(?i)" + "|".join(_re.escape(b) for b in blocklist)
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = txt.cast(pa.string())
+        lines = pc.split_pattern(txt, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        nrows = batch.num_rows
+
+        keep = pc.match_substring_regex(flat, terminal_re).to_numpy(
+            zero_copy_only=False)
+        nw = pc.count_substring_regex(flat, r"\S+").to_numpy(
+            zero_copy_only=False)
+        keep &= nw >= min_words
+        keep &= ~pc.match_substring_regex(flat, block_re).to_numpy(
+            zero_copy_only=False)
+
+        kept_parent = parent[keep]
+        n_kept = np.bincount(kept_parent, minlength=nrows).astype(np.int64)
+        kept_flat = flat.filter(pa.array(keep))
+        offsets = np.concatenate(
+            [[0], np.cumsum(n_kept)]).astype(np.int32)
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat)
+        clean = pc.binary_join(rebuilt, "\n")
+
+        gate = n_kept >= min_lines
+        idx = pa.array(np.flatnonzero(gate), pa.int64())
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().take(idx)
+            if isinstance(batch[id_col], pa.ChunkedArray)
+            else batch[id_col].take(idx),
+            "clean_text": clean.take(idx),
+            "n_lines": pa.array(n_lines[gate].astype(np.int64), pa.int64()),
+            "n_kept": pa.array(n_kept[gate], pa.int64()),
+        })
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -182,3 +182,44 @@ def test_pretoken_counts_matches_duckdb():
         r"SELECT len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n FROM tbl"
     ).df()["n"].to_numpy()
     assert (py == want).all()
+
+
+def test_c4_line_filter_rules_and_rebuild():
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import c4_line_filter
+
+    docs = {
+        0: "Good line one here.\nshort.\nThis has javascript inside.\n"
+           "Another fine line!\nno terminal punct\nA third keeper?",
+        1: "Only one good line.\nbad\nalso bad",          # gated out (<2 kept)
+        2: "Alpha beta gamma.\nDelta epsilon zeta!\ncurly { brace here.",
+        3: "",                                             # gated out
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())})).repartition(2)
+    out = c4_line_filter(ds, min_words=3, min_lines=2).to_pandas()
+    out = out.set_index("doc_id")
+    assert sorted(out.index) == [0, 2]
+    assert out.loc[0, "clean_text"] == (
+        "Good line one here.\nAnother fine line!\nA third keeper?")
+    assert out.loc[0, "n_lines"] == 6 and out.loc[0, "n_kept"] == 3
+    assert out.loc[2, "clean_text"] == "Alpha beta gamma.\nDelta epsilon zeta!"
+    assert out.loc[2, "n_kept"] == 2
+
+
+def test_c4_line_filter_case_insensitive_blocklist_and_quote_terminal():
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import c4_line_filter
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0],
+        "text": 'He said "stop right there."\nEnable JavaScript to view.\n'
+                'She replied with a word "ok"',
+    }))
+    out = c4_line_filter(ds, min_words=3, min_lines=1).to_pandas()
+    assert out.loc[0, "clean_text"] == (
+        'He said "stop right there."\nShe replied with a word "ok"')
