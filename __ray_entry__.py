@@ -1752,6 +1752,27 @@ def q_c4_line_filter_documents(sf_dir: str):
     )
 
 
+def q_shuffle_shards_documents(sf_dir: str):
+    """Deterministic global training-order shuffle + shard manifest
+    (stages/sampling.shuffle_shard_manifest): order by
+    md5(CAST(doc_id AS VARCHAR)) — a content-keyed uniform
+    permutation — then shard = rank // 200, pos = rank % 200. The
+    only all-to-all is a range sort over NARROW (id, md5-hex) rows;
+    global ranks come from the per-block prefix-scan pattern
+    (pack_sequences): one metadata row per block folds on the driver
+    into base ranks. Oracle = row_number() OVER the same md5 order."""
+    from logdata_anomaly_miner_ray.stages.sampling import shuffle_shard_manifest
+
+    out = shuffle_shard_manifest(
+        _read(sf_dir, "documents", ["doc_id"]), "doc_id", shard_size=200
+    ).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "shard": out["shard"].to_numpy(np.int64),
+         "pos": out["pos"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_text_documents(sf_dir: str):
     """HTML → visible-text extraction round-trip — the north-star
     per-row invariant ("byte-identical extracted text per url",
@@ -2658,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
         "c4_line_filter_documents": q_c4_line_filter_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
@@ -4003,6 +4025,13 @@ agg AS (SELECT doc_id,
         FROM k GROUP BY doc_id)
 SELECT doc_id, clean_text, n_lines, n_kept
 FROM agg WHERE n_kept >= 2""",
+        "shuffle_shards_documents": """
+WITH r AS (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+          - 1)::BIGINT AS rk
+  FROM documents)
+SELECT doc_id, rk // 200 AS shard, rk % 200 AS pos FROM r""",
         "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
         "semdedup_embeddings": _KMEANS_CTE + """

@@ -308,3 +308,88 @@ def mixture_repeat(
 
     return ds.map_batches(
         rep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def shuffle_shard_manifest(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    shard_size: int = 1000,
+) -> "ray.data.Dataset":
+    """Deterministic global training-order shuffle + fixed-size shard
+    assignment — the "shuffle once, shard for the loader" step every
+    LLM pretraining pipeline runs before writing training shards.
+    Order = ``md5(CAST(id AS VARCHAR))`` ascending (a content-keyed
+    permutation: reproducible across runs/sharding, and statistically
+    uniform), then ``shard = rank // shard_size``,
+    ``pos = rank % shard_size``.
+
+    Scale shape (the pack_sequences prefix-scan pattern): one
+    shuffle-free pass reduces each doc to the NARROW (id, md5-hex)
+    row; a range ``sort`` on those ~48-byte rows is the only
+    all-to-all; per-block (min_key, count) metadata folds on the
+    driver (one row per BLOCK) into exclusive base ranks keyed by the
+    block's min key (range-sorted blocks have disjoint key ranges);
+    a final shuffle-free pass emits base + within-block position.
+    Returns ``(id_col, shard, pos)``.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.hashing import md5_hex
+    from ._taskcache import cached_task_fn
+
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+
+    def key(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = md5_hex(pc.cast(col, pa.string()))
+        return pa.table({id_col: col, "h": pa.array(h, pa.string())})
+
+    narrow = ds.map_batches(
+        key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).sort("h").materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_pylist()
+        return pa.table({"min_h": pa.array([min(h)], pa.string()),
+                         "cnt": pa.array([len(h)], pa.int64())})
+
+    metas = narrow.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one row per block — bounded by partition count
+    metas.sort(key=lambda r: r["min_h"])
+    base, bases = 0, {}
+    for m in metas:
+        bases[m["min_h"]] = base
+        base += int(m["cnt"])
+    bases_ref = ray.put(bases)
+
+    class Emit:
+        def __init__(self, bases_ref, id_col, shard_size):
+            self.bases = ray.get(bases_ref)
+            self.id_col, self.S = id_col, shard_size
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = np.array(batch["h"].to_pylist(), dtype=object)
+            order = np.argsort(h, kind="stable")  # guard intra-block order
+            rank = self.bases[h[order[0]]] + np.arange(len(h), dtype=np.int64)
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(h))
+            rank = rank[inv]
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "shard": pa.array(rank // self.S, pa.int64()),
+                "pos": pa.array(rank % self.S, pa.int64()),
+            })
+
+    return narrow.map_batches(
+        cached_task_fn(
+            Emit, cache_on=(bases_ref, id_col, shard_size),
+            bases_ref=bases_ref, id_col=id_col, shard_size=shard_size,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )

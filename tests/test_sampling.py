@@ -198,3 +198,29 @@ def test_mixture_repeat_stability_and_fast_tier():
     s0 = f[f["source"] == "s0"].groupby("doc_id").size()
     assert (s0 >= 2).all() and (s0 <= 3).all()
     assert len(s0) == 40
+
+
+def test_shuffle_shard_manifest_matches_brute_force():
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import shuffle_shard_manifest
+
+    ids = np.arange(137, dtype=np.int64)
+    out = shuffle_shard_manifest(
+        rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(5),
+        "doc_id", shard_size=10,
+    ).to_pandas().set_index("doc_id")
+    ranks = {d: r for r, d in enumerate(
+        sorted(ids, key=lambda d: hashlib.md5(str(d).encode()).hexdigest()))}
+    for d in ids:
+        assert out.loc[d, "shard"] == ranks[d] // 10
+        assert out.loc[d, "pos"] == ranks[d] % 10
+    # partitioning invariance
+    out2 = shuffle_shard_manifest(
+        rd.from_pandas(pd.DataFrame({"doc_id": ids[::-1]})).repartition(2),
+        "doc_id", shard_size=10,
+    ).to_pandas().set_index("doc_id")
+    assert out2.sort_index().equals(out.sort_index())
