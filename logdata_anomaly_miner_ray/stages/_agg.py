@@ -159,8 +159,15 @@ def coarse_grouped(
     def wrapped(g: pd.DataFrame) -> pd.DataFrame:
         return per_bucket(g.drop(columns="__bk"))
 
+    from ._shuffle import shuffle_parallelism
+
     return (
         ds.map_batches(add_bk, batch_format="pandas", batch_size=None)
+        # partials entering here are narrow/bounded by contract; size
+        # the groupby's shuffle matrix to the CLUSTER, not the input
+        # block count (256 tiny partial blocks would otherwise cost
+        # seconds of pure scheduling — the round-4 shuffle-matrix fix)
+        .repartition(shuffle_parallelism())
         .groupby("__bk")
         .map_groups(wrapped, batch_format="pandas")
     )

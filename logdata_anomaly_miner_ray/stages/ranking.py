@@ -300,31 +300,79 @@ def bm25_topk(
     per-block keys, mergeable per-term top-k partials — at most k
     rows per term per block ever shuffle) is scale-ready.
 
-    Two passes: (1) ``corpus_token_stats`` (two ints per block), then
-    (2) the hits pass computes (term, doc_id, tf, doc_len, sat_key)
-    per block and feeds ``topk_per_group``. Returns (term, doc_id,
+    ONE tokenize pass over the text (not stats-pass + score-pass):
+    each block emits its query hits (doc_id, term, tf, doc_len) PLUS
+    one sentinel meta row (term = null) carrying the block's
+    (n_docs, n_tokens); the narrow result materializes (hits only —
+    raw text never moves again), corpus totals fold on the driver
+    from the ≤ 1-per-block meta rows, and sat_key is computed on the
+    narrow hits before ``topk_per_group``. Returns (term, doc_id,
     tf, doc_len, sat_key, rnk) with rnk 1-based per term.
     """
-    n_docs, n_tokens = corpus_token_stats(ds, text_col=text_col)
     qset = pa.array(sorted(set(query_terms)), pa.string())
     lim = (2**63 - 1) // scale
 
-    def score_block(batch: pa.Table) -> pa.Table:
+    def hits_block(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        ids = ids.cast(pa.int64())
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        flat = _tokens_flat(ids.cast(pa.int64()), text)
-        dl = flat.group_by(["doc_id"]).aggregate([([], "count_all")])
-        dl = dl.rename_columns(["doc_id", "doc_len"])
-        hit = flat.filter(pc.is_in(flat["term"], value_set=qset))
-        tf = hit.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
-        tf = tf.rename_columns(["doc_id", "term", "tf"])
-        j = tf.join(dl, keys=["doc_id"], join_type="inner")
-        dlv = j["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tfv = j["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # doc lengths by bincount over parent indices and tf grouped
+        # over ONLY the query-term hits — no full-block group_by/join
+        toks = pc.split_pattern_regex(text, _WS)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl_row = np.bincount(
+            parent[nonempty], minlength=batch.num_rows).astype(np.int64)
+        ishit = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+        ishit &= nonempty
+        hits = pa.table({
+            "r": pa.array(parent[ishit], pa.int64()),
+            "term": flat.filter(pa.array(ishit)),
+        })
+        tf = hits.group_by(["r", "term"]).aggregate([([], "count_all")])
+        r = tf["r"].to_numpy(zero_copy_only=False)
+        tfv = tf["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sentinel meta row: term=null, tf=block n_docs, doc_len=block
+        # n_tokens — folded on the driver, filtered out of the hits
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids.take(pa.array(r, pa.int64()))
+                                .to_numpy(zero_copy_only=False),
+                                [-1]]), pa.int64()),
+            "term": pa.concat_arrays(
+                [tf["term"].combine_chunks()
+                 if isinstance(tf["term"], pa.ChunkedArray) else tf["term"],
+                 pa.array([None], pa.string())]),
+            "tf": pa.array(np.concatenate(
+                [tfv, [batch.num_rows]]), pa.int64()),
+            "doc_len": pa.array(np.concatenate(
+                [dl_row[r], [int(dl_row.sum())]]), pa.int64()),
+        })
+
+    narrow = ds.map_batches(
+        hits_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()  # hits + 1 meta row per block; text is released
+
+    def meta_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["term"]))
+
+    metas = narrow.map_batches(
+        meta_only, batch_format="pyarrow", batch_size=None).to_pandas()
+    n_docs = int(metas["tf"].sum())
+    n_tokens = int(metas["doc_len"].sum())
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["term"]))
+        dlv = batch["doc_len"].to_numpy(zero_copy_only=False)
+        tfv = batch["tf"].to_numpy(zero_copy_only=False)
         num = 3 * n_tokens + 9 * n_docs * dlv
         if num.size and int(num.max()) > lim:
             raise ValueError(
@@ -332,10 +380,10 @@ def bm25_topk(
                 f"(3*T + 9*N*dl_max)={int(num.max())} > 2^63/scale={lim}; "
                 "pass a smaller `scale` (precision dial) for this corpus")
         key = num * np.int64(scale) // tfv
-        return j.append_column("sat_key", pa.array(key, pa.int64()))
+        return batch.append_column("sat_key", pa.array(key, pa.int64()))
 
-    scored = ds.map_batches(
-        score_block, batch_format="pyarrow", batch_size=None,
+    scored = narrow.map_batches(
+        add_key, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True)
     return topk_per_group(
         scored, ["term"], "sat_key", k, tiebreak_cols=("doc_id",),
