@@ -1773,6 +1773,33 @@ def q_shuffle_shards_documents(sf_dir: str):
     )
 
 
+def q_lm_score_documents(sf_dir: str):
+    """Stupid-backoff n-gram LM quality scoring
+    (stages/lm.stupid_backoff_scores — the CCNet-style reference-LM
+    quality gate, Brants et al. 2007 backoff): the reference corpus
+    is the source='src0' subset (the small curated side — its 1/2/3-
+    gram count tables fold to the driver and broadcast once), and the
+    full corpus streams through ONE shuffle-free vectorized pass.
+    Per-token scores are exact integers (count ratios · 10^6 floor-
+    divided; 0.4 = 2/5 stays rational), so DuckDB reproduces the sum
+    bit-for-bit via LEFT JOINs on gram strings + the same CASE
+    ladder."""
+    from logdata_anomaly_miner_ray.stages.lm import stupid_backoff_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def ref_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["source"], "src0"))
+
+    ref = docs.map_batches(ref_only, batch_format="pyarrow", batch_size=None)
+    out = stupid_backoff_scores(docs, ref).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "n_tok": out["n_tok"].to_numpy(np.int64),
+         "lm_score": out["lm_score"].to_numpy(np.int64)}
+    )
+
+
 def q_extract_text_documents(sf_dir: str):
     """HTML → visible-text extraction round-trip — the north-star
     per-row invariant ("byte-identical extracted text per url",
@@ -2680,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_repeat_documents": q_mixture_repeat_documents,
         "c4_line_filter_documents": q_c4_line_filter_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
+        "lm_score_documents": q_lm_score_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
@@ -4032,6 +4060,59 @@ WITH r AS (
           - 1)::BIGINT AS rk
   FROM documents)
 SELECT doc_id, rk // 200 AS shard, rk % 200 AS pos FROM r""",
+        "lm_score_documents": r"""
+WITH rt AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE source = 'src0' AND trim(text) <> ''),
+r2 AS (SELECT doc_id, pos, tok,
+              lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+              lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+       FROM rt),
+c1 AS (SELECT tok, count(*)::BIGINT AS c FROM rt GROUP BY 1),
+t1 AS (SELECT count(*)::BIGINT AS t FROM rt),
+c2 AS (SELECT p1 || ' ' || tok AS g, count(*)::BIGINT AS c
+       FROM r2 WHERE p1 IS NOT NULL GROUP BY 1),
+c3 AS (SELECT p2 || ' ' || p1 || ' ' || tok AS g, count(*)::BIGINT AS c
+       FROM r2 WHERE p2 IS NOT NULL GROUP BY 1),
+dt0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE trim(text) <> ''),
+dt AS (SELECT doc_id, pos, tok,
+              lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+              lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+       FROM dt0),
+sc AS (
+  SELECT dt.doc_id,
+    CASE
+      WHEN dt.p2 IS NOT NULL THEN
+        CASE WHEN coalesce(g3.c, 0) > 0 THEN g3.c * 1000000 // gx.c
+             WHEN coalesce(g2.c, 0) > 0 THEN 2 * g2.c * 1000000 // (5 * cp.c)
+             WHEN coalesce(ct.c, 0) > 0 THEN 4 * ct.c * 1000000 // (25 * t1.t)
+             ELSE 0 END
+      WHEN dt.p1 IS NOT NULL THEN
+        CASE WHEN coalesce(g2.c, 0) > 0 THEN g2.c * 1000000 // cp.c
+             WHEN coalesce(ct.c, 0) > 0 THEN 2 * ct.c * 1000000 // (5 * t1.t)
+             ELSE 0 END
+      ELSE CASE WHEN coalesce(ct.c, 0) > 0 THEN ct.c * 1000000 // t1.t
+                ELSE 0 END
+    END AS s
+  FROM dt
+  LEFT JOIN c3 g3 ON g3.g = dt.p2 || ' ' || dt.p1 || ' ' || dt.tok
+  LEFT JOIN c2 gx ON gx.g = dt.p2 || ' ' || dt.p1
+  LEFT JOIN c2 g2 ON g2.g = dt.p1 || ' ' || dt.tok
+  LEFT JOIN c1 cp ON cp.tok = dt.p1
+  LEFT JOIN c1 ct ON ct.tok = dt.tok
+  CROSS JOIN t1),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+               sum(s)::BIGINT AS lm_score
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(a.lm_score, 0)::BIGINT AS lm_score
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
         "semdedup_embeddings": _KMEANS_CTE + """
