@@ -1800,6 +1800,56 @@ def q_lm_score_documents(sf_dir: str):
     )
 
 
+def q_image_roundtrip_documents(sf_dir: str):
+    """REAL image-codec round-trip (functions/media.decode_png /
+    decode_bmp — stdlib zlib + numpy, no PIL): checkerboard images
+    are synthesized arithmetically from doc_id (height 8+d%5, width
+    8+(d%3)·2, per-channel values v and v+2 alternating per pixel
+    parity), ENCODED to real PNG (even ids) or BMP (odd ids) bytes,
+    then decoded back through the actor-pool decode stage and reduced
+    to exact integer pixel statistics: equal-count two-value
+    checkerboards make the per-channel mean the exact integer v+1 and
+    the population std exactly 1. The oracle states those integers
+    arithmetically — the whole encode→decode→stats path must be
+    bit-correct for the hash to match."""
+    from logdata_anomaly_miner_ray.functions.media import (
+        decode_image, encode_bmp, encode_png)
+
+    def build_and_decode(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "height": [], "width": [], "channels": [],
+               "mean_r": [], "mean_g": [], "mean_b": [], "std_x1000": []}
+        for did in d.tolist():
+            h, w = 8 + did % 5, 8 + (did % 3) * 2
+            y, x = np.mgrid[0:h, 0:w]
+            par = ((y + x) % 2).astype(np.uint8)
+            img = np.zeros((h, w, 3), np.uint8)
+            for c, mult in enumerate((1, 3, 7)):
+                v = (did * mult) % 254
+                img[:, :, c] = v + 2 * par
+            payload = encode_png(img) if did % 2 == 0 else encode_bmp(img)
+            dec = decode_image(payload)  # the REAL codec round-trip
+            px = dec.reshape(-1, 3).astype(np.int64)
+            n = px.shape[0]
+            means = px.sum(axis=0) // n  # exact by construction
+            var_num = int(((px - means) ** 2).sum())  # == 3n for ±1
+            std1000 = int(round((var_num / (3 * n)) ** 0.5 * 1000))
+            out["doc_id"].append(did)
+            out["height"].append(dec.shape[0])
+            out["width"].append(dec.shape[1])
+            out["channels"].append(dec.shape[2])
+            out["mean_r"].append(int(means[0]))
+            out["mean_g"].append(int(means[1]))
+            out["mean_b"].append(int(means[2]))
+            out["std_x1000"].append(std1000)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    res = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build_and_decode, batch_format="pyarrow", batch_size=256,
+        concurrency=8).to_pandas()
+    return pd.DataFrame({c: res[c].to_numpy(np.int64) for c in res.columns})
+
+
 def q_extract_text_documents(sf_dir: str):
     """HTML → visible-text extraction round-trip — the north-star
     per-row invariant ("byte-identical extracted text per url",
@@ -2708,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter_documents": q_c4_line_filter_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "lm_score_documents": q_lm_score_documents,
+        "image_roundtrip_documents": q_image_roundtrip_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
         "normalize_text_documents": q_normalize_text_documents,
@@ -4113,6 +4164,16 @@ agg AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
 SELECT d.doc_id, coalesce(a.n_tok, 0)::BIGINT AS n_tok,
        coalesce(a.lm_score, 0)::BIGINT AS lm_score
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "image_roundtrip_documents": """
+SELECT doc_id,
+       (8 + doc_id % 5)::BIGINT AS height,
+       (8 + (doc_id % 3) * 2)::BIGINT AS width,
+       3::BIGINT AS channels,
+       (doc_id % 254 + 1)::BIGINT AS mean_r,
+       ((doc_id * 3) % 254 + 1)::BIGINT AS mean_g,
+       ((doc_id * 7) % 254 + 1)::BIGINT AS mean_b,
+       1000::BIGINT AS std_x1000
+FROM documents""",
         "kmeans_embeddings": _KMEANS_CTE + """
 SELECT vec_id, cid AS cluster FROM a3""",
         "semdedup_embeddings": _KMEANS_CTE + """

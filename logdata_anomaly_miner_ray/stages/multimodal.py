@@ -247,3 +247,64 @@ def extract_image_metadata(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def stdlib_image_decode(payload: bytes, kind: str) -> np.ndarray:
+    """REAL decode_fn for ``CodecDecoder``: PNG/BMP payloads decode
+    with the stdlib-only codecs (functions/media.decode_image — zlib
+    + numpy, no PIL) into the fixed 11-dim pixel-feature vector
+    (dims, per-channel means, stds). Raises ValueError on formats
+    that genuinely need an external codec (JPEG/video) — the
+    injectable contract is unchanged, it just has a working default
+    for the formats the standard library can express."""
+    from ..functions.media import decode_image, image_pixel_features
+
+    if kind != "image":
+        raise ValueError(f"stdlib codec decodes images only, got {kind!r}")
+    return image_pixel_features(decode_image(payload))
+
+
+def stdlib_image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize_fn for ``ResizeStage``: decode (PNG/BMP) →
+    nearest-neighbor index-map resize → re-encode PNG (filter 0).
+    Deterministic end-to-end; byte-exact across runs and workers."""
+    from ..functions.media import decode_image, encode_png, resize_nearest
+
+    return encode_png(resize_nearest(decode_image(payload), width, height))
+
+
+def decode_images_stdlib(
+    ds: "ray.data.Dataset", batch_size: int = 64, concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Actor-pool image decode with the REAL stdlib codec (PNG/BMP):
+    rows whose payload can't be decoded (JPEG, truncated bytes,
+    non-image kinds) are emitted with null features and ``decode_ok
+    = false`` rather than failing the pipeline — at corpus scale a
+    poison payload must never kill a block."""
+
+    class Decode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.media import decode_image, image_pixel_features
+
+            payloads = batch["payload"]
+            kinds = batch["kind"].to_pylist()
+            feats, ok = [], []
+            for i in range(len(payloads)):
+                try:
+                    if kinds[i] != "image":
+                        raise ValueError("not an image row")
+                    feats.append(image_pixel_features(
+                        decode_image(payloads[i].as_py() or b"")).tolist())
+                    ok.append(True)
+                except Exception:  # poison payloads: flag, never fail
+                    feats.append(None)
+                    ok.append(False)
+            return pa.table({
+                "media_id": batch["media_id"],
+                "features": pa.array(feats, pa.list_(pa.float32(), 11)),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            })
+
+    return ds.map_batches(
+        Decode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)

@@ -102,3 +102,108 @@ def test_image_dims_fuzz_never_raises():
                 assert wv is None
 
     run()
+
+
+# ---- stdlib PNG/BMP codec ----
+
+
+def _rand_img(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    return a if ch > 1 else a[:, :, 0][:, :, None]
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    from logdata_anomaly_miner_ray.functions.media import decode_png, encode_png
+
+    for ch in (1, 3, 4):
+        img = _rand_img(13, 7, ch, seed=ch)
+        for f in range(5):
+            back = decode_png(encode_png(img, filter_type=f))
+            assert back.shape == img.shape, (ch, f)
+            assert np.array_equal(back, img), (ch, f)
+
+
+def test_png_gradient_smooth_image_filters():
+    """Smooth gradients exercise filters 3/4 where predictions are
+    non-trivial (random data makes predictors near-useless)."""
+    from logdata_anomaly_miner_ray.functions.media import decode_png, encode_png
+
+    y, x = np.mgrid[0:24, 0:17]
+    img = np.stack([(y * 3 + x) % 256, (y + x * 5) % 256,
+                    (y * y // 4 + x) % 256], axis=2).astype(np.uint8)
+    for f in (3, 4):
+        assert np.array_equal(decode_png(encode_png(img, filter_type=f)), img)
+
+
+def test_bmp_roundtrip_and_padding():
+    from logdata_anomaly_miner_ray.functions.media import decode_bmp, encode_bmp
+
+    for w in (5, 6, 7, 8):  # hits every 4-byte padding case
+        img = _rand_img(9, w, 3, seed=w)
+        back = decode_bmp(encode_bmp(img))
+        assert np.array_equal(back, img), w
+
+
+def test_decode_image_dispatch_and_rejects():
+    import pytest
+
+    from logdata_anomaly_miner_ray.functions.media import (
+        decode_image, encode_bmp, encode_png)
+
+    img = _rand_img(4, 4, 3, seed=1)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not really jpeg")
+
+
+def test_resize_nearest_exact_indices():
+    from logdata_anomaly_miner_ray.functions.media import resize_nearest
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    # floor(i*4/8) duplicates each source pixel 2x2
+    assert np.array_equal(up[::2, ::2], img)
+    assert np.array_equal(up[1::2, 1::2], img)
+    down = resize_nearest(img, 2, 2)
+    assert np.array_equal(down, img[::2, ::2])
+
+
+def test_stdlib_codec_in_multimodal_stages():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.functions.media import (
+        decode_png, encode_bmp, encode_png)
+    from logdata_anomaly_miner_ray.stages.multimodal import (
+        decode_images_stdlib, resize_images, stdlib_image_resize)
+
+    imgs = [_rand_img(10, 8, 3, seed=i) for i in range(4)]
+    payloads = [encode_png(imgs[0]), encode_bmp(imgs[1]),
+                b"not an image", encode_png(imgs[3])]
+    t = pa.table({
+        "media_id": pa.array(range(4), pa.int64()),
+        "kind": pa.array(["image", "image", "image", "video"], pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+    ds = rd.from_arrow(t)
+    # null-bearing list columns break Ray's to_pandas tensor cast
+    # (CLAUDE.md) — read arrow batches
+    batches = list(decode_images_stdlib(ds).iter_batches(
+        batch_format="pyarrow"))
+    out = pa.concat_tables(batches).to_pandas().sort_values("media_id")
+    assert out["decode_ok"].tolist() == [True, True, False, False]
+    f0 = np.array(out.iloc[0]["features"])
+    assert f0[0] == 10 and f0[1] == 8 and f0[2] == 3
+    assert abs(f0[3] - imgs[0][:, :, 0].mean()) < 1e-3
+
+    # real resize_fn end-to-end: output payload is a valid PNG of the
+    # target dims with nearest-neighbor pixels
+    rs = resize_images(
+        rd.from_arrow(t.slice(0, 2)), 4, 5,
+        resize_fn=stdlib_image_resize).to_pandas()
+    dec = decode_png(rs.iloc[0]["payload"])
+    assert dec.shape == (5, 4, 3)
