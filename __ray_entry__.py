@@ -1510,6 +1510,63 @@ def q_dup_span_rewrite_documents(sf_dir: str):
     )
 
 
+def q_paragraph_dedup_documents(sf_dir: str):
+    """Corpus-wide paragraph dedup, keep-first (CCNet §3.1 paragraph
+    hashing / RefinedWeb). Multi-paragraph docs are synthesized
+    deterministically: a shared boilerplate header on doc_id % 3 != 0,
+    the original body, a 'thanks for reading' line whose SPACING
+    varies on doc_id % 4 == 0 (tab + double spaces — exercises the
+    normalization key), a trailing blank line on doc_id % 5 == 0
+    (structural blanks never dedup), and a within-doc body repeat on
+    doc_id % 7 == 0. The oracle recomputes the whole keep-first
+    rewrite in SQL (row_number over the normalized paragraph), so
+    clean_text compares bit-exact."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.decontam import paragraph_dedup
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].cast(pa.string())
+        n = len(d)
+
+        def const(s):
+            return pa.array([s] * n, pa.string())
+
+        cur = pc.if_else(
+            pa.array(d % 3 != 0),
+            pc.binary_join_element_wise(const("welcome to our site"), txt, "\n"),
+            txt)
+        thanks = pc.if_else(
+            pa.array(d % 4 == 0),
+            const("thanks \t for  reading"), const("thanks for reading"))
+        cur = pc.binary_join_element_wise(cur, thanks, "\n")
+        cur = pc.if_else(
+            pa.array(d % 5 == 0),
+            pc.binary_join_element_wise(cur, const(""), "\n"), cur)
+        cur = pc.if_else(
+            pa.array(d % 7 == 0),
+            pc.binary_join_element_wise(cur, txt, "\n"), cur)
+        return pa.table({"doc_id": t["doc_id"], "text": cur})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", batch_size=None)
+    df = paragraph_dedup(ds, "text", "doc_id").to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "clean_text": pd.Series(dtype=str),
+             "n_paras": pd.Series(dtype=np.int64),
+             "n_dropped": pd.Series(dtype=np.int64)}
+        )
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(np.int64),
+         "clean_text": df["clean_text"].astype(str),
+         "n_paras": df["n_paras"].to_numpy(np.int64),
+         "n_dropped": df["n_dropped"].to_numpy(np.int64)}
+    )
+
+
 def q_pack_sequences_documents(sf_dir: str):
     """Concat-and-chunk sequence-packing manifest (GPT-style loader
     packing): documents in doc_id order, one EOS separator token
@@ -2750,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "dup_span_coverage_documents": q_dup_span_coverage_documents,
         "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
+        "paragraph_dedup_documents": q_paragraph_dedup_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
@@ -3771,6 +3829,37 @@ SELECT doc_id,
        count(*) FILTER (WHERE is_dup) AS n_dup
 FROM k GROUP BY doc_id
 HAVING count(*) FILTER (WHERE NOT is_dup) > 0""",
+        "paragraph_dedup_documents": r"""
+WITH inj AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 <> 0
+          THEN 'welcome to our site' || chr(10) ELSE '' END)
+    || text || chr(10)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN 'thanks ' || chr(9) || ' for  reading'
+             ELSE 'thanks for reading' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || text ELSE '' END) AS text
+  FROM documents),
+ls AS (
+  SELECT doc_id,
+         unnest(str_split(text, chr(10))) AS para,
+         generate_subscripts(str_split(text, chr(10)), 1) AS idx
+  FROM inj),
+marked AS (
+  SELECT doc_id, idx, para, np,
+         CASE WHEN np = '' THEN TRUE
+              ELSE row_number() OVER (PARTITION BY np
+                                      ORDER BY doc_id, idx) = 1 END AS keep
+  FROM (SELECT doc_id, idx, para,
+               trim(regexp_replace(para, '[ \t\r]+', ' ', 'g')) AS np
+        FROM ls))
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY idx)
+                FILTER (WHERE keep), '') AS clean_text,
+       count(*)::BIGINT AS n_paras,
+       (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_dropped
+FROM marked GROUP BY doc_id""",
         "pack_sequences_documents": r"""
 WITH t AS (SELECT doc_id,
                   len(string_split_regex(trim(text), '\s+')) AS n_tok

@@ -413,9 +413,6 @@ def dup_span_rewrite(
         .groupby("gk")
         .map_groups(find_dups, batch_format="pandas")
     ).materialize()  # narrow (id, ord) dup rows only — reused by count + pass B
-    n_dup_pos = dup_pos.count()
-    tier = "broadcast" if n_dup_pos <= broadcast_dup_limit else "shuffle"
-    _dedup_trace("dup_span_rewrite: %d dup positions, tier=%s", n_dup_pos, tier)
 
     out_schema = {
         id_col: pa.int64(), "clean_text": pa.string(),
@@ -439,6 +436,44 @@ def dup_span_rewrite(
             }
         )
 
+    return _two_tier_pos_rewrite(
+        ds, dup_pos, rewrite_table, text_col, id_col, out_schema,
+        broadcast_dup_limit, n_doc_buckets, cache_key=(w,),
+        trace_name="dup_span_rewrite",
+    )
+
+
+def _two_tier_pos_rewrite(
+    ds: "ray.data.Dataset",
+    dup_pos: "ray.data.Dataset",
+    rewrite_table,
+    text_col: str,
+    id_col: str,
+    out_schema: dict,
+    broadcast_dup_limit: int,
+    n_doc_buckets: int,
+    cache_key: tuple = (),
+    trace_name: str = "pos_rewrite",
+):
+    """Shared pass-B machinery for position-keyed corpus rewrites
+    (``dup_span_rewrite``, ``paragraph_dedup``): attach a narrow
+    (id, ord) drop-position Dataset to the corpus and rewrite every
+    document with ``rewrite_table(texts, ids, sorted_pairs)``.
+
+    Below ``broadcast_dup_limit`` positions, the pairs broadcast
+    once (``ray.put``) and the corpus streams through ONE
+    shuffle-free task-cached pass — raw text never moves. Above it
+    (dup-heavy corpora), text unions with the positions into ONE
+    coarse doc-bucket groupby (the standing union + coarse-key merge
+    replacement for Dataset.join). Tier choice traces via
+    GRAFT_TRACE=1."""
+    from .bloom import _sorted_pairs
+    from .dedup import _dedup_trace
+
+    n_dup_pos = dup_pos.count()
+    tier = "broadcast" if n_dup_pos <= broadcast_dup_limit else "shuffle"
+    _dedup_trace("%s: %d dup positions, tier=%s", trace_name, n_dup_pos, tier)
+
     if tier == "broadcast":
         if n_dup_pos == 0:
             pairs_np = np.empty((0, 2), np.uint64)
@@ -460,7 +495,7 @@ def dup_span_rewrite(
 
         return ds.map_batches(
             cached_task_fn(
-                Rewrite, cache_on=(pairs_ref, text_col, id_col, w),
+                Rewrite, cache_on=(pairs_ref, text_col, id_col) + cache_key,
                 pairs_ref=pairs_ref, text_col=text_col, id_col=id_col,
             ),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
@@ -624,3 +659,145 @@ def dup_span_coverage(
         )
 
     return partials.groupby("dk").map_groups(doc_totals, batch_format="pandas")
+
+
+def paragraph_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_sub_buckets: int = 256,
+    n_doc_buckets: int = 64,
+    broadcast_dup_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Corpus-wide PARAGRAPH-level exact dedup, keep-first (the CCNet
+    paragraph-hash procedure, Wenzek et al. 2020 §3.1: paragraphs are
+    normalized, hashed, and every later occurrence of an
+    already-seen paragraph is removed across the whole corpus; also
+    the paragraph stage of RefinedWeb). The AMiner analogue is
+    NewMatchPathValueDetector's first-occurrence semantics
+    (reference analysis/NewMatchPathValueDetector.py:24-116) applied
+    per paragraph instead of per atom.
+
+    A paragraph is a '\\n'-separated line. Normalization for the
+    dedup key = collapse ``[ \\t\\r]+`` runs to one space + trim
+    spaces (both RE2-expressible, mirrored verbatim by the SQL
+    oracle); paragraphs whose normalized form is EMPTY are
+    structural blanks and never participate. The kept occurrence is
+    the globally first by ``(doc_id, line index)``; later repeats —
+    including repeats inside the same document — are removed. The
+    ORIGINAL (un-normalized) paragraph text is what survives into
+    ``clean_text``.
+
+    Returns one row per input document:
+    ``(id_col, clean_text, n_paras, n_dropped)`` with clean_text =
+    kept lines joined by '\\n'.
+
+    Scale shape: paragraph identity is the 128-bit md5 ``(h1, h2)``
+    of the normalized text (no exact-verification tail — a
+    single-hash collision would silently drop a unique paragraph, a
+    128-bit one cannot in practice). Pass A explodes ONE narrow row
+    per participating (doc, paragraph) under a coarse hash bucket,
+    repartitions to the cluster-sized shuffle matrix, and one
+    ``map_groups`` emits ONLY the losing occurrences. Pass B is the
+    shared two-tier rewrite (``_two_tier_pos_rewrite``): broadcast
+    drop-pairs + one shuffle-free streaming pass below the limit,
+    union + coarse doc-bucket groupby above it. Raw text never
+    shuffles in the broadcast tier."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64_pair
+    from ._shuffle import shuffle_parallelism
+
+    def _split_lines(txt):
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pc.split_pattern(txt.cast(pa.string()), "\n")
+
+    def _line_geometry(lines):
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        nl = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        nl = nl.astype(np.int64)
+        starts = np.cumsum(nl) - nl
+        ords = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        return flat, parent.astype(np.int64), nl, ords
+
+    _NORM_RE = "[ \t\r]+"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parent, _nl, ords = _line_geometry(_split_lines(batch[text_col]))
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(flat, _NORM_RE, " "), " ")
+        part = pc.not_equal(norm, "").to_numpy(zero_copy_only=False)
+        pidx = np.flatnonzero(part)
+        h1, h2 = md5_u64_pair(norm.take(pa.array(pidx, pa.int64())))
+        h1i = h1.view(np.int64)
+        return pa.table(
+            {
+                "gk": pa.array(h1i % np.int64(n_sub_buckets), pa.int64()),
+                "h1": pa.array(h1i, pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                id_col: pa.array(ids[parent[pidx]], pa.int64()),
+                "ord": pa.array(ords[pidx], pa.int64()),
+            }
+        )
+
+    def find_losers(g: pd.DataFrame) -> pa.Table:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g[id_col].to_numpy()
+        ords = g["ord"].to_numpy()
+        order = np.lexsort((ords, ids, h2, h1))
+        h1, h2, ids, ords = h1[order], h2[order], ids[order], ords[order]
+        new = np.concatenate(
+            [[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        lose = ~new  # every occurrence after the (doc_id, ord)-first
+        return pa.table(
+            {id_col: pa.array(ids[lose], pa.int64()),
+             "ord": pa.array(ords[lose], pa.int64())}
+        )
+
+    from .bloom import _pair_member_mask
+
+    dup_pos = (
+        ds.map_batches(
+            explode, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .repartition(shuffle_parallelism())
+        .groupby("gk")
+        .map_groups(find_losers, batch_format="pandas")
+    ).materialize()  # narrow loser (id, ord) rows only
+
+    out_schema = {
+        id_col: pa.int64(), "clean_text": pa.string(),
+        "n_paras": pa.int64(), "n_dropped": pa.int64(),
+    }
+
+    def rewrite_table(texts, ids: np.ndarray, pairs: np.ndarray) -> pa.Table:
+        ids = ids.astype(np.int64)
+        flat, parent, nl, ords = _line_geometry(_split_lines(texts))
+        drop = _pair_member_mask(
+            pairs, ids[parent].astype(np.uint64), ords.astype(np.uint64))
+        nrows = len(ids)
+        n_dropped = np.bincount(
+            parent[drop], minlength=nrows).astype(np.int64)
+        kept_flat = flat.filter(pa.array(~drop))
+        offsets = np.concatenate([[0], np.cumsum(nl - n_dropped)])
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "clean_text": pc.binary_join(rebuilt, "\n"),
+                "n_paras": pa.array(nl, pa.int64()),
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            }
+        )
+
+    return _two_tier_pos_rewrite(
+        ds, dup_pos, rewrite_table, text_col, id_col, out_schema,
+        broadcast_dup_limit, n_doc_buckets, cache_key=("para",),
+        trace_name="paragraph_dedup",
+    )
