@@ -1567,6 +1567,19 @@ def q_paragraph_dedup_documents(sf_dir: str):
     )
 
 
+def q_pmi_collocations_documents(sf_dir: str):
+    """Top-30 word collocations by PMI (Church & Hanks 1990) over
+    adjacent whitespace-token bigrams, min support 5. Within a fixed
+    corpus PMI orders exactly like n_ab/(n_a*n_b), so the checked
+    ranking key is the exact integer 10^12*n_ab // (n_a*n_b) — no log
+    in any oracle-checked column (DuckDB ln() is 1 ulp off numpy)."""
+    from logdata_anomaly_miner_ray.stages.vocab import pmi_collocations
+
+    t = pmi_collocations(
+        _read(sf_dir, "documents", ["text"]), k=30, min_count=5)
+    return t.to_pandas()
+
+
 def q_pack_sequences_documents(sf_dir: str):
     """Concat-and-chunk sequence-packing manifest (GPT-style loader
     packing): documents in doc_id order, one EOS separator token
@@ -2808,6 +2821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_coverage_documents": q_dup_span_coverage_documents,
         "dup_span_rewrite_documents": q_dup_span_rewrite_documents,
         "paragraph_dedup_documents": q_paragraph_dedup_documents,
+        "pmi_collocations_documents": q_pmi_collocations_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
@@ -3829,6 +3843,32 @@ SELECT doc_id,
        count(*) FILTER (WHERE is_dup) AS n_dup
 FROM k GROUP BY doc_id
 HAVING count(*) FILTER (WHERE NOT is_dup) > 0""",
+        "pmi_collocations_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\s+')) AS w,
+         generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+  FROM documents),
+tk AS (SELECT doc_id, w,
+              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+       FROM raw WHERE w <> ''),
+seq AS (SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY np) AS w2
+        FROM tk),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS n_ab
+       FROM seq WHERE w2 IS NOT NULL GROUP BY 1, 2
+       HAVING count(*) >= 5),
+ug AS (SELECT w, count(*)::BIGINT AS n FROM tk GROUP BY 1),
+sc AS (SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+              ((n_ab::HUGEINT * 1000000000000)
+               // (a.n::HUGEINT * b.n))::BIGINT AS assoc_e12
+       FROM bg JOIN ug a ON bg.w1 = a.w JOIN ug b ON bg.w2 = b.w)
+SELECT * FROM (
+  SELECT w1, w2, n_ab, n_a, n_b, assoc_e12,
+         row_number() OVER (ORDER BY assoc_e12 DESC, n_ab DESC,
+                            w1, w2)::BIGINT AS rnk
+  FROM sc)
+WHERE rnk <= 30 ORDER BY rnk""",
         "paragraph_dedup_documents": r"""
 WITH inj AS (
   SELECT doc_id,

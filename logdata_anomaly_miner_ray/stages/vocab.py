@@ -108,3 +108,228 @@ def bpe_pair_counts(
         "cnt": pa.array(head["cnt"].to_numpy(np.int64), pa.int64()),
         "rnk": pa.array(np.arange(1, len(head) + 1, dtype=np.int64)),
     })
+
+
+def _token_partials_block(text: pa.Array) -> pa.Table:
+    """One block's (gram, cnt) partials for BOTH unigrams and
+    adjacent word bigrams (bigram gram = 'w1 w2'; tokens cannot
+    contain whitespace, so the key spaces never collide and ONE
+    groupby merges both kinds — the composite-reduction idiom).
+    Adjacency is within a document over the EMPTY-FILTERED token
+    sequence (mirrors the SQL row_number recount)."""
+    toks = pc.split_pattern_regex(text, _WS)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nz = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(nz)
+    flat = flat.take(pa.array(keep, pa.int64()))
+    parent = parent[keep]
+    if len(flat) == 0:
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    adj = parent[:-1] == parent[1:]
+    n = len(flat)
+    w1 = flat.slice(0, n - 1).filter(pa.array(adj))
+    w2 = flat.slice(1, n - 1).filter(pa.array(adj))
+    pairs = pc.binary_join_element_wise(w1, w2, " ")
+    grams = pa.chunked_array([flat, pairs]).combine_chunks()
+    t = pa.table({"gram": grams}).group_by(["gram"]).aggregate(
+        [([], "count_all")])
+    return t.rename_columns(["gram", "cnt"])
+
+
+def pmi_collocations(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    broadcast_vocab_limit: int = 5_000_000,
+    n_merge_buckets: int = 64,
+) -> "pa.Table":
+    """Top-k word collocations by pointwise mutual information
+    (Church & Hanks 1990) over adjacent whitespace-token bigrams —
+    the association-mining step of phrase/collocation extraction in
+    corpus pipelines. Within a fixed corpus, PMI(a,b) =
+    log(n_ab·T²/(n_a·n_b·B)) orders exactly like the rational
+    n_ab/(n_a·n_b) (T²/B is constant), so the emitted ranking key is
+    the EXACT integer ``assoc_e12 = 10^12·n_ab // (n_a·n_b)`` —
+    no transcendental ever enters an oracle-checked column
+    (CLAUDE.md: ln() is 1 ulp off numpy). Ordering: assoc_e12 DESC,
+    n_ab DESC, w1 ASC, w2 ASC (bytewise, = DuckDB binary collation).
+
+    Scale shape: ONE map_batches pass emits per-block (gram, cnt)
+    partials for unigrams AND bigrams merged by ONE cluster-sized
+    groupby (bigram keys contain a space, unigram keys cannot —
+    composite reduction without a kind column). Bigrams below
+    ``min_count`` drop immediately after the merge. Unigram-count
+    attach is two-tier: vocabularies ≤ ``broadcast_vocab_limit``
+    broadcast once (sorted-array searchsorted, task-cached); larger
+    vocabularies use union + coarse-key groupby-merge twice (once
+    per bigram side) — the standing Dataset.join replacement. The
+    integer key is computed with Python ints (candidate bigrams are
+    metadata-scale after min_count) and asserted into the int64
+    envelope. Final top-k = mergeable per-block local top-k + a
+    bounded driver fold (≤ k rows per post-shuffle block).
+
+    Reference anchor (behavioral): the reference's co-occurrence
+    rule mining (aminer/analysis/EventCorrelationDetector.py
+    hypothesis→support counting) is the same pair-support/
+    single-support ratio shape over event types; here the "events"
+    are adjacent tokens and the ratio is exact."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    from ._taskcache import cached_task_fn
+
+    def part(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return _token_partials_block(col)
+
+    totals = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).repartition(shuffle_parallelism()).groupby("gram").aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    is_bigram = lambda t: pc.match_substring(t["gram"], " ")  # noqa: E731
+
+    def split_bg(batch: pa.Table) -> pa.Table:
+        m = is_bigram(batch)
+        bg = batch.filter(pc.and_(m, pc.greater_equal(
+            batch["cnt"], min_count)))
+        sp = pc.split_pattern(bg["gram"], " ")
+        return pa.table({
+            "w1": pc.list_element(sp, 0),
+            "w2": pc.list_element(sp, 1),
+            "n_ab": bg["cnt"],
+        })
+
+    def split_ug(batch: pa.Table) -> pa.Table:
+        u = batch.filter(pc.invert(is_bigram(batch)))
+        return pa.table({"w": u["gram"], "n": u["cnt"]})
+
+    totals = totals.materialize()  # narrow (gram, cnt) rows, reused twice
+    bg = totals.map_batches(split_bg, batch_format="pyarrow", batch_size=None)
+    ug = totals.map_batches(split_ug, batch_format="pyarrow", batch_size=None)
+    n_vocab = ug.count()
+
+    def score_rows(w1, w2, n_ab, n_a, n_b) -> pa.Table:
+        assoc = [
+            (10**12 * int(ab)) // (int(a) * int(b))
+            for ab, a, b in zip(n_ab, n_a, n_b)
+        ]
+        if any(v >= 2**63 for v in assoc):  # precision dial: lower the
+            raise ValueError(  # 10^12 scale if a corpus ever trips this
+                "pmi_collocations: assoc_e12 exceeds int64; lower the scale")
+        return pa.table({
+            "w1": pa.array(list(w1), pa.string()),
+            "w2": pa.array(list(w2), pa.string()),
+            "n_ab": pa.array(np.asarray(n_ab, np.int64), pa.int64()),
+            "n_a": pa.array(np.asarray(n_a, np.int64), pa.int64()),
+            "n_b": pa.array(np.asarray(n_b, np.int64), pa.int64()),
+            "assoc_e12": pa.array(assoc, pa.int64()),
+        })
+
+    if n_vocab <= broadcast_vocab_limit:
+        u = ug.to_pandas()
+        order = np.argsort(u["w"].to_numpy())
+        words = u["w"].to_numpy()[order]
+        counts = u["n"].to_numpy(np.int64)[order]
+        blob = ray.put((words, counts))
+
+        class Attach:
+            def __init__(self, blob_ref):
+                self.words, self.counts = ray.get(blob_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                w1 = np.asarray(batch["w1"].to_pylist(), object)
+                w2 = np.asarray(batch["w2"].to_pylist(), object)
+                n_a = self.counts[np.searchsorted(self.words, w1)]
+                n_b = self.counts[np.searchsorted(self.words, w2)]
+                return score_rows(
+                    w1, w2, batch["n_ab"].to_numpy(zero_copy_only=False),
+                    n_a, n_b)
+
+        scored = bg.map_batches(
+            cached_task_fn(Attach, cache_on=(blob, "pmi"), blob_ref=blob),
+            batch_format="pyarrow", batch_size=None)
+    else:
+        # large-vocab tier: union + coarse-key groupby-merge, once per
+        # bigram side (groupby UDFs return ARROW tables — CLAUDE.md)
+        def merge_side(bg_ds, side: str, out_col: str):
+            def tag_bg(batch: pa.Table) -> pa.Table:
+                key = batch[side]
+                t = batch.append_column("key", key)
+                return t.append_column(
+                    "n", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+            def tag_ug(batch: pa.Table) -> pa.Table:
+                z = pa.array([None] * batch.num_rows, pa.string())
+                cols = {"key": batch["w"], "n": batch["n"]}
+                for c in bg_ds.schema().names:
+                    cols[c] = (
+                        pa.array(np.zeros(batch.num_rows, np.int64))
+                        if c not in ("w1", "w2") else z)
+                t = pa.table(cols)  # ug rows: w1/w2 both null
+                return t.select(bg_ds.schema().names + ["key", "n"])
+
+            def bucket(batch: pa.Table) -> pa.Table:
+                h = pd.util.hash_pandas_object(
+                    pd.Series(batch["key"].to_pylist()), index=False
+                ).to_numpy(np.uint64)
+                return batch.append_column(
+                    "kb", pa.array((h % n_merge_buckets).astype(np.int64)))
+
+            def attach(g: pd.DataFrame) -> pa.Table:
+                is_ug = g["w1"].isna()  # bigram rows always carry w1
+                ud = g[is_ug][["key", "n"]].rename(columns={"n": out_col})
+                bd = g[~is_ug].drop(columns=["n", "kb"])
+                m = bd.merge(ud, on="key", how="left").drop(columns=["key"])
+                return pa.Table.from_pandas(
+                    m, preserve_index=False).cast(pa.schema(
+                        [(c, pa.string() if c in ("w1", "w2")
+                          else pa.int64()) for c in m.columns]))
+
+            tagged = bg_ds.map_batches(
+                tag_bg, batch_format="pyarrow", batch_size=None
+            ).union(ug.map_batches(
+                tag_ug, batch_format="pyarrow", batch_size=None))
+            return tagged.map_batches(
+                bucket, batch_format="pyarrow", batch_size=None
+            ).groupby("kb").map_groups(attach, batch_format="pandas")
+
+        with_a = merge_side(bg, "w1", "n_a")
+        with_ab = merge_side(with_a, "w2", "n_b")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            return score_rows(
+                batch["w1"].to_pylist(), batch["w2"].to_pylist(),
+                batch["n_ab"].to_numpy(zero_copy_only=False),
+                batch["n_a"].to_numpy(zero_copy_only=False),
+                batch["n_b"].to_numpy(zero_copy_only=False))
+
+        scored = with_ab.map_batches(
+            finish, batch_format="pyarrow", batch_size=None)
+
+    sort_keys = [("assoc_e12", "descending"), ("n_ab", "descending"),
+                 ("w1", "ascending"), ("w2", "ascending")]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.take(pc.sort_indices(batch, sort_keys=sort_keys)[:k])
+
+    head = scored.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # bounded: k rows per block
+    head = head.sort_values(
+        ["assoc_e12", "n_ab", "w1", "w2"],
+        ascending=[False, False, True, True], kind="mergesort").head(k)
+    out = {c: pa.array(head[c].to_numpy(np.int64), pa.int64())
+           if c not in ("w1", "w2")
+           else pa.array(head[c].tolist(), pa.string())
+           for c in ("w1", "w2", "n_ab", "n_a", "n_b", "assoc_e12")}
+    out["rnk"] = pa.array(np.arange(1, len(head) + 1, dtype=np.int64))
+    return pa.table(out)

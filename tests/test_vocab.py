@@ -51,3 +51,74 @@ def test_bpe_pair_counts_block_layout_invariance():
     a = bpe_pair_counts(_ds(1), k=5)
     b = bpe_pair_counts(_ds(5), k=5)
     assert a.equals(b)
+
+
+# ---- pmi_collocations ----
+
+
+def _pmi_brute(texts: list[str], k: int, min_count: int):
+    import re
+    from collections import Counter
+
+    ug, bg = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in re.split(r"\s+", t) if w]
+        ug.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    rows = []
+    for (w1, w2), nab in bg.items():
+        if nab < min_count:
+            continue
+        rows.append((w1, w2, nab, ug[w1], ug[w2],
+                     (10**12 * nab) // (ug[w1] * ug[w2])))
+    rows.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
+    return [r + (i + 1,) for i, r in enumerate(rows[:k])]
+
+
+def _pmi_fixture():
+    return (
+        ["strong coffee please", "strong coffee now", "strong coffee",
+         "strong tea", "tea strong coffee strong coffee",
+         "a b a b a b a b", "x  y\tx y", ""]
+        * 3
+    )
+
+
+def test_pmi_collocations_matches_brute_force():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.vocab import pmi_collocations
+
+    texts = _pmi_fixture()
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(4)
+    got = pmi_collocations(ds, k=10, min_count=3).to_pandas()
+    want = _pmi_brute(texts, k=10, min_count=3)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_pmi_collocations_large_vocab_tier_agrees():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.vocab import pmi_collocations
+
+    texts = _pmi_fixture()
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(4)
+    a = pmi_collocations(ds, k=10, min_count=3).to_pandas()
+    b = pmi_collocations(
+        ds, k=10, min_count=3, broadcast_vocab_limit=0).to_pandas()
+    assert a.equals(b)
+
+
+def test_pmi_no_cross_document_bigrams():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.vocab import pmi_collocations
+
+    # 'b a' only ever occurs across row boundaries -> never a bigram
+    ds = rd.from_arrow(pa.table({"text": pa.array(["a b"] * 6)}))
+    t = pmi_collocations(ds, k=10, min_count=1).to_pandas()
+    assert list(zip(t["w1"], t["w2"])) == [("a", "b")]
+    assert t["n_ab"].tolist() == [6]
