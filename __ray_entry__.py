@@ -494,6 +494,40 @@ def q_ann_topk_embeddings(sf_dir: str):
     )
 
 
+def q_quantized_ann_embeddings(sf_dir: str):
+    """Int8-quantized retrieval: symmetric per-vector absmax FLOOR
+    quantization (stages/ann.quantize_int8) then top-10 per query by
+    EXACT integer dot product — queries = vectors vec_id < 5. Integer
+    sums are order-independent, so the ranking is bit-identical at
+    any partitioning; the oracle restates the same floor quantizer
+    and integer dots in SQL (unnest + position join)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from logdata_anomaly_miner_ray.stages.ann import quantized_topk
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), 5)).sort_by("vec_id")
+    qmat = np.stack([np.asarray(v, np.float64)
+                     for v in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = quantized_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", ray.put(qmat), k=10)
+    out = out.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="mergesort").reset_index(drop=True)
+    rnk = out.groupby("query_id").cumcount().to_numpy() + 1
+    return pd.DataFrame(
+        {"qid": qids[out["query_id"].to_numpy(np.int64)],
+         "vec_id": out["vec_id"].to_numpy(np.int64),
+         "dot_q": out["sim"].to_numpy(np.int64),
+         "rnk": rnk.astype(np.int64)}
+    )
+
+
 def q_json_extract_events(sf_dir: str):
     """JsonModelElement recast: typed field extraction from the JSON
     props column (parse failures → null + flag)."""
@@ -2793,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "nation_revenue_join": q_nation_revenue_join,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "quantized_ann_embeddings": q_quantized_ann_embeddings,
         "json_extract_events": q_json_extract_events,
         "json_schema_events": q_json_schema_events,
         "xml_extract_events": q_xml_extract_events,
@@ -3122,6 +3157,29 @@ SELECT c_nationkey,
        count(*)::BIGINT AS n
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
+        "quantized_ann_embeddings": """
+WITH m AS (SELECT vec_id,
+                  list_max(list_transform(embedding, x -> abs(x))) AS mx
+           FROM embeddings),
+fl AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+qz AS (SELECT f.vec_id, f.i,
+              CASE WHEN m.mx = 0 THEN 0
+                   ELSE floor(CAST(f.v AS DOUBLE) * CAST(127 AS DOUBLE)
+                              / CAST(m.mx AS DOUBLE))
+              END::BIGINT AS qv
+       FROM fl f JOIN m ON f.vec_id = m.vec_id),
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                sum(a.qv * b.qv)::BIGINT AS dot_q
+         FROM qz a JOIN qz b ON a.i = b.i
+         WHERE a.vec_id < 5 GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT qid, vec_id, dot_q,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot_q DESC, vec_id)::BIGINT AS rnk
+  FROM dots)
+WHERE rnk <= 10 ORDER BY qid, rnk""",
         "ann_topk_embeddings": """
 SELECT vec_id,
        CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -226,3 +226,69 @@ def ivf_topk(
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     return _merge_topk(partials, id_col, k)
+
+
+def quantize_int8(m: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 FLOOR quantizer: q = floor(x·127/m̂)
+    with m̂ = max|x| over the vector (the standard absmax scheme of
+    int8 inference, e.g. LLM.int8(), with floor instead of
+    round-half-even so the SQL oracle reproduces it verbatim —
+    DuckDB round() is half-away, numpy is banker's; floor is floor).
+    All-zero vectors quantize to zeros. The float64 expression order
+    (x·127)/m̂ matches the oracle's CAST(...)*127/... exactly, so the
+    integers are bit-identical across engines."""
+    mx = np.abs(m).max(axis=1) if len(m) else np.zeros(0)
+    safe = np.where(mx == 0, 1.0, mx)
+    q = np.floor(m * 127.0 / safe[:, None])
+    q[mx == 0] = 0.0
+    return q.astype(np.int64)
+
+
+def quantized_topk(
+    ds: "ray.data.Dataset",
+    emb_col: str,
+    id_col: str,
+    queries_ref: "ray.ObjectRef",
+    k: int = 10,
+) -> pd.DataFrame:
+    """Global top-k per query by EXACT int8-quantized dot product —
+    the integer-arithmetic retrieval tier (quantize once, integer
+    matmuls thereafter; 4× less vector traffic than float32 and
+    bit-reproducible at any partitioning, since int64 sums are
+    order-independent). Same distributed shape as ``cosine_topk``:
+    broadcast queries, per-block candidates, groupby(query_id) merge.
+
+    Integer dots tie often — per-block selection is a (dot DESC, id
+    ASC) lexsort per query, NOT argpartition, so the block partial
+    keeps exactly the rows the deterministic global order needs."""
+
+    class BlockQTopK:
+        def __init__(self):
+            qm = np.asarray(ray.get(queries_ref), dtype=np.float64)
+            self.q = quantize_int8(qm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = quantize_int8(_as_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = emb @ self.q.T  # (n, q) int64 — exact
+            n, nq = sims.shape
+            kk = min(k, n)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                order = np.lexsort((ids, -sims[:, qi]))[:kk]
+                out_q.extend([qi] * kk)
+                out_i.extend(ids[order].tolist())
+                out_s.extend(sims[order, qi].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_i, pa.int64()),
+                    "sim": pa.array(out_s, pa.int64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        cached_task_fn(BlockQTopK, cache_on=(queries_ref, emb_col, id_col, k, "q8")),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return _merge_topk(partials, id_col, k)

@@ -551,3 +551,56 @@ def test_cm_exact_by_group():
     o2 = cm_exact_by_group(rd.from_arrow(t2), "g", "v")
     o2 = o2.assign(T=[nu / de for nu, de in zip(o2["cm_num"], o2["cm_den"])]).set_index("g")
     assert o2.loc["c", "T"] > 2 * o2.loc["a", "T"]
+
+
+def test_quantize_int8_floor_scheme_and_zeros():
+    import numpy as np
+
+    from logdata_anomaly_miner_ray.stages.ann import quantize_int8
+
+    m = np.array([[1.0, -1.0, 0.5], [0.0, 0.0, 0.0], [-2.0, 1.0, 0.25]])
+    q = quantize_int8(m)
+    # row 0: scale 1 -> floor(127), floor(-127), floor(63.5)=63
+    assert q[0].tolist() == [127, -127, 63]
+    assert q[1].tolist() == [0, 0, 0]  # all-zero vector
+    # row 2: scale 2 -> 127*-2/2=-127, 127/2=63.5->63, 127*0.25/2=15.875->15
+    assert q[2].tolist() == [-127, 63, 15]
+    assert q.dtype == np.int64
+
+
+def test_quantized_topk_exact_ties_and_partition_invariance():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.ann import quantize_int8, quantized_topk
+
+    rng = np.random.default_rng(3)
+    # coarse vectors from a tiny value set force MANY exact dot ties
+    vecs = rng.integers(-2, 3, size=(80, 8)).astype(np.float64)
+    ids = np.arange(80, dtype=np.int64)
+    qmat = vecs[:3]
+    qref = ray.put(qmat)
+
+    def run(parts):
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(vecs.astype(np.float32))),
+        })).repartition(parts)
+        out = quantized_topk(ds, "embedding", "vec_id", qref, k=5)
+        return [tuple(r) for r in out[["query_id", "vec_id", "sim"]]
+                .itertuples(index=False)]
+
+    # brute force with the same quantizer
+    qz = quantize_int8(vecs)
+    qq = quantize_int8(qmat)
+    dots = qz @ qq.T
+    want = []
+    for qi in range(3):
+        order = np.lexsort((ids, -dots[:, qi]))[:5]
+        want.extend((qi, int(ids[j]), int(dots[j, qi])) for j in order)
+
+    assert sorted(run(1)) == sorted(want)
+    assert sorted(run(7)) == sorted(want)
