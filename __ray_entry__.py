@@ -2541,6 +2541,35 @@ def q_heavy_hitters_documents(sf_dir: str):
 
 
 
+_CMS_TERMS = [
+    "batch", "customer", "data", "dup", "fast", "filter", "group", "hash",
+    "join", "key", "merge", "order", "query", "row", "scan", "slow",
+    "small", "sort", "spark", "stream", "table", "the", "window",
+    "zzzz-absent",
+]
+
+
+def q_cms_counts_documents(sf_dir: str):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) token counts,
+    depth 4 × width 512, md5-nibble row hashes — plus exact recounts
+    for a fixed query-term list (one absent term included). The
+    oracle rebuilds the identical sketch in SQL, so cms_est is
+    bit-exact, not just bounded."""
+    from logdata_anomaly_miner_ray.stages.heavy_hitters import cms_token_counts
+
+    return cms_token_counts(
+        _read(sf_dir, "documents", ["text"]), "text", _CMS_TERMS,
+        depth=4, width=512)
+
+
+def _nib4_sql(md5_expr: str) -> str:
+    """SQL for int(first 4 hex nibbles) of an md5() VARCHAR expr —
+    the strpos-nibble idiom shared with the dsir oracle."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}" for i in range(4)) + ")"
+
+
 def q_pretoken_counts_documents(sf_dir: str):
     """BPE-style pretokenizer counts (letters/digits/other runs —
     GPT-2-family pretokenization, RE2-safe) per document; oracle is
@@ -2890,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_documents": q_clean_corpus_documents,
         "pretoken_counts_documents": q_pretoken_counts_documents,
         "heavy_hitters_documents": q_heavy_hitters_documents,
+        "cms_counts_documents": q_cms_counts_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
         "topk_per_group_orders": q_topk_per_group_orders,
@@ -3086,6 +3116,26 @@ SELECT a.event_id AS event_id, b.event_id AS m_event_id,
        b.value AS m_value
 FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY event_id""",
+        "cms_counts_documents": f"""
+WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+             FROM documents),
+t2 AS (SELECT w FROM tok WHERE w <> ''),
+rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+bk AS (SELECT r,
+              {_nib4_sql("md5(CAST(r AS VARCHAR) || '|' || w)")} % 512 AS b
+       FROM t2 CROSS JOIN rs),
+cells AS (SELECT r, b, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2),
+q(term) AS (VALUES {", ".join("('" + t + "')" for t in _CMS_TERMS)}),
+qb AS (SELECT term, r,
+              {_nib4_sql("md5(CAST(r AS VARCHAR) || '|' || term)")} % 512 AS b
+       FROM q CROSS JOIN rs),
+est AS (SELECT term, min(coalesce(cells.c, 0))::BIGINT AS cms_est
+        FROM qb LEFT JOIN cells ON qb.r = cells.r AND qb.b = cells.b
+        GROUP BY term),
+ex AS (SELECT w AS term, count(*)::BIGINT AS n FROM t2 GROUP BY 1)
+SELECT q.term, coalesce(ex.n, 0)::BIGINT AS true_cnt, est.cms_est
+FROM q JOIN est USING (term) LEFT JOIN ex USING (term)
+ORDER BY q.term""",
         "heavy_hitters_documents": r"""
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents

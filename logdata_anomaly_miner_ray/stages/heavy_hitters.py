@@ -154,3 +154,95 @@ def heavy_hitter_tokens(
     exact = exact[exact["n"].to_numpy(np.int64) * phi_den > total]
     out = exact.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
     return pd.DataFrame({"token": out["token"].astype(object), "n": out["n"].astype(np.int64)})
+
+
+def _md5_nibble4_salted(tokens: list[str], salt: bytes) -> np.ndarray:
+    """First 4 hex nibbles of md5(salt + utf8(token)) per token —
+    the DuckDB-reproducible hash family (the strpos-nibble idiom of
+    stages/importance, salted per sketch row)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(salt + t.encode("utf-8")).hexdigest()[:4], 16)
+         for t in tokens),
+        dtype=np.int64, count=len(tokens))
+
+
+def cms_token_counts(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    query_terms: list[str],
+    depth: int = 4,
+    width: int = 512,
+) -> pd.DataFrame:
+    """Count-min sketch over the corpus's whitespace tokens (Cormode
+    & Muthukrishnan 2005) + exact recounts for ``query_terms`` —
+    returns ``(term, true_cnt, cms_est)`` per query term with the
+    one-sided CMS guarantee ``cms_est >= true_cnt`` built from
+    md5-nibble row hashes the SQL oracle reproduces bit-exactly
+    (bucket_r(t) = first-4-nibbles md5(str(r) + '|' + t) mod width).
+
+    Scale shape: ONE pass; per block, distinct-token counts feed
+    ``depth`` bincounts (the block's CMS partial, ≤ depth×width
+    nonzero cells regardless of vocabulary) plus exact partial
+    counts for the (small, broadcast-by-closure) query list; both
+    reductions share ONE groupby on a composite int key (cells:
+    r·width+b; terms: depth·width+query_index). The merged table is
+    ≤ depth×width + |queries| rows — metadata-scale at any corpus
+    size. CMS cells are int64 sums: order-independent, so the sketch
+    is bit-identical under any partitioning. The AMiner analogue is
+    the bounded-memory counting the EventFrequencyDetector family
+    needs when the value domain exceeds one process."""
+    qarr = np.array(sorted(set(query_terms)), dtype=object)
+    nq = len(qarr)
+    base = depth * width
+
+    def part(batch: pa.Table) -> pa.Table:
+        toks, cnts = _block_distinct_tokens(batch, text_col)
+        keys, vals = [], []
+        if len(toks):
+            cnts = cnts.astype(np.int64)
+            for r in range(depth):
+                b = _md5_nibble4_salted(toks, f"{r}|".encode()) % width
+                cell = np.bincount(
+                    b, weights=cnts, minlength=width).astype(np.int64)
+                nz = np.flatnonzero(cell)
+                keys.append(r * width + nz)
+                vals.append(cell[nz])
+            ta = np.array(toks, dtype=object)
+            pos = np.searchsorted(qarr, ta)
+            ok = (pos < nq)
+            ok[ok] = qarr[pos[ok]] == ta[ok]
+            if ok.any():
+                keys.append(base + pos[ok])
+                vals.append(cnts[ok])
+        if not keys:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "k": pa.array(np.concatenate(keys), pa.int64()),
+            "cnt": pa.array(np.concatenate(vals), pa.int64()),
+        })
+
+    merged = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).groupby("k").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    # bounded gather: <= depth*width + |queries| rows total
+
+    mat = np.zeros(base, np.int64)
+    truec = np.zeros(nq, np.int64)
+    k = merged["k"].to_numpy(np.int64)
+    c = merged["cnt"].to_numpy(np.int64)
+    cell_rows = k < base
+    mat[k[cell_rows]] = c[cell_rows]
+    truec[k[~cell_rows] - base] = c[~cell_rows]
+
+    ests = np.empty(nq, np.int64)
+    for i, t in enumerate(qarr):
+        bs = np.fromiter(
+            (int(_md5_nibble4_salted([t], f"{r}|".encode())[0]) % width
+             for r in range(depth)), np.int64, count=depth)
+        ests[i] = mat[np.arange(depth) * width + bs].min()
+    return pd.DataFrame(
+        {"term": qarr.astype(str), "true_cnt": truec, "cms_est": ests}
+    ).sort_values("term", kind="mergesort").reset_index(drop=True)

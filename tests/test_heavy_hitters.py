@@ -130,3 +130,45 @@ def test_topk_per_group_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["g", "id", "v"]], want[["g", "id", "v"]])
+
+
+# ---- count-min sketch ----
+
+
+def test_cms_overestimates_and_exact_small_vocab():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.heavy_hitters import cms_token_counts
+
+    texts = ["a b c a", "b b c", "d", ""] * 5
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    out = cms_token_counts(ds, "text", ["a", "b", "c", "d", "nope"],
+                           depth=4, width=512)
+    want_true = {"a": 10, "b": 15, "c": 10, "d": 5, "nope": 0}
+    got = dict(zip(out["term"], out["true_cnt"]))
+    assert got == want_true
+    # one-sided CMS guarantee, and with 4 distinct tokens in 512
+    # buckets collisions are impossible -> estimates are exact
+    assert (out["cms_est"].to_numpy() >= out["true_cnt"].to_numpy()).all()
+    est = dict(zip(out["term"], out["cms_est"]))
+    for t in ("a", "b", "c", "d"):
+        assert est[t] == want_true[t], t
+
+
+def test_cms_partition_invariant():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.heavy_hitters import cms_token_counts
+
+    texts = [f"tok{i % 17} tok{i % 5} shared" for i in range(120)]
+    t = pa.table({"text": pa.array(texts)})
+    outs = []
+    for parts in (1, 8):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(cms_token_counts(
+            ds, "text", ["tok0", "tok4", "shared", "tok16"],
+            depth=3, width=64))
+    assert outs[0].equals(outs[1])
