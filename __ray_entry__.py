@@ -2541,6 +2541,44 @@ def q_heavy_hitters_documents(sf_dir: str):
 
 
 
+def q_gopher_rules_documents(sf_dir: str):
+    """Gopher/MassiveText A1.1 quality rules as exact integer
+    comparisons (stages/text_analysis.gopher_rules). Bullet lines,
+    trailing-ellipsis lines, and hash symbols are injected
+    deterministically from doc_id so every counter is exercised; the
+    oracle recomputes every counter + the composed keep verdict."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import gopher_rules
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].cast(pa.string())
+        n = len(d)
+
+        def const(s):
+            return pa.array([s] * n, pa.string())
+
+        cur = pc.if_else(
+            pa.array(d % 4 == 0),
+            pc.binary_join_element_wise(const("- item one"), txt, "\n"), txt)
+        cur = pc.if_else(
+            pa.array(d % 6 == 0),
+            pc.binary_join_element_wise(cur, const("wait for more..."), "\n"),
+            cur)
+        cur = pc.if_else(
+            pa.array(d % 9 == 0),
+            pc.binary_join_element_wise(cur, const(" ##"), ""), cur)
+        return pa.table({"doc_id": t["doc_id"], "text": cur})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", batch_size=None)
+    return gopher_rules(ds, "text", "doc_id")
+
+
+_GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 _CMS_TERMS = [
     "batch", "customer", "data", "dup", "fast", "filter", "group", "hash",
     "join", "key", "merge", "order", "query", "row", "scan", "slow",
@@ -2920,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretoken_counts_documents": q_pretoken_counts_documents,
         "heavy_hitters_documents": q_heavy_hitters_documents,
         "cms_counts_documents": q_cms_counts_documents,
+        "gopher_rules_documents": q_gopher_rules_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
         "topk_per_group_orders": q_topk_per_group_orders,
@@ -3116,6 +3155,48 @@ SELECT a.event_id AS event_id, b.event_id AS m_event_id,
        b.value AS m_value
 FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY event_id""",
+        "gopher_rules_documents": r"""
+WITH inj AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 0 THEN '- item one' || chr(10) ELSE '' END)
+    || text
+    || (CASE WHEN doc_id % 6 = 0
+             THEN chr(10) || 'wait for more...' ELSE '' END)
+    || (CASE WHEN doc_id % 9 = 0 THEN ' ##' ELSE '' END) AS text
+  FROM documents),
+base AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+    (length(text)
+     - len(regexp_extract_all(text, '[\t\n\f\r ]')))::BIGINT AS word_chars,
+    len(regexp_extract_all(text, '#'))::BIGINT AS n_hash,
+    (len(regexp_extract_all(text, '\.\.\.'))
+     + len(regexp_extract_all(text, '…')))::BIGINT AS n_ell,
+    len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))::BIGINT AS n_alpha,
+    ("""
+        + "\n     + ".join(
+            "(CASE WHEN regexp_matches(text, '(^|[\\t\\n\\f\\r ])"
+            + w + "([\\t\\n\\f\\r ]|$)') THEN 1 ELSE 0 END)"
+            for w in _GOPHER_STOP)
+        + r""")::BIGINT AS n_stop
+  FROM inj),
+ln AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM inj),
+lc AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+         count(*) FILTER (
+           WHERE regexp_matches(line, '^ *[-*•] '))::BIGINT AS n_bullet,
+         count(*) FILTER (
+           WHERE regexp_matches(line, '(\.\.\.|…)$'))::BIGINT AS n_ellend
+       FROM ln GROUP BY doc_id)
+SELECT b.doc_id, n_words, word_chars, n_hash, n_ell,
+       n_lines, n_bullet, n_ellend, n_alpha, n_stop,
+       (CASE WHEN n_words >= 50 AND n_words <= 100000
+             AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+             AND 10 * n_hash <= n_words AND 10 * n_ell <= n_words
+             AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ellend <= 3 * n_lines
+             AND 5 * n_alpha >= 4 * n_words AND n_stop >= 2
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM base b JOIN lc USING (doc_id)""",
         "cms_counts_documents": f"""
 WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w
              FROM documents),

@@ -488,3 +488,106 @@ def c4_line_filter(
 
     return ds.map_batches(
         f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def gopher_rules(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    appendix A1.1) as EXACT integer comparisons — no float ratio ever
+    materializes, so the SQL oracle reproduces every flag bit-exactly:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]       (3·n_words ≤ chars ≤ 10·n_words)
+    - hash-symbol ratio ≤ 0.1           (10·n_hash ≤ n_words)
+    - ellipsis ratio ≤ 0.1              (10·n_ell ≤ n_words)
+    - ≤ 90% of lines start with a bullet (10·n_bullet ≤ 9·n_lines)
+    - ≤ 30% of lines end with an ellipsis (10·n_ellend ≤ 3·n_lines)
+    - ≥ 80% of words contain a letter    (5·n_alpha ≥ 4·n_words)
+    - ≥ 2 distinct stop words of {the, be, to, of, and, that, have, with}
+
+    Returns one row per document with every raw counter plus the
+    composed ``keep`` verdict (counters kept so downstream can
+    re-threshold without re-scanning — flags are never silently
+    folded away). ONE shuffle-free vectorized pass: RE2 counts over
+    the text and over the '\\n'-exploded flat line array (the
+    c4_line_filter geometry); tokens = RE2 ``\\S+`` runs, identical
+    to the DuckDB split. Bullet chars: ``-``, ``*``, ``•`` followed
+    by a space (leading spaces allowed); ellipsis = ``...`` or ``…``.
+    """
+    import pyarrow.compute as pc
+
+    _WS_CLASS = r"[\t\n\f\r ]"  # RE2 \s, spelled out for the oracle
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = txt.cast(pa.string())
+        n = len(txt)
+
+        n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(txt).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(txt, _WS_CLASS).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        word_chars = n_chars - n_ws
+        n_hash = pc.count_substring(txt, "#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ell = (
+            pc.count_substring_regex(txt, r"\.\.\.").to_numpy(
+                zero_copy_only=False)
+            + pc.count_substring(txt, "…").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+
+        lines = pc.split_pattern(txt, "\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bullet = pc.match_substring_regex(flat, r"^ *[-*•] ").to_numpy(
+            zero_copy_only=False)
+        ellend = pc.match_substring_regex(flat, r"(\.\.\.|…)$").to_numpy(
+            zero_copy_only=False)
+        n_bullet = np.bincount(parent[bullet], minlength=n).astype(np.int64)
+        n_ellend = np.bincount(parent[ellend], minlength=n).astype(np.int64)
+
+        # words containing at least one ASCII letter
+        n_alpha = pc.count_substring_regex(
+            txt, r"\S*[A-Za-z]\S*").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        n_stop = np.zeros(n, np.int64)
+        for w in stop:
+            hit = pc.match_substring_regex(
+                txt, rf"(^|{_WS_CLASS}){w}({_WS_CLASS}|$)").to_numpy(
+                zero_copy_only=False)
+            n_stop += hit.astype(np.int64)
+
+        keep = (
+            (n_words >= 50) & (n_words <= 100_000)
+            & (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+            & (10 * n_hash <= n_words) & (10 * n_ell <= n_words)
+            & (10 * n_bullet <= 9 * n_lines)
+            & (10 * n_ellend <= 3 * n_lines)
+            & (5 * n_alpha >= 4 * n_words)
+            & (n_stop >= 2)
+        )
+        cols = {
+            id_col: batch[id_col],
+            "n_words": n_words, "word_chars": word_chars,
+            "n_hash": n_hash, "n_ell": n_ell, "n_lines": n_lines,
+            "n_bullet": n_bullet, "n_ellend": n_ellend,
+            "n_alpha": n_alpha, "n_stop": n_stop,
+            "keep": keep.astype(np.int64),
+        }
+        return pa.table({k: (v if isinstance(v, (pa.Array, pa.ChunkedArray))
+                             else pa.array(v, pa.int64()))
+                         for k, v in cols.items()})
+
+    return ds.map_batches(
+        f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

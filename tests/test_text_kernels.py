@@ -223,3 +223,42 @@ def test_c4_line_filter_case_insensitive_blocklist_and_quote_terminal():
     out = c4_line_filter(ds, min_words=3, min_lines=1).to_pandas()
     assert out.loc[0, "clean_text"] == (
         'He said "stop right there."\nShe replied with a word "ok"')
+
+
+# ---- gopher_rules ----
+
+
+def test_gopher_rules_each_gate_flips_keep():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import gopher_rules
+
+    good = ("the data and that flow be to of have with " * 6).strip()  # 60 words
+    docs = {
+        0: good,                                   # passes everything
+        1: "the be short",                         # < 50 words
+        2: good + " " + "#" * 40,                  # hash ratio (1 big token)
+        3: good + " ..." * 10,                     # ellipsis ratio
+        4: "\n".join(["- b point"] * 10) + "\n" + good,  # >90%? 10/11 bullets
+        5: good.replace("the", "000").replace("and", "111")
+             .replace("that", "222").replace("be", "333")
+             .replace("to", "444").replace("of", "555")
+             .replace("have", "666").replace("with", "777"),  # no stopwords+alpha
+        6: ("supercalifragilistic " * 60).strip(),  # mean word len > 10
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }))
+    out = gopher_rules(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[1, "keep"] == 0 and out.loc[1, "n_words"] == 3
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_hash"] == 40
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "n_ell"] == 10
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "n_bullet"] == 10 \
+        and out.loc[4, "n_lines"] == 11
+    assert out.loc[5, "keep"] == 0 and out.loc[5, "n_stop"] == 0
+    assert out.loc[6, "keep"] == 0 \
+        and out.loc[6, "word_chars"] > 10 * out.loc[6, "n_words"]
