@@ -2541,6 +2541,18 @@ def q_heavy_hitters_documents(sf_dir: str):
 
 
 
+def q_length_buckets_documents(sf_dir: str):
+    """Length-bucketed batching manifest: global length decile per
+    document with EXACT SQL ntile semantics (earlier buckets take the
+    remainder), computed with the narrow-row range-sort + block
+    prefix-scan pattern — no corpus-wide gather."""
+    from logdata_anomaly_miner_ray.stages.sampling import length_bucket_manifest
+
+    return length_bucket_manifest(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "doc_id", "n_chars", n_buckets=10)
+
+
 def q_gopher_rules_documents(sf_dir: str):
     """Gopher/MassiveText A1.1 quality rules as exact integer
     comparisons (stages/text_analysis.gopher_rules). Bullet lines,
@@ -2959,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_documents": q_heavy_hitters_documents,
         "cms_counts_documents": q_cms_counts_documents,
         "gopher_rules_documents": q_gopher_rules_documents,
+        "length_buckets_documents": q_length_buckets_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
         "topk_per_group_orders": q_topk_per_group_orders,
@@ -3155,6 +3168,10 @@ SELECT a.event_id AS event_id, b.event_id AS m_event_id,
        b.value AS m_value
 FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY event_id""",
+        "length_buckets_documents": """
+SELECT doc_id, n_chars,
+       ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS bucket
+FROM documents""",
         "gopher_rules_documents": r"""
 WITH inj AS (
   SELECT doc_id,

@@ -393,3 +393,94 @@ def shuffle_shard_manifest(
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+
+def length_bucket_manifest(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    n_buckets: int = 10,
+) -> "ray.data.Dataset":
+    """Length-bucketed batching manifest: assign every document its
+    global length quantile bucket (SQL ``ntile(B) OVER (ORDER BY
+    len, id)`` EXACTLY, including ntile's earlier-buckets-get-the-
+    remainder rule) — the standard sequence-length bucketing step
+    before padding-efficient batch assembly (and the curriculum
+    variant when consumed in bucket order).
+
+    Scale shape = the shuffle_shard_manifest prefix-scan pattern:
+    the only all-to-all is a range ``sort`` over NARROW (id, len)
+    rows; per-block (first-key, count) metadata folds on the driver
+    (one row per block) into exclusive base ranks; one shuffle-free
+    pass emits base + within-block position, mapped through the
+    closed-form ntile boundary. Returns ``(id_col, len_col,
+    bucket)`` with bucket 1-based like SQL ntile."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    import ray
+
+    from ._taskcache import cached_task_fn
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    narrow = ds.select_columns([id_col, len_col]).sort(
+        [len_col, id_col]).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        lens = batch[len_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        j = int(np.lexsort((ids, lens))[0])
+        return pa.table({
+            "min_len": pa.array([int(lens[j])], pa.int64()),
+            "min_id": pa.array([int(ids[j])], pa.int64()),
+            "cnt": pa.array([len(ids)], pa.int64()),
+        })
+
+    metas = narrow.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one row per block — bounded by partition count
+    metas.sort(key=lambda r: (r["min_len"], r["min_id"]))
+    base, bases = 0, {}
+    for m in metas:
+        bases[(m["min_len"], m["min_id"])] = base
+        base += int(m["cnt"])
+    total = base
+    bases_ref = ray.put(bases)
+
+    def ntile_of(rank: np.ndarray) -> np.ndarray:
+        # SQL ntile: the first (total % B) buckets hold q+1 rows
+        q, rem = divmod(total, n_buckets)
+        cut = rem * (q + 1)
+        lo = rank // (q + 1)
+        hi = rem + (np.maximum(rank - cut, 0) // q if q else 0)
+        return np.where(rank < cut, lo, hi).astype(np.int64) + 1
+
+    class Emit:
+        def __init__(self, bases_ref, id_col, len_col):
+            self.bases = ray.get(bases_ref)
+            self.id_col, self.len_col = id_col, len_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lens = batch[self.len_col].to_numpy(zero_copy_only=False)
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, lens))  # guard intra-block order
+            j = order[0]
+            rank = (self.bases[(int(lens[j]), int(ids[j]))]
+                    + np.arange(len(ids), dtype=np.int64))
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(ids))
+            rank = rank[inv]
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                self.len_col: batch[self.len_col],
+                "bucket": pa.array(ntile_of(rank), pa.int64()),
+            })
+
+    return narrow.map_batches(
+        cached_task_fn(
+            Emit, cache_on=(bases_ref, id_col, len_col, n_buckets),
+            bases_ref=bases_ref, id_col=id_col, len_col=len_col,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )

@@ -57,7 +57,8 @@ def _result(name: str, rows: int, t0: float, **extra) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=[
-        "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank"])
+        "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank",
+        "paradedup"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -103,6 +104,29 @@ def main(argv=None) -> int:
         t0 = time.time()
         n = dup_span_coverage(read(), "text", "row_idx", w=args.w).count()
         rc = _result("dupspan", n, t0)
+    elif args.mode == "paradedup":
+        from logdata_anomaly_miner_ray.stages.decontam import paragraph_dedup
+
+        import pyarrow.compute as pc
+
+        # every doc gains the same boilerplate paragraph -> ~n_rows
+        # drop positions, forcing real pass-B traffic (the stage
+        # auto-switches broadcast -> shuffle tier at 5M positions)
+        def inject(t: pa.Table) -> pa.Table:
+            banner = pa.array(
+                ["please subscribe to the banner"] * t.num_rows, pa.string())
+            return pa.table({
+                "row_idx": t["row_idx"],
+                "text": pc.binary_join_element_wise(
+                    t["text"].cast(pa.string()), banner, "\n"),
+            })
+
+        t0 = time.time()
+        n = paragraph_dedup(
+            read().map_batches(
+                inject, batch_format="pyarrow", batch_size=None),
+            "text", "row_idx").count()
+        rc = _result("paradedup", n, t0)
     elif args.mode == "extract":
         # north-star transform at scale: html -> visible text over
         # every page payload, one zero-copy RE2-chain pass

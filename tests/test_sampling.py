@@ -224,3 +224,48 @@ def test_shuffle_shard_manifest_matches_brute_force():
         "doc_id", shard_size=10,
     ).to_pandas().set_index("doc_id")
     assert out2.sort_index().equals(out.sort_index())
+
+
+# ---- length_bucket_manifest ----
+
+
+def test_length_buckets_exact_ntile_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import length_bucket_manifest
+
+    # 23 rows, 4 buckets: ntile gives sizes 6,6,6,5; heavy ties in len
+    rng = np.random.default_rng(11)
+    lens = rng.integers(0, 4, size=23).astype(np.int64)
+    ids = np.arange(23, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "n_chars": pa.array(lens)})).repartition(5)
+    out = length_bucket_manifest(ds, n_buckets=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    order = np.lexsort((ids, lens))
+    rank = np.empty(23, np.int64)
+    rank[order] = np.arange(23)
+    sizes = [6, 6, 6, 5]
+    bounds = np.cumsum(sizes)
+    want = np.searchsorted(bounds, rank, side="right") + 1
+    assert out["bucket"].to_numpy().tolist() == want.tolist()
+    assert out["n_chars"].to_numpy().tolist() == lens.tolist()
+
+
+def test_length_buckets_fewer_rows_than_buckets():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import length_bucket_manifest
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 3, 5], pa.int64()),
+        "n_chars": pa.array([10, 10, 2], pa.int64())}))
+    out = length_bucket_manifest(ds, n_buckets=10).to_pandas()
+    out = out.sort_values("bucket")
+    # each row its own bucket, ordered by (len, id): 5, 3, 7
+    assert out["doc_id"].tolist() == [5, 3, 7]
+    assert out["bucket"].tolist() == [1, 2, 3]
