@@ -2541,6 +2541,25 @@ def q_heavy_hitters_documents(sf_dir: str):
 
 
 
+def q_grouped_quantiles_documents(sf_dir: str):
+    """Exact per-(source, lang) quantile_disc of n_chars (p25/p50/
+    p75) — grouped order statistics with NO global sort: per-block
+    (group, value, count) partials + one composite groupby + a tiny
+    per-group selection from cumulative counts."""
+    from logdata_anomaly_miner_ray.stages.quantiles import grouped_quantiles
+
+    out = grouped_quantiles(
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"]),
+        ["source", "lang"], "n_chars").to_pandas()
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "lang": out["lang"].astype(str),
+        "qe2": out["qe2"].to_numpy(np.int64),
+        "n_vals": out["n_vals"].to_numpy(np.int64),
+        "value": out["value"].to_numpy(np.int64),
+    })
+
+
 def q_length_buckets_documents(sf_dir: str):
     """Length-bucketed batching manifest: global length decile per
     document with EXACT SQL ntile semantics (earlier buckets take the
@@ -2972,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts_documents": q_cms_counts_documents,
         "gopher_rules_documents": q_gopher_rules_documents,
         "length_buckets_documents": q_length_buckets_documents,
+        "grouped_quantiles_documents": q_grouped_quantiles_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
         "topk_per_group_orders": q_topk_per_group_orders,
@@ -3172,6 +3192,18 @@ ORDER BY event_id""",
 SELECT doc_id, n_chars,
        ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS bucket
 FROM documents""",
+        "grouped_quantiles_documents": """
+SELECT source, lang, 25::BIGINT AS qe2, count(*)::BIGINT AS n_vals,
+       quantile_disc(n_chars, 0.25)::BIGINT AS value
+FROM documents GROUP BY source, lang
+UNION ALL
+SELECT source, lang, 50::BIGINT, count(*)::BIGINT,
+       quantile_disc(n_chars, 0.50)::BIGINT
+FROM documents GROUP BY source, lang
+UNION ALL
+SELECT source, lang, 75::BIGINT, count(*)::BIGINT,
+       quantile_disc(n_chars, 0.75)::BIGINT
+FROM documents GROUP BY source, lang""",
         "gopher_rules_documents": r"""
 WITH inj AS (
   SELECT doc_id,

@@ -356,3 +356,85 @@ def exact_quantiles(
         {"q": np.array([float(q) for q in qs_f]),
          "value": np.array([answers[i] for i in range(nq)], dtype=dtype)}
     )
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    val_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    block_card_cap: int = 200_000,
+) -> "ray.data.Dataset":
+    """EXACT per-group quantiles (DuckDB ``quantile_disc``: index =
+    max(0, ceil(q·n) - 1) into the sorted non-null values, ranks in
+    exact Fraction arithmetic) — the grouped counterpart of
+    ``exact_quantiles``' low-cardinality tier.
+
+    One corpus pass emits per-block (group, value, count) partials
+    via Arrow's C++ group_by (bounded by the block's distinct
+    (group, value) pairs, guarded by ``block_card_cap`` — a HARD
+    error, not a silent fallback: above it, use the digest-window
+    machinery per group). A single composite-key groupby merges the
+    partials, and a second tiny groupby per group selects every
+    requested quantile from the cumulative counts. Nothing
+    corpus-sized ever gathers; returns one row per (group, q):
+    ``(*group_cols, qe2, n_vals, value)`` with qe2 = q·100 as int.
+    """
+    import pyarrow.compute as pc
+
+    import math
+
+    qs_f = [Fraction(q).limit_denominator(10**9) for q in qs]
+    qe2 = [int(q * 100) for q in qs_f]
+    SEP = "\x1f"
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.select(group_cols + [val_col])
+        t = t.filter(pc.is_valid(t[val_col]))
+        agg = t.group_by(group_cols + [val_col]).aggregate([([], "count_all")])
+        if agg.num_rows > block_card_cap:
+            raise ValueError(
+                f"grouped_quantiles: block (group, value) cardinality "
+                f"{agg.num_rows} exceeds block_card_cap={block_card_cap}; "
+                "this tier is for bounded value domains — use the "
+                "digest-window exact_quantiles per group instead")
+        key = agg[group_cols[0]].cast(pa.string())
+        for g in group_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, agg[g].cast(pa.string()), SEP)
+        return pa.table({
+            "gkey": key,
+            "v": agg[val_col],
+            "cnt": agg.column(len(group_cols) + 1).cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    from ._shuffle import shuffle_parallelism
+
+    merged = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).repartition(shuffle_parallelism()).groupby(["gkey", "v"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    def select(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["v"].to_numpy(), kind="mergesort")
+        vals = g["v"].to_numpy()[order]
+        cnts = g["cnt"].to_numpy(np.int64)[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        rows_v, rows_q = [], []
+        for q, e2 in zip(qs_f, qe2):
+            k = max(0, math.ceil(q * n) - 1)  # exact Fraction ceil
+            j = int(np.searchsorted(cum, k + 1, side="left"))
+            rows_q.append(e2)
+            rows_v.append(vals[j])
+        parts = str(g["gkey"].iloc[0]).split(SEP)
+        out = {c: pa.array([parts[i]] * len(rows_q), pa.string())
+               for i, c in enumerate(group_cols)}
+        out["qe2"] = pa.array(rows_q, pa.int64())
+        out["n_vals"] = pa.array([n] * len(rows_q), pa.int64())
+        out["value"] = pa.array(np.asarray(rows_v))
+        return pa.table(out)
+
+    return merged.groupby("gkey").map_groups(select, batch_format="pandas")

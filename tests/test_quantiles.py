@@ -117,3 +117,55 @@ def test_fast_paths_agree_with_window_loop(ray_session):
     window = exact_quantiles(ds, "x", QS, block_card_cap=0, max_gather=300)
     pd.testing.assert_frame_equal(low_card, small_n)
     pd.testing.assert_frame_equal(low_card, window)
+
+
+# ---- grouped_quantiles ----
+
+
+def test_grouped_quantiles_matches_numpy_brute():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 500
+    src = rng.choice(["a", "b", "c"], n)
+    lang = rng.choice(["en", "de"], n)
+    vals = rng.integers(0, 40, n).astype(np.int64)  # heavy duplicates
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(src), "lang": pa.array(lang),
+        "v": pa.array(vals)})).repartition(6)
+    out = grouped_quantiles(ds, ["source", "lang"], "v").to_pandas()
+
+    import math
+    from fractions import Fraction
+
+    df = pd.DataFrame({"source": src, "lang": lang, "v": vals})
+    for (s, lg), g in df.groupby(["source", "lang"]):
+        sv = np.sort(g["v"].to_numpy())
+        for q, e2 in ((Fraction(1, 4), 25), (Fraction(1, 2), 50),
+                      (Fraction(3, 4), 75)):
+            k = max(0, math.ceil(q * len(sv)) - 1)
+            row = out[(out.source == s) & (out.lang == lg)
+                      & (out.qe2 == e2)]
+            assert len(row) == 1
+            assert int(row["value"].iloc[0]) == int(sv[k]), (s, lg, e2)
+            assert int(row["n_vals"].iloc[0]) == len(sv)
+
+
+def test_grouped_quantiles_block_cap_is_hard_error():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.quantiles import grouped_quantiles
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a"] * 50),
+        "v": pa.array(np.arange(50, dtype=np.int64))}))
+    with pytest.raises(Exception, match="block_card_cap"):
+        grouped_quantiles(ds, ["source"], "v", block_card_cap=10).to_pandas()
