@@ -2541,6 +2541,23 @@ def q_heavy_hitters_documents(sf_dir: str):
 
 
 
+def q_token_budget_documents(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a 1M-token
+    budget across sources by exact corpus token mass — quotas sum to
+    the budget exactly; base/remainder integer math mirrored by
+    HUGEINT // and %% in the oracle."""
+    from logdata_anomaly_miner_ray.stages.sampling import token_budget_allocation
+
+    out = token_budget_allocation(
+        _read(sf_dir, "documents", ["source", "text"]),
+        "text", "source", budget=1_000_000)
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "n_tok": out["n_tok"].to_numpy(np.int64),
+        "quota": out["quota"].to_numpy(np.int64),
+    })
+
+
 def q_grouped_quantiles_documents(sf_dir: str):
     """Exact per-(source, lang) quantile_disc of n_chars (p25/p50/
     p75) — grouped order statistics with NO global sort: per-block
@@ -2992,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules_documents": q_gopher_rules_documents,
         "length_buckets_documents": q_length_buckets_documents,
         "grouped_quantiles_documents": q_grouped_quantiles_documents,
+        "token_budget_documents": q_token_budget_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
         "topk_per_group_orders": q_topk_per_group_orders,
@@ -3192,6 +3210,22 @@ ORDER BY event_id""",
 SELECT doc_id, n_chars,
        ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS bucket
 FROM documents""",
+        "token_budget_documents": r"""
+WITH c AS (SELECT source,
+                  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tok
+           FROM documents GROUP BY source),
+t AS (SELECT sum(n_tok)::BIGINT AS tt FROM c),
+b AS (SELECT source, n_tok,
+             (1000000::HUGEINT * n_tok // tt)::BIGINT AS base,
+             (1000000::HUGEINT * n_tok % tt)::BIGINT AS rem
+      FROM c CROSS JOIN t),
+s AS (SELECT sum(base)::BIGINT AS sb FROM b),
+r AS (SELECT source, n_tok, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+SELECT source, n_tok,
+       (base + CASE WHEN rk <= (1000000 - sb) THEN 1 ELSE 0 END)::BIGINT
+       AS quota
+FROM r CROSS JOIN s ORDER BY source""",
         "grouped_quantiles_documents": """
 SELECT source, lang, 25::BIGINT AS qe2, count(*)::BIGINT AS n_vals,
        quantile_disc(n_chars, 0.25)::BIGINT AS value

@@ -306,6 +306,25 @@ def run_bench() -> dict:
             ds_sec = min(ds_sec, time.time() - t0)
         extra_stages["dsir_stage"] = round(ds_sec, 3)
 
+        from logdata_anomaly_miner_ray.stages.decontam import paragraph_dedup
+        from logdata_anomaly_miner_ray.stages.text_analysis import gopher_rules
+
+        para_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            paragraph_dedup(_hygiene_input(), "text", "row_idx").count()
+            para_sec = min(para_sec, time.time() - t0)
+        extra_stages["paradedup_stage"] = round(para_sec, 3)
+
+        gop_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            gopher_rules(_hygiene_input(), "text", "row_idx").count()
+            gop_sec = min(gop_sec, time.time() - t0)
+        extra_stages["gopher_stage"] = round(gop_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",

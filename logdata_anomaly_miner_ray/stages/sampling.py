@@ -484,3 +484,70 @@ def length_bucket_manifest(
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+
+def token_budget_allocation(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 1_000_000,
+) -> "pd.DataFrame":
+    """Apportion an integer token ``budget`` across sources by the
+    largest-remainder (Hamilton) method over each source's EXACT
+    corpus token count — the deterministic data-mixing budget step a
+    training-data card specifies (quotas sum to the budget exactly;
+    no float proportion ever materializes: base = budget·n_s // T,
+    the +1 seats go to the largest remainders budget·n_s mod T,
+    source-name tiebreak). Proportions follow token mass, not doc
+    count.
+
+    Scale shape: ONE narrow partial pass — each block emits (source,
+    n_tok) rows bounded by the block's distinct sources — merged by
+    one tiny groupby; the apportionment itself is exact Python-int
+    driver math over #sources rows. Returns a pandas DataFrame
+    ``(source, n_tok, quota)`` sorted by source."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    _WS = r"\s+"
+
+    def part(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text.cast(pa.string()), _WS)
+        flat = pc.list_flatten(toks)
+        per_row = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # subtract empty tokens per row (leading/trailing whitespace)
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        per_row -= np.bincount(
+            parent[empty], minlength=batch.num_rows).astype(np.int64)
+        src = batch[source_col]
+        t = pa.table({"source": src, "n_tok": pa.array(per_row, pa.int64())})
+        agg = t.group_by(["source"]).aggregate([("n_tok", "sum")])
+        return agg.rename_columns(["source", "n_tok"])
+
+    totals = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).groupby("source").aggregate(Sum("n_tok", alias_name="n_tok")).to_pandas()
+    totals = totals.sort_values("source", kind="mergesort").reset_index(
+        drop=True)
+
+    T = int(totals["n_tok"].sum())
+    if T == 0:
+        totals["quota"] = np.zeros(len(totals), np.int64)
+        return totals
+    n_s = [int(x) for x in totals["n_tok"]]
+    base = [budget * n // T for n in n_s]
+    rem = [budget * n % T for n in n_s]
+    extra = budget - sum(base)
+    order = sorted(range(len(n_s)),
+                   key=lambda i: (-rem[i], str(totals["source"][i])))
+    quota = list(base)
+    for i in order[:extra]:
+        quota[i] += 1
+    totals["quota"] = np.array(quota, np.int64)
+    return totals

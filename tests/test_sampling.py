@@ -269,3 +269,30 @@ def test_length_buckets_fewer_rows_than_buckets():
     # each row its own bucket, ordered by (len, id): 5, 3, 7
     assert out["doc_id"].tolist() == [5, 3, 7]
     assert out["bucket"].tolist() == [1, 2, 3]
+
+
+def test_token_budget_allocation_hamilton_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import token_budget_allocation
+
+    # token masses 7 / 2 / 1 over budget 10:
+    # base = [7, 2, 1], remainders 0 -> quotas exactly proportional
+    rows = [("a", "w " * 7), ("b", "w w"), ("c", "w")]
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows]),
+        "text": pa.array([r[1].strip() for r in rows])}))
+    out = token_budget_allocation(ds, "text", "source", budget=10)
+    assert out["quota"].tolist() == [7, 2, 1]
+    assert out["n_tok"].tolist() == [7, 2, 1]
+
+    # masses 1/1/1 over budget 10: base 3 each, remainder seat to the
+    # lexicographically-first source
+    ds2 = rd.from_arrow(pa.table({
+        "source": pa.array(["x", "y", "z"]),
+        "text": pa.array(["w", "w", "w"])}))
+    out2 = token_budget_allocation(ds2, "text", "source", budget=10)
+    assert out2["quota"].tolist() == [4, 3, 3]
+    assert int(out2["quota"].sum()) == 10
