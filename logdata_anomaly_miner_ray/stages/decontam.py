@@ -526,13 +526,19 @@ def _two_tier_pos_rewrite(
             }
         )
 
+    from ._shuffle import shuffle_parallelism
+
     tagged = ds.map_batches(
         tag_text, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).union(
         dup_pos.map_batches(
             tag_pos, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
-    )
+    ).repartition(shuffle_parallelism())
+    # ^ coalesce (no shuffle): the sort-shuffle matrix follows INPUT
+    # block count (CLAUDE.md round-4); a many-file corpus otherwise
+    # hands the groupby a 1000²-cell matrix and the run goes
+    # driver-scheduling-bound (observed at 50M rows / 1000 files)
 
     def rewrite_group(g: pd.DataFrame) -> pa.Table:
         is_text = g["ord"].to_numpy() < 0

@@ -68,6 +68,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--scale-tier", action="store_true",
                     help="pagerank: force the dataset-ranks tier")
+    ap.add_argument("--broadcast-limit", type=int, default=5_000_000,
+                    help="paradedup: pass-B broadcast/shuffle tier cutover "
+                         "(drop positions; ~16 B each when broadcast)")
     args = ap.parse_args(argv)
 
     _init()
@@ -125,8 +128,10 @@ def main(argv=None) -> int:
         n = paragraph_dedup(
             read().map_batches(
                 inject, batch_format="pyarrow", batch_size=None),
-            "text", "row_idx").count()
-        rc = _result("paradedup", n, t0)
+            "text", "row_idx",
+            broadcast_dup_limit=args.broadcast_limit).count()
+        rc = _result("paradedup", n, t0,
+                     broadcast_limit=args.broadcast_limit)
     elif args.mode == "extract":
         # north-star transform at scale: html -> visible text over
         # every page payload, one zero-copy RE2-chain pass
