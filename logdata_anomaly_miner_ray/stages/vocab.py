@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -261,6 +262,9 @@ def pmi_collocations(
         # large-vocab tier: union + coarse-key groupby-merge, once per
         # bigram side (groupby UDFs return ARROW tables — CLAUDE.md)
         def merge_side(bg_ds, side: str, out_col: str):
+            bg_names = bg_ds.schema().names  # resolved on the driver —
+            # never capture a Dataset handle inside a worker closure
+
             def tag_bg(batch: pa.Table) -> pa.Table:
                 key = batch[side]
                 t = batch.append_column("key", key)
@@ -270,12 +274,12 @@ def pmi_collocations(
             def tag_ug(batch: pa.Table) -> pa.Table:
                 z = pa.array([None] * batch.num_rows, pa.string())
                 cols = {"key": batch["w"], "n": batch["n"]}
-                for c in bg_ds.schema().names:
+                for c in bg_names:
                     cols[c] = (
                         pa.array(np.zeros(batch.num_rows, np.int64))
                         if c not in ("w1", "w2") else z)
                 t = pa.table(cols)  # ug rows: w1/w2 both null
-                return t.select(bg_ds.schema().names + ["key", "n"])
+                return t.select(bg_names + ["key", "n"])
 
             def bucket(batch: pa.Table) -> pa.Table:
                 h = pd.util.hash_pandas_object(
@@ -324,6 +328,10 @@ def pmi_collocations(
     head = scored.map_batches(
         local_topk, batch_format="pyarrow", batch_size=None
     ).to_pandas()  # bounded: k rows per block
+    if head.empty:  # empty Datasets lose their schema through to_pandas
+        cols = ("w1", "w2", "n_ab", "n_a", "n_b", "assoc_e12")
+        head = pd.DataFrame({c: pd.Series(
+            dtype=object if c in ("w1", "w2") else np.int64) for c in cols})
     head = head.sort_values(
         ["assoc_e12", "n_ab", "w1", "w2"],
         ascending=[False, False, True, True], kind="mergesort").head(k)

@@ -122,3 +122,17 @@ def test_pmi_no_cross_document_bigrams():
     t = pmi_collocations(ds, k=10, min_count=1).to_pandas()
     assert list(zip(t["w1"], t["w2"])) == [("a", "b")]
     assert t["n_ab"].tolist() == [6]
+
+
+def test_pmi_collocations_empty_result_keeps_schema():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.vocab import pmi_collocations
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(["a b", "c d", ""])}))
+    for lim in (10**6, 0):
+        t = pmi_collocations(ds, k=5, min_count=3, broadcast_vocab_limit=lim)
+        assert t.num_rows == 0
+        assert t.column_names == [
+            "w1", "w2", "n_ab", "n_a", "n_b", "assoc_e12", "rnk"]
