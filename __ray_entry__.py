@@ -1750,6 +1750,74 @@ def q_host_stats_documents(sf_dir: str):
     )
 
 
+def q_winnow_fingerprints_documents(sf_dir: str):
+    """Robust winnowing (functions/hashing.winnow_select — the MOSS
+    algorithm, Schleimer et al. 2003): md5 word-3-gram digests under
+    a 4-gram window, min per window with the rightmost-tie rule,
+    overlapping selections dedup. One shuffle-free vectorized pass;
+    the oracle replays the window minimum with an explicit
+    window-membership join + max(i) FILTER for the tie rule."""
+    from logdata_anomaly_miner_ray.functions.hashing import winnow_select
+
+    def sel(t: pa.Table) -> pa.Table:
+        rid, pos, fp = winnow_select(t["text"], k=3, w=4)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[rid], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "fp": pa.array(fp, pa.string()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def q_snapshot_diff_documents(sf_dir: str):
+    """Crawl-to-crawl snapshot delta (stages/snapshot.snapshot_diff):
+    two snapshots are synthesized deterministically from the corpus —
+    A holds docs with doc_id % 3 != 0, B holds doc_id % 5 != 2, and
+    B's capture content differs (a '#v2' suffix before digesting) for
+    every 7th doc — so all four statuses (added/removed/changed/
+    unchanged) are populated. Content identity is md5(text), identical
+    in Arrow and SQL; the diff itself is one keyed shuffle of narrow
+    digest rows classified per key (raw text never shuffles), counts
+    per (status, lang)."""
+    from logdata_anomaly_miner_ray.functions.hashing import md5_hex
+    from logdata_anomaly_miner_ray.stages.snapshot import snapshot_diff
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        h = np.array(md5_hex(text), dtype=object)
+        suf = pc.if_else(pa.array(d % 7 == 0),
+                         pa.array(["#v2"] * len(d), pa.string()),
+                         pa.array([""] * len(d), pa.string()))
+        h2 = np.array(md5_hex(
+            pc.binary_join_element_wise(text, suf, "")), dtype=object)
+        in_a, in_b = d % 3 != 0, d % 5 != 2
+        key = np.concatenate([d[in_a], d[in_b]])
+        snap = np.array(["a"] * int(in_a.sum()) + ["b"] * int(in_b.sum()),
+                        dtype=object)
+        hh = np.concatenate([h[in_a], h2[in_b]])
+        lg = pa.concat_arrays(
+            [lang.filter(pa.array(in_a)), lang.filter(pa.array(in_b))])
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "snap": pa.array(snap, pa.string()),
+            "h": pa.array(list(hh), pa.string()),
+            "lang": lg,
+        })
+
+    narrow = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return snapshot_diff(narrow, carry_col="lang")
+
+
 def q_blocklist_filter_documents(sf_dir: str):
     """Domain blocklist filtering (stages/webstats.blocklist_filter):
     the curated denylist broadcasts once (ray.put) and the corpus
@@ -1901,6 +1969,39 @@ def q_lm_score_documents(sf_dir: str):
         {"doc_id": out["doc_id"].to_numpy(np.int64),
          "n_tok": out["n_tok"].to_numpy(np.int64),
          "lm_score": out["lm_score"].to_numpy(np.int64)}
+    )
+
+
+def q_ccnet_buckets_documents(sf_dir: str):
+    """CCNet head/middle/tail corpus split (stages/lm
+    .perplexity_buckets — Wenzek et al. 2020 §4.4): every document is
+    LM-scored against the src0 reference corpus (the oracle embeds
+    the lm_score SQL verbatim), then cut at the exact per-lang
+    tertiles — values at 1-based ranks ceil(n/3) and ceil(2n/3) of
+    the sorted integer scores (grouped_quantiles, quantile_disc
+    semantics). Bucket assignment is a pure integer comparison; the
+    threshold table broadcasts once and the corpus streams through
+    one shuffle-free pass (lang rides as a carry column — no
+    corpus-sized join)."""
+    from logdata_anomaly_miner_ray.stages.lm import (
+        perplexity_buckets,
+        stupid_backoff_scores,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+
+    def ref_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["source"], "src0"))
+
+    ref = docs.map_batches(ref_only, batch_format="pyarrow", batch_size=None)
+    out = perplexity_buckets(
+        stupid_backoff_scores(docs, ref, carry_cols=("lang",))).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"].to_numpy(np.int64),
+         "lang": out["lang"].astype(str),
+         "n_tok": out["n_tok"].to_numpy(np.int64),
+         "lm_score": out["lm_score"].to_numpy(np.int64),
+         "bucket": out["bucket"].astype(str)}
     )
 
 
@@ -2975,11 +3076,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
+        "snapshot_diff_documents": q_snapshot_diff_documents,
+        "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
         "c4_line_filter_documents": q_c4_line_filter_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "lm_score_documents": q_lm_score_documents,
+        "ccnet_buckets_documents": q_ccnet_buckets_documents,
         "image_roundtrip_documents": q_image_roundtrip_documents,
         "extract_text_documents": q_extract_text_documents,
         "split_assign_documents": q_split_assign_documents,
@@ -3090,7 +3194,7 @@ WITH c AS (
   SELECT f.event_type, f."window", coalesce(c.n, 0)::BIGINT AS n
   FROM f LEFT JOIN c ON f.event_type = c.event_type AND f."window" = c."window"
 )"""
-    return {
+    out = {
         "column_stats_lineitem": """
 WITH s AS (
   SELECT 'l_quantity' AS col, count(l_quantity)::BIGINT AS n,
@@ -4715,3 +4819,60 @@ ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
           WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10""",
     }
+    out["snapshot_diff_documents"] = """
+WITH a AS (SELECT doc_id AS key, md5(text) AS h, lang
+           FROM documents WHERE doc_id % 3 <> 0),
+b AS (SELECT doc_id AS key,
+             md5(text || CASE WHEN doc_id % 7 = 0 THEN '#v2' ELSE '' END)
+               AS h,
+             lang
+      FROM documents WHERE doc_id % 5 <> 2),
+j AS (SELECT CASE WHEN a.key IS NULL THEN 'added'
+                  WHEN b.key IS NULL THEN 'removed'
+                  WHEN a.h = b.h THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             coalesce(b.lang, a.lang) AS lang
+      FROM a FULL OUTER JOIN b ON a.key = b.key)
+SELECT status, lang, count(*)::BIGINT AS n FROM j GROUP BY 1, 2"""
+    out["winnow_fingerprints_documents"] = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+g AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+2], ' ')) AS h
+      FROM t, unnest(generate_series(1, len(toks) - 2)) s(i)),
+n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+ws AS (SELECT doc_id, unnest(generate_series(1, greatest(ng - 3, 1))) AS w0
+       FROM n),
+wmin AS (SELECT ws.doc_id, ws.w0, min(gg.h) AS mh
+         FROM ws JOIN g gg ON gg.doc_id = ws.doc_id
+              AND gg.i BETWEEN ws.w0 AND ws.w0 + 3
+         GROUP BY 1, 2),
+sel AS (SELECT w.doc_id, max(gg.i) AS pos, w.mh AS fp
+        FROM wmin w JOIN g gg ON gg.doc_id = w.doc_id
+             AND gg.i BETWEEN w.w0 AND w.w0 + 3 AND gg.h = w.mh
+        GROUP BY w.doc_id, w.w0, w.mh)
+SELECT DISTINCT doc_id, pos, fp FROM sel"""
+    # ---- composed oracles (built on sibling entries verbatim, so a
+    # fix to the base SQL propagates) ----
+    # CCNet head/middle/tail: per-lang tertile thresholds at 1-based
+    # ranks ceil(n/3) / ceil(2n/3) of the sorted exact-integer LM
+    # scores (quantile_disc semantics spelled out as integer rank
+    # arithmetic — no float quantile fractions anywhere).
+    out["ccnet_buckets_documents"] = f"""
+WITH scores AS (SELECT * FROM ({out["lm_score_documents"]})),
+st AS (SELECT s.doc_id, d.lang, s.n_tok, s.lm_score
+       FROM scores s JOIN documents d USING (doc_id)),
+ranked AS (SELECT lang, lm_score,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY lm_score) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM st),
+th AS (SELECT lang,
+              max(CASE WHEN rn = (n + 2) // 3 THEN lm_score END) AS t1,
+              max(CASE WHEN rn = (2 * n + 2) // 3 THEN lm_score END) AS t2
+       FROM ranked GROUP BY lang)
+SELECT st.doc_id, st.lang, st.n_tok, st.lm_score,
+       CASE WHEN st.lm_score <= th.t1 THEN 'tail'
+            WHEN st.lm_score <= th.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM st JOIN th USING (lang)"""
+    return out

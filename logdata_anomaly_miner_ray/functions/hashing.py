@@ -241,3 +241,77 @@ def ngram_jaccard_exact(text_a: str, text_b: str, k: int = 3) -> float:
     if not ga and not gb:
         return 1.0
     return len(ga & gb) / len(ga | gb)
+
+
+def winnow_select(arr, k: int = 3, w: int = 4):
+    """Robust winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): md5 digests of the word
+    k-grams slide under a window of ``w`` consecutive grams; each
+    window selects its MINIMUM hash, ties broken by the RIGHTMOST
+    occurrence, and overlapping windows selecting the same gram
+    deduplicate. Documents with fewer than ``w + k - 1`` tokens get
+    one clamped window over whatever grams exist (documents with < k
+    tokens emit nothing).
+
+    Hash identity is the md5 HEX digest compared lexicographically —
+    hex order == 128-bit integer order, so an SQL engine's ``md5()``
+    + ``min()`` reproduces every selection exactly (the portable-hash
+    convention of :func:`min_shingle_md5`).
+
+    Returns ``(row_id, pos, fp)``: int64 row indices, 1-based gram
+    positions, and md5 hex strings — flat arrays sorted by (row,
+    pos). Vectorized throughout except the C-speed digest feed; the
+    window minimum is a w-fold ``np.minimum`` over (rank << 32 |
+    ~position) composite keys, never a per-window Python loop.
+    """
+    from .text import token_spans
+
+    data, offsets = flat_utf8(arr)
+    starts, ends, row_id = token_spans(data, offsets)
+    n_rows = len(offsets) - 1
+    row_start = np.searchsorted(row_id, np.arange(n_rows))
+    row_end = np.searchsorted(row_id, np.arange(n_rows), side="right")
+    mv = memoryview(data)
+    hashes: list[str] = []
+    g_row: list[np.ndarray] = []
+    for r in range(n_rows):  # digest feed only; selection is flat below
+        lo, hi = int(row_start[r]), int(row_end[r])
+        nt = hi - lo
+        if nt < k:
+            continue
+        toks = [bytes(mv[starts[i]:ends[i]]) for i in range(lo, hi)]
+        hashes.extend(
+            hashlib.md5(b" ".join(toks[i:i + k])).hexdigest()
+            for i in range(nt - k + 1))
+        g_row.append(np.full(nt - k + 1, r, dtype=np.int64))
+    if not hashes:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), [])
+    grow = np.concatenate(g_row)
+    harr = np.asarray(hashes)
+    _, rank = np.unique(harr, return_inverse=True)
+    G = len(harr)
+    # per-gram flat row bounds and local positions
+    changes = np.flatnonzero(np.r_[True, grow[1:] != grow[:-1]])
+    seg_start = np.repeat(changes, np.diff(np.r_[changes, G]))
+    local = np.arange(G, dtype=np.int64) - seg_start
+    seg_len = np.repeat(np.diff(np.r_[changes, G]), np.diff(np.r_[changes, G]))
+    seg_end = seg_start + seg_len
+    # composite key: smaller rank wins; equal ranks → larger local
+    # position wins (rightmost-tie rule)
+    key = (rank.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - local.astype(np.uint64))
+    MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    key_pad = np.concatenate([key, np.full(w, MAX, np.uint64)])
+    combined = np.full(G, MAX, np.uint64)
+    idx = np.arange(G, dtype=np.int64)
+    for j in range(w):
+        val = np.where(idx + j < seg_end, key_pad[idx + j], MAX)
+        combined = np.minimum(combined, val)
+    # valid window starts: local < max(seg_len - (w-1), 1)
+    start_mask = local < np.maximum(seg_len - (w - 1), 1)
+    comb = combined[start_mask]
+    sel_local = (np.uint64(0xFFFFFFFF) - (comb & np.uint64(0xFFFFFFFF))
+                 ).astype(np.int64)
+    sel_flat = seg_start[start_mask] + sel_local
+    sel = np.unique(sel_flat)  # overlapping windows dedupe
+    return grow[sel], (local[sel] + 1).astype(np.int64), harr[sel].tolist()

@@ -142,12 +142,16 @@ def stupid_backoff_scores(
     id_col: str = "doc_id",
     scale: int = 10**6,
     max_ref_grams: int = 50_000_000,
+    carry_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Per-document stupid-backoff LM score (see module docstring):
-    returns ``(id_col, n_tok, lm_score)`` with ``lm_score`` the exact
-    integer Σ over tokens of the scaled floor-divided count ratios.
-    One shuffle-free pass over the corpus; the reference tables
-    broadcast once."""
+    returns ``(id_col, *carry_cols, n_tok, lm_score)`` with
+    ``lm_score`` the exact integer Σ over tokens of the scaled
+    floor-divided count ratios. ``carry_cols`` pass through unchanged
+    (e.g. ``lang`` for downstream per-language bucketing) — a
+    passthrough column beats a corpus-sized join. One shuffle-free
+    pass over the corpus; the reference tables broadcast once."""
+    carry_cols = tuple(carry_cols)
     tables = ref_gram_counts(ref_ds, text_col, max_ref_grams)
     blob_ref = ray.put(tables)
 
@@ -211,16 +215,73 @@ def stupid_backoff_scores(
             ids = batch[self.id_col]
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
-            return pa.table({
-                self.id_col: ids,
-                "n_tok": pa.array(cnt, pa.int64()),
-                "lm_score": pa.array(tot, pa.int64()),
-            })
+            cols = {self.id_col: ids}
+            for c in carry_cols:
+                cc = batch[c]
+                cols[c] = cc.combine_chunks() if isinstance(
+                    cc, pa.ChunkedArray) else cc
+            cols["n_tok"] = pa.array(cnt, pa.int64())
+            cols["lm_score"] = pa.array(tot, pa.int64())
+            return pa.table(cols)
 
     return ds.map_batches(
         cached_task_fn(
-            Score, cache_on=(blob_ref, text_col, id_col, scale),
+            Score, cache_on=(blob_ref, text_col, id_col, scale, carry_cols),
             blob_ref=blob_ref, text_col=text_col, id_col=id_col, scale=scale,
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+
+def perplexity_buckets(
+    scores: "ray.data.Dataset",
+    group_col: str = "lang",
+    score_col: str = "lm_score",
+    block_card_cap: int = 200_000,
+) -> "ray.data.Dataset":
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4):
+    per ``group_col`` (language), the corpus is cut at the exact
+    discrete tertiles of the LM quality score — documents at or below
+    the 1/3 threshold are ``tail`` (worst), at or below 2/3
+    ``middle``, above it ``head``. CCNet buckets on LOW perplexity =
+    best; here the stupid-backoff score is higher-is-better, so head
+    is the top third.
+
+    Exactness: thresholds are the values at 1-based ranks
+    ``ceil(n/3)`` and ``ceil(2n/3)`` of the per-group sorted scores —
+    exact integers from :func:`stages.quantiles.grouped_quantiles`
+    (DuckDB ``quantile_disc`` semantics), so the bucket assignment is
+    a pure integer comparison an SQL oracle reproduces bit-for-bit.
+
+    Scale shape: ONE partial pass for the thresholds (bounded
+    (group, score, count) partials — ``block_card_cap`` is a hard
+    error, not a silent fallback), the tiny per-group threshold table
+    broadcasts once, and the corpus streams through one shuffle-free
+    assignment pass. Nothing corpus-sized gathers or shuffles.
+    """
+    from fractions import Fraction
+
+    from .quantiles import grouped_quantiles
+
+    th = grouped_quantiles(
+        scores, [group_col], score_col,
+        qs=(Fraction(1, 3), Fraction(2, 3)),
+        block_card_cap=block_card_cap,
+    ).to_pandas()  # 2 rows per group
+    t1 = {r[group_col]: int(r["value"])
+          for _, r in th.iterrows() if int(r["qe2"]) == 33}
+    t2 = {r[group_col]: int(r["value"])
+          for _, r in th.iterrows() if int(r["qe2"]) == 66}
+    th_ref = ray.put((t1, t2))
+
+    def assign(batch: pa.Table, _ref=th_ref) -> pa.Table:
+        lo, hi = ray.get(_ref)
+        g = batch[group_col].to_pandas()
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        a = np.array([lo.get(k, 0) for k in g], dtype=np.int64)
+        b = np.array([hi.get(k, 0) for k in g], dtype=np.int64)
+        bucket = np.where(s <= a, "tail", np.where(s <= b, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scores.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -1,0 +1,139 @@
+"""Crawl-snapshot delta: classify every page key across two crawls.
+
+Web corpora are re-crawled: curation pipelines diff consecutive
+snapshots to find what was added, removed, changed, or unchanged
+(CDX-index diffing; incremental-crawl dedup keeps only changed
+captures). The reference engine's analogue is the learn-then-detect
+value-set delta of NewMatchPathValueDetector (reference
+analysis/NewMatchPathValueDetector.py:25-120: a value present in the
+learned set vs novel) — here the "learned set" is snapshot A keyed by
+page, the probe is snapshot B, and content identity is a digest of
+the extracted text (the byte-identical-text invariant makes the
+digest the correct change witness).
+
+Contract: each (key, snap) pair appears AT MOST ONCE (a crawl holds
+one capture per page key) — duplicated captures are a hard error,
+not a silent pick.
+
+Scale shape: the input is already narrow (key, snap, digest, carry —
+raw text/html never enters), so the diff is ONE keyed shuffle of
+~50-byte rows: repartition to the cluster-sized shuffle matrix
+(CLAUDE.md shuffle-matrix rule), groupby a coarse ``key % n_buckets``
+bucket, and classify each key's ≤2 rows vectorized inside pandas
+(pivot + integer compares). Each bucket emits only (status, carry,
+n) partials; the driver folds the tiny partial table. Below
+``driver_fold_limit`` input rows the shuffle is skipped entirely
+(two-tier pattern). Sequential/hashed page keys spread uniformly
+over the modulo buckets; for adversarial key skew pre-hash the key.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def _classify(df: pd.DataFrame, key_col: str, snap_col: str,
+              hash_col: str, carry_col: str | None) -> pd.DataFrame:
+    """(status, carry, n) counts for one self-contained key range.
+    Every row of a key is present in ``df`` (keys never split across
+    calls — guaranteed by the modulo bucketing / driver tier)."""
+    if df.empty:
+        cols = {"status": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64)}
+        if carry_col:
+            cols = {"status": cols["status"],
+                    carry_col: pd.Series(dtype=object), "n": cols["n"]}
+        return pd.DataFrame(cols)
+    if df.duplicated([key_col, snap_col]).any():
+        raise ValueError(
+            "snapshot_diff: duplicate (key, snap) capture — a crawl "
+            "snapshot must hold one capture per page key")
+    values = [hash_col] + ([carry_col] if carry_col else [])
+    p = df.pivot(index=key_col, columns=snap_col, values=values)
+    ha = p.get((hash_col, "a"))
+    hb = p.get((hash_col, "b"))
+    if ha is None:
+        ha = pd.Series(np.full(len(p), None), index=p.index)
+    if hb is None:
+        hb = pd.Series(np.full(len(p), None), index=p.index)
+    has_a, has_b = ha.notna().to_numpy(), hb.notna().to_numpy()
+    status = np.where(
+        ~has_a, "added",
+        np.where(~has_b, "removed",
+                 np.where(ha.to_numpy() == hb.to_numpy(),
+                          "unchanged", "changed")))
+    out = {"status": status}
+    if carry_col:
+        ca = p.get((carry_col, "a"))
+        cb = p.get((carry_col, "b"))
+        if cb is None:
+            carry = ca.to_numpy()
+        elif ca is None:
+            carry = cb.to_numpy()
+        else:
+            carry = np.where(has_b, cb.to_numpy(), ca.to_numpy())
+        out[carry_col] = carry
+    g = (pd.DataFrame(out).groupby(list(out), sort=True, dropna=False)
+         .size().rename("n").reset_index())
+    g["n"] = g["n"].astype(np.int64)
+    return g
+
+
+def snapshot_diff(
+    ds: "ray.data.Dataset",
+    key_col: str = "key",
+    snap_col: str = "snap",
+    hash_col: str = "h",
+    carry_col: str | None = None,
+    driver_fold_limit: int = 200_000,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Per-(status[, carry]) counts of the A→B snapshot delta — see
+    module docstring. ``snap_col`` values must be 'a' / 'b'. Returns
+    a pandas frame sorted by (status[, carry])."""
+    group_cols = ["status"] + ([carry_col] if carry_col else [])
+
+    narrow = ds.materialize()  # count + classify reuse; narrow rows only
+    if narrow.count() <= driver_fold_limit:
+        df = narrow.to_pandas()
+        out = _classify(df, key_col, snap_col, hash_col, carry_col)
+    else:  # scale tier: coarse-key bucketed shuffle, classify per bucket
+        from ._shuffle import shuffle_parallelism
+
+        nb = n_buckets or 4 * shuffle_parallelism()
+
+        def add_bk(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            bk = np.abs(k) % np.int64(nb)
+            return batch.append_column("bk", pa.array(bk, pa.int64()))
+
+        def per_bucket(g: pd.DataFrame) -> pa.Table:
+            r = _classify(g, key_col, snap_col, hash_col, carry_col)
+            return pa.Table.from_pandas(r, preserve_index=False)
+
+        parts = (
+            narrow.map_batches(add_bk, batch_format="pyarrow",
+                               batch_size=None)
+            .repartition(shuffle_parallelism())
+            .groupby("bk")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas()  # ≤ n_buckets × |statuses × carries| tiny rows
+        )
+        if parts.empty:
+            out = _classify(pd.DataFrame(), key_col, snap_col,
+                            hash_col, carry_col)
+        else:
+            out = (parts.groupby(group_cols, sort=True, dropna=False)["n"]
+                   .sum().reset_index())
+    out = out.sort_values(group_cols, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
