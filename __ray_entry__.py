@@ -1750,6 +1750,23 @@ def q_host_stats_documents(sf_dir: str):
     )
 
 
+def q_editdist_pairs_documents(sf_dir: str):
+    """Edit-distance-verified near-dup pairs (stages/editdist): the
+    candidate rule is a 1-permutation MinHash LSH (same lang + same
+    min md5 3-gram, the portable min_shingle_md5 convention) and the
+    verifier is Myers' bit-parallel Levenshtein over UTF-8 bytes —
+    byte granularity matches DuckDB levenshtein() exactly. Text
+    shuffles ONCE into bounded candidate cells; all-pairs + Myers run
+    inside each tiny group (hard_cap aborts on degenerate buckets)."""
+    from logdata_anomaly_miner_ray.stages.editdist import (
+        editdist_verified_pairs,
+    )
+
+    return editdist_verified_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        max_dist=24)
+
+
 def q_winnow_fingerprints_documents(sf_dir: str):
     """Robust winnowing (functions/hashing.winnow_select — the MOSS
     algorithm, Schleimer et al. 2003): md5 word-3-gram digests under
@@ -3078,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": q_host_stats_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
+        "editdist_pairs_documents": q_editdist_pairs_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
         "c4_line_filter_documents": q_c4_line_filter_documents,
@@ -4851,6 +4869,19 @@ sel AS (SELECT w.doc_id, max(gg.i) AS pos, w.mh AS fp
              AND gg.i BETWEEN w.w0 AND w.w0 + 3 AND gg.h = w.mh
         GROUP BY w.doc_id, w.w0, w.mh)
 SELECT DISTINCT doc_id, pos, fp FROM sel"""
+    out["editdist_pairs_documents"] = r"""
+WITH t AS (SELECT doc_id, lang, text,
+                  string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE trim(text) <> ''),
+f AS (SELECT doc_id, lang, text,
+             min(md5(array_to_string(toks[i:i+2], ' '))) AS fp
+      FROM t, unnest(generate_series(1, len(toks) - 2)) s(i)
+      GROUP BY 1, 2, 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM f a JOIN f b
+  ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 24"""
     # ---- composed oracles (built on sibling entries verbatim, so a
     # fix to the base SQL propagates) ----
     # CCNet head/middle/tail: per-lang tertile thresholds at 1-based
