@@ -1750,6 +1750,23 @@ def q_host_stats_documents(sf_dir: str):
     )
 
 
+def q_bpe_learn_documents(sf_dir: str):
+    """First 3 BPE merges (stages/vocab.bpe_learn — Sennrich et al.
+    2016, character-level): iterative most-frequent adjacent symbol
+    pair over word TYPES, greedy left-to-right merge application.
+    The corpus-sized work is one narrow (word, cnt) reduction; the
+    merge loop runs over the vocabulary. Oracle = 3 UNROLLED merge
+    iterations in SQL (the _KMEANS_CTE precedent): per iteration,
+    pair counts via a pos+1 self-join, argmax by (c DESC, s1, s2),
+    greedy non-overlap selection as odd-run-position candidates
+    (consecutive candidates only occur for s1 = s2), and sequence
+    rebuild via window functions."""
+    from logdata_anomaly_miner_ray.stages.vocab import bpe_learn
+
+    return bpe_learn(
+        _read(sf_dir, "documents", ["text"]), n_merges=3)
+
+
 def q_editdist_pairs_documents(sf_dir: str):
     """Edit-distance-verified near-dup pairs (stages/editdist): the
     candidate rule is a 1-permutation MinHash LSH (same lang + same
@@ -2766,6 +2783,56 @@ def q_cms_counts_documents(sf_dir: str):
         depth=4, width=512)
 
 
+def _bpe_learn_sql(n: int = 3) -> str:
+    """UNROLLED n-iteration BPE merge learning in SQL (the
+    _KMEANS_CTE precedent). Per iteration k over the symbol table
+    s{k}(word, cnt, pos, sym): pair counts by a pos+1 self-join →
+    best pair b{k} by (c DESC, s1, s2); greedy left-to-right
+    non-overlapping merge = mark candidates (sym, next-sym) = best,
+    group CONSECUTIVE candidate positions into runs (consecutive
+    candidates only arise when s1 = s2) and choose odd run
+    positions; drop absorbed successors and renumber."""
+    parts = [r"""
+wt AS (SELECT tok AS word, count(*)::BIGINT AS cnt
+       FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+             FROM documents)
+       WHERE length(tok) >= 1 GROUP BY 1),
+s0 AS (SELECT word, cnt, i AS pos, substr(word, i, 1) AS sym
+       FROM wt, unnest(generate_series(1, length(word))) t(i))"""]
+    for k in range(n):
+        parts.append(f"""
+p{k} AS (SELECT a.sym AS s1, b.sym AS s2, sum(a.cnt)::BIGINT AS c
+         FROM s{k} a JOIN s{k} b ON a.word = b.word AND b.pos = a.pos + 1
+         GROUP BY 1, 2),
+b{k} AS (SELECT s1, s2, c FROM p{k} ORDER BY c DESC, s1, s2 LIMIT 1),
+c{k} AS (SELECT word, cnt, pos, sym,
+                lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
+                coalesce(sym = (SELECT s1 FROM b{k}) AND
+                         lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                           = (SELECT s2 FROM b{k}), false) AS cand
+         FROM s{k}),
+r{k} AS (SELECT *, pos - row_number() OVER (PARTITION BY word, cand
+                                            ORDER BY pos) AS grp
+         FROM c{k}),
+ch{k} AS (SELECT *, cand AND (row_number() OVER (
+              PARTITION BY word, cand, grp ORDER BY pos) % 2 = 1) AS chosen
+          FROM r{k}),
+ab{k} AS (SELECT *, coalesce(lag(chosen) OVER (PARTITION BY word
+                                               ORDER BY pos), false)
+                    AS absorbed
+          FROM ch{k}),
+s{k + 1} AS (SELECT word, cnt,
+                    row_number() OVER (PARTITION BY word ORDER BY pos)
+                      AS pos,
+                    CASE WHEN chosen THEN sym || nsym ELSE sym END AS sym
+             FROM ab{k} WHERE NOT absorbed)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k + 1}::BIGINT AS step, s1, s2, c AS cnt FROM b{k}"
+        for k in range(n))
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT * FROM ({union}) ORDER BY step")
+
+
 def _nib4_sql(md5_expr: str) -> str:
     """SQL for int(first 4 hex nibbles) of an md5() VARCHAR expr —
     the strpos-nibble idiom shared with the dsir oracle."""
@@ -3096,6 +3163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
+        "bpe_learn_documents": q_bpe_learn_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
         "c4_line_filter_documents": q_c4_line_filter_documents,
@@ -4882,6 +4950,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM f a JOIN f b
   ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 24"""
+    out["bpe_learn_documents"] = _bpe_learn_sql(3)
     # ---- composed oracles (built on sibling entries verbatim, so a
     # fix to the base SQL propagates) ----
     # CCNet head/middle/tail: per-lang tertile thresholds at 1-based

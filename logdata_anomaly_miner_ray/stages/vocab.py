@@ -341,3 +341,127 @@ def pmi_collocations(
            for c in ("w1", "w2", "n_ab", "n_a", "n_b", "assoc_e12")}
     out["rnk"] = pa.array(np.arange(1, len(head) + 1, dtype=np.int64))
     return pa.table(out)
+
+
+# ---------------------------------------------------------------- BPE learn
+
+def _apply_merges(syms: list, merges: list) -> list:
+    """Apply an ordered merge list to one symbol sequence, each merge
+    greedy left-to-right non-overlapping (Sennrich et al. 2016)."""
+    for s1, s2 in merges:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == s1 and syms[i + 1] == s2:
+                out.append(s1 + s2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _pair_fold(words: list, cnts: np.ndarray, merges: list) -> dict:
+    """Occurrence-weighted adjacent-pair counts of the CURRENT
+    segmentation (merges applied per word type)."""
+    acc: dict = {}
+    for w, c in zip(words, cnts):
+        syms = _apply_merges(list(w), merges)
+        for a, b in zip(syms, syms[1:]):
+            k = (a, b)
+            acc[k] = acc.get(k, 0) + int(c)
+    return acc
+
+
+def bpe_learn(
+    ds: "ray.data.Dataset",
+    *,
+    n_merges: int = 3,
+    text_col: str = "text",
+    driver_type_limit: int = 500_000,
+) -> "pa.Table":
+    """Learn the first ``n_merges`` BPE merges (Sennrich et al. 2016,
+    character-level): iteratively pick the most frequent adjacent
+    symbol pair (occurrence-weighted over word TYPES; ties → smallest
+    (s1, s2) bytewise, the DuckDB binary collation) and merge it
+    greedy left-to-right in every word. Returns (step, s1, s2, cnt).
+
+    Scale shape: the corpus-sized work is ONE narrow (word, cnt)
+    type-table reduction — the merge loop runs over word TYPES, whose
+    cardinality is corpus-size-independent (a vocabulary), never over
+    the corpus. Two tiers: at or below ``driver_type_limit`` types
+    the loop folds on the driver (pure-Python greedy, exact); above
+    it the type table stays a Dataset and each iteration is one
+    shuffle-free per-block partial pair-count pass + a tiny driver
+    fold (pair alphabet is bounded), the kmeans_assign per-iteration
+    pattern. Both tiers are bit-identical (tier-parity tested).
+    """
+    from ray.data.aggregate import Sum
+
+    def wt_part(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern_regex(col, _WS))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        t = pa.table({"word": flat}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return t.rename_columns(["word", "cnt"])
+
+    partials = ds.map_batches(
+        wt_part, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).materialize()
+    types = partials.repartition(shuffle_parallelism()).groupby(
+        "word").aggregate(Sum("cnt", alias_name="cnt")).materialize()
+
+    merges: list = []
+    steps: list = []
+    if types.count() <= driver_type_limit:
+        df = types.to_pandas()
+        words = df["word"].tolist()
+        cnts = df["cnt"].to_numpy(np.int64)
+        for _ in range(n_merges):
+            acc = _pair_fold(words, cnts, merges)
+            if not acc:
+                break
+            best = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append(best[0])
+            steps.append((len(steps) + 1, *best[0], best[1]))
+    else:  # scale tier: per-iteration partial passes over the TYPE table
+        for _ in range(n_merges):
+            cur = tuple(merges)
+
+            def pair_part(batch: pa.Table, _m=cur) -> pa.Table:
+                acc = _pair_fold(
+                    batch["word"].to_pylist(),
+                    batch["cnt"].to_numpy(zero_copy_only=False), list(_m))
+                if not acc:
+                    return pa.table({"s1": pa.array([], pa.string()),
+                                     "s2": pa.array([], pa.string()),
+                                     "c": pa.array([], pa.int64())})
+                ks = sorted(acc)
+                return pa.table({
+                    "s1": pa.array([k[0] for k in ks], pa.string()),
+                    "s2": pa.array([k[1] for k in ks], pa.string()),
+                    "c": pa.array([acc[k] for k in ks], pa.int64())})
+
+            folded: dict = {}
+            for b in types.map_batches(
+                pair_part, batch_format="pyarrow", batch_size=None,
+            ).iter_batches(batch_format="pyarrow"):
+                for s1, s2, c in zip(b["s1"].to_pylist(),
+                                     b["s2"].to_pylist(),
+                                     b["c"].to_pylist()):
+                    folded[(s1, s2)] = folded.get((s1, s2), 0) + c
+            if not folded:
+                break
+            best = min(folded.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append(best[0])
+            steps.append((len(steps) + 1, *best[0], best[1]))
+
+    return pa.table({
+        "step": pa.array([s[0] for s in steps], pa.int64()),
+        "s1": pa.array([s[1] for s in steps], pa.string()),
+        "s2": pa.array([s[2] for s in steps], pa.string()),
+        "cnt": pa.array([s[3] for s in steps], pa.int64()),
+    })
