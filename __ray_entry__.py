@@ -1750,6 +1750,18 @@ def q_host_stats_documents(sf_dir: str):
     )
 
 
+def q_vocab_growth_documents(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (stages/vocab.vocab_growth):
+    distinct word types within each of 10 doc_id-prefix cutoffs,
+    computed from ONE narrow (word, min doc_id) reduction + a tiny
+    first-occurrence histogram — never a per-prefix rescan. The
+    corpus-QA probe for boilerplate dominance / OCR noise."""
+    from logdata_anomaly_miner_ray.stages.vocab import vocab_growth
+
+    return vocab_growth(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n_checkpoints=10)
+
+
 def q_bpe_learn_documents(sf_dir: str):
     """First 3 BPE merges (stages/vocab.bpe_learn — Sennrich et al.
     2016, character-level): iterative most-frequent adjacent symbol
@@ -3164,6 +3176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
         "bpe_learn_documents": q_bpe_learn_documents,
+        "vocab_growth_documents": q_vocab_growth_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
         "c4_line_filter_documents": q_c4_line_filter_documents,
@@ -4951,6 +4964,18 @@ FROM f a JOIN f b
   ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 24"""
     out["bpe_learn_documents"] = _bpe_learn_sql(3)
+    out["vocab_growth_documents"] = r"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+w AS (SELECT tok AS word, min(doc_id) AS min_id
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\s+')) AS tok
+            FROM documents)
+      WHERE length(tok) >= 1 GROUP BY 1),
+c AS (SELECT (j + 1) * (m + 1) // 10 - 1 AS cutoff
+      FROM mx, unnest(generate_series(0, 9)) t(j))
+SELECT c.cutoff, count(w.word)::BIGINT AS vocab
+FROM c LEFT JOIN w ON w.min_id <= c.cutoff
+GROUP BY 1"""
     # ---- composed oracles (built on sibling entries verbatim, so a
     # fix to the base SQL propagates) ----
     # CCNet head/middle/tail: per-lang tertile thresholds at 1-based

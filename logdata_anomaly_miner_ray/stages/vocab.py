@@ -465,3 +465,82 @@ def bpe_learn(
         "s2": pa.array([s[2] for s in steps], pa.string()),
         "cnt": pa.array([s[3] for s in steps], pa.int64()),
     })
+
+
+def vocab_growth(
+    ds: "ray.data.Dataset",
+    *,
+    n_checkpoints: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_max: int | None = None,
+) -> "pa.Table":
+    """Heaps'-law vocabulary growth curve: distinct word types seen
+    within each prefix of the corpus (by ``id_col`` order), at
+    ``n_checkpoints`` equal id cutoffs. The classic corpus-QA probe —
+    a vocabulary that stops growing signals template/boilerplate
+    dominance; unbounded linear growth signals OCR noise or spam.
+
+    Distributed recast: "distinct words in prefix ≤ c for every c"
+    needs only each word's FIRST occurrence id — one narrow
+    (word, min_id) reduction (the same type-table shuffle as
+    ``bpe_learn``), then a tiny histogram of first-occurrence ids
+    over the cutoffs and a cumulative sum on the driver. No
+    per-prefix rescans, no corpus-sized gather.
+
+    Cutoff c_j = floor((j+1)·(id_max+1)/n_checkpoints) - 1 for j in
+    0..n-1 (the last cutoff covers every id); a word counts toward
+    checkpoint j iff min_id <= c_j. Returns (cutoff, vocab) int64.
+    """
+    from ray.data.aggregate import Min
+
+    if id_max is None:
+        id_max = int(ds.max(id_col))
+
+    def wt_part(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, _WS)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = batch[id_col].take(parent)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        t = pa.table({"word": flat.filter(keep),
+                      "min_id": ids.filter(keep)})
+        agg = t.group_by(["word"]).aggregate([("min_id", "min")])
+        return agg.rename_columns(["word", "min_id"])
+
+    firsts = (
+        ds.map_batches(wt_part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .repartition(shuffle_parallelism())
+        .groupby("word")
+        .aggregate(Min("min_id", alias_name="min_id"))
+    )
+
+    cuts = np.array(
+        [(j + 1) * (id_max + 1) // n_checkpoints - 1
+         for j in range(n_checkpoints)], dtype=np.int64)
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        m = batch["min_id"].to_numpy(zero_copy_only=False)
+        # first checkpoint covering each word: searchsorted over cuts
+        j = np.searchsorted(cuts, m, side="left")
+        h = np.bincount(j[j < n_checkpoints], minlength=n_checkpoints)
+        return pa.table({"j": pa.array(np.arange(n_checkpoints), pa.int64()),
+                         "h": pa.array(h.astype(np.int64), pa.int64())})
+
+    hist = np.zeros(n_checkpoints, dtype=np.int64)
+    for b in firsts.map_batches(
+        hist_part, batch_format="pyarrow", batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        # iter_batches coalesces blocks → repeated j indices; += with
+        # fancy indexing would keep only the last — np.add.at is the
+        # unbuffered accumulate
+        np.add.at(hist, b["j"].to_numpy(zero_copy_only=False),
+                  b["h"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "cutoff": pa.array(cuts, pa.int64()),
+        "vocab": pa.array(np.cumsum(hist).astype(np.int64), pa.int64()),
+    })
