@@ -1343,16 +1343,81 @@ def q_reservoir_sample_events(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: actor-pool decode of a deterministic
-    synthetic media table (codecs stubbed — see stages/multimodal)."""
+    """Multimodal decode through the REAL stdlib-codec actor pool
+    (stages/multimodal.decode_images_stdlib — functions/media PNG/BMP,
+    zlib + numpy, no PIL): a deterministic mixed media table
+    (image/audio/video by media_id % 4; image payloads are encoded
+    checkerboards, audio/video are opaque bytes) streams through the
+    actor-pool stage; poison (non-image) rows surface as decode_ok=0
+    with -1 sentinel features instead of failing the block. The
+    oracle states the expected decode arithmetically: equal-count
+    two-value checkerboards make each channel mean the exact integer
+    v+1 (the image_roundtrip invariant), dims are id arithmetic."""
     import ray.data as rd
 
     from logdata_anomaly_miner_ray.stages.multimodal import (
-        decode_media,
-        synth_media_table,
+        decode_images_stdlib,
     )
 
-    return decode_media(rd.from_arrow(synth_media_table(128)))
+    def build(t: pa.Table) -> pa.Table:
+        from logdata_anomaly_miner_ray.functions.media import (
+            encode_bmp,
+            encode_png,
+        )
+
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        kinds, payloads = [], []
+        for i in ids.tolist():
+            m = i % 4
+            if m in (0, 1):
+                kinds.append("image")
+                h, w = 8 + i % 5, 8 + (i % 3) * 2
+                y, x = np.mgrid[0:h, 0:w]
+                par = ((y + x) % 2).astype(np.uint8)
+                img = np.zeros((h, w, 3), np.uint8)
+                for c, mult in enumerate((1, 3, 7)):
+                    img[:, :, c] = (i * mult) % 254 + 2 * par
+                payloads.append(
+                    encode_png(img) if i % 2 == 0 else encode_bmp(img))
+            else:
+                kinds.append("audio" if m == 2 else "video")
+                payloads.append(bytes([m]) * 32)  # opaque: must not decode
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    media = rd.range(128).map_batches(
+        build, batch_format="pyarrow", batch_size=None)
+    # null-bearing fixed-size-list columns break Ray's to_pandas
+    # tensor casting — drain via Arrow batches (CLAUDE.md rule)
+    parts = [b for b in decode_images_stdlib(media).iter_batches(
+        batch_format="pyarrow")]
+    dec = pa.concat_tables(parts)
+    order = np.argsort(dec["media_id"].to_numpy(zero_copy_only=False))
+    ids = dec["media_id"].to_numpy(zero_copy_only=False)[order]
+    m4 = ids % 4
+    kind = np.where(m4 <= 1, "image", np.where(m4 == 2, "audio", "video"))
+    feat = np.full((len(ids), 11), -1.0, dtype=np.float64)
+    fl = dec["features"].to_pylist()
+    for out_i, src_i in enumerate(order.tolist()):
+        f = fl[src_i]
+        if f is not None and len(f):
+            feat[out_i] = np.asarray(f, dtype=np.float64)
+    ok = dec["decode_ok"].to_numpy(zero_copy_only=False)[order]
+    feat[~ok] = -1.0
+    return pd.DataFrame({
+        "media_id": ids,
+        "kind": kind,
+        "decode_ok": ok.astype(np.int64),
+        "height": feat[:, 0].astype(np.int64),
+        "width": feat[:, 1].astype(np.int64),
+        "channels": feat[:, 2].astype(np.int64),
+        "mean_r": feat[:, 3].astype(np.int64),
+        "mean_g": feat[:, 4].astype(np.int64),
+        "mean_b": feat[:, 5].astype(np.int64),
+    })
 
 
 def q_quality_scores_documents(sf_dir: str):
@@ -4964,6 +5029,27 @@ FROM f a JOIN f b
   ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 24"""
     out["bpe_learn_documents"] = _bpe_learn_sql(3)
+    out["media_decode"] = """
+WITH ids AS (SELECT unnest(generate_series(0, 127)) AS media_id),
+k AS (SELECT media_id,
+             CASE WHEN media_id % 4 IN (0, 1) THEN 'image'
+                  WHEN media_id % 4 = 2 THEN 'audio'
+                  ELSE 'video' END AS kind
+      FROM ids)
+SELECT media_id, kind,
+       (CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS decode_ok,
+       (CASE WHEN kind = 'image' THEN 8 + media_id % 5
+             ELSE -1 END)::BIGINT AS height,
+       (CASE WHEN kind = 'image' THEN 8 + (media_id % 3) * 2
+             ELSE -1 END)::BIGINT AS width,
+       (CASE WHEN kind = 'image' THEN 3 ELSE -1 END)::BIGINT AS channels,
+       (CASE WHEN kind = 'image' THEN media_id % 254 + 1
+             ELSE -1 END)::BIGINT AS mean_r,
+       (CASE WHEN kind = 'image' THEN (media_id * 3) % 254 + 1
+             ELSE -1 END)::BIGINT AS mean_g,
+       (CASE WHEN kind = 'image' THEN (media_id * 7) % 254 + 1
+             ELSE -1 END)::BIGINT AS mean_b
+FROM k"""
     out["vocab_growth_documents"] = r"""
 WITH mx AS (SELECT max(doc_id) AS m FROM documents),
 w AS (SELECT tok AS word, min(doc_id) AS min_id

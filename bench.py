@@ -325,6 +325,25 @@ def run_bench() -> dict:
             gop_sec = min(gop_sec, time.time() - t0)
         extra_stages["gopher_stage"] = round(gop_sec, 3)
 
+        def _winnow_stage(t: "_pa.Table") -> "_pa.Table":
+            from logdata_anomaly_miner_ray.functions.hashing import (
+                winnow_select,
+            )
+
+            rid, pos, fp = winnow_select(t["text"], k=3, w=4)
+            return _pa.table({"pos": _pa.array(pos, _pa.int64()),
+                              "fp": _pa.array(fp, _pa.string())})
+
+        win_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            _hygiene_input().map_batches(
+                _winnow_stage, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True).count()
+            win_sec = min(win_sec, time.time() - t0)
+        extra_stages["winnow_stage"] = round(win_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",
