@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=[
         "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank",
-        "paradedup"])
+        "paradedup", "winnow", "snapdiff"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -132,6 +132,61 @@ def main(argv=None) -> int:
             broadcast_dup_limit=args.broadcast_limit).count()
         rc = _result("paradedup", n, t0,
                      broadcast_limit=args.broadcast_limit)
+    elif args.mode == "winnow":
+        # MOSS winnowing fingerprints: one shuffle-free pass, the
+        # md5 digest feed is the CPU bound (~40 grams/doc)
+        from logdata_anomaly_miner_ray.functions.hashing import winnow_select
+
+        def wn(t: pa.Table) -> pa.Table:
+            rid, pos, fp = winnow_select(t["text"], k=3, w=4)
+            return pa.table({"pos": pa.array(pos, pa.int64()),
+                             "fp": pa.array(fp, pa.string())})
+
+        t0 = time.time()
+        nfp = read().map_batches(
+            wn, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True).count()
+        rows = len(files) * 50_000
+        rc = _result("winnow", rows, t0, fingerprints=nfp)
+    elif args.mode == "snapdiff":
+        # crawl-delta at scale: 2 md5 digests/doc + ONE keyed shuffle
+        # of ~2 narrow rows/doc (the gate query's %3/%5/%7 snapshots)
+        import numpy as np
+
+        from logdata_anomaly_miner_ray.functions.hashing import md5_hex
+        from logdata_anomaly_miner_ray.stages.snapshot import snapshot_diff
+
+        import pyarrow.compute as pc
+
+        def explode(t: pa.Table) -> pa.Table:
+            d = t["row_idx"].to_numpy(zero_copy_only=False)
+            text = t["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            h = np.array(md5_hex(text), dtype=object)
+            suf = pc.if_else(pa.array(d % 7 == 0),
+                             pa.array(["#v2"] * len(d), pa.string()),
+                             pa.array([""] * len(d), pa.string()))
+            h2 = np.array(md5_hex(
+                pc.binary_join_element_wise(text, suf, "")), dtype=object)
+            in_a, in_b = d % 3 != 0, d % 5 != 2
+            key = np.concatenate([d[in_a], d[in_b]])
+            snap = np.array(
+                ["a"] * int(in_a.sum()) + ["b"] * int(in_b.sum()),
+                dtype=object)
+            hh = np.concatenate([h[in_a], h2[in_b]])
+            return pa.table({"key": pa.array(key, pa.int64()),
+                             "snap": pa.array(snap, pa.string()),
+                             "h": pa.array(list(hh), pa.string())})
+
+        t0 = time.time()
+        out = snapshot_diff(
+            read().map_batches(explode, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True))
+        rows = len(files) * 50_000
+        rc = _result("snapdiff", rows, t0,
+                     statuses={s: int(n) for s, n in
+                               zip(out["status"], out["n"])})
     elif args.mode == "extract":
         # north-star transform at scale: html -> visible text over
         # every page payload, one zero-copy RE2-chain pass
