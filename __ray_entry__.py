@@ -1929,6 +1929,24 @@ def q_snapshot_diff_documents(sf_dir: str):
     return snapshot_diff(narrow, carry_col="lang")
 
 
+def q_robots_filter_documents(sf_dir: str):
+    """Robots-exclusion-style URL filtering (stages/webstats
+    .robots_filter — RFC 9309 path-prefix Disallow semantics): drop a
+    row when host matches a rule AND the path-and-query starts with
+    the rule's prefix; unparseable URLs conservatively kept. Rule set
+    broadcasts once; ONE shuffle-free pass of host-equality AND
+    starts_with Arrow kernels per rule."""
+    from logdata_anomaly_miner_ray.stages.webstats import robots_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _synth_url_table, batch_format="pyarrow", batch_size=None)
+    return robots_filter(
+        ds, "url",
+        [("site1.org", "/p/1"), ("site4.org", "/p/"),
+         ("site7.org", "/p/3")],
+    ).select_columns(["doc_id", "url"])
+
+
 def q_blocklist_filter_documents(sf_dir: str):
     """Domain blocklist filtering (stages/webstats.blocklist_filter):
     the curated denylist broadcasts once (ray.put) and the corpus
@@ -3238,6 +3256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
+        "robots_filter_documents": q_robots_filter_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
         "bpe_learn_documents": q_bpe_learn_documents,
@@ -5029,6 +5048,34 @@ FROM f a JOIN f b
   ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 24"""
     out["bpe_learn_documents"] = _bpe_learn_sql(3)
+    out["robots_filter_documents"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents),
+hp AS (
+  SELECT doc_id, url,
+         nullif(regexp_replace(regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', ''), ':[0-9]*$', ''), '') AS host,
+         CASE WHEN regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$', 1) END AS path
+  FROM raw)
+SELECT doc_id, url FROM hp
+WHERE host IS NULL OR NOT (
+  (host = 'site1.org' AND path LIKE '/p/1%') OR
+  (host = 'site4.org' AND path LIKE '/p/%') OR
+  (host = 'site7.org' AND path LIKE '/p/3%'))"""
     out["media_decode"] = """
 WITH ids AS (SELECT unnest(generate_series(0, 127)) AS media_id),
 k AS (SELECT media_id,

@@ -80,3 +80,20 @@ def normalize_url_array(arr) -> pa.Array:
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return out
+
+
+def path_of_array(arr) -> pa.Array:
+    """Path-and-query per URL for robots-style prefix rules: the
+    ``rest`` group of the scheme://host split (everything from the
+    first ``/``, ``?`` or ``#`` after the authority), with the empty
+    rest canonicalized to ``/`` (robots semantics: an empty path IS
+    the root). Unparseable URLs yield null. Same RE2 as
+    :func:`host_of_array`, so DuckDB regexp_extract mirrors it."""
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, pa.string())
+    parts = pc.extract_regex(pc.cast(arr, pa.string()), _PARTS)
+    rest = pc.struct_field(parts, "rest")
+    rest = pc.if_else(pc.equal(rest, ""), "/", rest)
+    if isinstance(rest, pa.ChunkedArray):
+        rest = rest.combine_chunks()
+    return rest

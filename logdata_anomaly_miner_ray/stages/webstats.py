@@ -162,3 +162,51 @@ def blocklist_filter(
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+
+def robots_filter(
+    ds: "ray.data.Dataset",
+    url_col: str,
+    rules: Sequence[tuple],
+) -> "ray.data.Dataset":
+    """Robots-exclusion-style URL filtering: drop a row when its URL
+    host equals a rule's host AND its path-and-query starts with the
+    rule's prefix (the robots.txt ``Disallow`` longest-prefix match,
+    applied as any-match — an allowlist layer is a second rule set).
+    Curated crawl pipelines apply exactly this before fetch/ingest
+    (RFC 9309 path-prefix matching). Unparseable URLs (null host)
+    are conservatively KEPT, same as :func:`blocklist_filter`.
+
+    Scale shape: the rule set is small by definition — it broadcasts
+    once (ray.put) and the corpus streams through ONE shuffle-free
+    vectorized pass (per rule: host equality AND utf8 starts_with,
+    OR-folded; rules is a short list, each test is a full-block Arrow
+    kernel, never a per-row loop)."""
+    rules = [(str(h), str(p)) for h, p in rules]
+    rules_ref = ray.put(rules)
+
+    from ._taskcache import cached_task_fn
+
+    class _Keep:
+        def __init__(self, rules_ref, url_col):
+            self.rules = ray.get(rules_ref)
+            self.url_col = url_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from ..functions.url import host_of_array, path_of_array
+
+            host = host_of_array(batch[self.url_col])
+            path = path_of_array(batch[self.url_col])
+            drop = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            for h, p in self.rules:
+                m = pc.and_kleene(pc.equal(host, h),
+                                  pc.starts_with(path, p))
+                drop = pc.or_kleene(drop, m)
+            return batch.filter(pc.fill_null(pc.invert(drop), True))
+
+    return ds.map_batches(
+        cached_task_fn(_Keep, cache_on=(rules_ref, url_col, "robots"),
+                       rules_ref=rules_ref, url_col=url_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -74,3 +74,35 @@ def test_blocklist_filter():
 def test_blocklist_filter_empty_list_keeps_all():
     out = blocklist_filter(_ds(), "url", []).to_pandas()
     assert len(out) == len(URLS)
+
+
+def test_path_of_array():
+    from logdata_anomaly_miner_ray.functions.url import path_of_array
+
+    got = path_of_array([
+        "http://a.com/x/y?q=1", "https://B.org", "http://c.net/",
+        "not a url", "http://d.io?q=2",
+    ]).to_pylist()
+    assert got == ["/x/y?q=1", "/", "/", None, "?q=2"]
+
+
+def test_robots_filter_prefix_semantics():
+    from logdata_anomaly_miner_ray.stages.webstats import robots_filter
+
+    urls = [
+        "http://ex.com/search?q=1",   # blocked: /search prefix
+        "http://ex.com/searching",    # blocked: prefix match, robots-style
+        "http://ex.com/about",        # kept
+        "http://WWW.EX.com:80/search",  # blocked: host normalizes
+        "http://other.com/search",    # kept: host differs
+        "garbage url",                # kept: unparseable
+        "https://ex.com",             # kept: path '/', not under /search
+    ]
+    df = pd.DataFrame({"url": urls,
+                       "n_chars": np.arange(len(urls), dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(2)
+    out = robots_filter(ds, "url", [("ex.com", "/search")]).to_pandas()
+    assert sorted(out["url"]) == sorted([
+        "http://ex.com/about", "http://other.com/search",
+        "garbage url", "https://ex.com"])
