@@ -1861,6 +1861,63 @@ def q_editdist_pairs_documents(sf_dir: str):
         max_dist=24)
 
 
+def q_neardup_keep_best_documents(sf_dir: str):
+    """Near-dup retention policy (keep BEST, not first): edit-distance
+    verified pairs (stages/editdist) → connected components
+    (stages/dedup.connected_components, component = min id) → per
+    cluster keep the member with the highest quality_e6 (tie → lowest
+    doc_id). Cluster membership is bounded by the verified-pair count
+    (≪ corpus), so only members' quality rows gather; the corpus
+    passes are shuffle-free. Oracle composes the editdist + quality
+    oracles with a recursive-CTE min-label closure."""
+    from logdata_anomaly_miner_ray.stages.dedup import connected_components
+    from logdata_anomaly_miner_ray.stages.editdist import (
+        editdist_verified_pairs,
+    )
+    from logdata_anomaly_miner_ray.stages.text_analysis import (
+        with_quality_score,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pairs = editdist_verified_pairs(docs, max_dist=24)
+    comp = connected_components(pairs).to_pandas()
+    empty = pd.DataFrame({
+        "cluster": pd.Series(dtype=np.int64),
+        "kept_doc_id": pd.Series(dtype=np.int64),
+        "n_members": pd.Series(dtype=np.int64)})
+    if comp.empty:
+        return empty
+    import ray as _ray
+
+    members_ref = _ray.put(np.sort(comp["id"].to_numpy(np.int64)))
+
+    def member_rows(t: pa.Table, _ref=members_ref) -> pa.Table:
+        ids = _ray.get(_ref)
+        return t.filter(pc.is_in(t["doc_id"], pa.array(ids, pa.int64())))
+
+    q = with_quality_score(
+        docs.map_batches(member_rows, batch_format="pyarrow",
+                         batch_size=None))
+
+    def qe6(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "quality_e6": _scaled_int(t["quality"], 1_000_000)})
+
+    qd = q.map_batches(qe6, batch_format="pyarrow",
+                       batch_size=None).to_pandas()  # bounded: members only
+    m = comp.rename(columns={"id": "doc_id", "component": "cluster"}) \
+        .merge(qd, on="doc_id")
+    m = m.sort_values(["cluster", "quality_e6", "doc_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    n = m.groupby("cluster", sort=True).size().rename("n_members")
+    best = m.drop_duplicates("cluster").set_index("cluster")
+    out = best.join(n).reset_index()
+    return pd.DataFrame({
+        "cluster": out["cluster"].to_numpy(np.int64),
+        "kept_doc_id": out["doc_id"].to_numpy(np.int64),
+        "n_members": out["n_members"].to_numpy(np.int64)})
+
+
 def q_winnow_fingerprints_documents(sf_dir: str):
     """Robust winnowing (functions/hashing.winnow_select — the MOSS
     algorithm, Schleimer et al. 2003): md5 word-3-gram digests under
@@ -3257,6 +3314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": q_host_stats_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
+        "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
         "bpe_learn_documents": q_bpe_learn_documents,
@@ -5109,6 +5167,27 @@ c AS (SELECT (j + 1) * (m + 1) // 10 - 1 AS cutoff
 SELECT c.cutoff, count(w.word)::BIGINT AS vocab
 FROM c LEFT JOIN w ON w.min_id <= c.cutoff
 GROUP BY 1"""
+    # near-dup retention: editdist pairs + recursive-CTE min-label
+    # components (cluster = min id) + quality argmax per cluster
+    out["neardup_keep_best_documents"] = f"""
+WITH RECURSIVE
+p AS ({out["editdist_pairs_documents"]}),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+nn AS (SELECT DISTINCT a AS node FROM e),
+cc(node, lbl) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT e.a, cc.lbl FROM e JOIN cc ON cc.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster FROM cc GROUP BY 1),
+qs AS ({out["quality_scores_documents"]}),
+w AS (SELECT c.cluster, c.doc_id, q.quality_e6,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY q.quality_e6 DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster) AS n_members
+      FROM comp c JOIN qs q USING (doc_id))
+SELECT cluster, doc_id AS kept_doc_id, n_members FROM w WHERE rn = 1"""
     # ---- composed oracles (built on sibling entries verbatim, so a
     # fix to the base SQL propagates) ----
     # CCNet head/middle/tail: per-lang tertile thresholds at 1-based
