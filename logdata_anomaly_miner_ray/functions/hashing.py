@@ -260,36 +260,63 @@ def winnow_select(arr, k: int = 3, w: int = 4):
 
     Returns ``(row_id, pos, fp)``: int64 row indices, 1-based gram
     positions, and md5 hex strings — flat arrays sorted by (row,
-    pos). Vectorized throughout except the C-speed digest feed; the
-    window minimum is a w-fold ``np.minimum`` over (rank << 32 |
-    ~position) composite keys, never a per-window Python loop.
+    pos). Vectorized throughout except the C-speed digest feed, which
+    reads each gram as ONE contiguous slice of a canonical
+    single-space-joined buffer (built by a vectorized gather/scatter,
+    identical bytes to ``' '.join(tokens[i:i+k])``); ordering uses the
+    raw 128-bit digests as (hi, lo) uint64 pairs (dense rank via
+    lexsort — never a 32-char string sort), and hex strings are
+    materialized for the SELECTED grams only. The window minimum is a
+    w-fold ``np.minimum`` over (rank << 32 | ~position) composite
+    keys, never a per-window Python loop.
     """
     from .text import token_spans
 
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), [])
     data, offsets = flat_utf8(arr)
-    starts, ends, row_id = token_spans(data, offsets)
-    n_rows = len(offsets) - 1
-    row_start = np.searchsorted(row_id, np.arange(n_rows))
-    row_end = np.searchsorted(row_id, np.arange(n_rows), side="right")
-    mv = memoryview(data)
-    hashes: list[str] = []
-    g_row: list[np.ndarray] = []
-    for r in range(n_rows):  # digest feed only; selection is flat below
-        lo, hi = int(row_start[r]), int(row_end[r])
-        nt = hi - lo
-        if nt < k:
-            continue
-        toks = [bytes(mv[starts[i]:ends[i]]) for i in range(lo, hi)]
-        hashes.extend(
-            hashlib.md5(b" ".join(toks[i:i + k])).hexdigest()
-            for i in range(nt - k + 1))
-        g_row.append(np.full(nt - k + 1, r, dtype=np.int64))
-    if not hashes:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64), [])
-    grow = np.concatenate(g_row)
-    harr = np.asarray(hashes)
-    _, rank = np.unique(harr, return_inverse=True)
-    G = len(harr)
+    starts, ends, grow_all = token_spans(data, offsets)
+    nt_all = len(starts)
+    if nt_all == 0:
+        return empty
+    lens = (ends - starts).astype(np.int64)
+    # canonical buffer: every token copied, ONE space slot after each
+    # (the slot after a row's last token is unused padding — grams
+    # never cross rows, so it is never read)
+    seq = lens + 1
+    dest_starts = np.zeros(nt_all, np.int64)
+    cum = np.cumsum(seq)
+    dest_starts[1:] = cum[:-1]
+    canon = np.full(int(cum[-1]), 0x20, np.uint8)
+    total_bytes = int(lens.sum())
+    if total_bytes:
+        intra = (np.arange(total_bytes, dtype=np.int64)
+                 - np.repeat(np.cumsum(lens) - lens, lens))
+        canon[np.repeat(dest_starts, lens) + intra] = \
+            data[np.repeat(starts.astype(np.int64), lens) + intra]
+    dest_ends = dest_starts + lens
+    # gram byte ranges: tokens i..i+k-1 within one row
+    if nt_all < k:
+        return empty
+    same = grow_all[: nt_all - (k - 1)] == grow_all[k - 1:]
+    g_s = dest_starts[: nt_all - (k - 1)][same]
+    g_e = dest_ends[k - 1:][same]
+    grow = grow_all[: nt_all - (k - 1)][same].astype(np.int64)
+    G = len(g_s)
+    if G == 0:
+        return empty
+    buf = canon.tobytes()
+    _md5 = hashlib.md5
+    digs = b"".join(  # C-speed digest feed: comp+join beats indexed writes 2x
+        [_md5(buf[a:b]).digest()
+         for a, b in zip(g_s.tolist(), g_e.tolist())])
+    d = np.frombuffer(digs, dtype=">u8").reshape(G, 2)
+    hi, lo = d[:, 0], d[:, 1]
+    # dense rank over the 128-bit digests (== hex lexicographic order)
+    order = np.lexsort((lo, hi))
+    sh, sl = hi[order], lo[order]
+    newv = np.r_[True, (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])]
+    rank = np.empty(G, np.int64)
+    rank[order] = np.cumsum(newv) - 1
     # per-gram flat row bounds and local positions
     changes = np.flatnonzero(np.r_[True, grow[1:] != grow[:-1]])
     seg_start = np.repeat(changes, np.diff(np.r_[changes, G]))
@@ -314,4 +341,6 @@ def winnow_select(arr, k: int = 3, w: int = 4):
                  ).astype(np.int64)
     sel_flat = seg_start[start_mask] + sel_local
     sel = np.unique(sel_flat)  # overlapping windows dedupe
-    return grow[sel], (local[sel] + 1).astype(np.int64), harr[sel].tolist()
+    mv16 = memoryview(digs)
+    fps = [mv16[16 * s:16 * s + 16].hex() for s in sel.tolist()]
+    return grow[sel], (local[sel] + 1).astype(np.int64), fps
