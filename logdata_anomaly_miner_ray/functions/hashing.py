@@ -141,28 +141,17 @@ def simhash64_md5(arr, k: int = 2) -> np.ndarray:
     per-shingle C call (no vectorized md5 exists); use the default
     polynomial ``simhash64`` on hot paths and this mode where an
     exact SQL oracle is wanted."""
-    from .text import token_spans
-
-    data, offsets = flat_utf8(arr)
-    starts, ends, row_id = token_spans(data, offsets)
     n_rows = len(arr)
     out = np.zeros(n_rows, dtype=np.uint64)
-    if len(starts) < k:
+    grow, digs, G = gram_md5_digests(arr, k)
+    if G == 0:
         return out
-    valid = row_id[: len(starts) - k + 1] == row_id[k - 1 :]
-    idx = np.flatnonzero(valid)
-    if len(idx) == 0:
-        return out
-    mv = memoryview(data)
-    hashes = np.empty(len(idx), dtype=np.uint64)
-    for out_i, i in enumerate(idx):
-        s = b" ".join(bytes(mv[starts[i + j] : ends[i + j]]) for j in range(k))
-        hashes[out_i] = np.uint64(int(hashlib.md5(s).hexdigest()[:16], 16))
-    rid = row_id[idx]
+    # big-endian first 8 digest bytes == int(hexdigest[:16], 16)
+    hashes = np.frombuffer(digs, dtype=">u8").reshape(G, 2)[:, 0]
     shifts = np.arange(64, dtype=np.uint64)
     bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
     acc = np.zeros((n_rows, 64), dtype=np.int64)
-    np.add.at(acc, rid, bits)
+    np.add.at(acc, grow, bits)
     pos = acc > 0
     return (pos.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
 
@@ -204,28 +193,23 @@ def min_shingle_md5(arr, k: int = 3) -> list[str | None]:
     """Winnowing-style fingerprint with a PORTABLE hash family: the
     minimum md5 hex digest over all word k-shingles of the row
     (tokens joined by single spaces), so an external SQL engine with
-    md5() reproduces it exactly. Rows with <k tokens → None. The
-    token spans come from the vectorized buffer pass; only the digest
-    feed loops (C-speed hashlib, as in md5_hex)."""
-    from .text import flat_utf8, token_spans
-
-    data, offsets = flat_utf8(arr)
-    starts, ends, row_id = token_spans(data, offsets)
-    n_rows = len(offsets) - 1
-    row_start = np.searchsorted(row_id, np.arange(n_rows))
-    row_end = np.searchsorted(row_id, np.arange(n_rows), side="right")
-    mv = memoryview(data)
+    md5() reproduces it exactly. Rows with <k tokens → None. Digests
+    come from the shared :func:`gram_md5_digests` feed; the per-row
+    minimum is a (row, hi, lo) lexsort over the raw 128-bit digests
+    (hex order == 128-bit order), hex materialized per row only."""
+    n_rows = len(arr)
     out: list[str | None] = [None] * n_rows
-    for r in range(n_rows):
-        lo, hi = int(row_start[r]), int(row_end[r])
-        if hi - lo < k:
-            continue
-        toks = [bytes(mv[starts[i] : ends[i]]) for i in range(lo, hi)]
-        best = min(
-            hashlib.md5(b" ".join(toks[i : i + k])).hexdigest()
-            for i in range(len(toks) - k + 1)
-        )
-        out[r] = best
+    grow, digs, G = gram_md5_digests(arr, k)
+    if G == 0:
+        return out
+    d = np.frombuffer(digs, dtype=">u8").reshape(G, 2)
+    order = np.lexsort((d[:, 1], d[:, 0], grow))
+    rows_sorted = grow[order]
+    uniq, first_idx = np.unique(rows_sorted, return_index=True)
+    mv = memoryview(digs)
+    for r, fi in zip(uniq.tolist(), first_idx.tolist()):
+        gi = int(order[fi])
+        out[r] = mv[16 * gi:16 * gi + 16].hex()
     return out
 
 
@@ -241,6 +225,57 @@ def ngram_jaccard_exact(text_a: str, text_b: str, k: int = 3) -> float:
     if not ga and not gb:
         return 1.0
     return len(ga & gb) / len(ga | gb)
+
+
+def gram_md5_digests(arr, k: int = 3):
+    """Shared md5 word-k-gram digest feed for the portable-hash
+    (SQL-mirrorable) fingerprint family (:func:`winnow_select`,
+    :func:`min_shingle_md5`, :func:`simhash64_md5`): every gram is
+    hashed as ``' '.join(tokens[i:i+k])`` — reproduced byte-for-byte
+    by reading ONE contiguous slice of a canonical single-space-joined
+    buffer built with a vectorized gather/scatter copy (the only
+    per-gram Python is the C-speed ``md5().digest()`` comp+join).
+
+    Returns ``(grow, digs, G)``: int64 row index per gram (grams in
+    row-major document order), the concatenated 16-byte digests, and
+    the gram count. ``G == 0`` for inputs with no k-gram."""
+    from .text import token_spans
+
+    data, offsets = flat_utf8(arr)
+    starts, ends, grow_all = token_spans(data, offsets)
+    nt_all = len(starts)
+    if nt_all < k or nt_all == 0:
+        return np.zeros(0, np.int64), b"", 0
+    lens = (ends - starts).astype(np.int64)
+    # canonical buffer: every token copied, ONE space slot after each
+    # (the slot after a row's last token is unused padding — grams
+    # never cross rows, so it is never read)
+    seq = lens + 1
+    dest_starts = np.zeros(nt_all, np.int64)
+    cum = np.cumsum(seq)
+    dest_starts[1:] = cum[:-1]
+    canon = np.full(int(cum[-1]), 0x20, np.uint8)
+    total_bytes = int(lens.sum())
+    if total_bytes:
+        intra = (np.arange(total_bytes, dtype=np.int64)
+                 - np.repeat(np.cumsum(lens) - lens, lens))
+        canon[np.repeat(dest_starts, lens) + intra] = \
+            data[np.repeat(starts.astype(np.int64), lens) + intra]
+    dest_ends = dest_starts + lens
+    # gram byte ranges: tokens i..i+k-1 within one row
+    same = grow_all[: nt_all - (k - 1)] == grow_all[k - 1:]
+    g_s = dest_starts[: nt_all - (k - 1)][same]
+    g_e = dest_ends[k - 1:][same]
+    grow = grow_all[: nt_all - (k - 1)][same].astype(np.int64)
+    G = len(g_s)
+    if G == 0:
+        return grow, b"", 0
+    buf = canon.tobytes()
+    _md5 = hashlib.md5
+    digs = b"".join(  # C-speed digest feed: comp+join beats indexed writes 2x
+        [_md5(buf[a:b]).digest()
+         for a, b in zip(g_s.tolist(), g_e.tolist())])
+    return grow, digs, G
 
 
 def winnow_select(arr, k: int = 3, w: int = 4):
@@ -260,55 +295,18 @@ def winnow_select(arr, k: int = 3, w: int = 4):
 
     Returns ``(row_id, pos, fp)``: int64 row indices, 1-based gram
     positions, and md5 hex strings — flat arrays sorted by (row,
-    pos). Vectorized throughout except the C-speed digest feed, which
-    reads each gram as ONE contiguous slice of a canonical
-    single-space-joined buffer (built by a vectorized gather/scatter,
-    identical bytes to ``' '.join(tokens[i:i+k])``); ordering uses the
-    raw 128-bit digests as (hi, lo) uint64 pairs (dense rank via
-    lexsort — never a 32-char string sort), and hex strings are
-    materialized for the SELECTED grams only. The window minimum is a
-    w-fold ``np.minimum`` over (rank << 32 | ~position) composite
-    keys, never a per-window Python loop.
+    pos). Vectorized throughout except the shared C-speed digest feed
+    (:func:`gram_md5_digests`); ordering uses the raw 128-bit digests
+    as (hi, lo) uint64 pairs (dense rank via lexsort — never a
+    32-char string sort), and hex strings are materialized for the
+    SELECTED grams only. The window minimum is a w-fold
+    ``np.minimum`` over (rank << 32 | ~position) composite keys,
+    never a per-window Python loop.
     """
-    from .text import token_spans
-
     empty = (np.zeros(0, np.int64), np.zeros(0, np.int64), [])
-    data, offsets = flat_utf8(arr)
-    starts, ends, grow_all = token_spans(data, offsets)
-    nt_all = len(starts)
-    if nt_all == 0:
-        return empty
-    lens = (ends - starts).astype(np.int64)
-    # canonical buffer: every token copied, ONE space slot after each
-    # (the slot after a row's last token is unused padding — grams
-    # never cross rows, so it is never read)
-    seq = lens + 1
-    dest_starts = np.zeros(nt_all, np.int64)
-    cum = np.cumsum(seq)
-    dest_starts[1:] = cum[:-1]
-    canon = np.full(int(cum[-1]), 0x20, np.uint8)
-    total_bytes = int(lens.sum())
-    if total_bytes:
-        intra = (np.arange(total_bytes, dtype=np.int64)
-                 - np.repeat(np.cumsum(lens) - lens, lens))
-        canon[np.repeat(dest_starts, lens) + intra] = \
-            data[np.repeat(starts.astype(np.int64), lens) + intra]
-    dest_ends = dest_starts + lens
-    # gram byte ranges: tokens i..i+k-1 within one row
-    if nt_all < k:
-        return empty
-    same = grow_all[: nt_all - (k - 1)] == grow_all[k - 1:]
-    g_s = dest_starts[: nt_all - (k - 1)][same]
-    g_e = dest_ends[k - 1:][same]
-    grow = grow_all[: nt_all - (k - 1)][same].astype(np.int64)
-    G = len(g_s)
+    grow, digs, G = gram_md5_digests(arr, k)
     if G == 0:
         return empty
-    buf = canon.tobytes()
-    _md5 = hashlib.md5
-    digs = b"".join(  # C-speed digest feed: comp+join beats indexed writes 2x
-        [_md5(buf[a:b]).digest()
-         for a, b in zip(g_s.tolist(), g_e.tolist())])
     d = np.frombuffer(digs, dtype=">u8").reshape(G, 2)
     hi, lo = d[:, 0], d[:, 1]
     # dense rank over the 128-bit digests (== hex lexicographic order)
