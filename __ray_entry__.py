@@ -2004,6 +2004,22 @@ def q_robots_filter_documents(sf_dir: str):
     ).select_columns(["doc_id", "url"])
 
 
+def q_politeness_manifest_documents(sf_dir: str):
+    """Crawl-frontier politeness schedule (stages/sampling
+    .politeness_manifest): host-interleaved fetch order — per-host
+    seq by content-keyed md5 order, global slot under ORDER BY
+    (seq, host). One coarse-host bucketed shuffle of narrow rows for
+    the seqs + one range sort with the driver prefix-scan for the
+    slots; no global row_number materializes."""
+    from logdata_anomaly_miner_ray.stages.sampling import (
+        politeness_manifest,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _synth_url_table, batch_format="pyarrow", batch_size=None)
+    return politeness_manifest(ds, "url", "doc_id")
+
+
 def q_blocklist_filter_documents(sf_dir: str):
     """Domain blocklist filtering (stages/webstats.blocklist_filter):
     the curated denylist broadcasts once (ray.put) and the corpus
@@ -3314,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": q_host_stats_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
+        "politeness_manifest_documents": q_politeness_manifest_documents,
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
@@ -5134,6 +5151,33 @@ WHERE host IS NULL OR NOT (
   (host = 'site1.org' AND path LIKE '/p/1%') OR
   (host = 'site4.org' AND path LIKE '/p/%') OR
   (host = 'site7.org' AND path LIKE '/p/3%'))"""
+    out["politeness_manifest_documents"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         coalesce(nullif(regexp_replace(regexp_replace(lower(
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', ''), ':[0-9]*$', ''), ''), '(none)') AS host_key,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM raw),
+s AS (SELECT doc_id, host_key, hx,
+             row_number() OVER (PARTITION BY host_key ORDER BY hx) - 1
+               AS seq
+      FROM h)
+SELECT doc_id, host_key, seq,
+       row_number() OVER (ORDER BY seq, host_key, hx) - 1 AS slot
+FROM s"""
     out["media_decode"] = """
 WITH ids AS (SELECT unnest(generate_series(0, 127)) AS media_id),
 k AS (SELECT media_id,

@@ -551,3 +551,114 @@ def token_budget_allocation(
         quota[i] += 1
     totals["quota"] = np.array(quota, np.int64)
     return totals
+
+
+def politeness_manifest(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_host_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Crawl-frontier politeness schedule: a host-interleaved fetch
+    order (round-robin across hosts) so no host is hit in bursts —
+    the scheduling step of every polite crawler (cf. RFC 9309
+    crawl-delay etiquette; Heritrix/Nutch frontier queues). Each URL
+    gets ``seq`` = its 0-based rank WITHIN its host (content-keyed
+    md5 order — reproducible, no timestamps) and ``slot`` = its
+    global fetch position under ``ORDER BY (seq, host)``: slot 0..H-1
+    are every host's first URL, then every host's second, and so on.
+    Unparseable URLs schedule under the '(none)' pseudo-host.
+
+    Scale shape: per-host seqs via ONE coarse-key bucketed shuffle of
+    narrow (id, host, hex) rows (pandas sub-sort inside each bucket);
+    the global order is a range sort over the ~60-byte composite-key
+    rows + the pack_sequences/driver prefix-scan (one (min_key,
+    count) row per block folds to exclusive base ranks) — nothing
+    corpus-sized gathers, no global row_number materializes.
+    Returns ``(id_col, host_key, seq, slot)``.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.hashing import md5_hex
+    from ..functions.url import host_of_array
+    from ._shuffle import shuffle_parallelism
+    from ._taskcache import cached_task_fn
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        host = host_of_array(batch[url_col]).fill_null("(none)")
+        hx = md5_hex(pc.cast(ids, pa.string()))
+        bk = np.array([zlib.crc32(h.encode()) for h in host.to_pylist()],
+                      dtype=np.int64) % np.int64(n_host_buckets)
+        return pa.table({
+            id_col: ids, "host_key": host,
+            "hx": pa.array(hx, pa.string()),
+            "bk": pa.array(bk, pa.int64())})
+
+    def seq_in_host(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["host_key", "hx"], kind="mergesort")
+        seq = g.groupby("host_key", sort=False).cumcount().to_numpy(np.int64)
+        # composite global-order key: zero-padded seq, then host, then
+        # hex (the (seq, host) pair is already unique; hex keeps the
+        # key self-describing)
+        key = [f"{s:012d}\x1f{h}\x1f{x}" for s, h, x in
+               zip(seq.tolist(), g["host_key"], g["hx"])]
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "host_key": pa.array(g["host_key"].tolist(), pa.string()),
+            "seq": pa.array(seq, pa.int64()),
+            "gkey": pa.array(key, pa.string())})
+
+    narrow = (
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .repartition(shuffle_parallelism())
+        .groupby("bk")
+        .map_groups(seq_in_host, batch_format="pandas")
+        .sort("gkey")
+        .materialize()
+    )
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        ks = batch["gkey"].to_pylist()
+        return pa.table({"min_k": pa.array([min(ks)], pa.string()),
+                         "cnt": pa.array([len(ks)], pa.int64())})
+
+    metas = narrow.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one row per block
+    metas.sort(key=lambda r: r["min_k"])
+    base, bases = 0, {}
+    for m in metas:
+        bases[m["min_k"]] = base
+        base += int(m["cnt"])
+    bases_ref = ray.put(bases)
+
+    class Emit:
+        def __init__(self, bases_ref, id_col):
+            self.bases = ray.get(bases_ref)
+            self.id_col = id_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = np.array(batch["gkey"].to_pylist(), dtype=object)
+            order = np.argsort(ks, kind="stable")
+            rank = self.bases[ks[order[0]]] + np.arange(len(ks),
+                                                        dtype=np.int64)
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(ks))
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "host_key": batch["host_key"],
+                "seq": batch["seq"],
+                "slot": pa.array(rank[inv], pa.int64())})
+
+    return narrow.map_batches(
+        cached_task_fn(Emit, cache_on=(bases_ref, id_col, "politeness"),
+                       bases_ref=bases_ref, id_col=id_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -106,3 +106,27 @@ def test_robots_filter_prefix_semantics():
     assert sorted(out["url"]) == sorted([
         "http://ex.com/about", "http://other.com/search",
         "garbage url", "https://ex.com"])
+
+
+def test_politeness_manifest_round_robin():
+    from logdata_anomaly_miner_ray.stages.sampling import politeness_manifest
+
+    urls = ([f"http://a.com/{i}" for i in range(3)]
+            + [f"http://b.org/{i}" for i in range(2)]
+            + ["bad url"])
+    df = pd.DataFrame({"doc_id": np.arange(len(urls), dtype=np.int64),
+                       "url": urls})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(2)
+    out = politeness_manifest(ds, "url", "doc_id").to_pandas() \
+        .sort_values("slot", ignore_index=True)
+    # slots are a permutation 0..n-1
+    assert out["slot"].tolist() == list(range(len(urls)))
+    # round-robin: all seq-0 rows precede every seq-1 row, etc.
+    assert out["seq"].is_monotonic_increasing
+    # within one (seq) wave, hosts are in lexicographic order
+    w0 = out[out["seq"] == 0]["host_key"].tolist()
+    assert w0 == sorted(w0)
+    # every host's seqs are 0..count-1
+    for h, g in out.groupby("host_key"):
+        assert sorted(g["seq"]) == list(range(len(g)))
