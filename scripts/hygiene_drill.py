@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=[
         "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank",
-        "paradedup", "winnow", "snapdiff"])
+        "paradedup", "winnow", "snapdiff", "frontier"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -187,6 +187,29 @@ def main(argv=None) -> int:
         rc = _result("snapdiff", rows, t0,
                      statuses={s: int(n) for s, n in
                                zip(out["status"], out["n"])})
+    elif args.mode == "frontier":
+        # politeness schedule at scale: synthetic hosts (~10k, zipf-free
+        # uniform), 1 bucketed shuffle + 1 narrow range sort
+        import pyarrow.compute as pc
+
+        from logdata_anomaly_miner_ray.stages.sampling import (
+            politeness_manifest,
+        )
+
+        def urlify(t: pa.Table) -> pa.Table:
+            d = t["row_idx"].to_numpy(zero_copy_only=False)
+            host = pc.binary_join_element_wise(
+                pa.array(["http://site"] * len(d), pa.string()),
+                pc.cast(pa.array(d % 10007, pa.int64()), pa.string()),
+                pa.array([".org/p/"] * len(d), pa.string()),
+                pc.cast(pa.array(d, pa.int64()), pa.string()), "")
+            return pa.table({"doc_id": t["row_idx"], "url": host})
+
+        ds = rd.read_parquet(files, columns=["row_idx"]).map_batches(
+            urlify, batch_format="pyarrow", batch_size=None)
+        t0 = time.time()
+        n = politeness_manifest(ds, "url", "doc_id").count()
+        rc = _result("frontier", n, t0, hosts=10007)
     elif args.mode == "extract":
         # north-star transform at scale: html -> visible text over
         # every page payload, one zero-copy RE2-chain pass
