@@ -1856,9 +1856,14 @@ def q_editdist_pairs_documents(sf_dir: str):
         editdist_verified_pairs,
     )
 
-    return editdist_verified_pairs(
+    out = editdist_verified_pairs(
         _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
-        max_dist=24)
+        max_dist=24).to_pandas()  # typed-empty rule: schema survives
+    return pd.DataFrame({
+        "id_a": out.get("id_a", pd.Series(dtype=np.int64)).to_numpy(np.int64),
+        "id_b": out.get("id_b", pd.Series(dtype=np.int64)).to_numpy(np.int64),
+        "dist": out.get("dist", pd.Series(dtype=np.int64)).to_numpy(np.int64),
+    })
 
 
 def q_neardup_keep_best_documents(sf_dir: str):
@@ -1879,7 +1884,9 @@ def q_neardup_keep_best_documents(sf_dir: str):
     )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pairs = editdist_verified_pairs(docs, max_dist=24)
+    # materialize: connected_components does count() + a drain — an
+    # unmaterialized pipeline would run the whole verify job twice
+    pairs = editdist_verified_pairs(docs, max_dist=24).materialize()
     comp = connected_components(pairs).to_pandas()
     empty = pd.DataFrame({
         "cluster": pd.Series(dtype=np.int64),

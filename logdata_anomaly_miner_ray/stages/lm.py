@@ -268,18 +268,28 @@ def perplexity_buckets(
         qs=(Fraction(1, 3), Fraction(2, 3)),
         block_card_cap=block_card_cap,
     ).to_pandas()  # 2 rows per group
-    t1 = {r[group_col]: int(r["value"])
+    # grouped_quantiles emits group keys STRINGIFIED (composite-gkey
+    # split); normalize lookups via str() on both sides, and make a
+    # miss a hard error — a silent default threshold would bucket a
+    # whole group wrong without a trace
+    t1 = {str(r[group_col]): int(r["value"])
           for _, r in th.iterrows() if int(r["qe2"]) == 33}
-    t2 = {r[group_col]: int(r["value"])
+    t2 = {str(r[group_col]): int(r["value"])
           for _, r in th.iterrows() if int(r["qe2"]) == 66}
     th_ref = ray.put((t1, t2))
 
     def assign(batch: pa.Table, _ref=th_ref) -> pa.Table:
         lo, hi = ray.get(_ref)
-        g = batch[group_col].to_pandas()
+        g = [str(k) for k in batch[group_col].to_pylist()]
         s = batch[score_col].to_numpy(zero_copy_only=False)
-        a = np.array([lo.get(k, 0) for k in g], dtype=np.int64)
-        b = np.array([hi.get(k, 0) for k in g], dtype=np.int64)
+        try:
+            a = np.array([lo[k] for k in g], dtype=np.int64)
+            b = np.array([hi[k] for k in g], dtype=np.int64)
+        except KeyError as exc:  # pragma: no cover - defensive
+            raise KeyError(
+                f"perplexity_buckets: group {exc} missing from the "
+                "threshold table — thresholds must be computed from "
+                "the SAME dataset being bucketed") from exc
         bucket = np.where(s <= a, "tail", np.where(s <= b, "middle", "head"))
         return batch.append_column("bucket", pa.array(bucket, pa.string()))
 

@@ -57,20 +57,29 @@ def _classify(df: pd.DataFrame, key_col: str, snap_col: str,
         raise ValueError(
             "snapshot_diff: duplicate (key, snap) capture — a crawl "
             "snapshot must hold one capture per page key")
-    values = [hash_col] + ([carry_col] if carry_col else [])
-    p = df.pivot(index=key_col, columns=snap_col, values=values)
-    ha = p.get((hash_col, "a"))
-    hb = p.get((hash_col, "b"))
-    if ha is None:
-        ha = pd.Series(np.full(len(p), None), index=p.index)
-    if hb is None:
-        hb = pd.Series(np.full(len(p), None), index=p.index)
-    has_a, has_b = ha.notna().to_numpy(), hb.notna().to_numpy()
+    values = ["_present", hash_col] + ([carry_col] if carry_col else [])
+    # presence = ROW existence (a captured page with a null digest is
+    # still captured — SQL classifies on a.key IS NULL, not the hash)
+    p = df.assign(_present=True).pivot(
+        index=key_col, columns=snap_col, values=values)
+
+    def _col(name, snap, fill):
+        c = p.get((name, snap))
+        if c is None:
+            return pd.Series(np.full(len(p), fill), index=p.index)
+        return c
+
+    has_a = _col("_present", "a", False).fillna(False).to_numpy(bool)
+    has_b = _col("_present", "b", False).fillna(False).to_numpy(bool)
+    ha = _col(hash_col, "a", None).to_numpy()
+    hb = _col(hash_col, "b", None).to_numpy()
+    # 'unchanged' needs both digests NON-NULL and equal (SQL: NULL =
+    # NULL is NULL → the CASE falls through to 'changed')
+    hv = pd.notna(ha) & pd.notna(hb)
     status = np.where(
         ~has_a, "added",
         np.where(~has_b, "removed",
-                 np.where(ha.to_numpy() == hb.to_numpy(),
-                          "unchanged", "changed")))
+                 np.where(hv & (ha == hb), "unchanged", "changed")))
     out = {"status": status}
     if carry_col:
         ca = p.get((carry_col, "a"))
@@ -112,8 +121,16 @@ def snapshot_diff(
         nb = n_buckets or 4 * shuffle_parallelism()
 
         def add_bk(batch: pa.Table) -> pa.Table:
-            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            bk = np.abs(k) % np.int64(nb)
+            col = batch[key_col]
+            if pa.types.is_integer(col.type):
+                k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+                bk = np.abs(k) % np.int64(nb)
+            else:  # string page keys: crc32 bucket (same tier contract)
+                import zlib
+
+                bk = np.array(
+                    [zlib.crc32(str(v).encode()) for v in col.to_pylist()],
+                    dtype=np.int64) % np.int64(nb)
             return batch.append_column("bk", pa.array(bk, pa.int64()))
 
         def per_bucket(g: pd.DataFrame) -> pa.Table:

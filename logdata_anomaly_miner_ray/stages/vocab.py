@@ -495,7 +495,13 @@ def vocab_growth(
     from ray.data.aggregate import Min
 
     if id_max is None:
-        id_max = int(ds.max(id_col))
+        # a second (column-pruned, id-only) pass; pass id_max in when
+        # the caller already knows the id domain to avoid it
+        mx = ds.max(id_col)
+        if mx is None:  # empty dataset: typed empty curve
+            return pa.table({"cutoff": pa.array([], pa.int64()),
+                             "vocab": pa.array([], pa.int64())})
+        id_max = int(mx)
 
     def wt_part(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -519,19 +525,22 @@ def vocab_growth(
         .aggregate(Min("min_id", alias_name="min_id"))
     )
 
-    cuts = np.array(
+    # unique ascending cutoffs — duplicates arise when id_max + 1 <
+    # n_checkpoints, and the SQL oracle's GROUP BY cutoff merges them
+    cuts = np.unique(np.array(
         [(j + 1) * (id_max + 1) // n_checkpoints - 1
-         for j in range(n_checkpoints)], dtype=np.int64)
+         for j in range(n_checkpoints)], dtype=np.int64))
+    nc = len(cuts)
 
     def hist_part(batch: pa.Table) -> pa.Table:
         m = batch["min_id"].to_numpy(zero_copy_only=False)
         # first checkpoint covering each word: searchsorted over cuts
         j = np.searchsorted(cuts, m, side="left")
-        h = np.bincount(j[j < n_checkpoints], minlength=n_checkpoints)
-        return pa.table({"j": pa.array(np.arange(n_checkpoints), pa.int64()),
+        h = np.bincount(j[j < nc], minlength=nc)
+        return pa.table({"j": pa.array(np.arange(nc), pa.int64()),
                          "h": pa.array(h.astype(np.int64), pa.int64())})
 
-    hist = np.zeros(n_checkpoints, dtype=np.int64)
+    hist = np.zeros(nc, dtype=np.int64)
     for b in firsts.map_batches(
         hist_part, batch_format="pyarrow", batch_size=None,
     ).iter_batches(batch_format="pyarrow"):

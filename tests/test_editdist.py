@@ -81,3 +81,15 @@ def test_hard_cap_errors():
     rows = [(i, "same three tokens", "en") for i in range(6)]
     with pytest.raises(Exception, match="hard_cap"):
         editdist_verified_pairs(_docs(rows), hard_cap=5).to_pandas()
+
+
+def test_null_lang_never_pairs():
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, base, None), (2, base, None), (3, base, "en"),
+            (4, base, "en")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(2)
+    out = editdist_verified_pairs(ds, max_dist=5).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(3, 4)}  # SQL NULL = NULL is NULL: no null-lang pair

@@ -54,3 +54,17 @@ def test_ties_share_bucket():
     # with the SQL CASE on <=)
     out = perplexity_buckets(_scores(["en"] * 6, [7] * 6)).to_pandas()
     assert set(out["bucket"]) == {"tail"}
+
+
+def test_integer_group_column_buckets():
+    # non-string group columns must work (keys are str-normalized on
+    # both sides of the broadcast threshold table)
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lang": np.array([0, 0, 0, 1, 1, 1], dtype=np.int64),
+        "lm_score": np.array([1, 2, 3, 10, 20, 30], dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(2)
+    out = perplexity_buckets(ds).to_pandas()
+    g0 = out[out["lang"] == 0].sort_values("lm_score")["bucket"].tolist()
+    assert g0 == ["tail", "middle", "head"]

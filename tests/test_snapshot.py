@@ -68,3 +68,29 @@ def test_single_snapshot_all_removed():
     out = snapshot_diff(_narrow(rows), carry_col="lang")
     assert list(out["status"]) == ["removed"]
     assert int(out["n"].iloc[0]) == 4
+
+
+def test_null_digest_presence_and_change():
+    # a captured page with a NULL digest is still captured; two null
+    # digests are 'changed' (SQL: NULL = NULL is NULL), not unchanged
+    rows = [
+        (1, "a", None, "en"), (1, "b", None, "en"),   # changed
+        (2, "a", None, "en"), (2, "b", "h2", "en"),   # changed
+        (3, "a", None, "en"),                         # removed (present!)
+    ]
+    out = snapshot_diff(_narrow(rows), carry_col="lang")
+    assert dict(zip(out["status"], out["n"])) == {"changed": 2, "removed": 1}
+
+
+def test_scale_tier_string_keys():
+    rows = [(k, s, h, lg) for (k, s, h, lg) in [
+        ("http://a.com/x", "a", "h1", "en"),
+        ("http://a.com/x", "b", "h1", "en"),
+        ("http://b.org/y", "b", "h2", "de"),
+    ]]
+    df = pd.DataFrame(rows, columns=["key", "snap", "h", "lang"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(2)
+    out = snapshot_diff(ds, carry_col="lang", driver_fold_limit=0,
+                        n_buckets=3)
+    assert dict(zip(out["status"], out["n"])) == {"added": 1, "unchanged": 1}

@@ -41,3 +41,24 @@ def test_empty_and_whitespace_rows():
     rows = [(0, "  "), (1, "x"), (2, "")]
     out = vocab_growth(_docs(rows, 2), n_checkpoints=3).to_pandas()
     assert out["vocab"].tolist() == [0, 1, 1]
+
+
+def test_tiny_id_range_duplicate_cutoffs_merge():
+    # 3 ids, 10 checkpoints → duplicate cutoff values must merge (the
+    # SQL oracle GROUP BYs cutoff)
+    rows = [(0, "a"), (1, "b"), (2, "c")]
+    out = vocab_growth(_docs(rows, 2), n_checkpoints=10).to_pandas()
+    assert out["cutoff"].is_unique
+    assert out["cutoff"].tolist() == sorted(set(out["cutoff"]))
+    assert out.iloc[-1]["vocab"] == 3
+
+
+def test_empty_dataset_typed_empty():
+    import pyarrow as _pa
+
+    ds = rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([], _pa.int64()),
+        "text": _pa.array([], _pa.string())}))
+    out = vocab_growth(ds, n_checkpoints=4)
+    assert out.num_rows == 0
+    assert [f.name for f in out.schema] == ["cutoff", "vocab"]
