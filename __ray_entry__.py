@@ -5213,7 +5213,7 @@ w AS (SELECT tok AS word, min(doc_id) AS min_id
                    unnest(regexp_split_to_array(text, '\s+')) AS tok
             FROM documents)
       WHERE length(tok) >= 1 GROUP BY 1),
-c AS (SELECT (j + 1) * (m + 1) // 10 - 1 AS cutoff
+c AS (SELECT DISTINCT (j + 1) * (m + 1) // 10 - 1 AS cutoff
       FROM mx, unnest(generate_series(0, 9)) t(j))
 SELECT c.cutoff, count(w.word)::BIGINT AS vocab
 FROM c LEFT JOIN w ON w.min_id <= c.cutoff

@@ -307,6 +307,9 @@ def winnow_select(arr, k: int = 3, w: int = 4):
     grow, digs, G = gram_md5_digests(arr, k)
     if G == 0:
         return empty
+    # envelope: rank and local position each pack into 32 bits of the
+    # composite window-min key below (bm25-style explicit assert)
+    assert G < 2**32, f"winnow block too large: {G} grams >= 2^32"
     d = np.frombuffer(digs, dtype=">u8").reshape(G, 2)
     hi, lo = d[:, 0], d[:, 1]
     # dense rank over the 128-bit digests (== hex lexicographic order)

@@ -89,7 +89,10 @@ def _classify(df: pd.DataFrame, key_col: str, snap_col: str,
         elif ca is None:
             carry = cb.to_numpy()
         else:
-            carry = np.where(has_b, cb.to_numpy(), ca.to_numpy())
+            # element-wise coalesce(b, a) — prefer b's value only when
+            # non-null, mirroring the SQL oracle's coalesce(b.x, a.x)
+            cbv, cav = cb.to_numpy(), ca.to_numpy()
+            carry = np.where(has_b & pd.notna(cbv), cbv, cav)
         out[carry_col] = carry
     g = (pd.DataFrame(out).groupby(list(out), sort=True, dropna=False)
          .size().rename("n").reset_index())

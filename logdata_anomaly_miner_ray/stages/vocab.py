@@ -526,7 +526,9 @@ def vocab_growth(
     )
 
     # unique ascending cutoffs — duplicates arise when id_max + 1 <
-    # n_checkpoints, and the SQL oracle's GROUP BY cutoff merges them
+    # n_checkpoints; the SQL oracle dedupes them with SELECT DISTINCT
+    # in its cutoff CTE (GROUP BY alone would multiply the LEFT JOIN
+    # matches per duplicate cutoff row)
     cuts = np.unique(np.array(
         [(j + 1) * (id_max + 1) // n_checkpoints - 1
          for j in range(n_checkpoints)], dtype=np.int64))

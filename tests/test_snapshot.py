@@ -82,6 +82,19 @@ def test_null_digest_presence_and_change():
     assert dict(zip(out["status"], out["n"])) == {"changed": 2, "removed": 1}
 
 
+def test_null_carry_coalesces_to_a_side():
+    # carry is coalesce(b, a) ELEMENT-WISE: a b-capture with a null
+    # carry value falls back to a's non-null value (SQL mirror:
+    # coalesce(b.lang, a.lang)), never a blanket prefer-b
+    rows = [
+        (1, "a", "h1", "en"), (1, "b", "h1x", None),   # changed, lang=en
+        (2, "a", "h2", "de"), (2, "b", "h2", "de"),    # unchanged, de
+    ]
+    out = snapshot_diff(_narrow(rows), carry_col="lang")
+    got = {(s, l): n for s, l, n in zip(out["status"], out["lang"], out["n"])}
+    assert got == {("changed", "en"): 1, ("unchanged", "de"): 1}
+
+
 def test_scale_tier_string_keys():
     rows = [(k, s, h, lg) for (k, s, h, lg) in [
         ("http://a.com/x", "a", "h1", "en"),
