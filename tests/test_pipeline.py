@@ -2,6 +2,7 @@
 fixture, checkpoint resume, byte-identity invariant."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -147,3 +148,18 @@ def test_clean_corpus_gates_and_flags():
     assert not flags.loc[2, "ok_rep"]
     assert not flags.loc[3, "ok_rep"]
     assert not flags.loc[4, "ok_dedup"] and flags.loc[0, "ok_dedup"]
+
+    # scale tier (anti-join recast, forced): identical keep set and
+    # identical per-row flags — no driver keep-set materialization
+    kept_scale = sorted(clean_corpus(
+        ds, min_chars=50, max_chars=10_000, min_tokens=10,
+        max_dup_line_frac=(1, 4), max_top_2gram_frac=(1, 5),
+        driver_keep_limit=0, n_buckets=3,
+    ).to_pandas()["doc_id"])
+    assert kept_scale == [0, 5]
+    flags_scale = clean_corpus(
+        ds, min_chars=50, max_chars=10_000, min_tokens=10,
+        max_dup_line_frac=(1, 4), max_top_2gram_frac=(1, 5),
+        keep_only=False, driver_keep_limit=0, n_buckets=3,
+    ).to_pandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(flags_scale, flags.sort_index())
