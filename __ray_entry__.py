@@ -913,6 +913,49 @@ def q_allowlist_rules_events(sf_dir: str):
     )
 
 
+def q_value_dependent_rules_events(sf_dir: str):
+    """Value-dependent rule predicates (Rules.py:277,688): the
+    delegate rule / modulo-time window is selected per row by the
+    event_type value. Emits both flags for every row matching either
+    rule; integer-us window arithmetic makes the oracle exact (for
+    integer-second limits, ``us/1e6 mod 86400 in [lo,hi]`` ⟺
+    ``us mod 86400e6 in [lo*1e6, hi*1e6]`` — division by 1e6 cannot
+    cross an integer boundary for exact-int64 microseconds)."""
+    from logdata_anomaly_miner_ray.functions.rules import (
+        StringRegexRule,
+        ValueDependentDelegatedRule,
+        ValueDependentModuloTimeRule,
+        ValueRangeRule,
+    )
+
+    deleg = ValueDependentDelegatedRule(
+        ["event_type"],
+        {("click",): ValueRangeRule("value", 0.0, 60.0),
+         ("error",): StringRegexRule("props", '"k": 1')},
+        default_rule=ValueRangeRule("value", 0.0, 20.0),
+    )
+    vmod = ValueDependentModuloTimeRule(
+        "ts", 86400, ["event_type"],
+        {"purchase": (3600, 43200), "signup": (0, 21600)},
+        default_limit=(79200, 86400),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        md = deleg.evaluate(batch).to_numpy(zero_copy_only=False)
+        mw = vmod.evaluate(batch).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_id": batch["event_id"],
+            "m_deleg": pa.array(md.astype("int64"), pa.int64()),
+            "m_window": pa.array(mw.astype("int64"), pa.int64()),
+        })
+        return t.filter(pa.array(md | mw))
+
+    return _read(
+        sf_dir, "events", ["event_id", "ts", "event_type", "value", "props"]
+    ).map_batches(flag, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+
 def q_implication_support_events(sf_dir: str):
     from logdata_anomaly_miner_ray.stages.correlation import implication_support
 
@@ -3312,6 +3355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audispd_model_events": q_audispd_model_events,
         "datetime_parse_events": q_datetime_parse_events,
         "allowlist_rules_events": q_allowlist_rules_events,
+        "value_dependent_rules_events": q_value_dependent_rules_events,
         "implication_support_events": q_implication_support_events,
         "mean_shift_events": q_mean_shift_events,
         "sessions_events": q_sessions_events,
@@ -3888,6 +3932,27 @@ FROM events""",
 SELECT event_id FROM events
 WHERE NOT (event_type IN ('click', 'view', 'purchase')
            OR (value >= 0.0 AND value <= 100.0))""",
+        "value_dependent_rules_events": """
+WITH f AS (
+  SELECT event_id,
+    coalesce(CASE WHEN event_type = 'click'
+                  THEN (value >= 0.0 AND value <= 60.0)
+                  WHEN event_type = 'error'
+                  THEN regexp_matches(props, '"k": 1')
+                  ELSE (value >= 0.0 AND value <= 20.0) END,
+             FALSE) AS m_deleg,
+    coalesce(CASE WHEN event_type = 'purchase'
+                  THEN (epoch_us(ts) % 86400000000)
+                       BETWEEN 3600000000 AND 43200000000
+                  WHEN event_type = 'signup'
+                  THEN (epoch_us(ts) % 86400000000)
+                       BETWEEN 0 AND 21600000000
+                  ELSE (epoch_us(ts) % 86400000000)
+                       BETWEEN 79200000000 AND 86400000000 END,
+             FALSE) AS m_window
+  FROM events)
+SELECT event_id, m_deleg::BIGINT AS m_deleg, m_window::BIGINT AS m_window
+FROM f WHERE m_deleg OR m_window""",
         "implication_support_events": """
 WITH types AS (SELECT DISTINCT event_type FROM events),
 a AS (SELECT user_id, event_type AS a_event, epoch_us(ts) AS ats FROM events)

@@ -3222,3 +3222,157 @@ def test_verbose_unparsed_diagnosis_parity(aminer_env):
         assert out["matched_prefix_len"][i].as_py() == len(d) - len(ref_rest)
         n_checked += 1
     assert n_checked >= 6
+
+
+# ---------------------------------------------------------------------------
+# Rules.py value-dependent predicates + ParallelMatchRule/MatchActions
+# (aecid-testsuite/unit/analysis/RulesTest.py pattern)
+# ---------------------------------------------------------------------------
+
+_VD_ROWS = [
+    # (k1, k2, v, epoch_secs) — None = path absent from the atom
+    ("x", "p", 1.0, 5_000.0),
+    ("x", None, 50.0, 5_000.5),
+    (None, "p", 5.0, 86_400.0 + 3_600.0),
+    ("y", "q", 200.0, 50_000.0),
+    (None, None, 3.0, 3_600.0),
+    ("z", "q", 7.0, 10_800.0),
+    ("x", "p", 11.0, 10_800.000001),
+]
+
+
+def _vd_batch():
+    return pa.table({
+        "k1": pa.array([r[0] for r in _VD_ROWS], pa.string()),
+        "k2": pa.array([r[1] for r in _VD_ROWS], pa.string()),
+        "v": pa.array([r[2] for r in _VD_ROWS], pa.float64()),
+        "ts": pa.array([int(r[3] * 1e6) for r in _VD_ROWS], pa.int64())
+            .cast(pa.timestamp("us")),
+    })
+
+
+def _vd_atoms():
+    return [
+        _atom({p: val for p, val in
+               zip(("k1", "k2", "v", "ts"), r) if val is not None}, r[3])
+        for r in _VD_ROWS
+    ]
+
+
+def test_value_dependent_delegated_rule_parity():
+    """Reference ValueDependentDelegatedMatchRule (Rules.py:277-349)
+    vs the vectorized recast: same per-row verdicts across full /
+    partial / absent key tuples, with and without a default rule."""
+    from aminer.analysis import Rules as R
+
+    from logdata_anomaly_miner_ray.functions import rules as V
+
+    ref = R.ValueDependentDelegatedMatchRule(
+        ["k1", "k2"],
+        {
+            ("x", "p"): R.ValueRangeMatchRule("v", 0, 10),
+            ("x",): R.ValueRangeMatchRule("v", 40, 60),
+            ("p",): R.ValueRangeMatchRule("v", 0, 1),
+            ("y", "q"): R.ValueRangeMatchRule("v", 0, 100),
+        },
+        default_rule=R.ValueRangeMatchRule("v", 0, 4),
+    )
+    mine = V.ValueDependentDelegatedRule(
+        ["k1", "k2"],
+        {
+            ("x", "p"): V.ValueRangeRule("v", 0, 10),
+            ("x",): V.ValueRangeRule("v", 40, 60),
+            ("p",): V.ValueRangeRule("v", 0, 1),
+            ("y", "q"): V.ValueRangeRule("v", 0, 100),
+        },
+        default_rule=V.ValueRangeRule("v", 0, 4),
+    )
+    expect = [ref.match(a) for a in _vd_atoms()]
+    assert mine.evaluate(_vd_batch()).to_pylist() == expect
+
+    ref2 = R.ValueDependentDelegatedMatchRule(
+        ["k1"], {("z",): R.ValueRangeMatchRule("v", 0, 10)})
+    mine2 = V.ValueDependentDelegatedRule(
+        ["k1"], {("z",): V.ValueRangeRule("v", 0, 10)})
+    expect2 = [ref2.match(a) for a in _vd_atoms()]
+    assert mine2.evaluate(_vd_batch()).to_pylist() == expect2
+
+
+def test_modulo_time_rules_parity():
+    """Reference ModuloTimeMatchRule + ValueDependentModuloTimeMatchRule
+    (Rules.py:596,688) vs the recasts: inclusive bounds, fractional
+    seconds, per-key window selection, default-limit fallback — all on
+    tzinfo=UTC so the reference's utcoffset() is deterministically 0."""
+    from datetime import timezone
+
+    from aminer.analysis import Rules as R
+
+    from logdata_anomaly_miner_ray.functions import rules as V
+
+    atoms = _vd_atoms()
+    batch = _vd_batch()
+
+    ref_mod = R.ModuloTimeMatchRule("ts", 86400, 3600, 10800,
+                                    tzinfo=timezone.utc)
+    my_mod = V.ModuloTimeRule("ts", 86400, 3600, 10800)
+    assert my_mod.evaluate(batch).to_pylist() == \
+        [ref_mod.match(a) for a in atoms]
+
+    ref_vd = R.ValueDependentModuloTimeMatchRule(
+        "ts", 86400, target_path_list=["k1"],
+        limit_lookup_dict={"x": [1000, 6000], "z": [10000, 20000]},
+        default_limit=[40000, 86400], tzinfo=timezone.utc)
+    my_vd = V.ValueDependentModuloTimeRule(
+        "ts", 86400, ["k1"],
+        {"x": (1000, 6000), "z": (10000, 20000)},
+        default_limit=(40000, 86400))
+    assert my_vd.evaluate(batch).to_pylist() == \
+        [ref_vd.match(a) for a in atoms]
+
+    # no default: lookup miss → no match
+    ref_nd = R.ValueDependentModuloTimeMatchRule(
+        "ts", 86400, target_path_list=["k1"],
+        limit_lookup_dict={"x": [1000, 6000]}, tzinfo=timezone.utc)
+    my_nd = V.ValueDependentModuloTimeRule(
+        "ts", 86400, ["k1"], {"x": (1000, 6000)})
+    assert my_nd.evaluate(batch).to_pylist() == \
+        [ref_nd.match(a) for a in atoms]
+
+
+def test_parallel_rule_match_action_parity(aminer_env):
+    """Reference ParallelMatchRule evaluates ALL children so each
+    child's EventGenerationMatchAction fires (Rules.py:224-276) — the
+    recast's per-batch CollectingMatchAction must fire on exactly the
+    same rows per child, and the parent action on the union."""
+    _, Recorder = aminer_env
+    from aminer.analysis import Rules as R
+
+    from logdata_anomaly_miner_ray.functions import rules as V
+
+    rec1, rec2, rec_p = Recorder(), Recorder(), Recorder()
+    ref = R.ParallelMatchRule(
+        [R.ValueMatchRule("k1", "x",
+                          R.EventGenerationMatchAction("E1", "m1", [rec1])),
+         R.ValueRangeMatchRule("v", 100, 300,
+                               R.EventGenerationMatchAction("E2", "m2", [rec2]))],
+        match_action=R.EventGenerationMatchAction("EP", "mp", [rec_p]))
+    ref_matches = [ref.match(a) for a in _vd_atoms()]
+
+    a1 = V.CollectingMatchAction("E1", "m1")
+    a2 = V.CollectingMatchAction("E2", "m2")
+    ap = V.CollectingMatchAction("EP", "mp")
+    mine = V.ParallelRule(
+        [V.ActionRule(V.ValueMatchRule("k1", "x"), a1),
+         V.ActionRule(V.ValueRangeRule("v", 100, 300), a2)],
+        action=ap)
+    batch = _vd_batch()
+    assert mine.evaluate(batch).to_pylist() == ref_matches
+
+    # same rows per child action (reference fires once per atom; the
+    # recast once per batch with the matched sub-rows)
+    def rows(action):
+        return sum(t.num_rows for _, _, t in action.collected)
+
+    assert rows(a1) == len(rec1.events)
+    assert rows(a2) == len(rec2.events)
+    assert rows(ap) == len(rec_p.events) == sum(ref_matches)

@@ -82,6 +82,124 @@ def test_allowlist_mask():
     assert mask.to_pylist() == [False, True, False, False, False]
 
 
+def test_modulo_time_inclusive_bounds_and_fraction():
+    from logdata_anomaly_miner_ray.functions.rules import ModuloTimeRule
+
+    # v = secs-in-day with fractions kept; BOTH bounds inclusive
+    # (reference Rules.py:668: lower <= v <= upper on the float epoch)
+    b = pa.table({"ts": pa.array(
+        [3_600_000_000, 10_800_000_000, 10_800_000_001, 3_599_999_999, None],
+        pa.int64()).cast(pa.timestamp("us"))})
+    m = ModuloTimeRule("ts", 86400, 3600, 10800).evaluate(b).to_pylist()
+    assert m == [True, True, False, False, False]
+    # tz offset shifts the epoch before the modulo
+    m2 = ModuloTimeRule("ts", 86400, 3600, 10800, tz_offset_s=7200) \
+        .evaluate(b).to_pylist()
+    assert m2 == [True, False, False, True, False]
+
+
+def test_value_dependent_delegated_rule():
+    from logdata_anomaly_miner_ray.functions.rules import (
+        ValueDependentDelegatedRule,
+    )
+
+    b = pa.table({
+        "k1": ["x", "x", None, "y", None, "z"],
+        "k2": ["p", None, "p", "q", None, "q"],
+        "v": [1.0, 50.0, 5.0, 200.0, 3.0, 7.0],
+    })
+    r = ValueDependentDelegatedRule(
+        ["k1", "k2"],
+        {
+            ("x", "p"): ValueRangeRule("v", 0, 10),    # row0 T
+            ("x",): ValueRangeRule("v", 40, 60),       # row1 (k2 null) T
+            ("p",): ValueRangeRule("v", 0, 1),         # row2 (k1 null) F
+            ("y", "q"): ValueRangeRule("v", 0, 100),   # row3 F
+        },
+        default_rule=ValueRangeRule("v", 0, 4),        # row4 T, row5 F
+    )
+    assert r.evaluate(b).to_pylist() == [True, True, False, False, True, False]
+    # no default: unmatched keys are False
+    r2 = ValueDependentDelegatedRule(
+        ["k1"], {("z",): ValueRangeRule("v", 0, 10)})
+    assert r2.evaluate(b).to_pylist() == [False] * 5 + [True]
+    with pytest.raises(TypeError):
+        ValueDependentDelegatedRule(["k1"], {"notuple": r2})
+
+
+def test_value_dependent_modulo_time_rule():
+    from logdata_anomaly_miner_ray.functions.rules import (
+        ValueDependentModuloTimeRule,
+    )
+
+    day = 86_400_000_000
+    b = pa.table({
+        "ts": pa.array(
+            [5_000_000_000, 5_000_000_000, day + 5_000_000_000,
+             50_000_000_000, None],
+            pa.int64()).cast(pa.timestamp("us")),
+        "host": ["a", "b", "zz", None, "a"],
+    })
+    r = ValueDependentModuloTimeRule(
+        "ts", 86400, ["host"],
+        {"a": (1000, 6000), "b": (6000, 7000)},
+        default_limit=(40000, 86400),
+    )
+    # a@5000s T; b@5000s F; unknown host zz → default (5000 not in
+    # [40000,86400]) F; null host → default, 50000s in window T; null ts F
+    assert r.evaluate(b).to_pylist() == [True, False, False, True, False]
+    # no default: lookup miss → no match
+    r2 = ValueDependentModuloTimeRule(
+        "ts", 86400, ["host"], {"a": (1000, 6000)})
+    assert r2.evaluate(b).to_pylist() == [True, False, False, False, False]
+    with pytest.raises(ValueError):
+        ValueDependentModuloTimeRule("ts", 86400, ["host"],
+                                     {"a": (5, 90000)})  # hi > modulo
+
+
+def test_parallel_rule_and_match_actions():
+    from logdata_anomaly_miner_ray.functions.rules import (
+        ActionRule,
+        CollectingMatchAction,
+        ParallelRule,
+    )
+
+    a1 = CollectingMatchAction("E1", "first")
+    a2 = CollectingMatchAction("E2", "second")
+    both = CollectingMatchAction("E", "union")
+    r = ParallelRule(
+        [ActionRule(ValueMatchRule("ev", "click"), a1),
+         ActionRule(ValueRangeRule("v", 100, 300), a2)],
+        action=both,
+    )
+    m = r.evaluate(BATCH).to_pylist()
+    assert m == [True, True, False, True, False]
+    # ALL children evaluated → every child action fired on its rows
+    assert len(a1.collected) == 1 and len(a2.collected) == 1
+    assert a1.collected[0][2]["ev"].to_pylist() == ["click", "click"]
+    assert a2.collected[0][0] == "E2"
+    assert a2.collected[0][2]["v"].to_pylist() == [200.0]
+    assert both.collected[0][2].num_rows == 3
+    with pytest.raises(ValueError):
+        ParallelRule([ValueMatchRule("ev", "x")])
+
+
+def test_atom_filter_match_action_stop_when_handled():
+    from logdata_anomaly_miner_ray.functions.rules import (
+        ActionRule,
+        AtomFilterMatchAction,
+    )
+
+    seen = []
+    act = AtomFilterMatchAction(
+        [lambda t: seen.append(("h1", t.num_rows)) or True,
+         lambda t: seen.append(("h2", t.num_rows))],
+        stop_when_handled=True,
+    )
+    ActionRule(ValueMatchRule("ev", "click"), act).evaluate(BATCH)
+    assert seen == [("h1", 2)]  # second handler never ran
+
+
 def test_json_extract():
     col = pa.array(['{"a": {"b": 3}, "k": 7}', '{"k": "x"}', "not json", None])
     out = P.json_extract(col, {"k": pa.int64(), "a.b": pa.int64()})
