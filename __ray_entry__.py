@@ -808,6 +808,70 @@ def q_line_model_events(sf_dir: str):
     return parsed.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def q_value_branch_model_events(sf_dir: str):
+    """ElementValueBranchModelElement true dispatch (reference
+    parsing/ElementValueBranchModelElement.py:22-88): the parsed op
+    value selects the follow-on sub-model; lookup miss takes the
+    default branch; a selected branch that fails does NOT fall back
+    (signup rows render 'op=add x=…' — 'add' wins the lookup, its
+    pattern fails, row stays unparsed although the default would
+    match). Oracle restates the rendering arithmetic per event_type."""
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    def render(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_pylist()
+        uid = batch["user_id"].to_pylist()
+        et = batch["event_type"].to_pylist()
+        lines = []
+        for e, u, t in zip(eid, uid, et):
+            if t == "click":
+                lines.append(f"op=add a={u} b={e % 1000}")
+            elif t == "error":
+                lines.append(f"op=del id={u}")
+            elif t == "purchase":
+                lines.append(f"op=mul x={u}")      # lookup miss → default
+            elif t == "signup":
+                lines.append(f"op=add x={u}")      # possessive fail
+            else:
+                lines.append("### garbage ###")
+        return pa.table(
+            {"event_id": batch["event_id"], "line": pa.array(lines, pa.string())}
+        )
+
+    spec = [
+        ("f0", "fixed", "op="),
+        ("op", "branch", (
+            ("opv", "word"),
+            {
+                "add": [("f1", "fixed", " a="), ("a", "int"),
+                        ("f2", "fixed", " b="), ("b", "int")],
+                "del": [("f3", "fixed", " id="), ("i", "int")],
+            },
+            [("f4", "fixed", " x="), ("x", "int")],
+        )),
+    ]
+    rendered = _read(sf_dir, "events", ["event_id", "user_id", "event_type"]) \
+        .map_batches(render, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    parsed = parse_lines(rendered, spec, line_col="line")
+
+    def project(t: pa.Table) -> pa.Table:
+        empty = pa.scalar("", pa.string())
+        return pa.table({
+            "event_id": t["event_id"],
+            "parse_ok": t["parse_ok"],
+            "op_branch": pc.coalesce(t["op_branch"], empty),
+            "opv": pc.coalesce(t["opv"], empty),
+            "a": t["a"],
+            "b": t["b"],
+            "i": t["i"],
+            "x": t["x"],
+        })
+
+    return parsed.map_batches(project, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+
 def q_unparsed_diagnosis_events(sf_dir: str):
     """VerboseUnparsedAtomHandler diagnosis as columns (reference
     analysis/UnparsedAtomHandlers.py:75-100 over DebugMatchContext,
@@ -3350,6 +3414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_schema_events": q_json_schema_events,
         "xml_extract_events": q_xml_extract_events,
         "line_model_events": q_line_model_events,
+        "value_branch_model_events": q_value_branch_model_events,
         "unparsed_diagnosis_events": q_unparsed_diagnosis_events,
         "sshd_model_events": q_sshd_model_events,
         "audispd_model_events": q_audispd_model_events,
@@ -3921,6 +3986,22 @@ SELECT event_id,
        CASE WHEN event_id % 11 != 0 THEN event_type ELSE '' END AS t,
        CASE WHEN event_id % 11 != 0 THEN event_id % 1000 END AS k,
        CASE WHEN event_id % 11 != 0 AND event_id % 3 = 0 THEN user_id * 2 END AS x
+FROM events""",
+        "value_branch_model_events": """
+SELECT event_id,
+  coalesce(event_type IN ('click', 'error', 'purchase'), FALSE) AS parse_ok,
+  CASE WHEN event_type = 'click' THEN 'add'
+       WHEN event_type = 'error' THEN 'del'
+       WHEN event_type = 'purchase' THEN '<default>'
+       ELSE '' END AS op_branch,
+  CASE WHEN event_type = 'click' THEN 'add'
+       WHEN event_type = 'error' THEN 'del'
+       WHEN event_type = 'purchase' THEN 'mul'
+       ELSE '' END AS opv,
+  CASE WHEN event_type = 'click' THEN user_id END AS a,
+  CASE WHEN event_type = 'click' THEN event_id % 1000 END AS b,
+  CASE WHEN event_type = 'error' THEN user_id END AS i,
+  CASE WHEN event_type = 'purchase' THEN user_id END AS x
 FROM events""",
         "datetime_parse_events": """
 SELECT event_id,

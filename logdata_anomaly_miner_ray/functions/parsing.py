@@ -602,6 +602,12 @@ def line_model_regex(spec: list[tuple]) -> tuple[str, list[tuple[str, str, objec
         name, kind = entry[0], entry[1]
         arg = entry[2] if len(entry) > 2 else None
         optional = False
+        if kind == "branch":
+            raise ValueError(
+                "'branch' entries need per-row dispatch — use parse_lines "
+                "(ElementValueBranchModelElement recast), not a single "
+                "compiled pattern"
+            )
         if kind == "optional":
             optional = True
             inner = arg
@@ -708,6 +714,18 @@ def parse_lines(
     timestamp[us]. Rows that do not match the model keep nulls and
     ``parse_ok = false`` (the reference's unparsed-atom path).
 
+    A spec may carry ONE ``("name", "branch", (value_entry,
+    branch_dict, default_spec))`` entry — the
+    ElementValueBranchModelElement recast (reference:
+    aminer/parsing/ElementValueBranchModelElement.py:22-88): the
+    value leaf parses first, its STRING value selects the follow-on
+    sub-spec from ``branch_dict`` (``default_spec`` on miss, fail
+    when None), and the row matches only if the selected branch's
+    full pattern does — a failed branch NEVER falls back to another
+    (the reference's possessive value parse). Adds a
+    ``{name}_branch`` column naming the winning key. Not combinable
+    with ``diagnose=True``.
+
     ``diagnose=True`` adds the VerboseUnparsedAtomHandler columns
     (reference analysis/UnparsedAtomHandlers.py:75-100 over
     parsing/MatchContext.py:47-104 DebugMatchContext): for each
@@ -718,9 +736,15 @@ def parse_lines(
     reference's shortest_unmatched_data). Parsed rows keep nulls.
     Cost: up to len(spec) extra vectorized extractions over ONLY the
     failed subset of each block."""
+    if any(e[1] == "branch" for e in spec):
+        if diagnose:
+            raise ValueError("diagnose=True is not supported with a "
+                             "'branch' entry")
+        fn = _make_branch_parse(spec, line_col)
+    else:
+        fn = _make_parse(spec, line_col, diagnose=diagnose)
     return ds.map_batches(
-        _make_parse(spec, line_col, diagnose=diagnose),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
 
@@ -828,6 +852,136 @@ def _make_parse(spec: list[tuple], line_col: str, diagnose: bool = False):
             elif tag == "repeated":
                 vals = _split_repeated(vals, arg)
             out = out.append_column(name, vals)
+        return out
+
+    return parse
+
+
+def _cast_field(vals, tag: str, arg):
+    """Typed cast for one captured field — the shared tail of every
+    parse path (empty-capture guard + per-tag conversion)."""
+    if tag in ("int", "float"):
+        vals = pc.if_else(
+            pc.equal(vals, ""), pa.scalar(None, pa.string()), vals
+        )
+    if tag == "int":
+        return pc.cast(vals, pa.int64(), safe=False)
+    if tag == "float":
+        return pc.cast(vals, pa.float64(), safe=False)
+    if tag == "ipv4":
+        return parse_ipv4(vals)
+    if tag == "ipv6":
+        return parse_ipv6(vals)
+    if tag == "hex":
+        return parse_hex(vals)
+    if tag == "datetime":
+        return parse_datetime(vals, arg or "%Y-%m-%d %H:%M:%S")
+    if tag == "repeated":
+        return _split_repeated(vals, arg)
+    return vals
+
+
+def _make_branch_parse(spec: list[tuple], line_col: str):
+    """Compile a spec carrying one 'branch' entry (see parse_lines
+    docstring) into a per-batch dispatch: one value-probe extraction
+    selects each row's branch, then one anchored extraction per
+    branch variant runs and is masked to its rows. A row whose
+    selected branch pattern fails is unparsed — there is NO fallback
+    to other branches or the default (reference
+    ElementValueBranchModelElement.py:85-88: branch_match None →
+    whole element None)."""
+    import re as _re
+
+    bidx = [i for i, e in enumerate(spec) if e[1] == "branch"]
+    if len(bidx) != 1:
+        raise ValueError("exactly one 'branch' entry per spec")
+    i = bidx[0]
+    bname = spec[i][0]
+    value_entry, branch_dict, default_spec = spec[i][2]
+    pre, post = list(spec[:i]), list(spec[i + 1:])
+    pre_pat, pre_fields = line_model_regex(pre)
+    pre_frag = pre_pat[1:-1]
+    post_pat, post_fields = line_model_regex(post)
+    post_frag = post_pat[1:-1]
+    v_pat, v_fields = line_model_regex([value_entry])
+    if len(v_fields) != 1:
+        raise ValueError(
+            "the branch value leaf must be a single capturing kind "
+            "(not 'fixed') — the reference dispatches on its value"
+        )
+    v_frag = v_pat[1:-1]
+    (v_name, v_tag, v_arg), = v_fields
+
+    # variant = (key, full anchored pattern, branch-specific fields)
+    variants: list[tuple[str | None, str, list[tuple]]] = []
+    for key, sub in branch_dict.items():
+        sub_pat, sub_fields = line_model_regex(sub)
+        kv = f"(?P<{v_name}>{_re.escape(key)})"
+        variants.append(
+            (key, "^" + pre_frag + kv + sub_pat[1:-1] + post_frag + "$",
+             sub_fields)
+        )
+    if default_spec is not None:
+        d_pat, d_fields = line_model_regex(default_spec)
+        variants.append(
+            (None, "^" + pre_frag + v_frag + d_pat[1:-1] + post_frag + "$",
+             d_fields)
+        )
+    keys = [k for k, _, _ in variants if k is not None]
+    probe = "^" + pre_frag + v_frag
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = batch[line_col]
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            col = pc.cast(col, pa.large_string())
+        s = pc.fill_null(pc.cast(col, pa.string()), "")
+        n = len(s)
+        probe_ex = pc.extract_regex(s, probe)
+        valnp = pc.struct_field(probe_ex, v_name).to_numpy(
+            zero_copy_only=False)
+        known = np.zeros(n, dtype=bool)
+        for k in keys:
+            known |= valnp == k
+        parsed_probe = np.array([v is not None for v in valnp])
+
+        ok_total = np.zeros(n, dtype=bool)
+        blabel = np.full(n, None, dtype=object)
+        merged: dict[str, pa.Array] = {}
+        tags: dict[str, tuple[str, object]] = {}
+        for key, pattern, sub_fields in variants:
+            mask = (valnp == key) if key is not None \
+                else (parsed_probe & ~known)
+            if key is None and default_spec is None:
+                continue
+            ex = pc.extract_regex(s, pattern)
+            win = pc.is_valid(ex).to_numpy(zero_copy_only=False) & mask
+            ok_total |= win
+            blabel[win] = key if key is not None else "<default>"
+            win_arr = pa.array(win)
+            for fname, tag, arg in (
+                pre_fields + [(v_name, v_tag, v_arg)] + sub_fields
+                + post_fields
+            ):
+                vals = _cast_field(pc.struct_field(ex, fname), tag, arg)
+                if fname in merged:
+                    if tags[fname][0] != tag:
+                        raise ValueError(
+                            f"field {fname!r} has conflicting kinds "
+                            f"across branches"
+                        )
+                    merged[fname] = pc.if_else(
+                        win_arr, vals, merged[fname])
+                else:
+                    merged[fname] = pc.if_else(
+                        win_arr, vals, pa.nulls(n, type=vals.type))
+                    tags[fname] = (tag, arg)
+        out = batch.append_column("parse_ok", pa.array(ok_total))
+        out = out.append_column(
+            f"{bname}_branch", pa.array(blabel, pa.string()))
+        for fname, arr in merged.items():
+            out = out.append_column(fname, arr)
         return out
 
     return parse

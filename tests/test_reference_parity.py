@@ -3376,3 +3376,91 @@ def test_parallel_rule_match_action_parity(aminer_env):
     assert rows(a1) == len(rec1.events)
     assert rows(a2) == len(rec2.events)
     assert rows(ap) == len(rec_p.events) == sum(ref_matches)
+
+
+def test_element_value_branch_parity(ray_session):
+    """Reference ElementValueBranchModelElement
+    (parsing/ElementValueBranchModelElement.py:22-88) vs the 'branch'
+    spec kind: identical full-line match verdicts, winning branch,
+    and extracted leaf values — including the possessive no-fallback
+    case (selected branch fails → whole element fails even though the
+    default would match)."""
+    import ray.data as rd
+
+    from aminer.parsing.DecimalIntegerValueModelElement import (
+        DecimalIntegerValueModelElement,
+    )
+    from aminer.parsing.ElementValueBranchModelElement import (
+        ElementValueBranchModelElement,
+    )
+    from aminer.parsing.FixedDataModelElement import FixedDataModelElement
+    from aminer.parsing.MatchContext import MatchContext
+    from aminer.parsing.SequenceModelElement import SequenceModelElement
+    from aminer.parsing.WhiteSpaceLimitedDataModelElement import (
+        WhiteSpaceLimitedDataModelElement,
+    )
+
+    from logdata_anomaly_miner_ray.functions.parsing import parse_lines
+
+    ref = SequenceModelElement("m", [
+        FixedDataModelElement("f0", b"op="),
+        ElementValueBranchModelElement(
+            "op",
+            WhiteSpaceLimitedDataModelElement("opv"),
+            None,
+            {
+                "add": SequenceModelElement("badd", [
+                    FixedDataModelElement("f1", b" a="),
+                    DecimalIntegerValueModelElement("a"),
+                    FixedDataModelElement("f2", b" b="),
+                    DecimalIntegerValueModelElement("b"),
+                ]),
+                "del": SequenceModelElement("bdel", [
+                    FixedDataModelElement("f3", b" id="),
+                    DecimalIntegerValueModelElement("i"),
+                ]),
+            },
+            default_branch=SequenceModelElement("bdef", [
+                FixedDataModelElement("f4", b" x="),
+                DecimalIntegerValueModelElement("x"),
+            ]),
+        ),
+    ])
+    spec = [
+        ("f0", "fixed", "op="),
+        ("op", "branch", (
+            ("opv", "word"),
+            {
+                "add": [("f1", "fixed", " a="), ("a", "int"),
+                        ("f2", "fixed", " b="), ("b", "int")],
+                "del": [("f3", "fixed", " id="), ("i", "int")],
+            },
+            [("f4", "fixed", " x="), ("x", "int")],
+        )),
+    ]
+    lines = [
+        "op=add a=1 b=2",
+        "op=del id=9",
+        "op=zzz x=4",
+        "op=add x=4",          # possessive: no fallback to default
+        "op=del a=1 b=2",
+        "garbage",
+        "op=add a=0 b=10",
+        "op=add a=01 b=2",     # leading zero rejected by DecimalInteger
+        "op=",                 # empty value
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())}))
+    got = parse_lines(ds, spec).to_pandas()
+    for i, line in enumerate(lines):
+        d = line.encode()
+        me = ref.get_match_element("x", MatchContext(d))
+        full = me is not None and me.match_string == d
+        assert bool(got.loc[i, "parse_ok"]) == full, (line, full)
+        if not full:
+            assert got.loc[i, "op_branch"] is None
+            continue
+        leaf = _leaf_values(me)
+        assert got.loc[i, "opv"] == leaf["opv"].decode()
+        for f in ("a", "b", "i", "x"):
+            if f in leaf:
+                assert int(got.loc[i, f]) == int(leaf[f]), (line, f)

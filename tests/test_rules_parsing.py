@@ -467,3 +467,67 @@ def test_json_schema_validate_batch_and_spec_validation():
     js = JsonSchema({"optional_key_+a": int, "+optional_key_b": int})
     assert js.check_document("{}") is None
     assert js.check_document('{"a": null, "b": null}') is None
+
+
+def test_element_value_branch_dispatch():
+    """ElementValueBranchModelElement recast: the parsed value picks
+    the branch; a failed selected branch NEVER falls back (possessive
+    value parse), lookup miss uses the default spec."""
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.functions.parsing import (
+        line_model_regex,
+        parse_lines,
+    )
+
+    spec = [
+        ("f0", "fixed", "op="),
+        ("op", "branch", (
+            ("opv", "word"),
+            {
+                "add": [("f1", "fixed", " a="), ("a", "int"),
+                        ("f2", "fixed", " b="), ("b", "int")],
+                "del": [("f3", "fixed", " id="), ("i", "int")],
+            },
+            [("f4", "fixed", " x="), ("x", "int")],   # default branch
+        )),
+    ]
+    lines = [
+        "op=add a=1 b=2",     # add branch
+        "op=del id=9",        # del branch
+        "op=zzz x=4",         # lookup miss → default
+        "op=add x=4",         # selected 'add' FAILS → no default fallback
+        "op=del a=1 b=2",     # selected 'del' FAILS
+        "garbage",            # value probe fails
+        "op=add a=0 b=10",    # leading-zero-free ints still parse
+    ]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines)})).repartition(2)
+    out = parse_lines(ds, spec).to_pandas().sort_values("line").reset_index(drop=True)
+    by = {r["line"]: r for _, r in out.iterrows()}
+    r = by["op=add a=1 b=2"]
+    assert r["parse_ok"] and r["op_branch"] == "add"
+    assert r["opv"] == "add" and r["a"] == 1 and r["b"] == 2
+    r = by["op=del id=9"]
+    assert r["parse_ok"] and r["op_branch"] == "del" and r["i"] == 9
+    r = by["op=zzz x=4"]
+    assert r["parse_ok"] and r["op_branch"] == "<default>"
+    assert r["opv"] == "zzz" and r["x"] == 4
+    for bad in ("op=add x=4", "op=del a=1 b=2", "garbage"):
+        assert not by[bad]["parse_ok"] and by[bad]["op_branch"] is None
+    r = by["op=add a=0 b=10"]
+    assert r["parse_ok"] and r["a"] == 0 and r["b"] == 10
+
+    # no default: miss → unparsed
+    spec_nd = [("f0", "fixed", "op="),
+               ("op", "branch", (("opv", "word"),
+                                 {"add": [("f1", "fixed", " a="),
+                                          ("a", "int")]}, None))]
+    out2 = parse_lines(
+        rd.from_arrow(pa.table({"line": ["op=zzz x=4", "op=add a=3"]})),
+        spec_nd).to_pandas().set_index("line")
+    assert not out2.loc["op=zzz x=4", "parse_ok"]
+    assert out2.loc["op=add a=3", "parse_ok"]
+
+    # a 'branch' entry cannot reach the single-pattern compiler
+    with pytest.raises(ValueError, match="branch"):
+        line_model_regex(spec)
