@@ -151,6 +151,7 @@ def semdedup(
     k: int = 10,
     n_iter: int = 2,
     cosine_threshold: float = 0.45,
+    hard_cap: int = 100_000,
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
     embeddings, then WITHIN each cluster drop every vector whose
@@ -168,6 +169,10 @@ def semdedup(
     k is chosen ∝ corpus size so clusters stay worker-sized (the
     paper uses 50k clusters for LAION-440M). Cluster-id groups are
     exactly k, so the groupby fan-in is bounded by construction.
+    ``hard_cap`` guards the quadratic: a degenerate embedding
+    distribution (one giant cluster) aborts with instructions to
+    raise k rather than silently blowing one map_groups task (the
+    editdist hard_cap contract).
     """
     _, cent = kmeans_assign(ds, emb_col, id_col, k=k, n_iter=n_iter)
     cref = ray.put(cent)
@@ -197,6 +202,14 @@ def semdedup(
     import pandas as pd
 
     def prune(g: pd.DataFrame) -> pa.Table:
+        if len(g) > hard_cap:
+            raise ValueError(
+                f"semdedup: cluster {int(g['cluster'].iloc[0])} has "
+                f"{len(g)} members > hard_cap={hard_cap}; the in-cluster "
+                f"pass is O(m²) — raise k so clusters stay worker-sized "
+                f"(SemDeDup uses k ∝ corpus size), or raise hard_cap "
+                f"deliberately"
+            )
         ids = g[id_col].to_numpy(np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]

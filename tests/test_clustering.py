@@ -135,3 +135,26 @@ def test_kmeans_empty_cluster_keeps_centroid():
     want_a, want_c = _replay(ids, emb, 3, 2)
     assert (a == want_a).all()
     np.testing.assert_allclose(cent, want_c, rtol=1e-12)
+
+
+def test_semdedup_hard_cap_aborts_on_degenerate_cluster():
+    """One giant cluster (identical embeddings) must ABORT with the
+    raise-k instruction instead of running an O(m²) pass on a single
+    worker; a generous cap still succeeds on the same input."""
+    import pytest
+
+    from logdata_anomaly_miner_ray.stages.clustering import semdedup
+
+    n = 40
+    ids = np.arange(n, dtype=np.int64)
+    emb = np.ones((n, 4), dtype=np.float64)  # all rows identical
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+    ).repartition(3)
+    with pytest.raises(Exception, match="hard_cap"):
+        semdedup(ds, "embedding", "vec_id", k=2, n_iter=1,
+                 hard_cap=10).materialize()
+    out = semdedup(ds, "embedding", "vec_id", k=2, n_iter=1,
+                   hard_cap=1000).to_pandas()
+    assert len(out) == n and int(out["keep"].sum()) == 1
