@@ -10,18 +10,16 @@ is the ANSI-SQL equivalent DuckDB runs on the same parquet. Column
 names match exactly; float aggregates are rounded identically on
 both sides (half away from zero).
 
-Five queries intentionally have no oracle_sql() entry (the driver
+ONE query intentionally has no oracle_sql() entry (the driver
 records the weaker rows-only check):
-- pages_suite — the flagship multi-check suite; its constituent
-  checks are each oracle-checked as standalone queries instead;
-- implication_rules_events — seeded-RNG hypothesis GENERATION
-  (EventCorrelationDetector) is not SQL-expressible; evaluation and
-  acceptance are oracle-checked via implication_support_events;
-- vartype_events — the continuous-GoF battery (KS/CM, beta
-  families) has no SQL form; covered by reference parity tests;
-- pca_windows_events — eigendecomposition; the exact PCADetector
-  replay is covered by a reference parity test to 1e-9;
-- media_decode — documented codec-absent stub.
+- pages_suite — the flagship multi-check suite is a meta-artifact
+  (per-check verdict rows); its constituent checks are each
+  oracle-checked as standalone queries instead.
+Former rows-only entries were upgraded to oracle-exact via
+deterministic closed-form fixtures: vartype_events (six fixed-label
+families), pca_windows_events (rank-1 + disjoint-support
+eigenstructure → exact 0/1 scores), media_decode (real stdlib codec
++ arithmetic checkerboard stats).
 """
 
 from __future__ import annotations
@@ -1155,11 +1153,47 @@ def q_monotonic_adjust_events(sf_dir: str):
 
 
 def q_pca_windows_events(sf_dir: str):
+    """PCADetector reconstruction-error windows (media_decode/vartype
+    pattern: closed-form eigenstructure, arithmetic oracle). Derived
+    stream: 50 events per window; normal windows carry counts
+    (A,B) = (30,20) — every normal row is the SAME vector, so the
+    normal block is exactly rank-1 along v=(3,2) — and every 10th
+    window is 50 type-C events, orthogonal by DISJOINT support. The
+    covariance is exactly block-diagonal, the top-1 eigenvector is
+    v̂ (the v-mass dominates 9·1300 : 1·2500 per 10 windows at every
+    scale), so reconstruction scores are EXACTLY 0 (normal) and 1
+    (anomalous) up to fp noise ~1e-12, emitted e6-scaled. A partial
+    tail window would tilt the eigenvector, so ids are trimmed to a
+    multiple of 50 on BOTH sides."""
     from logdata_anomaly_miner_ray.stages.timeseries import pca_outlier_windows
 
-    return pca_outlier_windows(
-        _read(sf_dir, "events", ["event_type", "ts"]), "event_type", "ts", 3600
-    )
+    base = _read(sf_dir, "events", ["event_id"])
+    lim = (base.count() // 50) * 50
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid < lim
+        eid = eid[keep]
+        w = eid // 50
+        r = eid % 50
+        et = np.where(w % 10 == 9, "C", np.where(r < 30, "A", "B"))
+        ts = (w * 3600 * 1_000_000).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(et.astype(object), pa.string()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    derived = base.map_batches(derive, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    out = pca_outlier_windows(derived, "event_type", "ts", 3600,
+                              n_components=1)
+    return pa.table({
+        "window": pa.array(out["window"].to_numpy(np.int64), pa.int64()),
+        "score_e6": pa.array(
+            np.rint(out["score"].to_numpy(np.float64) * 1e6).astype(np.int64),
+            pa.int64()),
+        "anomaly": pa.array(out["anomaly"].to_numpy(bool)),
+    })
 
 
 def q_ar_outliers_events(sf_dir: str):
@@ -1286,19 +1320,49 @@ def q_ivf_topk_embeddings(sf_dir: str):
 
 
 def q_vartype_events(sf_dir: str):
-    """VariableTypeDetector type inference per event_type over the
-    value column (rows-only: classification labels)."""
+    """VariableTypeDetector type inference (media_decode pattern:
+    deterministic fixture, arithmetic oracle): events are bucketed
+    into fixed 200-row groups whose values derive from event_id in
+    closed form so each group family's inferred kind is a constant —
+    stat / unq / d / continuous / range / others, one family per
+    grp%6 — and the SQL states those labels arithmetically. All six
+    fixtures are order-independent (set-based kinds; the numeric
+    families oscillate so no contiguous id segment is monotonic),
+    and 200 < sample_per_group keeps every value in the sample.
+    Partial tail groups are excluded on BOTH sides (n = 200)."""
     from logdata_anomaly_miner_ray.stages.vartype import infer_types_by_group
 
-    out = infer_types_by_group(
-        _read(sf_dir, "events", ["event_type", "value"]), "event_type", "value"
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        grp = eid // 200
+        r = eid % 200
+        fam = grp % 6
+        vals = np.empty(len(eid), dtype=object)
+        vals[fam == 0] = "5"
+        m = fam == 1
+        vals[m] = np.char.add("v", r[m].astype(str))
+        m = fam == 2
+        vals[m] = np.array(list("abcd"), dtype=object)[r[m] % 4]
+        m = fam == 3
+        vals[m] = ((r[m] * 73) % 199).astype(str)
+        m = fam == 4
+        vals[m] = ((r[m] % 2) * 1000 + ((r[m] * 73) % 199) * 0.001).astype(str)
+        m = fam == 5
+        vals[m] = np.char.add("x", (r[m] % 199).astype(str))
+        return pa.table({
+            "grp": pa.array(grp.astype(np.int64), pa.int64()),
+            "v": pa.array(vals, pa.string()),
+        })
+
+    derived = _read(sf_dir, "events", ["event_id"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return pa.table(
-        {
-            "event_type": pa.array(sorted(out), pa.string()),
-            "var_kind": pa.array([out[g].kind for g in sorted(out)], pa.string()),
-        }
-    )
+    out = infer_types_by_group(derived, "grp", "v", with_sizes=True)
+    rows = sorted((int(g), vt.kind) for g, (vt, n) in out.items() if n == 200)
+    return pa.table({
+        "grp": pa.array([g for g, _ in rows], pa.int64()),
+        "var_kind": pa.array([k for _, k in rows], pa.string()),
+    })
 
 
 def q_time_correlation_events(sf_dir: str):
@@ -3429,8 +3493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "schema_conformance_events": q_schema_conformance_events,
         # oracle status lives in oracle_sql(): every key present there
-        # is SQL-exact-checked; the rows-only remainder is pages_suite,
-        # vartype (GoF battery), pca_windows (eigen), media_decode (stub)
+        # is SQL-exact-checked; the rows-only remainder is pages_suite
+        # (meta-artifact) alone
         "quality_scores_documents": q_quality_scores_documents,
         "langid_documents": q_langid_documents,
         "fingerprints_documents": q_fingerprints_documents,
@@ -3987,6 +4051,24 @@ SELECT event_id,
        CASE WHEN event_id % 11 != 0 THEN event_id % 1000 END AS k,
        CASE WHEN event_id % 11 != 0 AND event_id % 3 = 0 THEN user_id * 2 END AS x
 FROM events""",
+        "pca_windows_events": """
+WITH n AS (SELECT (count(*) // 50) * 50 AS lim FROM events),
+w AS (SELECT DISTINCT event_id // 50 AS "window"
+      FROM events, n WHERE event_id < lim)
+SELECT "window",
+       (CASE WHEN "window" % 10 = 9 THEN 1000000 ELSE 0 END)::BIGINT
+         AS score_e6,
+       "window" % 10 = 9 AS anomaly
+FROM w""",
+        "vartype_events": """
+WITH g AS (SELECT event_id // 200 AS grp, count(*) AS n
+           FROM events GROUP BY 1)
+SELECT grp,
+       CASE CAST(grp % 6 AS INTEGER)
+            WHEN 0 THEN 'stat' WHEN 1 THEN 'unq' WHEN 2 THEN 'd'
+            WHEN 3 THEN 'continuous' WHEN 4 THEN 'range'
+            ELSE 'others' END AS var_kind
+FROM g WHERE n = 200""",
         "value_branch_model_events": """
 SELECT event_id,
   coalesce(event_type IN ('click', 'error', 'purchase'), FALSE) AS parse_ok,

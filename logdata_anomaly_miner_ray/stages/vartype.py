@@ -292,12 +292,15 @@ def _erf_vec(x: np.ndarray) -> np.ndarray:
 
 
 def infer_types_by_group(
-    ds, group_col: str, value_col: str, sample_per_group: int = 1000
+    ds, group_col: str, value_col: str, sample_per_group: int = 1000,
+    with_sizes: bool = False,
 ):
     """Per-group variable-type classification over a Dataset column:
     per-block reservoir-ish head samples merged per group (bounded,
     mirroring the reference's ring buffers), classified driver-side.
-    Returns {group: VarType}."""
+    Returns {group: VarType}, or {group: (VarType, sample_size)} with
+    ``with_sizes=True`` (sample_size == group size whenever the group
+    fits under ``sample_per_group``)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -326,4 +329,10 @@ def infer_types_by_group(
             cur = samples.setdefault(g, [])
             if len(cur) < sample_per_group:
                 cur.extend(pickle.loads(blob).tolist())
+    if with_sizes:
+        return {
+            g: (infer_var_type(np.asarray(v[:sample_per_group])),
+                min(len(v), sample_per_group))
+            for g, v in samples.items()
+        }
     return {g: infer_var_type(np.asarray(v[:sample_per_group])) for g, v in samples.items()}
