@@ -975,6 +975,40 @@ def q_allowlist_rules_events(sf_dir: str):
     )
 
 
+def q_multisource_merge_events(sf_dir: str):
+    """SimpleMultisourceAtomSync recast (reference
+    input/SimpleMultisourceAtomSync.py:19-126): events split into 3
+    sources (event_id % 3), each with a derived ts stream carrying
+    planted regressions (every 17th event shifted back an hour) so
+    the per-source unsorted flag exercises; merged oldest-first order
+    + position + watermark + flag, all integer-us arithmetic. Oracle
+    = row_number over the same merged order + window running max."""
+    from logdata_anomaly_miner_ray.stages.multisource import multisource_merge
+
+    base = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def mk(i: int):
+        def f(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = eid % 3 == i
+            ts_us = us[keep] - np.where(eid[keep] % 17 == 0,
+                                        3_600_000_000, 0)
+            return pa.table({
+                "seq": pa.array(eid[keep], pa.int64()),
+                "ts": pa.array(ts_us.astype(np.int64), pa.int64()),
+            })
+
+        return f
+
+    sources = {
+        str(i): base.map_batches(mk(i), batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+        for i in range(3)
+    }
+    return multisource_merge(sources, ts_col="ts", seq_col="seq")
+
+
 def q_value_dependent_rules_events(sf_dir: str):
     """Value-dependent rule predicates (Rules.py:277,688): the
     delegate rule / modulo-time window is selected per row by the
@@ -3485,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datetime_parse_events": q_datetime_parse_events,
         "allowlist_rules_events": q_allowlist_rules_events,
         "value_dependent_rules_events": q_value_dependent_rules_events,
+        "multisource_merge_events": q_multisource_merge_events,
         "implication_support_events": q_implication_support_events,
         "mean_shift_events": q_mean_shift_events,
         "sessions_events": q_sessions_events,
@@ -4095,6 +4130,19 @@ FROM events""",
 SELECT event_id FROM events
 WHERE NOT (event_type IN ('click', 'view', 'purchase')
            OR (value >= 0.0 AND value <= 100.0))""",
+        "multisource_merge_events": """
+WITH s AS (
+  SELECT CAST(event_id % 3 AS VARCHAR) AS src, event_id AS seq,
+         epoch_us(ts) - CASE WHEN event_id % 17 = 0
+                             THEN 3600000000 ELSE 0 END AS ts_us
+  FROM events)
+SELECT src, seq, ts_us,
+       row_number() OVER (ORDER BY ts_us, src, seq) - 1 AS merge_pos,
+       ts_us AS watermark_us,
+       coalesce(ts_us < max(ts_us) OVER (PARTITION BY src ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), FALSE)
+         AS src_unsorted
+FROM s""",
         "value_dependent_rules_events": """
 WITH f AS (
   SELECT event_id,
