@@ -349,9 +349,11 @@ def dup_span_rewrite(
     (all-duplicate and zero-token documents are dropped). A window
     repeated only WITHIN one document is kept.
 
-    Scale shape: window identity is the 128-bit ``(h1, h2, wlen)``
-    from ``functions.text.window_hashes``. Pass A explodes one narrow
-    row per (doc, window position) under a coarse gram bucket; one
+    Scale shape: window identity is ``(h1, h2<<4|wlen)`` — the
+    124-bit packing of ``functions.text.window_hashes``'s 128-bit +
+    length identity (shuffle bytes 48 → 28 B/row, envelope-asserted).
+    Pass A explodes one narrow row per (doc, window position) packed
+    as ``id<<24|ord`` under a coarse gram bucket; one
     ``map_groups`` finds windows with ≥ 2 distinct docs and emits
     ONLY the duplicated (doc, window-ordinal) pairs. Pass B rewrites:
     below ``broadcast_dup_limit`` the dup-position pairs broadcast
@@ -365,33 +367,47 @@ def dup_span_rewrite(
     from .bloom import _pair_member_mask, _sorted_pairs
     from .dedup import _dedup_trace
 
+    if not 1 <= w < 16:
+        raise ValueError("dup_span_rewrite: w must be in [1, 15] "
+                         "(window length packs into 4 bits)")
+
+    # shuffle-byte packing (round-4 verdict item: the 5M drill was
+    # spill-bound on ~48 B/row): window identity (h1, h2, wl) packs to
+    # (h1, h2<<4|wl) — a 124-bit identity, still far beyond collision
+    # range — and position (id, ord) packs to id<<24|ord, with bm25-
+    # style envelope asserts. 28 B/row with an int32 bucket key.
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         h1, h2, wlen, word, rid = window_hashes(batch[text_col], w)
         h1i = h1.view(np.int64)
+        docids = ids[rid].astype(np.int64)
+        if len(docids):
+            assert docids.min() >= 0 and docids.max() < 2**39, \
+                "dup_span_rewrite: doc ids must fit 39 bits"
+            assert word.max() < 2**24, \
+                "dup_span_rewrite: >16M windows in one doc"
+        h2w = (h2 << np.uint64(4)) | wlen.astype(np.uint64)
+        ido = (docids << np.int64(24)) | word.astype(np.int64)
         return pa.table(
             {
-                "gk": pa.array(h1i % np.int64(n_sub_buckets), pa.int64()),
+                "gk": pa.array((h1i % np.int64(n_sub_buckets)).astype(np.int32),
+                               pa.int32()),
                 "h1": pa.array(h1i, pa.int64()),
-                "h2": pa.array(h2.view(np.int64), pa.int64()),
-                "wl": pa.array(wlen, pa.int64()),
-                id_col: pa.array(ids[rid].astype(np.int64), pa.int64()),
-                "ord": pa.array(word, pa.int64()),
+                "h2w": pa.array(h2w.view(np.int64), pa.int64()),
+                "ido": pa.array(ido, pa.int64()),
             }
         )
 
     def find_dups(g: pd.DataFrame) -> pa.Table:
         h1 = g["h1"].to_numpy()
-        h2 = g["h2"].to_numpy()
-        wl = g["wl"].to_numpy()
-        ids = g[id_col].to_numpy()
-        ords = g["ord"].to_numpy()
-        order = np.lexsort((ords, ids, wl, h2, h1))
-        h1, h2, wl = h1[order], h2[order], wl[order]
-        ids, ords = ids[order], ords[order]
+        h2w = g["h2w"].to_numpy()
+        ido = g["ido"].to_numpy()
+        # packed ido sorts as (id, ord) — id-major by construction
+        order = np.lexsort((ido, h2w, h1))
+        h1, h2w, ido = h1[order], h2w[order], ido[order]
+        ids = ido >> 24
         new = np.concatenate(
-            [[True],
-             (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | (wl[1:] != wl[:-1])]
+            [[True], (h1[1:] != h1[:-1]) | (h2w[1:] != h2w[:-1])]
         )
         run_id = np.cumsum(new) - 1
         new_doc = new | np.concatenate([[True], ids[1:] != ids[:-1]])
@@ -399,7 +415,7 @@ def dup_span_rewrite(
         dup = ndoc[run_id] >= 2
         return pa.table(
             {id_col: pa.array(ids[dup], pa.int64()),
-             "ord": pa.array(ords[dup], pa.int64())}
+             "ord": pa.array(ido[dup] & np.int64(0xFFFFFF), pa.int64())}
         )
 
     from ._shuffle import shuffle_parallelism
@@ -576,10 +592,11 @@ def dup_span_coverage(
     with ≥1 gram (documents shorter than w tokens emit nothing).
 
     Scale shape: one explode pass emits ONE row per (document,
-    distinct gram) — ``(gk, h1, h2, id, cnt)`` where ``cnt`` is the
-    gram's position count within the document (documents never span
-    blocks, so per-(doc, gram) counts are already global) — keyed by
-    the coarse bucket ``gk = h1 % n_sub_buckets``. A single
+    distinct gram) — ``(gk:int32, h1, h2, id<<24|cnt)`` where ``cnt``
+    is the gram's position count within the document (documents never
+    span blocks, so per-(doc, gram) counts are already global; the
+    packing cuts shuffle bytes 40 → 28 B/row under envelope asserts)
+    — keyed by the coarse bucket ``gk = h1 % n_sub_buckets``. A single
     ``groupby(gk).map_groups`` detects cross-document grams (run
     length ≥ 2 over the sorted 128-bit keys: rows are unique per
     (doc, gram), so run length = distinct-doc count) and immediately
@@ -591,11 +608,13 @@ def dup_span_coverage(
     """
     from ..functions.text import shingle_hashes2
 
+    # shuffle-byte packing (see dup_span_rewrite): (id, cnt) packs to
+    # id<<24|cnt with envelope asserts; 28 B/row with an int32 bucket.
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         schema = {
-            "gk": pa.int64(), "h1": pa.int64(), "h2": pa.int64(),
-            id_col: pa.int64(), "cnt": pa.int64(),
+            "gk": pa.int32(), "h1": pa.int64(), "h2": pa.int64(),
+            "idc": pa.int64(),
         }
         h1, h2, rid = shingle_hashes2(batch[text_col], k=w)
         if len(h1) == 0:
@@ -609,13 +628,19 @@ def dup_span_coverage(
         cnt = np.diff(np.append(starts, len(h1)))
         h1, h2, rid = h1[starts], h2[starts], rid[starts]
         h1i = h1.view(np.int64)
+        docids = ids[rid].astype(np.int64)
+        assert docids.min() >= 0 and docids.max() < 2**39, \
+            "dup_span_coverage: doc ids must fit 39 bits"
+        assert cnt.max() < 2**24, \
+            "dup_span_coverage: one gram repeats >16M times in a doc"
         return pa.table(
             {
-                "gk": pa.array(h1i % np.int64(n_sub_buckets), pa.int64()),
+                "gk": pa.array((h1i % np.int64(n_sub_buckets)).astype(np.int32),
+                               pa.int32()),
                 "h1": pa.array(h1i, pa.int64()),
                 "h2": pa.array(h2.view(np.int64), pa.int64()),
-                id_col: pa.array(ids[rid].astype(np.int64), pa.int64()),
-                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "idc": pa.array((docids << np.int64(24)) | cnt.astype(np.int64),
+                                pa.int64()),
             }
         )
 
@@ -632,8 +657,9 @@ def dup_span_coverage(
         order = np.lexsort((g["h2"].to_numpy(), g["h1"].to_numpy()))
         h1 = g["h1"].to_numpy()[order]
         h2 = g["h2"].to_numpy()[order]
-        ids = g[id_col].to_numpy()[order]
-        cnt = g["cnt"].to_numpy()[order]
+        idc = g["idc"].to_numpy()[order]
+        ids = idc >> 24
+        cnt = idc & np.int64(0xFFFFFF)
         new = np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)

@@ -58,7 +58,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=[
         "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank",
-        "paradedup", "winnow", "snapdiff", "frontier"])
+        "paradedup", "winnow", "snapdiff", "frontier",
+        "kmeans", "semdedup", "ivf"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -71,6 +72,10 @@ def main(argv=None) -> int:
     ap.add_argument("--broadcast-limit", type=int, default=5_000_000,
                     help="paradedup: pass-B broadcast/shuffle tier cutover "
                          "(drop positions; ~16 B each when broadcast)")
+    ap.add_argument("--dim", type=int, default=16,
+                    help="embedding drills: vector dimension")
+    ap.add_argument("--kmeans-k", type=int, default=64,
+                    help="kmeans drill: cluster count")
     args = ap.parse_args(argv)
 
     _init()
@@ -210,6 +215,65 @@ def main(argv=None) -> int:
         t0 = time.time()
         n = politeness_manifest(ds, "url", "doc_id").count()
         rc = _result("frontier", n, t0, hosts=10007)
+    elif args.mode in ("kmeans", "semdedup", "ivf"):
+        # embedding-family drills: deterministic uniform vectors
+        # synthesized from row_idx via splitmix64 (no RNG state, so
+        # any partitioning reproduces the same table); pages files
+        # supply only the row count
+        import numpy as np
+
+        d = args.dim
+
+        def _noise(idx: np.ndarray) -> np.ndarray:
+            z = idx.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+            return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+        def embed(t: pa.Table) -> pa.Table:
+            r = t["row_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            flat = (r[:, None] * np.uint64(d)
+                    + np.arange(d, dtype=np.uint64)[None, :]).ravel()
+            emb = _noise(flat).reshape(len(r), d)
+            return pa.table({
+                "vec_id": pa.array(r.astype(np.int64), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            })
+
+        eds = rd.read_parquet(files, columns=["row_idx"]).map_batches(
+            embed, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        rows = rd.read_parquet(files, columns=["row_idx"]).count()
+        if args.mode == "kmeans":
+            from logdata_anomaly_miner_ray.stages.clustering import (
+                kmeans_assign,
+            )
+
+            t0 = time.time()
+            out, _ = kmeans_assign(eds, "embedding", "vec_id",
+                                   k=args.kmeans_k, n_iter=2)
+            n = out.count()
+            rc = _result("kmeans", n, t0, k=args.kmeans_k, dim=d)
+        elif args.mode == "semdedup":
+            from logdata_anomaly_miner_ray.stages.clustering import semdedup
+
+            k = max(64, rows // 2000)  # SemDeDup: k ∝ corpus size
+            t0 = time.time()
+            out = semdedup(eds, "embedding", "vec_id", k=k, n_iter=2)
+            n = out.count()
+            rc = _result("semdedup", n, t0, k=k, dim=d)
+        else:
+            from logdata_anomaly_miner_ray.stages.ann import ivf_topk
+
+            q = _noise((np.arange(16 * d, dtype=np.uint64)
+                        + np.uint64(10**15))).reshape(16, d)
+            qref = ray.put(q)
+            t0 = time.time()
+            out = ivf_topk(eds, "embedding", "vec_id", qref, dim=d,
+                           k=10, n_centroids=64, nprobe=8)
+            rc = _result("ivf", rows, t0, hits=len(out), dim=d,
+                         n_queries=16)
     elif args.mode == "extract":
         # north-star transform at scale: html -> visible text over
         # every page payload, one zero-copy RE2-chain pass
