@@ -580,6 +580,7 @@ def dup_span_coverage(
     w: int = 8,
     n_sub_buckets: int = 256,
     n_doc_buckets: int = 256,
+    broadcast_dup_limit: int = 10_000_000,
 ) -> "ray.data.Dataset":
     """Per-document duplicate-span coverage: of a document's w-gram
     positions, how many carry a gram occurring in ≥2 DISTINCT
@@ -591,23 +592,134 @@ def dup_span_coverage(
     positions and duplicated-gram positions — one row per document
     with ≥1 gram (documents shorter than w tokens emit nothing).
 
-    Scale shape: one explode pass emits ONE row per (document,
-    distinct gram) — ``(gk:int32, h1, h2, id<<24|cnt)`` where ``cnt``
-    is the gram's position count within the document (documents never
-    span blocks, so per-(doc, gram) counts are already global; the
-    packing cuts shuffle bytes 40 → 28 B/row under envelope asserts)
-    — keyed by the coarse bucket ``gk = h1 % n_sub_buckets``. A single
-    ``groupby(gk).map_groups`` detects cross-document grams (run
-    length ≥ 2 over the sorted 128-bit keys: rows are unique per
-    (doc, gram), so run length = distinct-doc count) and immediately
-    segment-sums per-document partials, so the duplicated-gram set
-    never materializes. A second coarse groupby on
-    ``id % n_doc_buckets`` sums partials into exact per-document
-    totals. Raw text never shuffles; shuffle volume is 5 int64s per
-    (doc, distinct gram).
-    """
-    from ..functions.text import shingle_hashes2
+    Two execution tiers, decided by the DUP-GRAM count (the
+    decontaminate shape):
 
+    - **broadcast tier** (≤ ``broadcast_dup_limit`` dup grams —
+      typical corpora): pass A shuffles per-block GRAM-COUNT partials
+      ``(gk:int32, h1, h2, nd)`` — one row per distinct gram per
+      block, pre-summed (documents never span blocks, so block
+      distinct-doc counts sum exactly) — one coarse groupby emits
+      only grams seen in ≥2 docs; the dup set broadcasts once
+      (``ray.put``, 16 B/gram) and pass B streams the corpus through
+      ONE shuffle-free membership pass. Doc-gram rows never shuffle.
+    - **scale tier** (dup-heavy corpora): the single keyed shuffle of
+      per-(doc, distinct gram) rows packed as ``(gk:int32, h1, h2,
+      id<<24|cnt)`` (28 B/row under envelope asserts); a
+      ``groupby(gk).map_groups`` detects cross-document grams by run
+      length over the sorted 128-bit keys and immediately
+      segment-sums per-document partials, so the dup-gram set never
+      materializes; a second coarse groupby on
+      ``id % n_doc_buckets`` sums the partials into exact
+      per-document totals. (Pass A runs first either way — its
+      reduced rows are the cheap census that picks the tier; a
+      dup-heavy corpus pays it once, trace via GRAFT_TRACE=1.)
+
+    Raw text never shuffles in either tier.
+    """
+    import ray
+
+    from ..functions.text import shingle_hashes2
+    from ._shuffle import shuffle_parallelism
+    from .bloom import _pair_member_mask, _sorted_pairs
+    from .dedup import _dedup_trace
+
+    # ---- pass A: per-block gram-count partials → dup-gram set ----
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        schema = {"gk": pa.int32(), "h1": pa.int64(), "h2": pa.int64(),
+                  "nd": pa.int64()}
+        h1, h2, rid = shingle_hashes2(batch[text_col], k=w)
+        if len(h1) == 0:
+            return pa.table({c: pa.array([], tp) for c, tp in schema.items()})
+        # distinct (doc, gram), then docs-per-gram within the block
+        order = np.lexsort((rid, h2, h1))
+        h1, h2, rid = h1[order], h2[order], rid[order]
+        new = (
+            np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+                            | (rid[1:] != rid[:-1])])
+        )
+        h1, h2 = h1[new], h2[new]
+        newg = np.concatenate(
+            [[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        )
+        starts = np.flatnonzero(newg)
+        nd = np.diff(np.append(starts, len(h1)))
+        h1, h2 = h1[starts], h2[starts]
+        h1i = h1.view(np.int64)
+        return pa.table({
+            "gk": pa.array((h1i % np.int64(n_sub_buckets)).astype(np.int32),
+                           pa.int32()),
+            "h1": pa.array(h1i, pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "nd": pa.array(nd.astype(np.int64), pa.int64()),
+        })
+
+    def dup_grams(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort((g["h2"].to_numpy(), g["h1"].to_numpy()))
+        h1 = g["h1"].to_numpy()[order]
+        h2 = g["h2"].to_numpy()[order]
+        nd = g["nd"].to_numpy()[order]
+        new = np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        run_id = np.cumsum(new) - 1
+        tot = np.bincount(run_id, weights=nd)
+        keep = new & (tot[run_id] >= 2)
+        return pa.table({"h1": pa.array(h1[keep], pa.int64()),
+                         "h2": pa.array(h2[keep], pa.int64())})
+
+    dup = (
+        ds.map_batches(gram_partials, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True)
+        .repartition(shuffle_parallelism())
+        .groupby("gk")
+        .map_groups(dup_grams, batch_format="pandas")
+    ).materialize()
+    n_dup_grams = dup.count()
+
+    if n_dup_grams <= broadcast_dup_limit:
+        _dedup_trace("dup_span_coverage: broadcast tier (%d dup grams)",
+                     n_dup_grams)
+        h1s, h2s = [], []
+        for b in dup.iter_batches(batch_format="pyarrow"):
+            h1s.append(b["h1"].to_numpy(zero_copy_only=False))
+            h2s.append(b["h2"].to_numpy(zero_copy_only=False))
+        pairs = _sorted_pairs(
+            np.concatenate(h1s).view(np.uint64) if h1s else np.zeros(0, np.uint64),
+            np.concatenate(h2s).view(np.uint64) if h2s else np.zeros(0, np.uint64),
+        )
+        pref = ray.put(pairs)
+
+        class Cover:
+            def __init__(self, pref, text_col, id_col, w):
+                self.pairs = ray.get(pref)
+                self.text_col, self.id_col, self.w = text_col, id_col, w
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                h1, h2, rid = shingle_hashes2(batch[self.text_col], k=self.w)
+                n = batch.num_rows
+                n_pos = np.bincount(rid, minlength=n)
+                hit = _pair_member_mask(self.pairs, h1, h2)
+                n_dup = np.bincount(rid[hit], minlength=n)
+                keep = n_pos >= 1
+                k = np.flatnonzero(keep)
+                return pa.table({
+                    self.id_col: batch[self.id_col].cast(pa.int64()).take(
+                        pa.array(k, pa.int64())),
+                    "n_pos": pa.array(n_pos[k].astype(np.int64), pa.int64()),
+                    "n_dup_pos": pa.array(n_dup[k].astype(np.int64),
+                                          pa.int64()),
+                })
+
+        from ._taskcache import cached_task_fn
+
+        return ds.map_batches(
+            cached_task_fn(Cover, cache_on=(pref, text_col, id_col, w),
+                           pref=pref, text_col=text_col, id_col=id_col, w=w),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+
+    _dedup_trace("dup_span_coverage: scale tier (%d dup grams)", n_dup_grams)
+
+    # ---- scale tier: single keyed shuffle of per-(doc, gram) rows ----
     # shuffle-byte packing (see dup_span_rewrite): (id, cnt) packs to
     # id<<24|cnt with envelope asserts; 28 B/row with an int32 bucket.
     def explode(batch: pa.Table) -> pa.Table:

@@ -85,8 +85,12 @@ def test_decontaminate_matches_brute_force(k):
 
 
 @pytest.mark.parametrize("w", [2, 3, 5])
-def test_dup_span_coverage_matches_brute_force(w):
-    out = dup_span_coverage(_ds(CORPUS), "text", "doc_id", w=w).to_pandas()
+@pytest.mark.parametrize("dup_limit", [10_000_000, 0])
+def test_dup_span_coverage_matches_brute_force(w, dup_limit):
+    # dup_limit=0 forces the scale tier (keyed doc-gram shuffle);
+    # the default takes the broadcast dup-gram tier — identical output
+    out = dup_span_coverage(_ds(CORPUS), "text", "doc_id", w=w,
+                            broadcast_dup_limit=dup_limit).to_pandas()
     got = {
         int(r.doc_id): (int(r.n_pos), int(r.n_dup_pos)) for r in out.itertuples()
     }
