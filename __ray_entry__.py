@@ -2049,6 +2049,20 @@ def q_bpe_learn_documents(sf_dir: str):
         _read(sf_dir, "documents", ["text"]), n_merges=3)
 
 
+def q_bpe_encode_documents(sf_dir: str):
+    """BPE tokenizer APPLICATION (stages/vocab.bpe_encode): the 3
+    learned merges applied to every word occurrence, one shuffle-free
+    pass with a per-block word-type cache. Oracle reuses the learn
+    oracle's unrolled CTEs: the post-merge symbol table s3 gives
+    per-word token counts, joined back onto the doc word stream."""
+    from logdata_anomaly_miner_ray.stages.vocab import bpe_encode, bpe_learn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    learned = bpe_learn(docs, n_merges=3)
+    merges = list(zip(learned["s1"].to_pylist(), learned["s2"].to_pylist()))
+    return bpe_encode(docs, merges)
+
+
 def q_editdist_pairs_documents(sf_dir: str):
     """Edit-distance-verified near-dup pairs (stages/editdist): the
     candidate rule is a 1-permutation MinHash LSH (same lang + same
@@ -3213,6 +3227,28 @@ s{k + 1} AS (SELECT word, cnt,
             + f"\nSELECT * FROM ({union}) ORDER BY step")
 
 
+def _bpe_encode_sql(n: int = 3) -> str:
+    """BPE tokenizer APPLICATION oracle: reuse the learn oracle's
+    unrolled CTEs verbatim — the post-merge symbol table s{n} IS the
+    encoded segmentation, so per-word token counts are its row
+    counts, joined back onto the per-doc word stream."""
+    learn = _bpe_learn_sql(n)
+    ctes = learn[: learn.index("\nSELECT * FROM (")]
+    return (
+        ctes
+        + f""",
+tl AS (SELECT word, count(*)::BIGINT AS ntok FROM s{n} GROUP BY 1),
+dw AS (SELECT doc_id, tok AS word
+       FROM (SELECT doc_id,
+                    unnest(regexp_split_to_array(text, '\\s+')) AS tok
+             FROM documents)
+       WHERE length(tok) >= 1)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(tl.ntok)::BIGINT AS n_bpe_tokens
+FROM dw JOIN tl USING (word) GROUP BY 1"""
+    )
+
+
 def _nib4_sql(md5_expr: str) -> str:
     """SQL for int(first 4 hex nibbles) of an md5() VARCHAR expr —
     the strpos-nibble idiom shared with the dsir oracle."""
@@ -3550,6 +3586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
         "bpe_learn_documents": q_bpe_learn_documents,
+        "bpe_encode_documents": q_bpe_encode_documents,
         "vocab_growth_documents": q_vocab_growth_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
@@ -5406,6 +5443,7 @@ FROM f a JOIN f b
   ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 24"""
     out["bpe_learn_documents"] = _bpe_learn_sql(3)
+    out["bpe_encode_documents"] = _bpe_encode_sql(3)
     out["robots_filter_documents"] = r"""
 WITH raw AS (
   SELECT doc_id,

@@ -467,6 +467,96 @@ def bpe_learn(
     })
 
 
+def bpe_encode(
+    ds: "ray.data.Dataset",
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_tokens: bool = False,
+) -> "ray.data.Dataset":
+    """Apply an ORDERED BPE merge list (``bpe_learn`` output) to every
+    whitespace word of the corpus — the tokenizer-application half of
+    BPE (Sennrich et al. 2016 §3: each merge rewrites all its
+    occurrences greedy left-to-right, in learned order; applying in
+    rank order equals lowest-rank-first because a pair's rank always
+    exceeds its constituents' ranks).
+
+    Returns one row per document with ≥1 word:
+    ``(id_col, n_words, n_bpe_tokens)`` — and, with
+    ``return_tokens=True``, a ``tokens`` list<string> column of the
+    document's symbol sequence in word order.
+
+    Scale shape: ONE shuffle-free pass; the merge list broadcasts via
+    ``ray.put`` (vocabulary-sized); within each block every DISTINCT
+    word encodes once (per-block type table via np.unique) and counts
+    scatter back through the inverse index — the corpus-sized work is
+    vectorized token splitting, never per-occurrence Python."""
+    import ray
+
+    from ._taskcache import cached_task_fn
+
+    mref = ray.put([tuple(m) for m in merges])
+
+    class Encode:
+        def __init__(self, mref, text_col, id_col, return_tokens):
+            self.merges = ray.get(mref)
+            self.text_col, self.id_col = text_col, id_col
+            self.return_tokens = return_tokens
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch[self.text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = pc.fill_null(pc.cast(col, pa.string()), "")
+            toks = pc.split_pattern_regex(col, _WS)
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False)
+            keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+                zero_copy_only=False)
+            words = np.asarray(flat.to_pylist(), dtype=object)[keep]
+            parent = parent[keep]
+            n = batch.num_rows
+            if len(words):
+                uniq, inv = np.unique(words, return_inverse=True)
+                enc = [_apply_merges(list(w), self.merges) for w in uniq]
+                ntok = np.array([len(e) for e in enc], dtype=np.int64)
+                n_words = np.bincount(parent, minlength=n)
+                n_bpe = np.bincount(parent, weights=ntok[inv],
+                                    minlength=n).astype(np.int64)
+            else:
+                n_words = np.zeros(n, np.int64)
+                n_bpe = np.zeros(n, np.int64)
+            k = np.flatnonzero(n_words >= 1)
+            out = {
+                self.id_col: batch[self.id_col].cast(pa.int64()).take(
+                    pa.array(k, pa.int64())),
+                "n_words": pa.array(n_words[k].astype(np.int64), pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe[k], pa.int64()),
+            }
+            if self.return_tokens:
+                # parent is non-decreasing (list_parent_indices order)
+                bounds = np.searchsorted(parent, np.arange(n + 1))
+                toks_out = []
+                for row in k:
+                    seq: list[str] = []
+                    for wi in inv[bounds[row]:bounds[row + 1]]:
+                        seq.extend(enc[wi])
+                    toks_out.append(seq)
+                out["tokens"] = pa.array(toks_out, pa.list_(pa.string()))
+            return pa.table(out)
+
+    return ds.map_batches(
+        cached_task_fn(
+            Encode, cache_on=(mref, text_col, id_col, return_tokens),
+            mref=mref, text_col=text_col, id_col=id_col,
+            return_tokens=return_tokens,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
 def vocab_growth(
     ds: "ray.data.Dataset",
     *,
