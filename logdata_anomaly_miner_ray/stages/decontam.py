@@ -420,15 +420,111 @@ def dup_span_rewrite(
 
     from ._shuffle import shuffle_parallelism
 
-    dup_pos = (
-        ds.map_batches(
-            explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-        .repartition(shuffle_parallelism())  # narrow rows: size the
-        # shuffle matrix to the cluster, not the input block count
+    # ---- pass A census: per-block window-identity doc counts (the
+    # dup_span_coverage broadcast shape) — when the dup-window SET is
+    # small enough to broadcast, dup positions come from a
+    # shuffle-free membership pass and the per-position all-to-all
+    # never happens; otherwise fall back to the keyed shuffle ----
+    def win_partials(batch: pa.Table) -> pa.Table:
+        schema = {"gk": pa.int32(), "h1": pa.int64(), "h2w": pa.int64(),
+                  "nd": pa.int64()}
+        h1, h2, wlen, word, rid = window_hashes(batch[text_col], w)
+        if len(h1) == 0:
+            return pa.table({c: pa.array([], tp) for c, tp in schema.items()})
+        h2w = ((h2 << np.uint64(4)) | wlen.astype(np.uint64)).view(np.int64)
+        h1i = h1.view(np.int64)
+        order = np.lexsort((rid, h2w, h1i))
+        h1i, h2w, rid = h1i[order], h2w[order], rid[order]
+        new = np.concatenate(
+            [[True], (h1i[1:] != h1i[:-1]) | (h2w[1:] != h2w[:-1])
+             | (rid[1:] != rid[:-1])])
+        h1i, h2w = h1i[new], h2w[new]
+        newg = np.concatenate(
+            [[True], (h1i[1:] != h1i[:-1]) | (h2w[1:] != h2w[:-1])])
+        starts = np.flatnonzero(newg)
+        nd = np.diff(np.append(starts, len(h1i)))
+        h1i, h2w = h1i[starts], h2w[starts]
+        return pa.table({
+            "gk": pa.array((h1i % np.int64(n_sub_buckets)).astype(np.int32),
+                           pa.int32()),
+            "h1": pa.array(h1i, pa.int64()),
+            "h2w": pa.array(h2w, pa.int64()),
+            "nd": pa.array(nd.astype(np.int64), pa.int64()),
+        })
+
+    def dup_wins(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort((g["h2w"].to_numpy(), g["h1"].to_numpy()))
+        h1 = g["h1"].to_numpy()[order]
+        h2w = g["h2w"].to_numpy()[order]
+        nd = g["nd"].to_numpy()[order]
+        new = np.concatenate(
+            [[True], (h1[1:] != h1[:-1]) | (h2w[1:] != h2w[:-1])])
+        run_id = np.cumsum(new) - 1
+        tot = np.bincount(run_id, weights=nd)
+        keep = new & (tot[run_id] >= 2)
+        return pa.table({"h1": pa.array(h1[keep], pa.int64()),
+                         "h2w": pa.array(h2w[keep], pa.int64())})
+
+    dupw = (
+        ds.map_batches(win_partials, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True)
+        .repartition(shuffle_parallelism())
         .groupby("gk")
-        .map_groups(find_dups, batch_format="pandas")
-    ).materialize()  # narrow (id, ord) dup rows only — reused by count + pass B
+        .map_groups(dup_wins, batch_format="pandas")
+    ).materialize()
+    n_dup_wins = dupw.count()
+
+    if n_dup_wins <= broadcast_dup_limit:
+        _dedup_trace("dup_span_rewrite: broadcast window-set detection "
+                     "(%d dup windows)", n_dup_wins)
+        h1s, h2s = [], []
+        for b in dupw.iter_batches(batch_format="pyarrow"):
+            h1s.append(b["h1"].to_numpy(zero_copy_only=False))
+            h2s.append(b["h2w"].to_numpy(zero_copy_only=False))
+        wpairs = _sorted_pairs(
+            np.concatenate(h1s).view(np.uint64) if h1s
+            else np.zeros(0, np.uint64),
+            np.concatenate(h2s).view(np.uint64) if h2s
+            else np.zeros(0, np.uint64),
+        )
+        wpref = ray.put(wpairs)
+
+        class DupPositions:
+            def __init__(self, wpref, text_col, id_col, w):
+                self.pairs = ray.get(wpref)
+                self.text_col, self.id_col, self.w = text_col, id_col, w
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+                h1, h2, wlen, word, rid = window_hashes(
+                    batch[self.text_col], self.w)
+                h2w = (h2 << np.uint64(4)) | wlen.astype(np.uint64)
+                hit = _pair_member_mask(self.pairs, h1, h2w)
+                return pa.table({
+                    self.id_col: pa.array(
+                        ids[rid[hit]].astype(np.int64), pa.int64()),
+                    "ord": pa.array(word[hit].astype(np.int64), pa.int64()),
+                })
+
+        dup_pos = ds.map_batches(
+            cached_task_fn(
+                DupPositions, cache_on=(wpref, text_col, id_col, w, "dsrw"),
+                wpref=wpref, text_col=text_col, id_col=id_col, w=w),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).materialize()
+    else:
+        _dedup_trace("dup_span_rewrite: keyed-shuffle detection "
+                     "(%d dup windows)", n_dup_wins)
+        dup_pos = (
+            ds.map_batches(
+                explode, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True
+            )
+            .repartition(shuffle_parallelism())  # narrow rows: size the
+            # shuffle matrix to the cluster, not the input block count
+            .groupby("gk")
+            .map_groups(find_dups, batch_format="pandas")
+        ).materialize()  # narrow (id, ord) dup rows only
 
     out_schema = {
         id_col: pa.int64(), "clean_text": pa.string(),
