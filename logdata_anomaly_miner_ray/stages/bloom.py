@@ -92,6 +92,38 @@ def _pair_member_mask(
     return hit
 
 
+def _pair_lookup(
+    sorted_pairs: np.ndarray, values: np.ndarray,
+    h1: np.ndarray, h2: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hit_mask, looked-up values) of (h1, h2) rows against a
+    lexsorted pair array with an ALIGNED value column — the keyed
+    variant of :func:`_pair_member_mask` (same h1-window shape)."""
+    n = len(h1)
+    out = np.zeros(n, dtype=values.dtype if len(values) else np.int64)
+    if n == 0 or len(sorted_pairs) == 0:
+        return np.zeros(n, bool), out
+    h1 = h1.astype(np.uint64)
+    h2 = h2.astype(np.uint64)
+    c1, c2 = sorted_pairs[:, 0], sorted_pairs[:, 1]
+    lo = np.searchsorted(c1, h1, side="left")
+    hi = np.searchsorted(c1, h1, side="right")
+    hit = np.zeros(n, bool)
+    one = hi - lo == 1
+    il = lo[one]
+    m = c2[il] == h2[one]
+    hit[one] = m
+    oidx = np.flatnonzero(one)[m]
+    out[oidx] = values[il[m]]
+    for i in np.nonzero(hi - lo > 1)[0]:  # ~never: 64-bit h1 collision
+        for j in range(lo[i], hi[i]):
+            if c2[j] == h2[i]:
+                hit[i] = True
+                out[i] = values[j]
+                break
+    return hit, out
+
+
 def _hash_pairs_ds(
     ds: "ray.data.Dataset", text_col: str, id_col: str | None
 ) -> "ray.data.Dataset":

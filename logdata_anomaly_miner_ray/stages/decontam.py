@@ -998,17 +998,142 @@ def paragraph_dedup(
              "ord": pa.array(ords[lose], pa.int64())}
         )
 
-    from .bloom import _pair_member_mask
+    from .bloom import _pair_lookup, _pair_member_mask
+    from .dedup import _dedup_trace
 
-    dup_pos = (
-        ds.map_batches(
-            explode, batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True,
-        )
+    # ---- census tier (the dup_span broadcast shape, keep-first
+    # flavor): per-block per-hash (min packed position, count)
+    # partials — boilerplate paragraphs collapse to ONE row per block
+    # — then only hashes with ≥2 occurrences broadcast with their
+    # keeper position; losers come from a shuffle-free lookup pass.
+    def census(batch: pa.Table) -> pa.Table:
+        schema = {"gk": pa.int32(), "h1": pa.int64(), "h2": pa.int64(),
+                  "mn": pa.int64(), "cnt": pa.int64()}
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parent, _nl, ords = _line_geometry(_split_lines(batch[text_col]))
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(flat, _NORM_RE, " "), " ")
+        part = pc.not_equal(norm, "").to_numpy(zero_copy_only=False)
+        pidx = np.flatnonzero(part)
+        if not len(pidx):
+            return pa.table({c: pa.array([], tp) for c, tp in schema.items()})
+        h1, h2 = md5_u64_pair(norm.take(pa.array(pidx, pa.int64())))
+        h1i = h1.view(np.int64)
+        h2i = h2.view(np.int64)
+        docids = ids[parent[pidx]]
+        o = ords[pidx]
+        assert docids.min() >= 0 and docids.max() < 2**39, \
+            "paragraph_dedup: doc ids must fit 39 bits"
+        assert o.max() < 2**24, "paragraph_dedup: >16M lines in one doc"
+        ido = (docids << np.int64(24)) | o
+        order = np.lexsort((ido, h2i, h1i))
+        h1i, h2i, ido = h1i[order], h2i[order], ido[order]
+        new = np.concatenate(
+            [[True], (h1i[1:] != h1i[:-1]) | (h2i[1:] != h2i[:-1])])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(h1i)))
+        return pa.table({
+            "gk": pa.array((h1i[starts] % np.int64(n_sub_buckets))
+                           .astype(np.int32), pa.int32()),
+            "h1": pa.array(h1i[starts], pa.int64()),
+            "h2": pa.array(h2i[starts], pa.int64()),
+            "mn": pa.array(ido[starts], pa.int64()),  # sorted → run min
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def dup_keepers(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort((g["h2"].to_numpy(), g["h1"].to_numpy()))
+        h1 = g["h1"].to_numpy()[order]
+        h2 = g["h2"].to_numpy()[order]
+        mn = g["mn"].to_numpy()[order]
+        cnt = g["cnt"].to_numpy()[order]
+        new = np.concatenate(
+            [[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        run_id = np.cumsum(new) - 1
+        tot = np.bincount(run_id, weights=cnt)
+        keeper = np.full(run_id.max() + 1 if len(run_id) else 0,
+                         np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(keeper, run_id, mn)
+        keep = new & (tot[run_id] >= 2)
+        return pa.table({"h1": pa.array(h1[keep], pa.int64()),
+                         "h2": pa.array(h2[keep], pa.int64()),
+                         "keeper": pa.array(keeper[run_id[keep]],
+                                            pa.int64())})
+
+    dupp = (
+        ds.map_batches(census, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
         .repartition(shuffle_parallelism())
         .groupby("gk")
-        .map_groups(find_losers, batch_format="pandas")
-    ).materialize()  # narrow loser (id, ord) rows only
+        .map_groups(dup_keepers, batch_format="pandas")
+    ).materialize()
+    n_dup_paras = dupp.count()
+
+    if n_dup_paras <= broadcast_dup_limit:
+        _dedup_trace("paragraph_dedup: broadcast census detection "
+                     "(%d dup paragraphs)", n_dup_paras)
+        h1s, h2s, ks = [], [], []
+        for b in dupp.iter_batches(batch_format="pyarrow"):
+            h1s.append(b["h1"].to_numpy(zero_copy_only=False))
+            h2s.append(b["h2"].to_numpy(zero_copy_only=False))
+            ks.append(b["keeper"].to_numpy(zero_copy_only=False))
+        if h1s:
+            p1 = np.concatenate(h1s).view(np.uint64)
+            p2 = np.concatenate(h2s).view(np.uint64)
+            kv = np.concatenate(ks)
+            order = np.lexsort((p2, p1))
+            ppairs = np.stack([p1[order], p2[order]], axis=1)
+            kv = kv[order]
+        else:
+            ppairs = np.empty((0, 2), np.uint64)
+            kv = np.zeros(0, np.int64)
+        pref = ray.put((ppairs, kv))
+
+        class Losers:
+            def __init__(self, pref, text_col, id_col):
+                self.pairs, self.keepers = ray.get(pref)
+                self.text_col, self.id_col = text_col, id_col
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch[self.id_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                flat, parent, _nl, ords = _line_geometry(
+                    _split_lines(batch[self.text_col]))
+                norm = pc.utf8_trim(
+                    pc.replace_substring_regex(flat, _NORM_RE, " "), " ")
+                part = pc.not_equal(norm, "").to_numpy(zero_copy_only=False)
+                pidx = np.flatnonzero(part)
+                if not len(pidx):
+                    return pa.table({self.id_col: pa.array([], pa.int64()),
+                                     "ord": pa.array([], pa.int64())})
+                h1, h2 = md5_u64_pair(norm.take(pa.array(pidx, pa.int64())))
+                docids = ids[parent[pidx]]
+                o = ords[pidx]
+                ido = (docids << np.int64(24)) | o
+                hit, keeper = _pair_lookup(self.pairs, self.keepers, h1, h2)
+                lose = hit & (ido != keeper)
+                return pa.table({
+                    self.id_col: pa.array(docids[lose], pa.int64()),
+                    "ord": pa.array(o[lose], pa.int64()),
+                })
+
+        dup_pos = ds.map_batches(
+            cached_task_fn(Losers, cache_on=(pref, text_col, id_col, "pdl"),
+                           pref=pref, text_col=text_col, id_col=id_col),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).materialize()
+    else:
+        _dedup_trace("paragraph_dedup: keyed-shuffle detection "
+                     "(%d dup paragraphs)", n_dup_paras)
+        dup_pos = (
+            ds.map_batches(
+                explode, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True,
+            )
+            .repartition(shuffle_parallelism())
+            .groupby("gk")
+            .map_groups(find_losers, batch_format="pandas")
+        ).materialize()  # narrow loser (id, ord) rows only
 
     out_schema = {
         id_col: pa.int64(), "clean_text": pa.string(),
