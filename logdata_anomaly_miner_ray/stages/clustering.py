@@ -199,23 +199,23 @@ def semdedup(
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
-    import pandas as pd
-
-    def prune(g: pd.DataFrame) -> pa.Table:
-        if len(g) > hard_cap:
+    def prune(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > hard_cap:
             raise ValueError(
-                f"semdedup: cluster {int(g['cluster'].iloc[0])} has "
-                f"{len(g)} members > hard_cap={hard_cap}; the in-cluster "
+                f"semdedup: cluster {g['cluster'][0].as_py()} has "
+                f"{n} members > hard_cap={hard_cap}; the in-cluster "
                 f"pass is O(m²) — raise k so clusters stay worker-sized "
                 f"(SemDeDup uses k ∝ corpus size), or raise hard_cap "
                 f"deliberately"
             )
-        ids = g[id_col].to_numpy(np.int64)
+        # Arrow in → zero-copy flat read of the list column (the
+        # pandas path converted 1 Python list per row — the measured
+        # bottleneck at 5M rows)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        emb = np.stack(
-            [np.asarray(v, np.float64) for v in g[emb_col].to_numpy()[order]]
-        )
+        emb = _as_matrix(g[emb_col])[order]
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         e = emb / norms[:, None]
@@ -225,10 +225,10 @@ def semdedup(
             {
                 id_col: pa.array(ids, pa.int64()),
                 "cluster": pa.array(
-                    np.full(len(ids), int(g["cluster"].iloc[0]), np.int64),
+                    np.full(len(ids), g["cluster"][0].as_py(), np.int64),
                     pa.int64()),
                 "keep": pa.array((~dominated).astype(np.int64), pa.int64()),
             }
         )
 
-    return tagged.groupby("cluster").map_groups(prune, batch_format="pandas")
+    return tagged.groupby("cluster").map_groups(prune, batch_format="pyarrow")
