@@ -255,32 +255,40 @@ def corpus_report(
             self.hi = hi
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             scored = self.lid(
                 batch if self.text_col == "text"
                 else batch.append_column("text", batch[self.text_col])
             )
             q_e6 = np.round(
                 quality_scores(batch[self.text_col]) * 1e6).astype(np.int64)
-            df = pd.DataFrame(
+            # Arrow-native group_by (the stages/vocab.py:52 pattern) —
+            # no pandas round-trip inside the per-block hot path
+            t = pa.table(
                 {
-                    "source": batch[self.source_col].to_pandas(),
-                    "lang": batch[self.lang_col].to_pandas(),
-                    "n_tok": token_counts(batch[self.text_col]),
-                    "n_chars": batch[self.n_chars_col].to_pandas(),
-                    "q_hi": (q_e6 >= self.hi).astype(np.int64),
-                    "l_match": (
-                        scored["pred_lang"].to_pandas()
-                        == batch[self.lang_col].to_pandas()
-                    ).astype(np.int64),
+                    "source": batch[self.source_col],
+                    "lang": batch[self.lang_col],
+                    "n_tok": pa.array(
+                        token_counts(batch[self.text_col]).astype(np.int64),
+                        pa.int64()),
+                    "n_chars": batch[self.n_chars_col],
+                    "q_hi": pa.array(
+                        (q_e6 >= self.hi).astype(np.int64), pa.int64()),
+                    "l_match": pc.cast(
+                        pc.fill_null(pc.equal(scored["pred_lang"],
+                                              batch[self.lang_col]), False),
+                        pa.int64()),
                 }
             )
-            g = df.groupby(["source", "lang"], sort=True).agg(
-                n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum"),
-                min_tokens=("n_tok", "min"), max_tokens=("n_tok", "max"),
-                sum_chars=("n_chars", "sum"), n_quality_hi=("q_hi", "sum"),
-                n_lang_match=("l_match", "sum"),
-            ).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            g = t.group_by(["source", "lang"]).aggregate(
+                [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"),
+                 ("n_tok", "max"), ("n_chars", "sum"), ("q_hi", "sum"),
+                 ("l_match", "sum")]
+            )
+            return g.rename_columns(
+                ["source", "lang", "n_docs", "sum_tokens", "min_tokens",
+                 "max_tokens", "sum_chars", "n_quality_hi", "n_lang_match"])
 
     parts = ds.map_batches(
         cached_task_fn(
