@@ -344,6 +344,42 @@ def run_bench() -> dict:
             win_sec = min(win_sec, time.time() - t0)
         extra_stages["winnow_stage"] = round(win_sec, 3)
 
+        # embedding clustering: splitmix64 synthetic vectors from
+        # row_idx (the hygiene_drill recipe), Lloyd k-means at a k
+        # large enough to exercise the chunked distance kernel
+        import numpy as _np
+
+        def _embed_stage(t: "_pa.Table") -> "_pa.Table":
+            d = 16
+            r = t["row_idx"].to_numpy(zero_copy_only=False).astype(_np.uint64)
+            flat = (r[:, None] * _np.uint64(d)
+                    + _np.arange(d, dtype=_np.uint64)[None, :]).ravel()
+            z = flat + _np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> _np.uint64(27))) * _np.uint64(0x94D049BB133111EB)
+            z ^= z >> _np.uint64(31)
+            emb = ((z >> _np.uint64(11)).astype(_np.float64)
+                   / float(1 << 53)).reshape(len(r), d)
+            return _pa.table({
+                "vec_id": _pa.array(r.astype(_np.int64), _pa.int64()),
+                "embedding": _pa.array(list(emb), _pa.list_(_pa.float64())),
+            })
+
+        from logdata_anomaly_miner_ray.stages.clustering import kmeans_assign
+
+        km_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            eds = rd.read_parquet(PAGES_DIR, columns=["row_idx"]).map_batches(
+                _embed_stage, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+            out, _cent = kmeans_assign(eds, "embedding", "vec_id",
+                                       k=512, n_iter=2)
+            out.count()
+            km_sec = min(km_sec, time.time() - t0)
+        extra_stages["kmeans_stage"] = round(km_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",

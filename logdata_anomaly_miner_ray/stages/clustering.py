@@ -89,13 +89,21 @@ def kmeans_assign(
              emb_col: batch[emb_col].take(pa.array(take, pa.int64()))}
         )
 
-    cand = ds.map_batches(
+    # Arrow fold (≤ k rows per block): zero-copy flat reads, no
+    # per-row Python dicts (take_all at k×n_blocks rows was the
+    # measured small-input overhead)
+    c_ids, c_emb = [], []
+    for b in ds.map_batches(
         min_k, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).take_all()  # ≤ k rows per block
-    cand.sort(key=lambda r: r[id_col])
-    cent = np.asarray([r[emb_col] for r in cand[:k]], dtype=np.float64)
-    if len(cent) == 0:
+    ).iter_batches(batch_format="pyarrow"):
+        c_ids.append(b[id_col].to_numpy(zero_copy_only=False))
+        c_emb.append(_as_matrix(b[emb_col]))
+    if not c_ids or not sum(len(x) for x in c_ids):
         raise ValueError("kmeans_assign: empty input")
+    ids_all = np.concatenate(c_ids)
+    emb_all = np.vstack([m for m in c_emb if len(m)])
+    take = np.argsort(ids_all, kind="stable")[:k]
+    cent = emb_all[take].astype(np.float64)
     kk, d = len(cent), cent.shape[1]
 
     class Partials:
@@ -119,16 +127,18 @@ def kmeans_assign(
 
     for _ in range(n_iter):
         cref = ray.put(cent)
-        parts = ds.map_batches(
+        cnt = np.zeros(kk, np.int64)
+        sums = np.zeros((kk, d), np.float64)
+        for b in ds.map_batches(
             cached_task_fn(Partials, cache_on=(cref, emb_col),
                            cref=cref, emb_col=emb_col),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        ).take_all()  # ≤ k rows per block — bounded driver fold
-        cnt = np.zeros(kk, np.int64)
-        sums = np.zeros((kk, d), np.float64)
-        for r in parts:
-            cnt[r["cluster"]] += r["cnt"]
-            sums[r["cluster"]] += np.asarray(r["s"], np.float64)
+        ).iter_batches(batch_format="pyarrow"):
+            # ≤ k rows per block; iter_batches may coalesce blocks →
+            # repeated cluster ids: np.add.at, never fancy-index +=
+            cl = b["cluster"].to_numpy(zero_copy_only=False)
+            np.add.at(cnt, cl, b["cnt"].to_numpy(zero_copy_only=False))
+            np.add.at(sums, cl, _as_matrix(b["s"]))
         nz = cnt > 0
         cent = cent.copy()
         cent[nz] = sums[nz] / cnt[nz, None]  # empty cluster keeps its centroid
