@@ -2020,6 +2020,29 @@ def q_host_stats_documents(sf_dir: str):
     )
 
 
+def q_host_cap_documents(sf_dir: str):
+    """Per-domain retention cap (stages/webstats.host_cap —
+    RefinedWeb-style): keep at most k=3 docs per URL host, preferring
+    longest n_chars (ties: doc_id asc). One shuffle-free narrow
+    (host, id, order) pass + mergeable per-block top-k partials; the
+    keep manifest is bounded by k x |hosts|. Unparseable URLs group
+    under '(none)'."""
+    from logdata_anomaly_miner_ray.stages.webstats import host_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _synth_url_table, batch_format="pyarrow", batch_size=None)
+    out = host_cap(ds, "url", "doc_id", "n_chars", k=3).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"host_key": pd.Series(dtype=object),
+             "doc_id": pd.Series(dtype=np.int64),
+             "n_chars": pd.Series(dtype=np.int64),
+             "host_rank": pd.Series(dtype=np.int64)})
+    out["host_rank"] = out["host_rank"].astype(np.int64)
+    return out[["host_key", "doc_id", "n_chars", "host_rank"]].sort_values(
+        ["host_key", "host_rank"], ignore_index=True)
+
+
 def q_vocab_growth_documents(sf_dir: str):
     """Heaps'-law vocabulary growth curve (stages/vocab.vocab_growth):
     distinct word types within each of 10 doc_id-prefix cutoffs,
@@ -3579,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
+        "host_cap_documents": q_host_cap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
         "politeness_manifest_documents": q_politeness_manifest_documents,
@@ -5091,6 +5115,32 @@ SELECT doc_id,
        CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
             THEN sch || '://' || host || rest ELSE u END AS url_norm
 FROM canon""",
+        "host_cap_documents": r"""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, n_chars,
+         coalesce(nullif(regexp_replace(regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', ''), ':[0-9]*$', ''), ''), '(none)') AS host_key
+  FROM raw),
+r AS (
+  SELECT host_key, doc_id, n_chars,
+         row_number() OVER (PARTITION BY host_key
+                            ORDER BY n_chars DESC, doc_id) AS host_rank
+  FROM h)
+SELECT host_key, doc_id, n_chars, host_rank
+FROM r WHERE host_rank <= 3
+ORDER BY host_key, host_rank""",
         "host_stats_documents": r"""
 WITH raw AS (
   SELECT doc_id, n_chars,

@@ -210,3 +210,66 @@ def robots_filter(
         cached_task_fn(_Keep, cache_on=(rules_ref, url_col, "robots"),
                        rules_ref=rules_ref, url_col=url_col),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+def host_cap(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    k: int = 3,
+    ascending: bool = False,
+    host_out_col: str = "host_key",
+    rank_col: str = "host_rank",
+) -> "ray.data.Dataset":
+    """Per-domain retention cap: keep at most ``k`` documents per URL
+    host, preferring the highest ``order_col`` (ties break on
+    ``id_col`` ascending — deterministic and SQL-reproducible as
+    ``row_number() OVER (PARTITION BY host ORDER BY order_col DESC,
+    id) <= k``). Web-corpus pipelines cap per-domain document counts
+    so template-heavy sites can't dominate the training mix (the
+    domain-level curation stage of RefinedWeb (Penedo et al. 2023);
+    the reference engine's analogue is per-path value-cardinality
+    capping in EventTypeDetector's ring buffers,
+    reference analysis/EventTypeDetector.py:237-286).
+
+    Scale shape: ONE shuffle-free narrow pass derives (host, id,
+    order) rows — raw URLs/text never shuffle — then
+    ``stages/_agg.topk_per_group`` folds mergeable per-block local
+    top-k partials under a bounded coarse bucket key (output bounded
+    by k x |hosts|; no global sort). Unparseable URLs (null host)
+    group under the ``'(none)'`` sentinel so they are capped as one
+    family rather than silently dropped (pandas groupby would drop
+    null keys). Returns the KEEP manifest dataset (host, id, order,
+    rank) — at 10^12 rows write it to parquet and apply it with
+    ``stages/referential.filter_not_in`` / a semi-join, never a
+    driver gather."""
+    from ._agg import topk_per_group
+
+    class _Key:
+        def __init__(self, url_col, id_col, order_col, host_out_col):
+            self.url_col, self.id_col = url_col, id_col
+            self.order_col, self.host_out_col = order_col, host_out_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.url import host_of_array
+
+            host = pc.fill_null(host_of_array(batch[self.url_col]), "(none)")
+            return pa.table({
+                self.host_out_col: host,
+                self.id_col: batch[self.id_col],
+                self.order_col: batch[self.order_col],
+            })
+
+    narrow = ds.map_batches(
+        cached_task_fn(
+            _Key, cache_on=(url_col, id_col, order_col, host_out_col,
+                            "host_cap"),
+            url_col=url_col, id_col=id_col, order_col=order_col,
+            host_out_col=host_out_col,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return topk_per_group(
+        narrow, [host_out_col], order_col, k,
+        tiebreak_cols=(id_col,), ascending=ascending, rank_col=rank_col,
+    )

@@ -130,3 +130,52 @@ def test_politeness_manifest_round_robin():
     # every host's seqs are 0..count-1
     for h, g in out.groupby("host_key"):
         assert sorted(g["seq"]) == list(range(len(g)))
+
+
+def _host_cap_brute(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    hosts = host_of_array(pa.array(df["url"], pa.string())).to_pandas()
+    t = pd.DataFrame({"host_key": hosts.fillna("(none)"),
+                      "doc_id": df["doc_id"], "n_chars": df["n_chars"]})
+    t = t.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                      kind="mergesort")
+    t["host_rank"] = t.groupby("host_key", sort=False).cumcount() + 1
+    return (t[t["host_rank"] <= k]
+            .sort_values(["host_key", "host_rank"], ignore_index=True))
+
+
+def test_host_cap_brute_force_and_layout_invariance():
+    from logdata_anomaly_miner_ray.stages.webstats import host_cap
+
+    rng = np.random.RandomState(7)
+    n = 200
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "url": [f"http://site{i % 9}.org/p/{i}" if i % 11 else f"bad-{i}"
+                for i in range(n)],
+        # heavy ties to exercise the doc_id tiebreak
+        "n_chars": rng.randint(0, 4, n).astype(np.int64),
+    })
+    want = _host_cap_brute(df, 3)
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        got = (host_cap(ds, "url", "doc_id", "n_chars", k=3).to_pandas()
+               .sort_values(["host_key", "host_rank"], ignore_index=True))
+        got["host_rank"] = got["host_rank"].astype(np.int64)
+        pd.testing.assert_frame_equal(
+            got[["host_key", "doc_id", "n_chars", "host_rank"]], want)
+
+
+def test_host_cap_null_hosts_capped_as_one_family():
+    from logdata_anomaly_miner_ray.stages.webstats import host_cap
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "url": ["junk"] * 5 + ["http://a.org/x"],
+        "n_chars": np.array([5, 9, 9, 1, 3, 2], dtype=np.int64),
+    })
+    out = host_cap(rd.from_pandas(df).repartition(2), "url", "doc_id",
+                   "n_chars", k=2).to_pandas()
+    none = out[out["host_key"] == "(none)"]
+    # ties on n_chars=9 break by doc_id asc: keep 1 then 2
+    assert sorted(none["doc_id"].tolist()) == [1, 2]
+    assert out[out["host_key"] == "a.org"]["doc_id"].tolist() == [5]
