@@ -2043,6 +2043,20 @@ def q_host_cap_documents(sf_dir: str):
         ["host_key", "host_rank"], ignore_index=True)
 
 
+def q_cross_source_overlap_documents(sf_dir: str):
+    """Cross-source exact-duplicate Venn census
+    (stages/dedup.cross_source_overlap): per distinct text's source
+    SET, the distinct-text and total-doc counts — the overlap report
+    run before mixing crawls/dumps. 128-bit md5 identity; narrow
+    (hash, source, n) partials; ONE coarse-bucket shuffle; per-set
+    reduction inside the bucket so the driver fold is bounded by
+    |distinct source sets|."""
+    from logdata_anomaly_miner_ray.stages.dedup import cross_source_overlap
+
+    return cross_source_overlap(
+        _read(sf_dir, "documents", ["text", "source"]), "text", "source")
+
+
 def q_vocab_growth_documents(sf_dir: str):
     """Heaps'-law vocabulary growth curve (stages/vocab.vocab_growth):
     distinct word types within each of 10 doc_id-prefix cutoffs,
@@ -3603,6 +3617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
         "host_cap_documents": q_host_cap_documents,
+        "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
         "politeness_manifest_documents": q_politeness_manifest_documents,
@@ -5115,6 +5130,18 @@ SELECT doc_id,
        CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://')
             THEN sch || '://' || host || rest ELSE u END AS url_norm
 FROM canon""",
+        "cross_source_overlap_documents": r"""
+WITH hs AS (
+  SELECT md5(text) AS h, coalesce(source, '(null)') AS source,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2),
+d AS (
+  SELECT h, string_agg(source, ',' ORDER BY source) AS source_set,
+         sum(n)::BIGINT AS n_docs_h
+  FROM hs GROUP BY 1)
+SELECT source_set, count(*)::BIGINT AS n_texts,
+       sum(n_docs_h)::BIGINT AS n_docs
+FROM d GROUP BY 1 ORDER BY source_set""",
         "host_cap_documents": r"""
 WITH raw AS (
   SELECT doc_id, n_chars,

@@ -78,6 +78,73 @@ def exact_dup_groups(
     )
 
 
+def cross_source_overlap(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 256,
+) -> pd.DataFrame:
+    """Exact-duplicate overlap census across corpus sources (the Venn
+    report corpus-curation runs before mixing crawls/dumps: how many
+    distinct texts appear in exactly {cc}, {cc,books}, ... — cf. the
+    cross-dump URL/content dedup accounting of CCNet (Wenzek et al.
+    2020) and RefinedWeb's multi-dump dedup). Per distinct text: its
+    set of sources; output one row per source-set with the number of
+    distinct texts (``n_texts``) and total document rows
+    (``n_docs``), sorted by the comma-joined set name.
+
+    Scale shape: per-block Arrow group_by folds each block to one
+    narrow (h1, h2, source, n) row per (distinct text, source) — the
+    128-bit md5 identity (single-hash collisions would silently merge
+    texts), raw text never shuffles. ONE coarse-bucket shuffle on the
+    hash co-locates each text's rows; inside a bucket the source-set
+    string is assembled per text and immediately reduced to per-set
+    (n_texts, n_docs) partials — ≤ |distinct sets| rows per bucket,
+    so the driver fold is bounded regardless of corpus size."""
+    from ..functions.hashing import md5_u64_pair
+    from ._agg import coarse_grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, h2 = md5_u64_pair(batch[text_col])
+        src = pc.fill_null(
+            pc.cast(batch[source_col], pa.string()), "(null)")
+        t = pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "source": src,
+        })
+        g = t.group_by(["h1", "h2", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["h1", "h2", "source", "n"])
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby(["h1", "h2", "source"], sort=False, as_index=False)
+             ["n"].sum())
+        t = t.sort_values(["h1", "h2", "source"], kind="mergesort")
+        sets = (t.groupby(["h1", "h2"], sort=False)
+                .agg(source_set=("source", ",".join), n_docs=("n", "sum")))
+        out = (sets.groupby("source_set", sort=False)
+               .agg(n_texts=("n_docs", "size"), n_docs=("n_docs", "sum"))
+               .reset_index())
+        return out
+
+    folded = coarse_grouped(
+        parts, ["h1", "h2"], per_bucket, n_buckets=n_buckets).to_pandas()
+    if folded.empty:
+        return pd.DataFrame(
+            {"source_set": pd.Series(dtype=object),
+             "n_texts": pd.Series(dtype=np.int64),
+             "n_docs": pd.Series(dtype=np.int64)})
+    out = (folded.groupby("source_set", sort=True, as_index=False)
+           [["n_texts", "n_docs"]].sum())
+    out["n_texts"] = out["n_texts"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
 def minhash_lsh_candidate_pairs(
     ds: "ray.data.Dataset",
     text_col: str,

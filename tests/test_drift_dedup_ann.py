@@ -604,3 +604,52 @@ def test_quantized_topk_exact_ties_and_partition_invariance():
 
     assert sorted(run(1)) == sorted(want)
     assert sorted(run(7)) == sorted(want)
+
+
+def test_cross_source_overlap_brute_force_and_layout():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.dedup import cross_source_overlap
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "text": [f"t{rng.randint(0, 40)}" for _ in range(n)],
+        "source": [["cc", "books", "wiki"][rng.randint(0, 3)]
+                   for _ in range(n)],
+    })
+    grp = df.groupby("text")
+    sets = grp["source"].agg(lambda s: ",".join(sorted(set(s))))
+    docs = grp.size()
+    want = (pd.DataFrame({"source_set": sets, "n_docs": docs})
+            .groupby("source_set", sort=True)
+            .agg(n_texts=("n_docs", "size"), n_docs=("n_docs", "sum"))
+            .reset_index())
+    want["n_texts"] = want["n_texts"].astype(np.int64)
+    want["n_docs"] = want["n_docs"].astype(np.int64)
+    for nblocks in (1, 9):
+        got = cross_source_overlap(
+            rd.from_pandas(df).repartition(nblocks), "text", "source")
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_cross_source_overlap_null_source_sentinel_and_empty():
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.dedup import cross_source_overlap
+
+    df = pd.DataFrame({"text": ["a", "a", "b"],
+                       "source": ["cc", None, None]})
+    got = cross_source_overlap(rd.from_pandas(df), "text", "source")
+    assert got["source_set"].tolist() == ["(null)", "(null),cc"]
+    assert got["n_texts"].tolist() == [1, 1]
+    assert got["n_docs"].tolist() == [1, 2]
+
+    empty = cross_source_overlap(
+        rd.from_pandas(pd.DataFrame({"text": pd.Series(dtype=str),
+                                     "source": pd.Series(dtype=str)})))
+    assert list(empty.columns) == ["source_set", "n_texts", "n_docs"]
+    assert len(empty) == 0
