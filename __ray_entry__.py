@@ -2100,6 +2100,22 @@ def q_bpe_encode_documents(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+def q_fertility_stats_documents(sf_dir: str):
+    """Per-language tokenizer fertility report
+    (stages/vocab.fertility_stats): BPE tokens per word + UTF-8 bytes
+    per token per lang, over the 3 learned merges — the multilingual
+    tokenizer-quality metric (Ács 2019 / Rust et al. 2021). lang
+    rides the shuffle-free encode pass as a carry column; ratios are
+    exact floor-divided scaled integers."""
+    from logdata_anomaly_miner_ray.stages.vocab import (
+        bpe_learn, fertility_stats)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    learned = bpe_learn(docs, n_merges=3)
+    merges = list(zip(learned["s1"].to_pylist(), learned["s2"].to_pylist()))
+    return fertility_stats(docs, merges)
+
+
 def q_editdist_pairs_documents(sf_dir: str):
     """Edit-distance-verified near-dup pairs (stages/editdist): the
     candidate rule is a 1-permutation MinHash LSH (same lang + same
@@ -3286,6 +3302,41 @@ FROM dw JOIN tl USING (word) GROUP BY 1"""
     )
 
 
+def _fertility_sql(n: int = 3) -> str:
+    """Per-lang tokenizer fertility oracle: the learn oracle's
+    unrolled CTEs give the post-merge symbol table s{n} (per-word BPE
+    token counts); group the doc word stream by lang and emit exact
+    integer sums + HUGEINT floor-divided scaled ratios (the standing
+    no-transcendentals recast)."""
+    learn = _bpe_learn_sql(n)
+    ctes = learn[: learn.index("\nSELECT * FROM (")]
+    return (
+        ctes
+        + f""",
+tl AS (SELECT word, count(*)::BIGINT AS ntok FROM s{n} GROUP BY 1),
+dw AS (SELECT doc_id, tok AS word
+       FROM (SELECT doc_id,
+                    unnest(regexp_split_to_array(text, '\\s+')) AS tok
+             FROM documents)
+       WHERE length(tok) >= 1),
+dl AS (SELECT doc_id, coalesce(lang, '(null)') AS lang FROM documents),
+agg AS (
+  SELECT dl.lang,
+         count(DISTINCT dw.doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_words,
+         sum(tl.ntok)::BIGINT AS n_bpe_tokens,
+         sum(strlen(dw.word))::BIGINT AS n_word_bytes
+  FROM dw JOIN tl USING (word) JOIN dl USING (doc_id)
+  GROUP BY 1)
+SELECT lang, n_docs, n_words, n_bpe_tokens, n_word_bytes,
+       (n_bpe_tokens::HUGEINT * 1000000 // n_words)::BIGINT
+           AS fertility_e6,
+       (n_word_bytes::HUGEINT * 1000000 // n_bpe_tokens)::BIGINT
+           AS bytes_per_token_e6
+FROM agg ORDER BY lang"""
+    )
+
+
 def _nib4_sql(md5_expr: str) -> str:
     """SQL for int(first 4 hex nibbles) of an md5() VARCHAR expr —
     the strpos-nibble idiom shared with the dsir oracle."""
@@ -3626,6 +3677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs_documents": q_editdist_pairs_documents,
         "bpe_learn_documents": q_bpe_learn_documents,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "fertility_stats_documents": q_fertility_stats_documents,
         "vocab_growth_documents": q_vocab_growth_documents,
         "blocklist_filter_documents": q_blocklist_filter_documents,
         "mixture_repeat_documents": q_mixture_repeat_documents,
@@ -5521,6 +5573,7 @@ FROM f a JOIN f b
 WHERE levenshtein(a.text, b.text) <= 24"""
     out["bpe_learn_documents"] = _bpe_learn_sql(3)
     out["bpe_encode_documents"] = _bpe_encode_sql(3)
+    out["fertility_stats_documents"] = _fertility_sql(3)
     out["robots_filter_documents"] = r"""
 WITH raw AS (
   SELECT doc_id,

@@ -474,6 +474,8 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     return_tokens: bool = False,
+    carry_cols: tuple = (),
+    word_bytes: bool = False,
 ) -> "ray.data.Dataset":
     """Apply an ORDERED BPE merge list (``bpe_learn`` output) to every
     whitespace word of the corpus — the tokenizer-application half of
@@ -485,7 +487,12 @@ def bpe_encode(
     Returns one row per document with ≥1 word:
     ``(id_col, n_words, n_bpe_tokens)`` — and, with
     ``return_tokens=True``, a ``tokens`` list<string> column of the
-    document's symbol sequence in word order.
+    document's symbol sequence in word order. ``carry_cols`` ride the
+    output row-aligned (the ccnet carry pattern — never join a
+    corpus-sized encode output back onto the corpus);
+    ``word_bytes=True`` adds ``n_word_bytes`` (total UTF-8 bytes of
+    the whitespace words, SQL ``octet_length``) for fertility /
+    compression-ratio stats.
 
     Scale shape: ONE shuffle-free pass; the merge list broadcasts via
     ``ray.put`` (vocabulary-sized); within each block every DISTINCT
@@ -499,10 +506,12 @@ def bpe_encode(
     mref = ray.put([tuple(m) for m in merges])
 
     class Encode:
-        def __init__(self, mref, text_col, id_col, return_tokens):
+        def __init__(self, mref, text_col, id_col, return_tokens,
+                     carry_cols=(), word_bytes=False):
             self.merges = ray.get(mref)
             self.text_col, self.id_col = text_col, id_col
             self.return_tokens = return_tokens
+            self.carry_cols, self.word_bytes = tuple(carry_cols), word_bytes
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             col = batch[self.text_col]
@@ -529,12 +538,23 @@ def bpe_encode(
                 n_words = np.zeros(n, np.int64)
                 n_bpe = np.zeros(n, np.int64)
             k = np.flatnonzero(n_words >= 1)
+            k_idx = pa.array(k, pa.int64())
             out = {
-                self.id_col: batch[self.id_col].cast(pa.int64()).take(
-                    pa.array(k, pa.int64())),
+                self.id_col: batch[self.id_col].cast(pa.int64()).take(k_idx),
                 "n_words": pa.array(n_words[k].astype(np.int64), pa.int64()),
                 "n_bpe_tokens": pa.array(n_bpe[k], pa.int64()),
             }
+            if self.word_bytes:
+                if len(words):
+                    wb = pc.binary_length(flat).to_numpy(
+                        zero_copy_only=False).astype(np.int64)[keep]
+                    n_wb = np.bincount(parent, weights=wb,
+                                       minlength=n).astype(np.int64)
+                else:
+                    n_wb = np.zeros(n, np.int64)
+                out["n_word_bytes"] = pa.array(n_wb[k], pa.int64())
+            for c in self.carry_cols:
+                out[c] = batch[c].take(k_idx)
             if self.return_tokens:
                 # parent is non-decreasing (list_parent_indices order)
                 bounds = np.searchsorted(parent, np.arange(n + 1))
@@ -549,9 +569,11 @@ def bpe_encode(
 
     return ds.map_batches(
         cached_task_fn(
-            Encode, cache_on=(mref, text_col, id_col, return_tokens),
+            Encode, cache_on=(mref, text_col, id_col, return_tokens,
+                              tuple(carry_cols), word_bytes),
             mref=mref, text_col=text_col, id_col=id_col,
-            return_tokens=return_tokens,
+            return_tokens=return_tokens, carry_cols=tuple(carry_cols),
+            word_bytes=word_bytes,
         ),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
@@ -645,3 +667,73 @@ def vocab_growth(
         "cutoff": pa.array(cuts, pa.int64()),
         "vocab": pa.array(np.cumsum(hist).astype(np.int64), pa.int64()),
     })
+
+
+def fertility_stats(
+    ds: "ray.data.Dataset",
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    scale: int = 10**6,
+) -> pd.DataFrame:
+    """Per-language tokenizer fertility report: BPE tokens per
+    whitespace word and UTF-8 bytes per BPE token — the standard
+    multilingual tokenizer-quality metrics (fertility, cf. Ács 2019 /
+    Rust et al. 2021: high fertility on a language means the
+    vocabulary under-serves it; bytes-per-token is the compression
+    ratio that fixes a token budget's byte reach per language).
+
+    Ratios are emitted as EXACT scaled integers (``sum_tokens * scale
+    // sum_words`` on Python ints — the repo's standing
+    floor-divided-rational recast, never a float in an oracle-checked
+    column) alongside the raw integer sums so downstream can
+    re-derive any ratio.
+
+    Scale shape: ONE shuffle-free :func:`bpe_encode` pass with
+    ``lang`` riding as a carry column (never a corpus-sized join
+    back), per-block Arrow group_by partials on the tiny lang key
+    (≤ |langs| rows per block), driver fold. Docs with zero words
+    drop on both engine and SQL sides (the encode emits no row)."""
+    enc = bpe_encode(
+        ds, merges, text_col=text_col, id_col=id_col,
+        carry_cols=(lang_col,), word_bytes=True)
+
+    def part(batch: pa.Table) -> pa.Table:
+        lang = pc.fill_null(pc.cast(batch[lang_col], pa.string()), "(null)")
+        t = pa.table({
+            "lang": lang,
+            "n_words": batch["n_words"],
+            "n_bpe_tokens": batch["n_bpe_tokens"],
+            "n_word_bytes": batch["n_word_bytes"],
+        })
+        return t.group_by(["lang"]).aggregate(
+            [("n_words", "sum"), ("n_bpe_tokens", "sum"),
+             ("n_word_bytes", "sum"), ([], "count_all")])
+
+    parts = enc.map_batches(
+        part, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).to_pandas()  # ≤ |langs| x blocks rows
+    cols = ["n_docs", "n_words", "n_bpe_tokens", "n_word_bytes",
+            "fertility_e6", "bytes_per_token_e6"]
+    if parts.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series(dtype=object),
+             **{c: pd.Series(dtype=np.int64) for c in cols}})
+    agg = (parts.groupby("lang", sort=True)
+           .agg(n_docs=("count_all", "sum"),
+                n_words=("n_words_sum", "sum"),
+                n_bpe_tokens=("n_bpe_tokens_sum", "sum"),
+                n_word_bytes=("n_word_bytes_sum", "sum"))
+           .reset_index())
+    # exact integer ratios (Python int //, matches SQL HUGEINT //)
+    agg["fertility_e6"] = [
+        int(t) * scale // int(w)
+        for t, w in zip(agg["n_bpe_tokens"], agg["n_words"])]
+    agg["bytes_per_token_e6"] = [
+        int(b) * scale // int(t)
+        for b, t in zip(agg["n_word_bytes"], agg["n_bpe_tokens"])]
+    for c in cols:
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["lang"] + cols]

@@ -96,3 +96,58 @@ def test_bpe_encode_matches_per_word_replay():
         exp = sum(len(_apply_merges(list(w), merges)) for w in words)
         assert out.loc[i, "n_words"] == len(words)
         assert out.loc[i, "n_bpe_tokens"] == exp
+
+
+def test_bpe_encode_carry_cols_and_word_bytes():
+    from logdata_anomaly_miner_ray.stages.vocab import bpe_encode
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["ab ab", "", "café x", "zz"],   # doc 1 has no words
+        "lang": ["en", "en", "fr", None],
+    })
+    out = (bpe_encode(rd.from_pandas(df).repartition(2),
+                      [("a", "b")], carry_cols=("lang",), word_bytes=True)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["doc_id"].tolist() == [0, 2, 3]     # empty doc dropped
+    assert out["lang"].tolist() == ["en", "fr", None]
+    # 'café' is 5 UTF-8 bytes + 'x' 1; 'ab ab' = 4; 'zz' = 2
+    assert out["n_word_bytes"].tolist() == [4, 6, 2]
+    # merge (a,b): 'ab' -> 1 token each; 'café'->4, 'x'->1; 'zz'->2
+    assert out["n_bpe_tokens"].tolist() == [2, 5, 2]
+
+
+def test_fertility_stats_matches_brute_force():
+    from logdata_anomaly_miner_ray.stages.vocab import fertility_stats
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["ab ab cd", "ab", "café café", "x y z", "", "ab cd"],
+        "lang": ["en", "en", "fr", "fr", "fr", None],
+    })
+    merges = [("a", "b"), ("c", "d")]
+    got = fertility_stats(rd.from_pandas(df).repartition(3), merges)
+    assert got["lang"].tolist() == ["(null)", "en", "fr"]
+    # en: docs 0,1 -> words 4, tokens: ab=1,ab=1,cd=1,ab=1 -> 4, bytes 2+2+2+2=8
+    en = got[got["lang"] == "en"].iloc[0]
+    assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"],
+            en["n_word_bytes"]) == (2, 4, 4, 8)
+    assert en["fertility_e6"] == 4 * 10**6 // 4
+    # fr: docs 2,3 (doc 4 empty drops) -> words 5; café=4 tokens each
+    fr = got[got["lang"] == "fr"].iloc[0]
+    assert (fr["n_docs"], fr["n_words"], fr["n_bpe_tokens"],
+            fr["n_word_bytes"]) == (2, 5, 11, 13)
+    assert fr["bytes_per_token_e6"] == 13 * 10**6 // 11
+    # null lang groups under the sentinel
+    nl = got[got["lang"] == "(null)"].iloc[0]
+    assert (nl["n_docs"], nl["n_words"], nl["n_bpe_tokens"]) == (1, 2, 2)
+
+
+def test_fertility_stats_empty_corpus_typed():
+    from logdata_anomaly_miner_ray.stages.vocab import fertility_stats
+
+    df = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                       "text": pd.Series(dtype=str),
+                       "lang": pd.Series(dtype=str)})
+    out = fertility_stats(rd.from_pandas(df), [("a", "b")])
+    assert len(out) == 0 and "fertility_e6" in out.columns
