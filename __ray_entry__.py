@@ -2769,6 +2769,43 @@ def q_extract_links_documents(sf_dir: str):
     )
 
 
+def q_anchor_text_topk_documents(sf_dir: str):
+    """Per-target anchor-text aggregation (stages/graph.anchor_text_topk)
+    over the deterministic link pages: extract (href, anchor) with
+    inner-tag strip + entity decode + whitespace collapse, then rank
+    each target's anchor texts by count (count DESC, anchor ASC).
+    Narrow (href, anchor, n) partials, ONE coarse-bucket shuffle. The
+    oracle re-derives every anchor arithmetically ('site' on the
+    external link, 'Doc <t>' with indegree counts on /doc/<t>)."""
+    from logdata_anomaly_miner_ray.functions.html import (
+        build_link_page_html,
+        extract_links_table,
+    )
+    from logdata_anomaly_miner_ray.stages.graph import anchor_text_topk
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def links(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return extract_links_table(
+            ids, build_link_page_html(ids, n_docs), with_text=True)
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        links, batch_format="pyarrow", batch_size=None)
+    df = anchor_text_topk(pages, "href", "anchor", k=2).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"href": pd.Series(dtype=object),
+             "anchor": pd.Series(dtype=object),
+             "n_anchor": pd.Series(dtype=np.int64),
+             "rnk": pd.Series(dtype=np.int64)})
+    return df.sort_values(["href", "rnk"], ignore_index=True)
+
+
 def q_pagerank_documents(sf_dir: str):
     """Distributed PageRank over the extracted link graph in exact
     int64 fixed-point (stages/graph.py): total mass 10^12 units,
@@ -3695,6 +3732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
         "extract_links_documents": q_extract_links_documents,
+        "anchor_text_topk_documents": q_anchor_text_topk_documents,
         "pagerank_documents": q_pagerank_documents,
         "indegree_hist_documents": q_indegree_hist_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -5093,6 +5131,31 @@ SELECT j.doc_id, jj + 2 AS pos,
        '/doc/' || CAST((j.doc_id * 31 + 7 * jj + 1) % nn.n AS VARCHAR)
        AS href
 FROM j CROSS JOIN nn""",
+        "anchor_text_topk_documents": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),
+j AS (SELECT src, outdeg,
+             unnest(generate_series(0, outdeg - 1))::BIGINT AS jj
+      FROM k),
+e AS (SELECT j.src, (j.src * 31 + 7 * jj + 1) % nn.n AS dst
+      FROM j CROSS JOIN nn),
+a AS (
+  SELECT '/doc/' || CAST(dst AS VARCHAR) AS href,
+         'Doc ' || CAST(dst AS VARCHAR) AS anchor,
+         count(*)::BIGINT AS n_anchor
+  FROM e GROUP BY 1, 2
+  UNION ALL
+  SELECT 'https://example.com/?id=' || CAST(doc_id AS VARCHAR)
+           || '&ref=nav' AS href,
+         'site' AS anchor, 1::BIGINT AS n_anchor
+  FROM documents),
+r AS (
+  SELECT href, anchor, n_anchor,
+         row_number() OVER (PARTITION BY href
+                            ORDER BY n_anchor DESC, anchor) AS rnk
+  FROM a)
+SELECT href, anchor, n_anchor, rnk FROM r
+WHERE rnk <= 2 ORDER BY href, rnk""",
         "indegree_hist_documents": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),

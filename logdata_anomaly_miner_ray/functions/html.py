@@ -241,7 +241,7 @@ def build_link_page_html(doc_id, n_docs: int) -> pa.Array:
     return html if isinstance(html, pa.Array) else html.combine_chunks()
 
 
-def extract_links_table(doc_id, html) -> pa.Table:
+def extract_links_table(doc_id, html, with_text: bool = False) -> pa.Table:
     """All anchor hrefs per document, in document order →
     ``(doc_id, pos, href)`` with ``pos`` 1-based among extracted
     links. Invisible subtrees (``<script>`` etc.) and comments are
@@ -250,6 +250,12 @@ def extract_links_table(doc_id, html) -> pa.Table:
     visible text. Vectorized end-to-end: one RE2 split on ``<a\\b``,
     a flat ``extract_regex`` over the fragments, and numpy segment
     arithmetic for positions — no per-row Python.
+
+    ``with_text=True`` adds an ``anchor`` column: the element's inner
+    text (up to the matching ``</a>``) with inner tags stripped,
+    entities decoded and whitespace collapsed — the anchor-text
+    signal web pipelines aggregate per link target. Anchors with no
+    close tag in the fragment yield ``''``.
     """
     import numpy as np
 
@@ -287,6 +293,15 @@ def extract_links_table(doc_id, html) -> pa.Table:
     href_v = href.filter(pa.array(valid))
     for ent, ch in _ENTITIES:
         href_v = pc.replace_substring(href_v, ent, ch)
+    if with_text:
+        tm = pc.extract_regex(flat, r"(?is)^[^>]*>(?P<txt>.*?)</a\s*>")
+        txt = tm.field("txt") if len(tm) else pa.array([], pa.string())
+        txt = pc.fill_null(txt, "").filter(pa.array(valid))
+        txt = pc.replace_substring_regex(txt, r"(?s)<[^>]*>", "")
+        for ent, ch in _ENTITIES:
+            txt = pc.replace_substring(txt, ent, ch)
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(txt, r"\s+", " "))
     # 1-based position among the extracted links, per document (the
     # valid rows stay in document order, docs contiguous)
     if len(ids_v):
@@ -295,9 +310,13 @@ def extract_links_table(doc_id, html) -> pa.Table:
         pos = np.arange(len(ids_v), dtype=np.int64) - seg + 1
     else:
         pos = np.array([], dtype=np.int64)
-    return pa.table({
+    cols = {
         "doc_id": pa.array(ids_v, pa.int64()),
         "pos": pa.array(pos, pa.int64()),
         "href": href_v if isinstance(href_v, pa.Array)
         else href_v.combine_chunks(),
-    })
+    }
+    if with_text:
+        cols["anchor"] = (txt if isinstance(txt, pa.Array)
+                          else txt.combine_chunks())
+    return pa.table(cols)

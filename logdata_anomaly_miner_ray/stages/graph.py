@@ -358,3 +358,57 @@ def indegree_histogram(
         })
 
     return coarse_grouped(per_bucket, ["indegree"], hist_fold, n_buckets=32)
+
+
+def anchor_text_topk(
+    ds: "ray.data.Dataset",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    k: int = 2,
+    n_buckets: int = 256,
+):
+    """Per link TARGET, the top-k anchor texts by occurrence count —
+    the classic web-graph relevance signal (anchor text describes the
+    target better than the target's own page; used for retrieval
+    training data and link-spam QA since Brin & Page 1998 §2.2 /
+    Craswell et al. 2001). Ordering: count DESC, anchor ASC
+    (bytewise, = SQL ``row_number() OVER (PARTITION BY href ORDER BY
+    n DESC, anchor)``), output sorted (href, rnk).
+
+    Scale shape: per-block Arrow group_by folds each block to narrow
+    (href, anchor, n) partial rows — anchor texts are short by
+    construction; raw pages never shuffle. ONE coarse-bucket shuffle
+    on the href key, then each bucket merges counts and ranks
+    per-href inside pandas (the coarse_grouped idiom — never
+    per-href map_groups). Returns a Dataset of
+    (href, anchor, n_anchor, rnk) rows, ≤ k per target."""
+    import pandas as pd
+
+    from ._agg import coarse_grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "href": pc.fill_null(
+                pc.cast(batch[href_col], pa.string()), ""),
+            "anchor": pc.fill_null(
+                pc.cast(batch[anchor_col], pa.string()), ""),
+        })
+        g = t.group_by(["href", "anchor"]).aggregate([([], "count_all")])
+        return g.rename_columns(["href", "anchor", "n"])
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby(["href", "anchor"], sort=False, as_index=False)
+             ["n"].sum())
+        t = t.sort_values(["href", "n", "anchor"],
+                          ascending=[True, False, True], kind="mergesort")
+        t["rnk"] = t.groupby("href", sort=False).cumcount() + 1
+        t = t[t["rnk"] <= k].rename(columns={"n": "n_anchor"})
+        t["n_anchor"] = t["n_anchor"].astype(np.int64)
+        t["rnk"] = t["rnk"].astype(np.int64)
+        return t
+
+    return coarse_grouped(parts, ["href"], per_bucket, n_buckets=n_buckets)

@@ -127,3 +127,47 @@ def test_indegree_histogram():
     assert got == dict(want)
     # total edges conserved through both aggregation levels
     assert sum(k * v for k, v in got.items()) == len(_brute_edges())
+
+
+def test_anchor_text_extraction_strips_tags_entities_whitespace():
+    import pyarrow as pa
+
+    from logdata_anomaly_miner_ray.functions.html import extract_links_table
+
+    html = pa.array([
+        b'<a href="/x">One <b>Bold</b>\n\t station&amp;co</a>'
+        b'<a href="/y">no close tag',
+    ], pa.binary())
+    t = extract_links_table(
+        pa.array([1], pa.int64()), html, with_text=True).to_pandas()
+    assert t["anchor"].tolist() == ["One Bold station&co", ""]
+
+
+def test_anchor_text_topk_brute_force_and_layout():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.graph import anchor_text_topk
+
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame({
+        "href": [f"/t/{rng.randint(0, 12)}" for _ in range(n)],
+        "anchor": [f"a{rng.randint(0, 5)}" for _ in range(n)],
+    })
+    t = df.groupby(["href", "anchor"], as_index=False).size()
+    t = t.sort_values(["href", "size", "anchor"],
+                      ascending=[True, False, True], kind="mergesort")
+    t["rnk"] = t.groupby("href", sort=False).cumcount() + 1
+    want = (t[t["rnk"] <= 2]
+            .rename(columns={"size": "n_anchor"})
+            .astype({"n_anchor": np.int64, "rnk": np.int64})
+            .sort_values(["href", "rnk"], ignore_index=True))
+    for nblocks in (1, 8):
+        got = (anchor_text_topk(
+            rd.from_pandas(df).repartition(nblocks), k=2)
+            .to_pandas()
+            .sort_values(["href", "rnk"], ignore_index=True))
+        pd.testing.assert_frame_equal(
+            got[["href", "anchor", "n_anchor", "rnk"]], want)
