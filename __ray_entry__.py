@@ -3160,6 +3160,25 @@ def q_heavy_hitters_documents(sf_dir: str):
 
 
 
+def q_temperature_mixture_documents(sf_dir: str):
+    """Temperature-scaled mixture quotas (α=0.5, Conneau & Lample
+    2019 / XLM-R sampling; stages/sampling.temperature_mixture):
+    weights are EXACT integer isqrt(n_tok) (SQL mirrors with a ±1
+    fixed-up floor(sqrt)), then Hamilton apportionment of a 1M
+    budget over the weights."""
+    from logdata_anomaly_miner_ray.stages.sampling import temperature_mixture
+
+    out = temperature_mixture(
+        _read(sf_dir, "documents", ["source", "text"]),
+        "text", "source", budget=1_000_000, alpha_halves=1)
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "n_tok": out["n_tok"].to_numpy(np.int64),
+        "weight": out["weight"].to_numpy(np.int64),
+        "quota": out["quota"].to_numpy(np.int64),
+    })
+
+
 def q_token_budget_documents(sf_dir: str):
     """Largest-remainder (Hamilton) apportionment of a 1M-token
     budget across sources by exact corpus token mass — quotas sum to
@@ -3753,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets_documents": q_length_buckets_documents,
         "grouped_quantiles_documents": q_grouped_quantiles_documents,
         "token_budget_documents": q_token_budget_documents,
+        "temperature_mixture_documents": q_temperature_mixture_documents,
         "exact_quantiles_lineitem": q_exact_quantiles_lineitem,
         "asof_join_events": q_asof_join_events,
         "topk_per_group_orders": q_topk_per_group_orders,
@@ -3953,6 +3973,34 @@ ORDER BY event_id""",
 SELECT doc_id, n_chars,
        ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS bucket
 FROM documents""",
+        "temperature_mixture_documents": r"""
+WITH c AS (SELECT source,
+                  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tok
+           FROM documents GROUP BY source),
+-- exact integer sqrt: float floor(sqrt) with a +/-1 fix-up so the
+-- floor matches Python math.isqrt even across perfect squares
+s0 AS (SELECT source, n_tok,
+              CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS HUGEINT) AS s
+       FROM c),
+s1 AS (SELECT source, n_tok,
+              s - (CASE WHEN s * s > n_tok THEN 1 ELSE 0 END) AS s
+       FROM s0),
+w AS (SELECT source, n_tok,
+             (s + (CASE WHEN (s + 1) * (s + 1) <= n_tok
+                        THEN 1 ELSE 0 END))::BIGINT AS weight
+      FROM s1),
+t AS (SELECT sum(weight)::HUGEINT AS tw FROM w),
+b AS (SELECT source, n_tok, weight,
+             (1000000::HUGEINT * weight // tw)::BIGINT AS base,
+             (1000000::HUGEINT * weight % tw)::BIGINT AS rem
+      FROM w CROSS JOIN t),
+sb AS (SELECT sum(base)::BIGINT AS sb FROM b),
+r AS (SELECT source, n_tok, weight, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+SELECT source, n_tok, weight,
+       (base + CASE WHEN rk <= (1000000 - sb.sb) THEN 1 ELSE 0 END)::BIGINT
+       AS quota
+FROM r CROSS JOIN sb ORDER BY source""",
         "token_budget_documents": r"""
 WITH c AS (SELECT source,
                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tok

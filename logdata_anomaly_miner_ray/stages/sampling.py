@@ -553,6 +553,87 @@ def token_budget_allocation(
     return totals
 
 
+def temperature_mixture(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 1_000_000,
+    alpha_halves: int = 1,
+) -> "pd.DataFrame":
+    """Temperature-scaled mixture quotas: apportion an integer token
+    ``budget`` across sources proportional to ``n_s^alpha`` with
+    ``alpha = alpha_halves / 2`` — the multilingual/multi-source
+    sampling-temperature scheme (Conneau & Lample 2019 / XLM-R's
+    p_i ∝ n_i^α, α<1 upsamples low-resource sources; UniMax is the
+    capped variant). ``alpha_halves=1`` is the classic α=0.5;
+    ``alpha_halves=2`` degenerates to proportional (=
+    :func:`token_budget_allocation`).
+
+    Exactness recast: the weight is the EXACT integer
+    ``isqrt(n_s^alpha_halves)`` (Python ``math.isqrt`` on arbitrary
+    ints — never a float power; a float ``n**0.5`` could flip a
+    largest-remainder seat). The SQL mirror computes floor(sqrt(n))
+    with an explicit ±1 fix-up (``s - (s*s>n) + ((s+1)^2<=n)``), so
+    both engines floor identically even where the float sqrt rounds
+    up across a perfect square. Quotas then follow the same
+    largest-remainder (Hamilton) apportionment as
+    :func:`token_budget_allocation` over the weights (quotas sum to
+    the budget exactly; remainder ties break on source name).
+
+    Scale shape: identical to token_budget_allocation — ONE narrow
+    (source, n_tok) partial pass, tiny groupby, exact Python-int
+    driver math over #sources rows. Returns
+    ``(source, n_tok, weight, quota)`` sorted by source."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    _WS = r"\s+"
+
+    def part(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text.cast(pa.string()), _WS)
+        flat = pc.list_flatten(toks)
+        per_row = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        per_row -= np.bincount(
+            parent[empty], minlength=batch.num_rows).astype(np.int64)
+        t = pa.table({"source": batch[source_col],
+                      "n_tok": pa.array(per_row, pa.int64())})
+        agg = t.group_by(["source"]).aggregate([("n_tok", "sum")])
+        return agg.rename_columns(["source", "n_tok"])
+
+    totals = ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).groupby("source").aggregate(Sum("n_tok", alias_name="n_tok")).to_pandas()
+    totals = totals.sort_values("source", kind="mergesort").reset_index(
+        drop=True)
+
+    w = [math.isqrt(int(n) ** alpha_halves) for n in totals["n_tok"]]
+    W = sum(w)
+    totals["weight"] = np.array(w, np.int64)
+    if W == 0:
+        totals["quota"] = np.zeros(len(totals), np.int64)
+        totals["n_tok"] = totals["n_tok"].astype(np.int64)
+        return totals
+    base = [budget * wi // W for wi in w]
+    rem = [budget * wi % W for wi in w]
+    extra = budget - sum(base)
+    order = sorted(range(len(w)),
+                   key=lambda i: (-rem[i], str(totals["source"][i])))
+    quota = list(base)
+    for i in order[:extra]:
+        quota[i] += 1
+    totals["quota"] = np.array(quota, np.int64)
+    totals["n_tok"] = totals["n_tok"].astype(np.int64)
+    return totals
+
+
 def politeness_manifest(
     ds: "ray.data.Dataset",
     url_col: str = "url",

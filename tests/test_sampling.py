@@ -296,3 +296,51 @@ def test_token_budget_allocation_hamilton_exact():
     out2 = token_budget_allocation(ds2, "text", "source", budget=10)
     assert out2["quota"].tolist() == [4, 3, 3]
     assert int(out2["quota"].sum()) == 10
+
+
+def test_temperature_mixture_upsamples_small_sources_exactly():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.sampling import (
+        temperature_mixture, token_budget_allocation)
+
+    # big: 900 tokens, small: 100 tokens
+    df = pd.DataFrame({
+        "source": ["big"] * 90 + ["small"] * 10,
+        "text": ["w " * 9 + "w"] * 100,   # 10 tokens per doc
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = temperature_mixture(ds, budget=1000, alpha_halves=1)
+    assert out["quota"].sum() == 1000
+    assert out["weight"].tolist() == [30, 10]  # isqrt(900), isqrt(100)
+    small = out[out["source"] == "small"].iloc[0]
+    assert small["quota"] == 250          # 10/40 of the budget (was 100 prop.)
+    # alpha = 1 (alpha_halves=2) degenerates to proportional quotas
+    t2 = temperature_mixture(ds, budget=1000, alpha_halves=2)
+    prop = token_budget_allocation(ds, budget=1000)
+    assert t2["quota"].tolist() == prop["quota"].tolist()
+
+
+def test_sql_isqrt_fixup_matches_math_isqrt_on_boundaries():
+    import math
+
+    import duckdb
+
+    # perfect squares and their neighbours — where a float sqrt can
+    # round up across the boundary — plus large near-2^52 values
+    vals = []
+    for n in [0, 1, 2, 3, 4, 99, 100, 101, 10**6, 4503599627370496]:
+        vals.append(n)
+    for r in [10**7 - 1, 10**7, 67108864]:
+        vals += [r * r - 1, r * r, r * r + 1]
+    rel = duckdb.query(
+        "SELECT n, (s1 + (CASE WHEN (s1+1)*(s1+1) <= n THEN 1 ELSE 0 END)) AS s"
+        " FROM (SELECT n, s0 - (CASE WHEN s0*s0 > n THEN 1 ELSE 0 END) AS s1"
+        "       FROM (SELECT unnest(?::HUGEINT[]) AS n,"
+        "                    CAST(floor(sqrt(CAST(unnest(?::HUGEINT[]) AS DOUBLE)))"
+        "                         AS HUGEINT) AS s0))",
+        params=[vals, vals]).fetchall()
+    for n, s in rel:
+        assert int(s) == math.isqrt(int(n)), (n, s)
