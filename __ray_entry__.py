@@ -2043,6 +2043,59 @@ def q_host_cap_documents(sf_dir: str):
         ["host_key", "host_rank"], ignore_index=True)
 
 
+def q_url_dedup_latest_documents(sf_dir: str):
+    """CDX-style latest-capture collapse per canonical URL
+    (stages/webstats.url_dedup_latest): raw captures (url, ts) are
+    synthesized deterministically from doc_id IDENTICALLY in Arrow
+    and SQL (mixed-case scheme/host, www., default + non-default
+    ports, an unparseable variant every 17th row — all COLLIDING
+    after RFC 3986 canonicalization); keep the greatest-ts capture
+    per canonical URL (ties: doc_id asc) plus the collapsed capture
+    count. One shuffle-free partial pass bounded by distinct urls per
+    block + a coarse-bucket merge."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.webstats import url_dedup_latest
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+
+        def s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        def const(v):
+            return pa.array([v] * n, pa.string())
+
+        scheme = pc.if_else(pa.array(d % 2 == 0), const("http://"),
+                            const("HTTPS://"))
+        www = pc.if_else(pa.array(d % 3 == 0), const("WWW."), const(""))
+        host = pc.binary_join_element_wise(www, "Site", s(d % 5), ".ORG", "")
+        port = pc.if_else(
+            pa.array(d % 4 == 0), const(":80"),
+            pc.if_else(pa.array(d % 4 == 1), const(":443"),
+                       pc.if_else(pa.array(d % 4 == 2), const(":8080"),
+                                  const(""))))
+        path = pc.binary_join_element_wise(const("/p/"), s(d % 3), "")
+        url = pc.binary_join_element_wise(scheme, host, port, path, "")
+        url = pc.if_else(
+            pa.array(d % 17 == 0),
+            pc.binary_join_element_wise(const("page-"), s(d % 11), ""), url)
+        ts = 1_600_000_000 + ((d * 7919) % 256) * 60
+        return pa.table({"doc_id": t["doc_id"], "url": url,
+                         "ts_s": pa.array(ts, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build, batch_format="pyarrow", batch_size=None)
+    out = url_dedup_latest(ds, "url", "doc_id", "ts_s").to_pandas()
+    return pd.DataFrame({
+        "url_norm": out["url_norm"].astype(str),
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "ts_s": out["ts_s"].to_numpy(np.int64),
+        "n_captures": out["n_captures"].to_numpy(np.int64),
+    }).sort_values("url_norm", ignore_index=True)
+
+
 def q_cross_source_overlap_documents(sf_dir: str):
     """Cross-source exact-duplicate Venn census
     (stages/dedup.cross_source_overlap): per distinct text's source
@@ -3724,6 +3777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize_documents": q_url_normalize_documents,
         "host_stats_documents": q_host_stats_documents,
         "host_cap_documents": q_host_cap_documents,
+        "url_dedup_latest_documents": q_url_dedup_latest_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5305,6 +5359,51 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "url_dedup_latest_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'page-' || CAST(doc_id % 11 AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 3 AS VARCHAR) END AS url,
+         1600000000 + ((doc_id * 7919) % 256) * 60 AS ts_s
+  FROM documents),
+parts AS (
+  SELECT doc_id, ts_s, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS sch,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+         regexp_replace(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
+  FROM raw),
+canon AS (
+  SELECT doc_id, ts_s, url, sch,
+         CASE WHEN sch = 'http'
+              THEN regexp_replace(regexp_replace(host, '^www\.', ''), ':80$', '')
+              WHEN sch = 'https'
+              THEN regexp_replace(regexp_replace(host, '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(host, '^www\.', '') END AS host,
+         regexp_replace(rest, '^/$', '') AS rest
+  FROM parts),
+n AS (
+  SELECT doc_id, ts_s,
+         CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+              THEN sch || '://' || host || rest ELSE url END AS url_norm
+  FROM canon),
+r AS (
+  SELECT url_norm, doc_id, ts_s,
+         row_number() OVER (PARTITION BY url_norm
+                            ORDER BY ts_s DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY url_norm) AS n_captures
+  FROM n)
+SELECT url_norm, doc_id, CAST(ts_s AS BIGINT) AS ts_s,
+       CAST(n_captures AS BIGINT) AS n_captures
+FROM r WHERE rn = 1 ORDER BY url_norm""",
         "host_cap_documents": r"""
 WITH raw AS (
   SELECT doc_id, n_chars,

@@ -273,3 +273,85 @@ def host_cap(
         narrow, [host_out_col], order_col, k,
         tiebreak_cols=(id_col,), ascending=ascending, rank_col=rank_col,
     )
+
+
+def url_dedup_latest(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "ts_s",
+    url_out_col: str = "url_norm",
+    count_col: str = "n_captures",
+) -> "ray.data.Dataset":
+    """Latest-capture collapse per canonical URL (the CDX-index dedup
+    every Common-Crawl-derived corpus applies first): canonicalize
+    each URL (RFC 3986 syntax normalization, ``functions/url.
+    normalize_url_array``), then keep ONE row per canonical URL — the
+    capture with the greatest ``ts_col``, ties broken by ``id_col``
+    ascending — and report how many raw captures collapsed into it.
+    SQL-reproducible as ``row_number() OVER (PARTITION BY url_norm
+    ORDER BY ts DESC, id) = 1`` + ``count(*) OVER (PARTITION BY
+    url_norm)``. The reference engine's analogue is
+    NewMatchPathValueDetector's first/latest-value bookkeeping per
+    learned key (reference analysis/NewMatchPathValueDetector.py:
+    20-84) keyed here on the canonical URL.
+
+    Scale shape: ONE shuffle-free narrow pass derives (url_norm, id,
+    ts) and folds each block to ≤ |distinct canonical urls in block|
+    PARTIAL rows (local winner + local capture count — argmax-by-(ts,
+    -id) and count are both mergeable semigroups), so raw URLs/html
+    never shuffle and shuffle volume is bounded by distinct-urls, not
+    captures. Partials merge under ``coarse_grouped``'s bounded
+    bucket key. Unparseable URLs canonicalize to themselves (the raw
+    string is its own identity), so they dedup too rather than being
+    dropped."""
+    from ._agg import coarse_grouped
+
+    class _Partial:
+        def __init__(self, url_col, id_col, ts_col, url_out_col, count_col):
+            self.url_col, self.id_col, self.ts_col = url_col, id_col, ts_col
+            self.url_out_col, self.count_col = url_out_col, count_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.url import normalize_url_array
+
+            df = pd.DataFrame({
+                self.url_out_col: np.asarray(
+                    normalize_url_array(batch[self.url_col])),
+                self.id_col: batch[self.id_col].to_numpy(
+                    zero_copy_only=False),
+                self.ts_col: batch[self.ts_col].to_numpy(
+                    zero_copy_only=False),
+            })
+            return pa.Table.from_pandas(
+                _fold_latest(df, self.url_out_col, self.id_col,
+                             self.ts_col, self.count_col),
+                preserve_index=False)
+
+    def _fold_latest(df, ukey, idc, tsc, cntc):
+        cnt_src = df[cntc] if cntc in df.columns else None
+        best = (df.sort_values([tsc, idc], ascending=[False, True],
+                               kind="mergesort")
+                  .groupby(ukey, sort=True, as_index=False)
+                  .first())
+        sizes = (df.groupby(ukey, sort=True)[cntc].sum()
+                 if cnt_src is not None
+                 else df.groupby(ukey, sort=True).size()).to_numpy()
+        best = best[[ukey, idc, tsc]].copy()
+        best[cntc] = sizes.astype(np.int64)
+        return best
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _fold_latest(df, url_out_col, id_col, ts_col, count_col)
+
+    partials = ds.map_batches(
+        cached_task_fn(
+            _Partial,
+            cache_on=(url_col, id_col, ts_col, url_out_col, count_col,
+                      "url_dedup_latest"),
+            url_col=url_col, id_col=id_col, ts_col=ts_col,
+            url_out_col=url_out_col, count_col=count_col,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return coarse_grouped(partials, [url_out_col], final)

@@ -179,3 +179,58 @@ def test_host_cap_null_hosts_capped_as_one_family():
     # ties on n_chars=9 break by doc_id asc: keep 1 then 2
     assert sorted(none["doc_id"].tolist()) == [1, 2]
     assert out[out["host_key"] == "a.org"]["doc_id"].tolist() == [5]
+
+
+def _dedup_brute(df):
+    from logdata_anomaly_miner_ray.functions.url import normalize_url_array
+
+    df = df.copy()
+    df["url_norm"] = np.asarray(normalize_url_array(df["url"].tolist()))
+    df = df.sort_values(["ts_s", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    g = df.groupby("url_norm", sort=True)
+    out = g.first().reset_index()
+    out["n_captures"] = g.size().to_numpy().astype(np.int64)
+    return out[["url_norm", "doc_id", "ts_s", "n_captures"]]
+
+
+def test_url_dedup_latest_brute_force():
+    from logdata_anomaly_miner_ray.stages.webstats import url_dedup_latest
+
+    rng = np.random.RandomState(7)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    urls = [
+        ["http://WWW.Example.COM:80/a", "https://example.com:443/a",
+         "http://example.com/a", "HTTPS://Other.ORG/p",
+         "not a url %d" % (i % 3), "http://example.com:8080/a"][i % 6]
+        for i in range(n)
+    ]
+    ts = (ids * 37) % 50  # heavy ties -> doc_id tiebreak exercised
+    df = pd.DataFrame({"doc_id": ids, "url": urls, "ts_s": ts})
+    got = (url_dedup_latest(rd.from_pandas(df).repartition(5))
+           .to_pandas()
+           .sort_values("url_norm", ignore_index=True))
+    exp = _dedup_brute(df).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url_norm", "doc_id", "ts_s", "n_captures"]].astype(
+            {"doc_id": np.int64, "ts_s": np.int64, "n_captures": np.int64}),
+        exp.astype({"doc_id": np.int64, "ts_s": np.int64,
+                    "n_captures": np.int64}))
+
+
+def test_url_dedup_latest_partition_invariance():
+    from logdata_anomaly_miner_ray.stages.webstats import url_dedup_latest
+
+    ids = np.arange(120, dtype=np.int64)
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "url": ["http://site%d.org/p/%d" % (i % 4, i % 3) for i in ids],
+        "ts_s": (ids * 13) % 40,
+    })
+    outs = []
+    for nb in (1, 7):
+        o = (url_dedup_latest(rd.from_pandas(df).repartition(nb))
+             .to_pandas().sort_values("url_norm", ignore_index=True))
+        outs.append(o[["url_norm", "doc_id", "ts_s", "n_captures"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
