@@ -2096,6 +2096,24 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+def q_stratified_sample_documents(sf_dir: str):
+    """Exact stratified sample (stages/sampling.stratified_sample):
+    per (source, lang) stratum keep exactly ceil(n/7) docs by the
+    content-keyed md5(doc_id) priority — deterministic under
+    re-sharding and SQL-reproducible (row_number over md5 order vs
+    the exact integer quota (n + 6) // 7). Pass 1 = tiny per-stratum
+    count groupby; pass 2 = mergeable per-block local top-k_g."""
+    from logdata_anomaly_miner_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    out = stratified_sample(ds, ("source", "lang"), "doc_id", (1, 7)).to_pandas()
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "lang": out["lang"].astype(str),
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+    }).sort_values(["source", "lang", "doc_id"], ignore_index=True)
+
+
 def q_cross_source_overlap_documents(sf_dir: str):
     """Cross-source exact-duplicate Venn census
     (stages/dedup.cross_source_overlap): per distinct text's source
@@ -3778,6 +3796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": q_host_stats_documents,
         "host_cap_documents": q_host_cap_documents,
         "url_dedup_latest_documents": q_url_dedup_latest_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5359,6 +5378,20 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "stratified_sample_documents": r"""
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (
+  SELECT source, lang, doc_id,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+SELECT r.source, r.lang, r.doc_id
+FROM r JOIN c ON r.source IS NOT DISTINCT FROM c.source
+             AND r.lang IS NOT DISTINCT FROM c.lang
+WHERE rn <= (c.n + 6) // 7
+ORDER BY r.source, r.lang, r.doc_id""",
         "url_dedup_latest_documents": r"""
 WITH raw AS (
   SELECT doc_id,

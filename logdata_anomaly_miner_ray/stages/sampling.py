@@ -18,10 +18,14 @@ Clean-room recasts:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from ..functions.text import flat_utf8, token_hashes
@@ -743,3 +747,106 @@ def politeness_manifest(
         cached_task_fn(Emit, cache_on=(bases_ref, id_col, "politeness"),
                        bases_ref=bases_ref, id_col=id_col),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    strata_cols: Sequence[str] = ("source", "lang"),
+    id_col: str = "doc_id",
+    frac: tuple[int, int] = (1, 10),
+) -> "ray.data.Dataset":
+    """Exact stratified sample: per stratum (the distinct
+    ``strata_cols`` combo) keep exactly ``ceil(num·n / den)`` rows —
+    ``frac=(num, den)`` is an exact rational, no float proportion
+    ever materializes — chosen by the content-keyed
+    ``md5(CAST(id AS VARCHAR))`` priority ascending. Deterministic
+    under re-sharding/re-ordering and SQL-reproducible as
+    ``row_number() OVER (PARTITION BY strata ORDER BY md5(...)) <=
+    (num*n + den - 1) // den``. This is the per-(source, lang)
+    inspection/eval-split sampler a corpus QA pipeline runs (the
+    reference's analogue is EventTypeDetector's per-path bounded
+    value samples, reference analysis/EventTypeDetector.py:237-286).
+
+    Scale shape: pass 1 folds per-block (strata, n) Arrow partials
+    through one tiny groupby (bounded by #strata — categorical by
+    definition); the per-stratum quotas are exact Python-int driver
+    math broadcast once via ``ray.put``. Pass 2 keeps each block's
+    local top-k_g per stratum (mergeable: top-k of local top-ks),
+    bounding the shuffle to the sample size, then one small
+    ``map_groups`` per stratum finishes the selection. Raw text
+    never shuffles if the caller projects first."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+
+    num, den = int(frac[0]), int(frac[1])
+    if num < 0 or den <= 0:
+        raise ValueError("frac must be (num>=0, den>0)")
+    keys = list(strata_cols)
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys)
+        agg = t.group_by(keys).aggregate([([], "count_all")])
+        return agg.rename_columns([*keys, "n"])
+
+    counts = (
+        ds.map_batches(count_part, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True)
+        .groupby(keys).aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    quotas = {
+        tuple(str(r[c]) for c in keys): (num * int(r["n"]) + den - 1) // den
+        for _, r in counts.iterrows()
+    }
+    quotas_ref = ray.put(quotas)
+
+    def _gkey(batch: pa.Table):
+        gvals = [
+            np.asarray(batch[c].to_numpy(zero_copy_only=False),
+                       dtype=object).astype(str)
+            for c in keys
+        ]
+        gkey = gvals[0]
+        for g in gvals[1:]:
+            gkey = np.char.add(np.char.add(gkey, "\x1f"), g)
+        return gkey
+
+    class _Partial:
+        def __init__(self, quotas_ref, id_col):
+            self.quotas = ray.get(quotas_ref)
+            self.id_col = id_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch[self.id_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            pr = np.array(md5_hex(pc.cast(col, pa.string())), dtype=object)
+            gkey = _gkey(batch)
+            order = np.lexsort((pr, gkey))
+            gk_s = gkey[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], gk_s[1:] != gk_s[:-1]]))
+            ends = np.concatenate([starts[1:], [len(order)]])
+            keep = np.zeros(len(order), dtype=bool)
+            for a, b in zip(starts, ends):
+                kg = self.quotas.get(tuple(gk_s[a].split("\x1f")), 0)
+                keep[a : min(a + kg, b)] = True
+            idx = np.sort(order[keep])
+            out = batch.take(pa.array(idx))
+            return out.append_column(
+                "__pr", pa.array(pr[idx].tolist(), pa.string()))
+
+    from ._taskcache import cached_task_fn
+
+    partials = ds.map_batches(
+        cached_task_fn(_Partial, cache_on=(quotas_ref, id_col, "strat"),
+                       quotas_ref=quotas_ref, id_col=id_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        kg = quotas.get(tuple(str(g[c].iloc[0]) for c in keys), 0)
+        g = g.sort_values("__pr", kind="mergesort").head(kg)
+        return g.drop(columns=["__pr"])
+
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")

@@ -1,3 +1,4 @@
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -344,3 +345,51 @@ def test_sql_isqrt_fixup_matches_math_isqrt_on_boundaries():
         params=[vals, vals]).fetchall()
     for n, s in rel:
         assert int(s) == math.isqrt(int(n)), (n, s)
+
+
+def test_stratified_sample_brute_force_and_quota():
+    import pyarrow as pa
+
+    from logdata_anomaly_miner_ray.functions.hashing import md5_hex
+    from logdata_anomaly_miner_ray.stages.sampling import stratified_sample
+
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids,
+                       "source": ["s%d" % (i % 3) for i in ids],
+                       "lang": ["l%d" % (i % 2) for i in ids]})
+    out = stratified_sample(
+        rd.from_pandas(df).repartition(5), ("source", "lang"),
+        "doc_id", (1, 7)).to_pandas()
+    b = df.copy()
+    b["pr"] = np.array(md5_hex(pa.array(b["doc_id"].astype(str))),
+                       dtype=object)
+    b = b.sort_values(["source", "lang", "pr"], kind="mergesort")
+    exp_ids = []
+    for _, g in b.groupby(["source", "lang"], sort=True):
+        kg = (len(g) + 6) // 7
+        exp_ids.extend(g["doc_id"].head(kg).tolist())
+    assert sorted(out["doc_id"]) == sorted(exp_ids)
+    # exact quota per stratum
+    sizes = out.groupby(["source", "lang"]).size()
+    for (s, l), kg in sizes.items():
+        n_g = len(df[(df["source"] == s) & (df["lang"] == l)])
+        assert kg == (n_g + 6) // 7
+
+
+def test_stratified_sample_partition_invariance():
+    from logdata_anomaly_miner_ray.stages.sampling import stratified_sample
+
+    ids = np.arange(150, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids,
+                       "source": ["s%d" % (i % 2) for i in ids],
+                       "lang": ["x"] * len(ids)})
+    outs = []
+    for nb in (1, 8):
+        o = stratified_sample(
+            rd.from_pandas(df).repartition(nb), ("source", "lang"),
+            "doc_id", (2, 5)).to_pandas()
+        outs.append(sorted(o["doc_id"].tolist()))
+    assert outs[0] == outs[1]
+    # exact ceil(2n/5) per stratum
+    assert len(outs[0]) == 2 * ((2 * 75 + 4) // 5)
