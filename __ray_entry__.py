@@ -2905,6 +2905,72 @@ def q_pagerank_documents(sf_dir: str):
     )
 
 
+def q_hits_scores_documents(sf_dir: str):
+    """HITS hubs & authorities (stages/graph.hits_scores) over the
+    extracted link graph in exact int64 fixed-point: each iteration
+    pushes a ← Aᵀh then h ← A·a (the NEW a), renormalizing by the
+    exact floor-rescale q = max(Σraw // 10^12, 1). Integer sums are
+    order-independent ⇒ bit-identical at any partitioning; the SQL
+    oracle unrolls the same recurrence (2 iterations) with DuckDB //
+    and scalar-subquery totals. Broadcast tier here; the scale tier
+    (vectors stay Datasets, coarse-keyed attach + per-node sums) is
+    exercised in tests."""
+    import pyarrow.parquet as pq
+
+    from logdata_anomaly_miner_ray.stages.graph import hits_scores, link_edges
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    out = hits_scores(
+        link_edges(_read(sf_dir, "documents", ["doc_id"]), n_docs),
+        n_docs, iters=2)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {"node": df["node"].to_numpy(np.int64),
+         "auth_fp": df["auth_fp"].to_numpy(np.int64),
+         "hub_fp": df["hub_fp"].to_numpy(np.int64)}
+    ).sort_values("node", ignore_index=True)
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS SQL mirroring stages/graph.hits_scores: per
+    push, raw sums via the edge join, total → q = greatest(Σ //
+    10^12, 1), vector = coalesce(raw, 0) // q over ALL doc nodes."""
+    S = 10**12
+    parts = [f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),
+j AS (SELECT src, outdeg,
+             unnest(generate_series(0, outdeg - 1))::BIGINT AS jj
+      FROM k),
+e AS (SELECT j.src, (j.src * 31 + 7 * jj + 1) % nn.n AS dst
+      FROM j CROSS JOIN nn),
+h0 AS (SELECT doc_id AS node, {S} // nn.n AS v
+       FROM documents CROSS JOIN nn)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i}r AS (SELECT e.dst AS node, SUM(p.v)::HUGEINT AS m
+          FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY 1),
+a{i}q AS (SELECT greatest(SUM(m) // {S}, 1) AS q FROM a{i}r),
+a{i} AS (SELECT d.doc_id AS node,
+                CAST(COALESCE(r.m, 0) // q.q AS BIGINT) AS v
+         FROM documents d CROSS JOIN a{i}q q
+         LEFT JOIN a{i}r r ON r.node = d.doc_id),
+h{i}r AS (SELECT e.src AS node, SUM(a.v)::HUGEINT AS m
+          FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1),
+h{i}q AS (SELECT greatest(SUM(m) // {S}, 1) AS q FROM h{i}r),
+h{i} AS (SELECT d.doc_id AS node,
+                CAST(COALESCE(r.m, 0) // q.q AS BIGINT) AS v
+         FROM documents d CROSS JOIN h{i}q q
+         LEFT JOIN h{i}r r ON r.node = d.doc_id)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT a.node, a.v AS auth_fp, h.v AS hub_fp
+FROM a{iters} a JOIN h{iters} h ON a.node = h.node
+ORDER BY a.node""")
+    return "".join(parts)
+
+
 def q_indegree_hist_documents(sf_dir: str):
     """Link-graph degree distribution (stages/graph.indegree_histogram)
     — the standard power-law QA over a crawl graph: per-block sparse
@@ -3826,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links_documents": q_extract_links_documents,
         "anchor_text_topk_documents": q_anchor_text_topk_documents,
         "pagerank_documents": q_pagerank_documents,
+        "hits_scores_documents": q_hits_scores_documents,
         "indegree_hist_documents": q_indegree_hist_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
@@ -5287,6 +5354,7 @@ e AS (SELECT j.src, (j.src * 31 + 7 * jj + 1) % nn.n AS dst
       FROM j CROSS JOIN nn),
 deg AS (SELECT dst, count(*)::BIGINT AS indegree FROM e GROUP BY 1)
 SELECT indegree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1""",
+        "hits_scores_documents": _hits_sql(2),
         "pagerank_documents": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 k AS (SELECT doc_id AS src, 1 + doc_id % 4 AS outdeg FROM documents),

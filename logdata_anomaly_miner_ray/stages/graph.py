@@ -412,3 +412,265 @@ def anchor_text_topk(
         return t
 
     return coarse_grouped(parts, ["href"], per_bucket, n_buckets=n_buckets)
+
+
+def hits_scores(
+    edges: "ray.data.Dataset", n_nodes: int, *, iters: int = 2,
+    total: int = PAGERANK_SCALE, max_broadcast_nodes: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999) in exact int64
+    fixed-point → (node, auth_fp, hub_fp). Each iteration is the
+    textbook pair of pushes — a ← Aᵀh then h ← A·a (the NEW a) —
+    with the L1 renormalization recast exactly: after each push the
+    raw vector floor-rescales by ``q = max(Σraw // total, 1)``
+    (elementwise ``raw // q``), so the mass stays ~``total`` units
+    and EVERY value is integer arithmetic. Integer sums are
+    order-independent ⇒ results are bit-identical at any
+    partitioning/cluster size, and a SQL oracle unrolls the same
+    recurrence with DuckDB ``//`` + scalar-subquery totals (the
+    pagerank reproducibility discipline, see module docstring).
+
+    Envelope: per-node raw mass is bounded by the TOTAL vector mass
+    ≤ 2·total ≈ 2^41 (each push sums a subset of the pushed vector),
+    so the float64-weighted bincount folds are exact (< 2^53); the
+    driver total is Python-int. Asserted each fold.
+
+    Tiers per push (same shapes as :func:`pagerank`): broadcast
+    (vector via ``ray.put``, sparse per-block bincount partials, one
+    shuffle-free pass) for n ≤ ``max_broadcast_nodes``; scale tier
+    (vector stays a Dataset, union + coarse-keyed groupby attach,
+    then a coarse per-node sum — 2 narrow shuffles per push, raw
+    pages never enter the loop)."""
+    import ray
+    import ray.data as rd
+
+    edges = edges.materialize()
+    if n_nodes <= max_broadcast_nodes:
+        def push(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+            ref = ray.put(vec)
+
+            def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+                v = ray.get(_ref)
+                f = batch[from_col].to_numpy(zero_copy_only=False)
+                t = batch[to_col].to_numpy(zero_copy_only=False)
+                nodes, inv = np.unique(t, return_inverse=True)
+                m = np.zeros(len(nodes), dtype=np.int64)
+                np.add.at(m, inv, v[f])
+                return pa.table({
+                    "node": pa.array(nodes, pa.int64()),
+                    "m": pa.array(m, pa.int64()),
+                })
+
+            raw = np.zeros(n_nodes, dtype=np.int64)
+            for b in edges.map_batches(
+                partial, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True,
+            ).materialize().iter_batches(
+                batch_format="pyarrow", batch_size=None
+            ):
+                nd = b["node"].to_numpy(zero_copy_only=False)
+                mv = b["m"].to_numpy(zero_copy_only=False)
+                raw += np.bincount(
+                    nd, weights=mv.astype(np.float64), minlength=n_nodes
+                ).astype(np.int64)
+            t_raw = int(raw.sum(dtype=np.int64))
+            assert t_raw < 2**62, "HITS mass envelope exceeded"
+            q = max(t_raw // total, 1)
+            out = raw // q
+            assert int(out.max(initial=0)) <= 2 * total, \
+                "HITS per-node envelope exceeded"
+            return out
+
+        h = np.full(n_nodes, total // n_nodes, dtype=np.int64)
+        a = np.zeros(n_nodes, dtype=np.int64)
+        for _ in range(iters):
+            a = push(h, "src", "dst")
+            h = push(a, "dst", "src")
+        return rd.from_arrow(pa.table({
+            "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+            "auth_fp": pa.array(a, pa.int64()),
+            "hub_fp": pa.array(h, pa.int64()),
+        }))
+
+    # ---- scale tier: vectors stay Datasets; 2 coarse shuffles/push ----
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    P = shuffle_parallelism()
+
+    def _ck_of(arr_np: np.ndarray) -> pa.Array:
+        hh = pd.util.hash_pandas_object(
+            pd.Series(arr_np), index=False).to_numpy()
+        return pa.array((hh % np.uint64(P)).astype(np.int64))
+
+    # node list = every endpoint (either side) — zero-score nodes
+    # absent from the edge list are the caller's to fill (documented).
+    # Per-block unique is NOT enough here: h0 seeds one mass unit
+    # per node ROW, so the list must be globally unique (one coarse
+    # dedup groupby; pagerank's base-fill tolerates dups because it
+    # only adds zeros — this one must not).
+    def _nk_dedup(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"node": pa.array(
+            np.unique(g["node"].to_numpy(np.int64)), pa.int64())})
+
+    nodes_ds = (
+        edges.map_batches(
+            lambda t: pa.table({"node": pc.unique(pa.chunked_array([
+                pa.chunked_array([t["src"]]).combine_chunks(),
+                pa.chunked_array([t["dst"]]).combine_chunks(),
+            ]).combine_chunks())}),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .map_batches(
+            lambda t: t.append_column("nk", _ck_of(
+                t["node"].to_numpy(zero_copy_only=False))),
+            batch_format="pyarrow", batch_size=None)
+        .groupby("nk")
+        .map_groups(lambda g: _nk_dedup(g.drop(columns="nk")),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_edges_by(key_col: str):
+        def tag(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False)
+            n = len(k)
+            return pa.table({
+                "ck": _ck_of(k),
+                "is_vec": pa.array(np.zeros(n, dtype=np.bool_)),
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "v": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            })
+        return tag
+
+    edges_by_src = edges.map_batches(
+        tag_edges_by("src"), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).materialize()
+    edges_by_dst = edges.map_batches(
+        tag_edges_by("dst"), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).materialize()
+
+    def push_ds(vec_ds, tagged, from_col: str, to_col: str):
+        def tag_vec(batch: pa.Table) -> pa.Table:
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            n = len(nd)
+            fill = pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+            return pa.table({
+                "ck": _ck_of(nd),
+                "is_vec": pa.array(np.ones(n, dtype=np.bool_)),
+                "src": batch["node"] if from_col == "src" else fill,
+                "dst": batch["node"] if from_col == "dst" else fill,
+                "v": batch["v"],
+            })
+
+        vt = vec_ds.map_batches(
+            tag_vec, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+
+        def attach(g: pd.DataFrame) -> pa.Table:
+            side = g[g["is_vec"]]
+            e = g[~g["is_vec"]]
+            m = e[["src", "dst"]].merge(
+                side[[from_col, "v"]], on=from_col, how="inner")
+            if not len(m):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "m": pa.array([], pa.int64())})
+            t = m[to_col].to_numpy(np.int64)
+            nodes, inv = np.unique(t, return_inverse=True)
+            mm = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(mm, inv, m["v"].to_numpy(np.int64))
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "m": pa.array(mm, pa.int64()),
+            })
+
+        raws = tagged.union(vt).groupby("ck").map_groups(
+            attach, batch_format="pandas")
+
+        base = nodes_ds.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "m": pa.array(np.zeros(t.num_rows, dtype=np.int64),
+                              pa.int64()),
+            }),
+            batch_format="pyarrow", batch_size=None)
+
+        def add_nk(batch: pa.Table) -> pa.Table:
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            return batch.append_column("nk", _ck_of(nd))
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            s = g.groupby("node", sort=False)["m"].sum()
+            return pa.table({
+                "node": pa.array(s.index.to_numpy(np.int64), pa.int64()),
+                "m": pa.array(s.to_numpy(np.int64), pa.int64()),
+            })
+
+        raw_ds = (
+            raws.union(base)
+            .map_batches(add_nk, batch_format="pyarrow", batch_size=None)
+            .groupby("nk")
+            .map_groups(lambda g: fold(g.drop(columns="nk")),
+                        batch_format="pandas")
+            .materialize()
+        )
+        t_raw = int(raw_ds.aggregate(Sum("m", alias_name="t"))["t"] or 0)
+        assert t_raw < 2**62, "HITS mass envelope exceeded"
+        q = max(t_raw // total, 1)
+        return raw_ds.map_batches(
+            lambda t, _q=q: pa.table({
+                "node": t["node"],
+                "v": pa.array(
+                    t["m"].to_numpy(zero_copy_only=False) // _q,
+                    pa.int64()),
+            }),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+
+    h0 = nodes_ds.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "v": pa.array(np.full(t.num_rows, total // n_nodes,
+                                  dtype=np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=None).materialize()
+    h_ds, a_ds = h0, None
+    for _ in range(iters):
+        a_ds = push_ds(h_ds, edges_by_src, "src", "dst")
+        h_ds = push_ds(a_ds, edges_by_dst, "dst", "src")
+
+    def tag_out(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            z = np.zeros(len(v), dtype=np.int64)
+            return pa.table({
+                "node": batch["node"],
+                "auth_fp": pa.array(v if which == "a" else z, pa.int64()),
+                "hub_fp": pa.array(z if which == "a" else v, pa.int64()),
+            })
+        return f
+
+    both = a_ds.map_batches(
+        tag_out("a"), batch_format="pyarrow", batch_size=None
+    ).union(h_ds.map_batches(
+        tag_out("h"), batch_format="pyarrow", batch_size=None))
+
+    def add_nk2(batch: pa.Table) -> pa.Table:
+        nd = batch["node"].to_numpy(zero_copy_only=False)
+        return batch.append_column("nk", _ck_of(nd))
+
+    def merge2(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", sort=False)[["auth_fp", "hub_fp"]].sum()
+        return pa.table({
+            "node": pa.array(s.index.to_numpy(np.int64), pa.int64()),
+            "auth_fp": pa.array(s["auth_fp"].to_numpy(np.int64), pa.int64()),
+            "hub_fp": pa.array(s["hub_fp"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (both.map_batches(add_nk2, batch_format="pyarrow",
+                             batch_size=None)
+            .groupby("nk")
+            .map_groups(lambda g: merge2(g.drop(columns="nk")),
+                        batch_format="pandas"))

@@ -171,3 +171,76 @@ def test_anchor_text_topk_brute_force_and_layout():
             .sort_values(["href", "rnk"], ignore_index=True))
         pd.testing.assert_frame_equal(
             got[["href", "anchor", "n_anchor", "rnk"]], want)
+
+
+def _hits_brute(src, dst, n, iters=2, S=10**12):
+    def push(v, f, t):
+        raw = [0] * n
+        for i in range(len(f)):
+            raw[t[i]] += int(v[f[i]])
+        q = max(sum(raw) // S, 1)
+        return [x // q for x in raw]
+
+    h = [S // n] * n
+    a = [0] * n
+    for _ in range(iters):
+        a = push(h, src, dst)
+        h = push(a, dst, src)
+    return np.array(a, np.int64), np.array(h, np.int64)
+
+
+def test_hits_broadcast_tier_matches_brute_force():
+    from logdata_anomaly_miner_ray.stages.graph import hits_scores
+
+    rng = np.random.RandomState(11)
+    n = 40
+    src = rng.randint(0, n, 200).astype(np.int64)
+    dst = rng.randint(0, n, 200).astype(np.int64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(5)
+    a, h = _hits_brute(src, dst, n)
+    out = (hits_scores(edges, n, iters=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert (out["auth_fp"].to_numpy(np.int64) == a).all()
+    assert (out["hub_fp"].to_numpy(np.int64) == h).all()
+
+
+def test_hits_scale_tier_bit_identical_to_broadcast():
+    from logdata_anomaly_miner_ray.stages.graph import hits_scores
+
+    rng = np.random.RandomState(12)
+    n = 50
+    src = rng.randint(0, n, 250).astype(np.int64)
+    dst = rng.randint(0, n, 250).astype(np.int64)
+    a, h = _hits_brute(src, dst, n)
+    for nb in (1, 6):
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        ).repartition(nb)
+        out = (hits_scores(edges, n, iters=2, max_broadcast_nodes=0)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        nodes = out["node"].to_numpy(np.int64)
+        # scale tier emits only nodes present in the edge list
+        present = np.union1d(src, dst)
+        assert (nodes == present).all()
+        assert (out["auth_fp"].to_numpy(np.int64) == a[nodes]).all()
+        assert (out["hub_fp"].to_numpy(np.int64) == h[nodes]).all()
+
+
+def test_hits_star_graph_closed_form():
+    """Star: all spokes -> hub node 0. After one push every authority
+    unit sits on node 0 and every hub unit spreads over the spokes."""
+    from logdata_anomaly_miner_ray.stages.graph import hits_scores
+
+    n = 5
+    src = np.array([1, 2, 3, 4], np.int64)
+    dst = np.array([0, 0, 0, 0], np.int64)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    out = (hits_scores(edges, n, iters=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    a, h = _hits_brute(src, dst, n)
+    assert (out["auth_fp"].to_numpy(np.int64) == a).all()
+    assert (out["hub_fp"].to_numpy(np.int64) == h).all()
+    assert out["auth_fp"][0] > 0 and (out["auth_fp"][1:] == 0).all()
+    assert out["hub_fp"][0] == 0 and (out["hub_fp"][1:] > 0).all()
