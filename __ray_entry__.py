@@ -492,6 +492,27 @@ def q_ann_topk_embeddings(sf_dir: str):
     )
 
 
+def q_knn_graph_embeddings(sf_dir: str):
+    """Exact k-nearest-neighbor graph (stages/ann.knn_graph): every
+    vector is query AND candidate; neighbors by exact int8-quantized
+    integer dots (order-independent ⇒ bit-identical at any
+    partitioning), self excluded, ties dot DESC / neighbor id ASC
+    via a composite integer key. Exact broadcast tier here (column-
+    chunked integer kernel); the IVF-bucketed scale tier (one narrow
+    shuffle, per-bucket exact kNN, coarse per-id merge) is
+    pytest-checked for full-probe equivalence and pruned recall."""
+    from logdata_anomaly_miner_ray.stages.ann import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_graph(ds, "embedding", "vec_id", k=5).to_pandas()
+    return pd.DataFrame({
+        "vec_id": out["vec_id"].to_numpy(np.int64),
+        "neighbor_id": out["neighbor_id"].to_numpy(np.int64),
+        "dot_q": out["dot_q"].to_numpy(np.int64),
+        "rnk": out["rnk"].to_numpy(np.int64),
+    }).sort_values(["vec_id", "rnk"], ignore_index=True)
+
+
 def q_quantized_ann_embeddings(sf_dir: str):
     """Int8-quantized retrieval: symmetric per-vector absmax FLOOR
     quantization (stages/ann.quantize_int8) then top-10 per query by
@@ -3825,6 +3846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_join": q_nation_revenue_join,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "quantized_ann_embeddings": q_quantized_ann_embeddings,
+        "knn_graph_embeddings": q_knn_graph_embeddings,
         "json_extract_events": q_json_extract_events,
         "json_schema_events": q_json_schema_events,
         "xml_extract_events": q_xml_extract_events,
@@ -4302,6 +4324,29 @@ SELECT c_nationkey,
        count(*)::BIGINT AS n
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
+        "knn_graph_embeddings": """
+WITH m AS (SELECT vec_id,
+                  list_max(list_transform(embedding, x -> abs(x))) AS mx
+           FROM embeddings),
+fl AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings),
+qz AS (SELECT f.vec_id, f.i,
+              CASE WHEN m.mx = 0 THEN 0
+                   ELSE floor(CAST(f.v AS DOUBLE) * CAST(127 AS DOUBLE)
+                              / CAST(m.mx AS DOUBLE))
+              END::BIGINT AS qv
+       FROM fl f JOIN m ON f.vec_id = m.vec_id),
+dots AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                sum(a.qv * b.qv)::BIGINT AS dot_q
+         FROM qz a JOIN qz b ON a.i = b.i AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT vec_id, neighbor_id, dot_q,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot_q DESC, neighbor_id)::BIGINT AS rnk
+  FROM dots)
+WHERE rnk <= 5 ORDER BY vec_id, rnk""",
         "quantized_ann_embeddings": """
 WITH m AS (SELECT vec_id,
                   list_max(list_transform(embedding, x -> abs(x))) AS mx
