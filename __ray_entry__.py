@@ -2117,6 +2117,30 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+_LEXICON = {
+    "storage": ["scan", "table", "column", "row"],
+    "exec": ["join", "merge", "sort", "hash"],
+    "stream": ["stream", "window", "batch"],
+}
+
+
+def q_lexicon_classify_documents(sf_dir: str):
+    """Keyword-lexicon topic routing (stages/text_analysis.
+    lexicon_classify): per doc, exact lowercased-token hit counts
+    against a 3-topic lexicon, argmax topic (ties: topic name asc),
+    zero-hit docs '(none)'. Lexicon broadcast once; ONE shuffle-free
+    vectorized pass (flat searchsorted + bincount)."""
+    from logdata_anomaly_miner_ray.stages.text_analysis import lexicon_classify
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = lexicon_classify(ds, _LEXICON, "text", "doc_id").to_pandas()
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "topic": out["topic"].astype(str),
+        "n_hits": out["n_hits"].to_numpy(np.int64),
+    }).sort_values("doc_id", ignore_index=True)
+
+
 def q_stratified_sample_documents(sf_dir: str):
     """Exact stratified sample (stages/sampling.stratified_sample):
     per (source, lang) stratum keep exactly ceil(n/7) docs by the
@@ -3885,6 +3909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap_documents": q_host_cap_documents,
         "url_dedup_latest_documents": q_url_dedup_latest_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "lexicon_classify_documents": q_lexicon_classify_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5491,6 +5516,32 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "lexicon_classify_documents": r"""
+WITH lex(topic, kw) AS (VALUES
+  ('exec', 'join'),
+  ('exec', 'merge'),
+  ('exec', 'sort'),
+  ('exec', 'hash'),
+  ('storage', 'scan'),
+  ('storage', 'table'),
+  ('storage', 'column'),
+  ('storage', 'row'),
+  ('stream', 'stream'),
+  ('stream', 'window'),
+  ('stream', 'batch')),
+tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+hits AS (SELECT t.doc_id, l.topic, count(*)::BIGINT AS n
+         FROM tok t JOIN lex l ON t.tok = l.kw GROUP BY 1, 2),
+best AS (SELECT doc_id, topic, n,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, topic) AS rn
+         FROM hits)
+SELECT d.doc_id, coalesce(b.topic, '(none)') AS topic,
+       coalesce(b.n, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id""",
         "stratified_sample_documents": r"""
 WITH c AS (
   SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
