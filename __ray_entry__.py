@@ -2117,6 +2117,57 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+def q_robots_parse_documents(sf_dir: str):
+    """robots.txt group parsing (stages/webstats.robots_parse — the
+    fetch → PARSE → filter chain's middle): deterministic robots
+    bodies exercise comments, CRLF endings, a named-agent group
+    (ignored), consecutive User-agent lines forming one star group,
+    empty Disallow and Allow lines (no rule), and a rule before any
+    group (ignored). One shuffle-free vectorized pass (masked-cumsum
+    group ids + bincount star membership); output = distinct (host,
+    prefix) Disallow rules of the '*' group."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.webstats import robots_parse
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+
+        def s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        def const(v):
+            return pa.array([v] * n, pa.string())
+
+        host = pc.binary_join_element_wise(
+            const("site"), s(d % 5), const(".org"), "")
+        ua2 = pc.if_else(pa.array(d % 2 == 0),
+                         const("User-agent: bingbot\n"), const(""))
+        last = pc.if_else(
+            pa.array(d % 3 == 0), const("Disallow: /q"),
+            pc.binary_join_element_wise(const("Disallow: /r/"), s(d % 2), ""))
+        body = pc.binary_join_element_wise(
+            const("Disallow: /early\n# comment line\n"
+                  "User-agent: googlebot\nDisallow: /gb"),
+            s(d % 3),
+            const("\n\n"),
+            ua2,
+            const("User-agent: *\r\nAllow: /open\nDisallow: /p/"),
+            s(d % 4),
+            const("  # trailing comment\nDisallow:\n"),
+            last, "")
+        return pa.table({"host": host, "robots_txt": body})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build, batch_format="pyarrow", batch_size=None)
+    out = robots_parse(ds, "host", "robots_txt").to_pandas()
+    return pd.DataFrame({
+        "host": out["host"].astype(str),
+        "prefix": out["prefix"].astype(str),
+    }).sort_values(["host", "prefix"], ignore_index=True)
+
+
 _LEXICON = {
     "storage": ["scan", "table", "column", "row"],
     "exec": ["join", "merge", "sort", "hash"],
@@ -3910,6 +3961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_latest_documents": q_url_dedup_latest_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "lexicon_classify_documents": q_lexicon_classify_documents,
+        "robots_parse_documents": q_robots_parse_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5516,6 +5568,56 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "robots_parse_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS host,
+         'Disallow: /early' || chr(10) || '# comment line' || chr(10)
+         || 'User-agent: googlebot' || chr(10)
+         || 'Disallow: /gb' || CAST(doc_id % 3 AS VARCHAR)
+         || chr(10) || chr(10)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN 'User-agent: bingbot' || chr(10) ELSE '' END)
+         || 'User-agent: *' || chr(13) || chr(10)
+         || 'Allow: /open' || chr(10)
+         || 'Disallow: /p/' || CAST(doc_id % 4 AS VARCHAR)
+         || '  # trailing comment' || chr(10) || 'Disallow:' || chr(10)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'Disallow: /q'
+                  ELSE 'Disallow: /r/' || CAST(doc_id % 2 AS VARCHAR) END)
+         AS body
+  FROM documents),
+l0 AS (SELECT doc_id, host,
+              unnest(regexp_split_to_array(body, chr(10))) AS line,
+              generate_subscripts(regexp_split_to_array(body, chr(10)), 1)
+                AS i
+       FROM raw),
+l1 AS (SELECT doc_id, host, i,
+              trim(regexp_replace(line, '#.*$', ''),
+                   ' ' || chr(9) || chr(13)) AS ln
+       FROM l0),
+l2 AS (SELECT *,
+              (lower(ln) LIKE 'user-agent:%') AS is_ua,
+              (lower(ln) LIKE 'disallow:%') AS is_dis,
+              trim(regexp_replace(ln, '^[A-Za-z\-]+:', ''),
+                   ' ' || chr(9)) AS val
+       FROM l1),
+l3 AS (SELECT *,
+              CASE WHEN is_ua AND NOT coalesce(
+                     lag(is_ua) OVER (PARTITION BY doc_id ORDER BY i),
+                     FALSE)
+                   THEN 1 ELSE 0 END AS gs
+       FROM l2),
+l4 AS (SELECT *,
+              SUM(gs) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS gid
+       FROM l3),
+g AS (SELECT doc_id, gid,
+             max(CASE WHEN is_ua AND val = '*' THEN 1 ELSE 0 END) AS star
+      FROM l4 GROUP BY 1, 2)
+SELECT DISTINCT l4.host, l4.val AS prefix
+FROM l4 JOIN g ON g.doc_id = l4.doc_id AND g.gid = l4.gid
+WHERE l4.is_dis AND l4.gid > 0 AND g.star = 1 AND l4.val <> ''
+ORDER BY host, prefix""",
         "lexicon_classify_documents": r"""
 WITH lex(topic, kw) AS (VALUES
   ('exec', 'join'),

@@ -355,3 +355,89 @@ def url_dedup_latest(
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     return coarse_grouped(partials, [url_out_col], final)
+
+
+def robots_parse(
+    ds: "ray.data.Dataset",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> "ray.data.Dataset":
+    """Parse robots.txt bodies into the ``(host, prefix)`` Disallow
+    rule rows :func:`robots_filter` consumes — the missing half of
+    the robots chain (fetch → PARSE → filter). RFC 9309 group
+    semantics, scoped to the ``*`` product token the way corpus
+    crawlers apply it: lines are ``\\n``-split (``\\r`` and ``#``
+    comments stripped, fields case-insensitive); consecutive
+    ``User-agent`` lines open ONE group; a group's ``Disallow``
+    rules apply iff one of its agents is ``*``; empty Disallow
+    (allow-all) and ``Allow`` lines emit nothing; rules before any
+    group are ignored. Output is distinct (host, prefix).
+
+    Scale shape: ONE shuffle-free vectorized pass — flat line
+    explode with parent indices, group ids by masked cumsum (groups
+    never span documents; document boundaries reset the
+    previous-line test), star-group membership by bincount — then
+    one coarse-bucket distinct over the tiny rule rows. No per-row
+    Python. SQL-reproducible: the oracle replays the same group
+    arithmetic with lag()/windowed sums."""
+    from ._agg import coarse_grouped
+    from ._taskcache import cached_task_fn
+
+    class _Parse:
+        def __init__(self, host_col, body_col):
+            self.host_col, self.body_col = host_col, body_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            body = batch[self.body_col]
+            if isinstance(body, pa.ChunkedArray):
+                body = body.combine_chunks()
+            lines = pc.split_pattern(body.cast(pa.string()), "\n")
+            parent = pc.list_parent_indices(lines).to_numpy(
+                zero_copy_only=False)
+            flat = pc.list_flatten(lines)
+            # strip comments + surrounding whitespace + \r
+            flat = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(flat, r"#.*$", ""))
+            low = pc.utf8_lower(flat)
+            is_ua = pc.starts_with(low, "user-agent:").to_numpy(
+                zero_copy_only=False)
+            is_dis = pc.starts_with(low, "disallow:").to_numpy(
+                zero_copy_only=False)
+            val = np.asarray(
+                pc.utf8_trim_whitespace(
+                    pc.replace_substring_regex(
+                        flat, r"^[A-Za-z\-]+:", "")),
+                dtype=object)
+            n = len(parent)
+            if n == 0:
+                return pa.table({"host": pa.array([], pa.string()),
+                                 "prefix": pa.array([], pa.string())})
+            doc_start = np.concatenate(
+                [[True], parent[1:] != parent[:-1]])
+            prev_is_ua = np.concatenate([[False], is_ua[:-1]])
+            prev_is_ua[doc_start] = False
+            grp_start = is_ua & ~prev_is_ua
+            gid = np.cumsum(grp_start)  # global group numbering (≥1)
+            star = np.zeros(int(gid[-1]) + 1, dtype=bool)
+            ua_star = is_ua & (val == "*")
+            star[gid[ua_star]] = True
+            keep = is_dis & (gid > 0) & star[gid] & (val != "")
+            hosts = np.asarray(
+                batch[self.host_col].to_numpy(zero_copy_only=False),
+                dtype=object)
+            out = pd.DataFrame({
+                "host": hosts[parent[keep]],
+                "prefix": val[keep],
+            }).drop_duplicates()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(
+        cached_task_fn(_Parse, cache_on=(host_col, body_col, "robotsp"),
+                       host_col=host_col, body_col=body_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().sort_values(
+            ["host", "prefix"], kind="mergesort")
+
+    return coarse_grouped(parts, ["host", "prefix"], distinct)

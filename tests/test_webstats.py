@@ -234,3 +234,54 @@ def test_url_dedup_latest_partition_invariance():
              .to_pandas().sort_values("url_norm", ignore_index=True))
         outs.append(o[["url_norm", "doc_id", "ts_s", "n_captures"]])
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_robots_parse_group_semantics():
+    from logdata_anomaly_miner_ray.stages.webstats import robots_parse
+
+    body_a = (
+        "Disallow: /early\n"          # before any group -> ignored
+        "# full comment\n"
+        "User-agent: googlebot\n"
+        "Disallow: /gb\n"             # named group -> ignored
+        "\n"
+        "User-agent: bingbot\n"       # consecutive UAs = ONE group
+        "User-agent: *\r\n"
+        "Allow: /open\n"              # Allow -> no rule
+        "Disallow: /p/1  # trailing\n"
+        "Disallow:\n"                 # empty -> allow-all, no rule
+        "Disallow: /q\n"
+        "User-agent: other\n"         # new group after rules
+        "Disallow: /hidden\n"
+    )
+    body_b = "User-agent: *\nDisallow: /x\nDisallow: /x\n"  # dup rule
+    body_c = "User-agent: none\nDisallow: /y\n"             # no star
+    df = pd.DataFrame({
+        "host": ["a.org", "b.org", "c.org", "a.org"],
+        "robots_txt": [body_a, body_b, body_c, body_b],  # a.org dup set
+    })
+    out = (robots_parse(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values(["host", "prefix"], ignore_index=True))
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [("a.org", "/p/1"), ("a.org", "/q"), ("a.org", "/x"),
+                   ("b.org", "/x")]
+
+
+def test_robots_parse_feeds_robots_filter():
+    from logdata_anomaly_miner_ray.stages.webstats import (
+        robots_filter,
+        robots_parse,
+    )
+
+    robots = pd.DataFrame({
+        "host": ["site.org"],
+        "robots_txt": ["User-agent: *\nDisallow: /private\n"],
+    })
+    rules = [tuple(r) for r in robots_parse(rd.from_pandas(robots))
+             .to_pandas().itertuples(index=False)]
+    pages = pd.DataFrame({"url": [
+        "http://site.org/private/x", "http://site.org/public",
+        "http://other.org/private/x"]})
+    kept = robots_filter(rd.from_pandas(pages), "url", rules).to_pandas()
+    assert sorted(kept["url"]) == [
+        "http://other.org/private/x", "http://site.org/public"]
