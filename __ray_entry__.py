@@ -2117,6 +2117,45 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+def q_fix_mojibake_documents(sf_dir: str):
+    """Encoding repair (stages/text_analysis.fix_mojibake — the
+    ftfy/double-encoding unwind of CCNet/FineWeb cleaning):
+    deterministic mojibake tokens appended to the (ASCII) corpus
+    text per doc_id class — a latin-1 class ('cafÃ©' → 'café'), a
+    cp1252 class ('â€™' → '’'), and an INVALID class (lone 'Ã' —
+    strict UTF-8 decode fails, row must come back unchanged). The
+    oracle states the repaired literals arithmetically (the
+    media_decode fixture pattern). ASCII fast path = exact (ASCII
+    strings are fixed points of the unwind)."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.text_analysis import fix_mojibake
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+
+        def const(v):
+            return pa.array([v] * n, pa.string())
+
+        t7 = pc.if_else(pa.array(d % 7 == 0), const(" cafÃ©"),
+                        const(""))
+        t11 = pc.if_else(pa.array(d % 11 == 0),
+                         const(" itâ€™s"), const(""))
+        t13 = pc.if_else(pa.array(d % 13 == 0), const(" Ã"), const(""))
+        text = pc.binary_join_element_wise(t["text"], t7, t11, t13, "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow", batch_size=None)
+    out = fix_mojibake(ds).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "fixed_text": out["fixed_text"].astype(str),
+        "was_fixed": out["was_fixed"].astype(bool),
+    }).sort_values("doc_id", ignore_index=True)
+
+
 def q_robots_parse_documents(sf_dir: str):
     """robots.txt group parsing (stages/webstats.robots_parse — the
     fetch → PARSE → filter chain's middle): deterministic robots
@@ -3962,6 +4001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "lexicon_classify_documents": q_lexicon_classify_documents,
         "robots_parse_documents": q_robots_parse_documents,
+        "fix_mojibake_documents": q_fix_mojibake_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5568,6 +5608,24 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "fix_mojibake_documents": """
+WITH raw AS (
+  SELECT doc_id, text,
+         text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' cafÃ©' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ' itâ€™s' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN ' Ã' ELSE '' END) AS orig
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN orig
+            WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+            THEN text
+                 || (CASE WHEN doc_id % 7 = 0 THEN ' café' ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN ' it’s' ELSE '' END)
+            ELSE orig END AS fixed_text,
+       (doc_id % 13 <> 0 AND (doc_id % 7 = 0 OR doc_id % 11 = 0))
+         AS was_fixed
+FROM raw ORDER BY doc_id""",
         "robots_parse_documents": r"""
 WITH raw AS (
   SELECT doc_id,

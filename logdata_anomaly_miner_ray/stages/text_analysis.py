@@ -687,3 +687,78 @@ def lexicon_classify(
                        none_label=none_label),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+
+def _repair_mojibake_str(s: str) -> str:
+    """One UTF-8-as-cp1252/latin-1 double-encoding unwind: re-encode
+    the string's codepoints as the 8-bit bytes they were mistaken
+    for, then decode those bytes as the UTF-8 they originally were.
+    Strict both ways — any failure returns the input unchanged (a
+    string that is not actually mojibake almost never survives both
+    strict steps, the ftfy heuristic)."""
+    for enc in ("cp1252", "latin-1"):
+        try:
+            b = s.encode(enc)
+        except UnicodeEncodeError:
+            continue
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+    return s
+
+
+def fix_mojibake(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Detect and repair UTF-8-as-cp1252/latin-1 double-encoded text
+    ('cafÃ©' → 'café', 'â€™' → '’') — the ftfy/encoding-repair step
+    CCNet- and FineWeb-style cleaning runs before any other text
+    work (the reference's analogue is CharsetDetector learning legal
+    byte sets per path, reference analysis/CharsetDetector.py:20-86;
+    here the illegal pattern is repaired, not just flagged). Output
+    (id, fixed_text, was_fixed). Repair is whole-string and strict:
+    if the unwound bytes are not valid UTF-8 the row is returned
+    UNCHANGED (never a lossy partial fix).
+
+    Scale shape: ONE shuffle-free pass; the ASCII fast path
+    (``pc.string_is_ascii``, the normalize_nfc_lower pattern) skips
+    the per-row repair entirely for ASCII blocks — ASCII strings are
+    fixed points of the unwind by construction, so the fast path is
+    exact, and the per-row Python touches only the (rare) non-ASCII
+    rows."""
+    import pyarrow.compute as pc
+
+    def fix(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = text.cast(pa.string())
+        na = pc.fill_null(pc.invert(pc.string_is_ascii(text)), False)
+        na_np = na.to_numpy(zero_copy_only=False)
+        if na_np.any():
+            vals = np.asarray(text.to_numpy(zero_copy_only=False),
+                              dtype=object)
+            out = vals.copy()
+            idx = np.flatnonzero(na_np)
+            fixed_mask = np.zeros(len(vals), dtype=bool)
+            for i in idx:
+                r = _repair_mojibake_str(vals[i])
+                if r != vals[i]:
+                    out[i] = r
+                    fixed_mask[i] = True
+            fixed_col = pa.array(out.tolist(), pa.string())
+            was = pa.array(fixed_mask)
+        else:
+            fixed_col = text
+            was = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        return pa.table({
+            id_col: batch[id_col],
+            "fixed_text": fixed_col,
+            "was_fixed": was,
+        })
+
+    return ds.map_batches(fix, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)

@@ -36,3 +36,30 @@ def test_lexicon_classify_duplicate_keyword_rejected():
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
     with pytest.raises(ValueError):
         lexicon_classify(ds, {"a": ["x"], "b": ["x"]})
+
+
+def test_fix_mojibake_repairs_and_preserves():
+    from logdata_anomaly_miner_ray.stages.text_analysis import fix_mojibake
+
+    docs = [
+        "plain ascii",
+        "double cafÃ© here",       # latin-1 class
+        "quote itâ€™s fine",       # cp1252 class
+        "truncated Ã end",         # invalid UTF-8 after unwind
+        "real café stays",         # correctly-encoded text preserved
+        "naÃ¯ve rÃ©sumÃ©",          # multiple fixes in one row
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )).repartition(3)
+    out = (fix_mojibake(ds).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out["fixed_text"]) == [
+        "plain ascii",
+        "double café here",
+        "quote it’s fine",
+        "truncated Ã end",
+        "real café stays",
+        "naïve résumé",
+    ]
+    assert list(out["was_fixed"]) == [False, True, True, False, False, True]
