@@ -405,15 +405,29 @@ def knn_graph(
                 rk = np.full((B, kk), NEG, np.int64)
                 ri = np.zeros((B, kk), np.int64)
                 rd_ = np.zeros((B, kk), np.int64)
+                qf = q.astype(np.float64)
+                # cap the dots intermediate at ~4M cells (the kmeans
+                # chunked-kernel lesson): chunk corpus COLUMNS by
+                # `chunk_cols` and query ROWS so B_chunk × C stays
+                # cache-sized, never GBs
+                C = min(chunk_cols, max(len(self.ids), 1))
+                rstep = max(1, 4_000_000 // C)
                 for lo in range(0, len(self.ids), chunk_cols):
-                    cm = self.m[lo:lo + chunk_cols].astype(np.int64)
+                    cm = self.m[lo:lo + chunk_cols].astype(np.float64)
                     cids = self.ids[lo:lo + chunk_cols]
-                    dots = q @ cm.T  # (B, C) int64 — exact
-                    ckey = ((dots + self.off) << 40) | (self.idmask - cids)
-                    ckey[rid[:, None] == cids[None, :]] = NEG  # self
-                    rk, ri, rd_ = _fold_topk(
-                        rk, ri, rd_, ckey,
-                        np.broadcast_to(cids, dots.shape), dots, kk)
+                    for rlo in range(0, B, rstep):
+                        rsl = slice(rlo, rlo + rstep)
+                        # float64 BLAS matmul of int8-valued matrices
+                        # is EXACT (every product <= 127^2, every sum
+                        # <= d*127^2 << 2^53 — all integers, no
+                        # rounding) and ~50x numpy's int64 matmul
+                        dots = np.rint(qf[rsl] @ cm.T).astype(np.int64)
+                        ckey = ((dots + self.off) << 40) | (
+                            self.idmask - cids)
+                        ckey[rid[rsl][:, None] == cids[None, :]] = NEG
+                        rk[rsl], ri[rsl], rd_[rsl] = _fold_topk(
+                            rk[rsl], ri[rsl], rd_[rsl], ckey,
+                            np.broadcast_to(cids, dots.shape), dots, kk)
                 # final exact order per row
                 ordr = np.argsort(-rk, axis=1, kind="stable")
                 rows = np.arange(B)[:, None]
@@ -488,28 +502,38 @@ def knn_graph(
                 "vec_id": pa.array([], pa.int64()),
                 "neighbor_id": pa.array([], pa.int64()),
                 "dot_q": pa.array([], pa.int64())})
-        M = np.stack(mem["vec"].to_numpy()).astype(np.int64)
+        M = np.stack(mem["vec"].to_numpy()).astype(np.float64)
         mids = mem["id"].to_numpy(np.int64)
-        P = np.stack(prb["vec"].to_numpy()).astype(np.int64)
+        P = np.stack(prb["vec"].to_numpy()).astype(np.float64)
         pids = prb["id"].to_numpy(np.int64)
         off, idmask = _key_parts(M.shape[1])
-        dots = P @ M.T
-        key = ((dots + off) << 40) | (idmask - mids)
-        key[pids[:, None] == mids[None, :]] = np.int64(-(1 << 62))
+        NEG = np.int64(-(1 << 62))
         kk = min(k, M.shape[0])
-        sel = (np.argpartition(-key, kk - 1, axis=1)[:, :kk]
-               if key.shape[1] > kk else
-               np.broadcast_to(np.arange(kk), (len(pids), kk)))
-        rows = np.arange(len(pids))[:, None]
-        skey = key[rows, sel]
-        valid = skey > np.int64(-(1 << 62))
+        out_v, out_n, out_d = [], [], []
+        # probe-ROW chunking (the kmeans chunked-kernel lesson): an
+        # unchunked |probes|×|members| dots matrix is GBs per bucket
+        # at drill scale and thrashes the whole node
+        step = max(1, 4_000_000 // max(M.shape[0], 1))
+        for lo in range(0, len(pids), step):
+            pch, ich = P[lo:lo + step], pids[lo:lo + step]
+            # float64 BLAS over int8-valued matrices — exact (every
+            # product ≤ 127², every sum ≤ d·127² ≪ 2^53: all integer)
+            dots = np.rint(pch @ M.T).astype(np.int64)
+            key = ((dots + off) << 40) | (idmask - mids)
+            key[ich[:, None] == mids[None, :]] = NEG
+            sel = (np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+                   if key.shape[1] > kk else
+                   np.broadcast_to(np.arange(kk), (len(ich), kk)))
+            rows = np.arange(len(ich))[:, None]
+            valid = key[rows, sel] > NEG
+            out_v.append(np.repeat(ich, valid.sum(axis=1)))
+            out_n.append(np.broadcast_to(
+                mids, dots.shape)[rows, sel][valid])
+            out_d.append(dots[rows, sel][valid])
         return pa.table({
-            "vec_id": pa.array(np.repeat(pids, valid.sum(axis=1)),
-                               pa.int64()),
-            "neighbor_id": pa.array(
-                np.broadcast_to(mids, dots.shape)[rows, sel][valid],
-                pa.int64()),
-            "dot_q": pa.array(dots[rows, sel][valid], pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "dot_q": pa.array(np.concatenate(out_d), pa.int64()),
         })
 
     cands = routed.groupby("bucket").map_groups(

@@ -59,7 +59,7 @@ def main(argv=None) -> int:
     ap.add_argument("mode", choices=[
         "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank",
         "paradedup", "winnow", "snapdiff", "frontier",
-        "kmeans", "semdedup", "ivf"])
+        "kmeans", "semdedup", "ivf", "knng"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -215,7 +215,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         n = politeness_manifest(ds, "url", "doc_id").count()
         rc = _result("frontier", n, t0, hosts=10007)
-    elif args.mode in ("kmeans", "semdedup", "ivf"):
+    elif args.mode in ("kmeans", "semdedup", "ivf", "knng"):
         # embedding-family drills: deterministic uniform vectors
         # synthesized from row_idx via splitmix64 (no RNG state, so
         # any partitioning reproduces the same table); pages files
@@ -263,6 +263,16 @@ def main(argv=None) -> int:
             out = semdedup(eds, "embedding", "vec_id", k=k, n_iter=2)
             n = out.count()
             rc = _result("semdedup", n, t0, k=k, dim=d)
+        elif args.mode == "knng":
+            from logdata_anomaly_miner_ray.stages.ann import knn_graph
+
+            nc = max(64, rows // 20_000)  # ~20k vectors per cell
+            t0 = time.time()
+            out = knn_graph(eds, "embedding", "vec_id", k=5,
+                            n_centroids=nc, nprobe=2)
+            n = out.count()
+            rc = _result("knng", rows, t0, edges=n, n_centroids=nc,
+                         nprobe=2, dim=d)
         else:
             from logdata_anomaly_miner_ray.stages.ann import ivf_topk
 
