@@ -380,6 +380,40 @@ def run_bench() -> dict:
             km_sec = min(km_sec, time.time() - t0)
         extra_stages["kmeans_stage"] = round(km_sec, 3)
 
+        # kNN graph over the same synthetic vectors (IVF scale tier:
+        # one narrow vector shuffle + per-bucket exact int8 kNN)
+        from logdata_anomaly_miner_ray.stages.ann import knn_graph
+
+        kg_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            eds = rd.read_parquet(PAGES_DIR, columns=["row_idx"]).map_batches(
+                _embed_stage, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+            knn_graph(eds, "embedding", "vec_id", k=5,
+                      n_centroids=64, nprobe=2).count()
+            kg_sec = min(kg_sec, time.time() - t0)
+        extra_stages["knng_stage"] = round(kg_sec, 3)
+
+        # HITS over the pagerank link graph (broadcast tier, 2 iters)
+        from logdata_anomaly_miner_ray.stages.graph import (
+            hits_scores,
+            link_edges,
+        )
+
+        ht_sec = float("inf")
+        for _ in range(max(1, int(os.environ.get("GRAFT_HYGIENE_REPS", "2")))):
+            _gate_load()
+            t0 = time.time()
+            docs = rd.read_parquet(PAGES_DIR, columns=["row_idx"]).map_batches(
+                lambda t: _pa.table({"doc_id": t["row_idx"]}),
+                batch_format="pyarrow", batch_size=None)
+            hits_scores(link_edges(docs, PAGES_ROWS), PAGES_ROWS,
+                        iters=2).count()
+            ht_sec = min(ht_sec, time.time() - t0)
+        extra_stages["hits_stage"] = round(ht_sec, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline pipelines total wall time",

@@ -418,10 +418,16 @@ def robots_parse(
             prev_is_ua[doc_start] = False
             grp_start = is_ua & ~prev_is_ua
             gid = np.cumsum(grp_start)  # global group numbering (≥1)
+            # per-document baseline: rules are governed only by
+            # groups opened WITHIN their document — without this, a
+            # pre-group rule in doc N inherits doc N-1's last group
+            # (and its star flag) whenever both docs share a block
+            base = np.maximum.accumulate(
+                np.where(doc_start, gid - grp_start, 0))
             star = np.zeros(int(gid[-1]) + 1, dtype=bool)
             ua_star = is_ua & (val == "*")
             star[gid[ua_star]] = True
-            keep = is_dis & (gid > 0) & star[gid] & (val != "")
+            keep = is_dis & (gid > base) & star[gid] & (val != "")
             hosts = np.asarray(
                 batch[self.host_col].to_numpy(zero_copy_only=False),
                 dtype=object)

@@ -285,3 +285,21 @@ def test_robots_parse_feeds_robots_filter():
     kept = robots_filter(rd.from_pandas(pages), "url", rules).to_pandas()
     assert sorted(kept["url"]) == [
         "http://other.org/private/x", "http://site.org/public"]
+
+
+def test_robots_parse_no_cross_document_group_leak():
+    """A doc whose predecessor (in the same block) ended in a star
+    group must still ignore its own pre-group rules."""
+    from logdata_anomaly_miner_ray.stages.webstats import robots_parse
+
+    df = pd.DataFrame({
+        "host": ["a.org", "b.org"],
+        "robots_txt": [
+            "User-agent: *\nDisallow: /a\n",       # ends in star group
+            "Disallow: /leak\nUser-agent: *\nDisallow: /b\n",
+        ],
+    })
+    out = (robots_parse(rd.from_pandas(df).repartition(1))
+           .to_pandas().sort_values(["host", "prefix"], ignore_index=True))
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [("a.org", "/a"), ("b.org", "/b")]
