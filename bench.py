@@ -392,7 +392,7 @@ def run_bench() -> dict:
                 _embed_stage, batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True)
             knn_graph(eds, "embedding", "vec_id", k=5,
-                      n_centroids=64, nprobe=2).count()
+                      n_centroids=256, nprobe=2).count()
             kg_sec = min(kg_sec, time.time() - t0)
         extra_stages["knng_stage"] = round(kg_sec, 3)
 
