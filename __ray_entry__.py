@@ -2117,6 +2117,35 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+def q_group_split_documents(sf_dir: str):
+    """Leakage-safe train/val/test split (stages/sampling.
+    group_split_assign — GroupShuffleSplit discipline): the split
+    hashes the URL HOST, so every doc of a site lands in one split
+    and near-duplicate pages never straddle train/eval. Hosts from
+    the same synthesized URL table as host_cap; null hosts coalesce
+    to '(none)'. Shuffle-free one-pass; oracle = CASE over
+    md5(host)."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.functions.url import host_of_array
+    from logdata_anomaly_miner_ray.stages.sampling import group_split_assign
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = pc.fill_null(host_of_array(t["url"]), "(none)")
+        return pa.table({"doc_id": t["doc_id"], "host_key": host})
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+          .map_batches(_synth_url_table, batch_format="pyarrow",
+                       batch_size=None)
+          .map_batches(add_host, batch_format="pyarrow", batch_size=None))
+    out = group_split_assign(ds, "host_key", "doc_id").to_pandas()
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "host_key": out["host_key"].astype(str),
+        "split": out["split"].astype(str),
+    }).sort_values("doc_id", ignore_index=True)
+
+
 def q_fix_mojibake_documents(sf_dir: str):
     """Encoding repair (stages/text_analysis.fix_mojibake — the
     ftfy/double-encoding unwind of CCNet/FineWeb cleaning):
@@ -4002,6 +4031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_classify_documents": q_lexicon_classify_documents,
         "robots_parse_documents": q_robots_parse_documents,
         "fix_mojibake_documents": q_fix_mojibake_documents,
+        "group_split_documents": q_group_split_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5608,6 +5638,29 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "group_split_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'page-' || CAST(doc_id AS VARCHAR)
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.ORG'
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 1 THEN ':443'
+                            WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         coalesce(nullif(regexp_replace(regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^www\.', ''), ':[0-9]*$', ''), ''), '(none)') AS host_key
+  FROM raw)
+SELECT doc_id, host_key,
+       CASE WHEN md5(host_key) < 'e666' THEN 'train'
+            WHEN md5(host_key) < 'f333' THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id""",
         "fix_mojibake_documents": """
 WITH raw AS (
   SELECT doc_id, text,

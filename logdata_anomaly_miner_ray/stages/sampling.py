@@ -850,3 +850,47 @@ def stratified_sample(
         return g.drop(columns=["__pr"])
 
     return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def group_split_assign(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    boundaries: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """LEAKAGE-SAFE train/val/test split: every row of a group (e.g.
+    every document of a URL host) lands in the SAME split, because
+    the assignment hashes the GROUP key, not the row id — the
+    GroupShuffleSplit discipline that keeps near-duplicate pages of
+    one site from straddling train and eval. Same fixed hex-prefix
+    boundaries and stability guarantees as :func:`split_assign`
+    (re-sharding/growth never moves an existing group). Null group
+    keys must be pre-coalesced by the caller (a sentinel group —
+    null would silently md5 to its own bucket per engine).
+
+    Shuffle-free one-pass (one md5 per row on the group string);
+    output (id, group, split). SQL oracle = the same CASE over
+    ``md5(group)``."""
+    from ..functions.hashing import md5_hex
+
+    if boundaries is None:
+        boundaries = {"train": "e666", "val": "f333", "test": "g"}
+    names = list(boundaries)
+    bounds = [boundaries[n] for n in names]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        h = np.array(md5_hex(pc.cast(g, pa.string())), dtype=object)
+        split = np.full(len(h), names[-1], dtype=object)
+        for name, ub in zip(names[::-1], bounds[::-1]):
+            split[h < ub] = name
+        return pa.table({
+            id_col: batch[id_col],
+            group_col: g,
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

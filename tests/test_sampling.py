@@ -393,3 +393,33 @@ def test_stratified_sample_partition_invariance():
     assert outs[0] == outs[1]
     # exact ceil(2n/5) per stratum
     assert len(outs[0]) == 2 * ((2 * 75 + 4) // 5)
+
+
+def test_group_split_assign_leakage_safe_and_stable():
+    from logdata_anomaly_miner_ray.stages.sampling import (
+        group_split_assign,
+        split_assign,
+    )
+
+    ids = np.arange(400, dtype=np.int64)
+    hosts = ["h%d.org" % (i % 23) for i in ids]
+    df = pd.DataFrame({"doc_id": ids, "host": hosts})
+    out = (group_split_assign(rd.from_pandas(df).repartition(5),
+                              "host", "doc_id")
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    # leakage-safe: exactly one split per host
+    assert (out.groupby("host")["split"].nunique() == 1).all()
+    # consistent with hashing the host through split_assign directly
+    ref = (split_assign(
+        rd.from_pandas(pd.DataFrame({"host": sorted(set(hosts))})), "host")
+        .to_pandas())
+    m = dict(zip(ref["host"], ref["split"]))
+    assert all(m[h] == s for h, s in zip(out["host"], out["split"]))
+    # stability under growth: adding rows never moves existing groups
+    df2 = pd.DataFrame({
+        "doc_id": np.arange(800, dtype=np.int64),
+        "host": ["h%d.org" % (i % 29) for i in range(800)]})
+    out2 = (group_split_assign(rd.from_pandas(df2), "host", "doc_id")
+            .to_pandas())
+    m2 = dict(zip(out2["host"], out2["split"]))
+    assert all(m2[h] == s for h, s in m.items())
