@@ -59,7 +59,7 @@ def main(argv=None) -> int:
     ap.add_argument("mode", choices=[
         "decontam", "dupspan", "pack", "extract", "tfidf", "pagerank",
         "paradedup", "winnow", "snapdiff", "frontier",
-        "kmeans", "semdedup", "ivf", "knng"])
+        "kmeans", "semdedup", "ivf", "knng", "hits"])
     ap.add_argument("--pages", required=True)
     ap.add_argument("--files", type=int, default=0,
                     help="limit to the first N parquet files (0 = all)")
@@ -317,6 +317,24 @@ def main(argv=None) -> int:
             max_broadcast_nodes=0 if args.scale_tier else 50_000_000,
         ).count()
         rc = _result("pagerank", n, t0, edges=int(2.5 * n_docs),
+                     tier="scale" if args.scale_tier else "broadcast")
+    elif args.mode == "hits":
+        from logdata_anomaly_miner_ray.stages.graph import (
+            hits_scores,
+            link_edges,
+        )
+
+        import pyarrow.parquet as pq
+
+        n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        ids = rd.read_parquet(files, columns=["row_idx"])
+        t0 = time.time()
+        edges = link_edges(ids, n_docs, id_col="row_idx")
+        n = hits_scores(
+            edges, n_docs, iters=2,
+            max_broadcast_nodes=0 if args.scale_tier else 50_000_000,
+        ).count()
+        rc = _result("hits", n, t0, edges=int(2.5 * n_docs),
                      tier="scale" if args.scale_tier else "broadcast")
     else:
         from logdata_anomaly_miner_ray.stages.packing import pack_sequences
