@@ -2373,6 +2373,34 @@ def q_editdist_pairs_documents(sf_dir: str):
     })
 
 
+def q_dedup_cluster_sizes_documents(sf_dir: str):
+    """Near-dup cluster-size histogram (the dedup QA report): edit-
+    distance verified pairs → connected components (min-id label) →
+    (cluster size, #clusters). Membership is bounded by the verified-
+    pair count (≪ corpus), so the histogram folds on the driver;
+    singleton docs (no pair) are NOT clusters — matching the SQL,
+    which only sees nodes of the edge list. Oracle embeds the
+    editdist oracle + recursive-CTE closure verbatim."""
+    from logdata_anomaly_miner_ray.stages.dedup import connected_components
+    from logdata_anomaly_miner_ray.stages.editdist import (
+        editdist_verified_pairs,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pairs = editdist_verified_pairs(docs, max_dist=24).materialize()
+    comp = connected_components(pairs).to_pandas()
+    if comp.empty:
+        return pd.DataFrame({
+            "n_members": pd.Series(dtype=np.int64),
+            "n_clusters": pd.Series(dtype=np.int64)})
+    sizes = comp.groupby("cluster").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "n_members": hist.index.to_numpy(np.int64),
+        "n_clusters": hist.to_numpy(np.int64),
+    })
+
+
 def q_neardup_keep_best_documents(sf_dir: str):
     """Near-dup retention policy (keep BEST, not first): edit-distance
     verified pairs (stages/editdist) → connected components
@@ -4037,6 +4065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter_documents": q_robots_filter_documents,
         "politeness_manifest_documents": q_politeness_manifest_documents,
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
+        "dedup_cluster_sizes_documents": q_dedup_cluster_sizes_documents,
         "winnow_fingerprints_documents": q_winnow_fingerprints_documents,
         "editdist_pairs_documents": q_editdist_pairs_documents,
         "bpe_learn_documents": q_bpe_learn_documents,
@@ -6303,6 +6332,21 @@ w AS (SELECT c.cluster, c.doc_id, q.quality_e6,
              count(*) OVER (PARTITION BY c.cluster) AS n_members
       FROM comp c JOIN qs q USING (doc_id))
 SELECT cluster, doc_id AS kept_doc_id, n_members FROM w WHERE rn = 1"""
+    out["dedup_cluster_sizes_documents"] = f"""
+WITH RECURSIVE
+p AS ({out["editdist_pairs_documents"]}),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+nn AS (SELECT DISTINCT a AS node FROM e),
+cc(node, lbl) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT e.a, cc.lbl FROM e JOIN cc ON cc.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster FROM cc GROUP BY 1),
+sz AS (SELECT cluster, count(*)::BIGINT AS n_members FROM comp GROUP BY 1)
+SELECT n_members, count(*)::BIGINT AS n_clusters
+FROM sz GROUP BY 1 ORDER BY 1"""
     # ---- composed oracles (built on sibling entries verbatim, so a
     # fix to the base SQL propagates) ----
     # CCNet head/middle/tail: per-lang tertile thresholds at 1-based
