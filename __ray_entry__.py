@@ -148,7 +148,13 @@ def q_empty_windows_events(sf_dir: str):
     wc = window_counts(
         _read(sf_dir, "events", ["event_type", "ts"]), ["event_type"], "ts", WINDOW
     )
-    return empty_windows(wc, ["event_type"])
+    out = empty_windows(wc, ["event_type"]).to_pandas()
+    if out.empty:
+        # typed empty frame: a 0-row Dataset loses its schema through
+        # to_pandas (CLAUDE.md trap; legitimately 0 rows at sf0.1)
+        out = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                            "window": pd.Series(dtype=np.int64)})
+    return out[["event_type", "window"]]
 
 
 def q_sliding_exceed_events(sf_dir: str):
@@ -185,7 +191,15 @@ def q_missing_gaps_events(sf_dir: str):
             }
         )
 
-    return out.map_batches(to_us, batch_format="pandas", batch_size=None)
+    res = out.map_batches(
+        to_us, batch_format="pandas", batch_size=None).to_pandas()
+    if res.empty:
+        # typed empty frame (0-row Datasets drop their schema)
+        res = pd.DataFrame({
+            "event_type": pd.Series(dtype=object),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "gap_us": pd.Series(dtype=np.int64)})
+    return res[["event_type", "ts", "gap_us"]]
 
 
 def q_uniqueness_lineitem(sf_dir: str):
