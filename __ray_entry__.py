@@ -2131,6 +2131,26 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+def q_token_novelty_documents(sf_dir: str):
+    """Per-document novel-token-type fraction (stages/vocab.
+    token_novelty — the Lee et al. 2022 inter-document repetition
+    QA): distinct word types per doc, types first seen in this doc
+    (corpus-wide min doc_id), and the exact integer fraction
+    10^6·n_novel // n_types. Corpus-sized work = ONE narrow
+    (word, min_id) type reduction shared with vocab_growth;
+    per-doc counts attach by union + coarse-key merge."""
+    from logdata_anomaly_miner_ray.stages.vocab import token_novelty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = token_novelty(ds).to_pandas()
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "n_types": out["n_types"].to_numpy(np.int64),
+        "n_novel": out["n_novel"].to_numpy(np.int64),
+        "novelty_e6": out["novelty_e6"].to_numpy(np.int64),
+    }).sort_values("doc_id", ignore_index=True)
+
+
 def q_group_split_documents(sf_dir: str):
     """Leakage-safe train/val/test split (stages/sampling.
     group_split_assign — GroupShuffleSplit discipline): the split
@@ -4074,6 +4094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_parse_documents": q_robots_parse_documents,
         "fix_mojibake_documents": q_fix_mojibake_documents,
         "group_split_documents": q_group_split_documents,
+        "token_novelty_documents": q_token_novelty_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5681,6 +5702,24 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "token_novelty_documents": r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(text, '\s+')) AS w
+             FROM documents),
+tw AS (SELECT DISTINCT doc_id, w FROM tok WHERE length(w) >= 1),
+f AS (SELECT w, min(doc_id) AS first_doc FROM tw GROUP BY 1),
+t AS (SELECT doc_id, count(*)::BIGINT AS n_types FROM tw GROUP BY 1),
+nv AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel
+       FROM f GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.n_types, 0) AS n_types,
+       coalesce(nv.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(t.n_types, 0) = 0 THEN 0
+            ELSE CAST(1000000 * coalesce(nv.n_novel, 0) // t.n_types
+                      AS BIGINT) END AS novelty_e6
+FROM documents d
+LEFT JOIN t USING (doc_id) LEFT JOIN nv USING (doc_id)
+ORDER BY d.doc_id""",
         "group_split_documents": r"""
 WITH raw AS (
   SELECT doc_id,

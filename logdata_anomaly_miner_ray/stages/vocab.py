@@ -737,3 +737,110 @@ def fertility_stats(
     for c in cols:
         agg[c] = agg[c].astype(np.int64)
     return agg[["lang"] + cols]
+
+
+def token_novelty(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document novel-token-type fraction (the inter-document
+    repetition QA of Lee et al. 2022: how much of each document's
+    vocabulary appears for the FIRST time in the corpus, by id
+    order): n_types = distinct words in the doc, n_novel = those
+    whose corpus-wide min doc_id is this doc, novelty_e6 = exact
+    ``10^6·n_novel // n_types`` (0 for empty docs). Boilerplate-
+    dominated corpora decay to ~0 novelty fast; OCR noise pins it
+    near 10^6.
+
+    Scale shape: the corpus-sized work is the SAME narrow
+    (word, min_id) type reduction as :func:`vocab_growth` (per-block
+    Arrow partials → one vocabulary-bounded groupby); n_types is
+    per-row block-local (shuffle-free), n_novel is a tiny
+    (doc, count) reduction of the type table, and the two attach by
+    union + coarse-key merge — never ``Dataset.join``
+    (CLAUDE.md)."""
+    from ray.data.aggregate import Min
+
+    from ._agg import coarse_grouped
+    from ._shuffle import shuffle_parallelism
+
+    def wt_part(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, _WS)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = batch[id_col].take(parent)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        t = pa.table({"word": flat.filter(keep),
+                      "min_id": ids.filter(keep)})
+        agg = t.group_by(["word"]).aggregate([("min_id", "min")])
+        return agg.rename_columns(["word", "min_id"])
+
+    firsts = (
+        ds.map_batches(wt_part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .repartition(shuffle_parallelism())
+        .groupby("word")
+        .aggregate(Min("min_id", alias_name="min_id"))
+    )
+
+    def novel_part(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["min_id"]).group_by(["min_id"]).aggregate(
+            [([], "count_all")])
+        agg = agg.rename_columns(["doc", "v"])
+        return pa.table({
+            "doc": agg["doc"],
+            "kind": pa.array(
+                np.ones(agg.num_rows, dtype=np.int8), pa.int8()),
+            "v": pc.cast(agg["v"], pa.int64()),
+        })
+
+    novel = firsts.map_batches(
+        novel_part, batch_format="pyarrow", batch_size=None)
+
+    def types_part(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, _WS)
+        flat = pc.list_flatten(toks)
+        parent = pa.array(pc.list_parent_indices(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        tw = pa.table({"p": parent.filter(keep), "w": flat.filter(keep)})
+        dw = tw.group_by(["p", "w"]).aggregate([])
+        pcount = np.bincount(
+            dw["p"].to_numpy(zero_copy_only=False),
+            minlength=batch.num_rows).astype(np.int64)
+        return pa.table({
+            "doc": batch[id_col],
+            "kind": pa.array(
+                np.zeros(batch.num_rows, dtype=np.int8), pa.int8()),
+            "v": pa.array(pcount, pa.int64()),
+        })
+
+    types = ds.map_batches(
+        types_part, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+    def fold(g: "pd.DataFrame") -> pa.Table:
+        piv = g.pivot_table(index="doc", columns="kind", values="v",
+                            aggfunc="sum", fill_value=0)
+        docs = piv.index.to_numpy(np.int64)
+        n_types = (piv[0].to_numpy(np.int64) if 0 in piv.columns
+                   else np.zeros(len(docs), np.int64))
+        n_novel = (piv[1].to_numpy(np.int64) if 1 in piv.columns
+                   else np.zeros(len(docs), np.int64))
+        safe = np.maximum(n_types, 1)
+        ne6 = (1_000_000 * n_novel) // safe
+        ne6[n_types == 0] = 0
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_types": pa.array(n_types, pa.int64()),
+            "n_novel": pa.array(n_novel, pa.int64()),
+            "novelty_e6": pa.array(ne6, pa.int64()),
+        })
+
+    return coarse_grouped(types.union(novel), ["doc"], fold)

@@ -136,3 +136,37 @@ def test_pmi_collocations_empty_result_keeps_schema():
         assert t.num_rows == 0
         assert t.column_names == [
             "w1", "w2", "n_ab", "n_a", "n_b", "assoc_e12", "rnk"]
+
+
+def test_token_novelty_brute_force_and_partition_invariance():
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from logdata_anomaly_miner_ray.stages.vocab import token_novelty
+
+    docs = [
+        "a b c",        # all 3 novel
+        "a b d",        # d novel
+        "a a a",        # nothing novel, 1 type
+        "",             # empty: 0/0 -> 0
+        "e e f c",      # e f novel (3 types)
+    ]
+    ids = np.arange(len(docs), dtype=np.int64)
+    exp = {
+        0: (3, 3, 1_000_000),
+        1: (3, 1, 333_333),
+        2: (1, 0, 0),
+        3: (0, 0, 0),
+        4: (3, 2, 666_666),
+    }
+    for nb in (1, 4):
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": docs})).repartition(nb)
+        out = (token_novelty(ds).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        got = {int(r.doc_id): (int(r.n_types), int(r.n_novel),
+                               int(r.novelty_e6))
+               for r in out.itertuples()}
+        assert got == exp
