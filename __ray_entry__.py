@@ -2131,6 +2131,51 @@ def q_url_dedup_latest_documents(sf_dir: str):
     }).sort_values("url_norm", ignore_index=True)
 
 
+def q_domain_stats_documents(sf_dir: str):
+    """Per-registrable-domain (eTLD+1) doc counts (stages/webstats.
+    domain_stats): multi-label hosts synthesized from doc_id
+    (subdomain farms over both plain TLDs and a listed public suffix
+    'co.uk'; unparseable every 17th row → '(none)'). The eTLD+1 key
+    = last 3 labels when the last 2 are a listed suffix, else last 2
+    (two RE2 tail extractions + is_in, mirrored by regexp_extract +
+    IN). One shuffle-free partial pass + a tiny groupby."""
+    import pyarrow.compute as pc
+
+    from logdata_anomaly_miner_ray.stages.webstats import domain_stats
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+
+        def s(a):
+            return pc.cast(pa.array(a, pa.int64()), pa.string())
+
+        def const(v):
+            return pa.array([v] * n, pa.string())
+
+        sub = pc.if_else(
+            pa.array(d % 3 == 0),
+            pc.binary_join_element_wise(const("sub"), s(d % 4), const("."), ""),
+            const(""))
+        tld = pc.if_else(pa.array(d % 2 == 0), const(".co.uk"),
+                         const(".org"))
+        url = pc.binary_join_element_wise(
+            const("http://"), sub, const("Site"), s(d % 5), tld,
+            const("/p"), "")
+        url = pc.if_else(
+            pa.array(d % 17 == 0),
+            pc.binary_join_element_wise(const("junk-"), s(d), ""), url)
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build, batch_format="pyarrow", batch_size=None)
+    out = domain_stats(ds, "url", suffixes=("co.uk",))
+    return pd.DataFrame({
+        "domain": out["domain"].astype(str),
+        "n_docs": out["n_docs"].to_numpy(np.int64),
+    }).sort_values("domain", ignore_index=True)
+
+
 def q_token_novelty_documents(sf_dir: str):
     """Per-document novel-token-type fraction (stages/vocab.
     token_novelty — the Lee et al. 2022 inter-document repetition
@@ -4095,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fix_mojibake_documents": q_fix_mojibake_documents,
         "group_split_documents": q_group_split_documents,
         "token_novelty_documents": q_token_novelty_documents,
+        "domain_stats_documents": q_domain_stats_documents,
         "cross_source_overlap_documents": q_cross_source_overlap_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "robots_filter_documents": q_robots_filter_documents,
@@ -5702,6 +5748,38 @@ d AS (
 SELECT source_set, count(*)::BIGINT AS n_texts,
        sum(n_docs_h)::BIGINT AS n_docs
 FROM d GROUP BY 1 ORDER BY source_set""",
+        "domain_stats_documents": r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'junk-' || CAST(doc_id AS VARCHAR)
+              ELSE 'http://'
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN 'sub' || CAST(doc_id % 4 AS VARCHAR) || '.'
+                            ELSE '' END)
+                   || 'Site' || CAST(doc_id % 5 AS VARCHAR)
+                   || (CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.org' END)
+                   || '/p' END AS url
+  FROM documents),
+h AS (
+  SELECT CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+              THEN lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) END AS host
+  FROM raw),
+e AS (
+  SELECT CASE
+    WHEN host IS NULL THEN '(none)'
+    WHEN nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+           IN ('co.uk')
+         AND nullif(regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1), '')
+           IS NOT NULL
+    THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+    WHEN nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+           IS NOT NULL
+    THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+    ELSE host END AS domain
+  FROM h)
+SELECT domain, count(*)::BIGINT AS n_docs
+FROM e GROUP BY 1 ORDER BY 1""",
         "token_novelty_documents": r"""
 WITH tok AS (SELECT doc_id,
                     unnest(regexp_split_to_array(text, '\s+')) AS w

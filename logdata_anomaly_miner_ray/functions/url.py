@@ -97,3 +97,30 @@ def path_of_array(arr) -> pa.Array:
     if isinstance(rest, pa.ChunkedArray):
         rest = rest.combine_chunks()
     return rest
+
+
+def registrable_domain_of_array(hosts, suffixes) -> pa.Array:
+    """eTLD+1 per canonical host: the last THREE labels when the last
+    two form a listed public suffix (``co.uk``-style), else the last
+    TWO labels, else the host itself (single-label / null). The
+    domain-diversity grouping key web-corpus reports use (grouping by
+    raw host over-counts subdomain farms). ``suffixes`` is the
+    broadcast public-suffix subset (small by definition — the full
+    PSL is ~9k rows). Fully vectorized: two RE2 tail extractions +
+    one ``is_in`` — DuckDB mirrors with regexp_extract + IN."""
+    if not isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+        hosts = pa.array(hosts, pa.string())
+    h = pc.cast(hosts, pa.string())
+    last2 = pc.struct_field(
+        pc.extract_regex(h, r"(?P<t>[^.]+\.[^.]+)$"), "t")
+    last3 = pc.struct_field(
+        pc.extract_regex(h, r"(?P<t>[^.]+\.[^.]+\.[^.]+)$"), "t")
+    is_sfx = pc.is_in(last2, value_set=pa.array(sorted(suffixes),
+                                                pa.string()))
+    out = pc.if_else(
+        pc.and_kleene(pc.fill_null(is_sfx, False), pc.is_valid(last3)),
+        last3,
+        pc.if_else(pc.is_valid(last2), last2, h))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out

@@ -303,3 +303,28 @@ def test_robots_parse_no_cross_document_group_leak():
            .to_pandas().sort_values(["host", "prefix"], ignore_index=True))
     got = list(map(tuple, out.itertuples(index=False)))
     assert got == [("a.org", "/a"), ("b.org", "/b")]
+
+
+def test_registrable_domain_of_array():
+    from logdata_anomaly_miner_ray.functions.url import (
+        registrable_domain_of_array,
+    )
+
+    hosts = ["a.b.site.co.uk", "site.co.uk", "co.uk", "www.x.org",
+             "org", None, "x.y.z.com"]
+    got = registrable_domain_of_array(hosts, {"co.uk"}).to_pylist()
+    assert got == ["site.co.uk", "site.co.uk", "co.uk", "x.org",
+                   "org", None, "z.com"]
+
+
+def test_domain_stats_counts():
+    from logdata_anomaly_miner_ray.stages.webstats import domain_stats
+
+    urls = ["http://a.site.co.uk/x", "http://b.site.co.uk/y",
+            "https://site.co.uk/z", "http://other.org/", "garbage",
+            "http://sub.other.org/q"]
+    out = domain_stats(
+        rd.from_pandas(pd.DataFrame({"url": urls})).repartition(3),
+        "url", suffixes=("co.uk",))
+    got = dict(zip(out["domain"], out["n_docs"]))
+    assert got == {"site.co.uk": 3, "other.org": 2, "(none)": 1}
