@@ -461,18 +461,27 @@ def hits_scores(
                     "m": pa.array(m, pa.int64()),
                 })
 
-            raw = np.zeros(n_nodes, dtype=np.int64)
+            # collect all sparse partials, then ONE weighted bincount
+            # (pagerank's fold shape — an n_nodes-wide bincount per
+            # BLOCK was 128× the work at 50M nodes and dominated the
+            # 50M drill). Exact: per-node sums ≤ 2·total ≪ 2^53.
+            nds, vals = [], []
             for b in edges.map_batches(
                 partial, batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True,
             ).materialize().iter_batches(
                 batch_format="pyarrow", batch_size=None
             ):
-                nd = b["node"].to_numpy(zero_copy_only=False)
-                mv = b["m"].to_numpy(zero_copy_only=False)
-                raw += np.bincount(
-                    nd, weights=mv.astype(np.float64), minlength=n_nodes
+                nds.append(b["node"].to_numpy(zero_copy_only=False))
+                vals.append(b["m"].to_numpy(zero_copy_only=False))
+            if nds:
+                raw = np.bincount(
+                    np.concatenate(nds),
+                    weights=np.concatenate(vals).astype(np.float64),
+                    minlength=n_nodes,
                 ).astype(np.int64)
+            else:
+                raw = np.zeros(n_nodes, dtype=np.int64)
             t_raw = int(raw.sum(dtype=np.int64))
             assert t_raw < 2**62, "HITS mass envelope exceeded"
             q = max(t_raw // total, 1)
