@@ -420,8 +420,10 @@ def knn_graph(
                         # float64 BLAS matmul of int8-valued matrices
                         # is EXACT (every product <= 127^2, every sum
                         # <= d*127^2 << 2^53 — all integers, no
-                        # rounding) and ~50x numpy's int64 matmul
-                        dots = np.rint(qf[rsl] @ cm.T).astype(np.int64)
+                        # rounding; the cast back is therefore exact
+                        # too, no rint pass needed) and ~50x numpy's
+                        # int64 matmul
+                        dots = (qf[rsl] @ cm.T).astype(np.int64)
                         ckey = ((dots + self.off) << 40) | (
                             self.idmask - cids)
                         ckey[rid[rsl][:, None] == cids[None, :]] = NEG
@@ -466,9 +468,29 @@ def knn_graph(
             qm = quantize_int8(_as_matrix(batch[emb_col])).astype(np.int8)
             ids = batch[id_col].to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            sims = x @ self.c.T
-            npb = min(nprobe, sims.shape[1])
-            probes = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            nc_all = self.c.shape[0]
+            npb = min(nprobe, nc_all)
+            # row-chunked probe selection: argpartition to npb then a
+            # tiny per-row sort of the npb winners — a full argsort
+            # over n_centroids per row (and an unchunked n×nc sims
+            # matrix) dominated the 5M drill
+            probes = np.empty((len(x), npb), dtype=np.int64)
+            rstep = max(1, 4_000_000 // max(nc_all, 1))
+            for lo in range(0, len(x), rstep):
+                sims = x[lo:lo + rstep] @ self.c.T
+                if nc_all > npb:
+                    cand = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+                else:
+                    cand = np.broadcast_to(
+                        np.arange(nc_all), (len(sims), nc_all)).copy()
+                rows = np.arange(len(sims))[:, None]
+                # order the npb winners best-first; ties by centroid
+                # id via stable sort (deterministic)
+                order = np.argsort(-sims[rows, cand], axis=1,
+                                   kind="stable")
+                probes[lo:lo + rstep] = np.take_along_axis(
+                    cand, order, axis=1)
+            d_dim = qm.shape[1]
             bkt, pid, pvec, role = [], [], [], []
             member = probes[:, 0]
             bkt.append(member)
@@ -480,11 +502,18 @@ def knn_graph(
                 pid.append(ids)
                 pvec.append(qm)
                 role.append(np.ones(len(ids), np.bool_))
+            allv = np.ascontiguousarray(np.concatenate(pvec))
+            # vectors ride as FIXED-SIZE binary (one buffer, zero
+            # per-row objects) — list<int8> cost per-row stacking in
+            # every bucket kernel
+            vec_col = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(d_dim), len(allv),
+                [None, pa.py_buffer(allv.tobytes())])
             return pa.table({
                 "bucket": pa.array(np.concatenate(bkt).astype(np.int64),
                                    pa.int64()),
                 "id": pa.array(np.concatenate(pid), pa.int64()),
-                "vec": pa.array(list(np.concatenate(pvec))),
+                "vec": vec_col,
                 "is_probe": pa.array(np.concatenate(role)),
             })
 
@@ -502,14 +531,21 @@ def knn_graph(
                 "vec_id": pa.array([], pa.int64()),
                 "neighbor_id": pa.array([], pa.int64()),
                 "dot_q": pa.array([], pa.int64())})
-        M = np.stack(mem["vec"].to_numpy()).astype(np.float64)
+        def _mat(col):
+            # fixed-size binary -> one frombuffer, no per-row objects
+            buf = b"".join(col.to_numpy())
+            return np.frombuffer(buf, dtype=np.int8).reshape(
+                len(col), -1).astype(np.float64)
+
+        M = _mat(mem["vec"])
         mids = mem["id"].to_numpy(np.int64)
-        P = np.stack(prb["vec"].to_numpy()).astype(np.float64)
+        P = _mat(prb["vec"])
         pids = prb["id"].to_numpy(np.int64)
         off, idmask = _key_parts(M.shape[1])
         NEG = np.int64(-(1 << 62))
         kk = min(k, M.shape[0])
         out_v, out_n, out_d = [], [], []
+        inv_ids = idmask - mids  # one per-bucket temp, reused per chunk
         # probe-ROW chunking (the kmeans chunked-kernel lesson): an
         # unchunked |probes|×|members| dots matrix is GBs per bucket
         # at drill scale and thrashes the whole node
@@ -517,10 +553,17 @@ def knn_graph(
         for lo in range(0, len(pids), step):
             pch, ich = P[lo:lo + step], pids[lo:lo + step]
             # float64 BLAS over int8-valued matrices — exact (every
-            # product ≤ 127², every sum ≤ d·127² ≪ 2^53: all integer)
-            dots = np.rint(pch @ M.T).astype(np.int64)
-            key = ((dots + off) << 40) | (idmask - mids)
+            # product ≤ 127², every sum ≤ d·127² ≪ 2^53: all integer,
+            # so the cast back is exact — no rint pass), key built
+            # IN-PLACE (each extra full-matrix temp is a measured
+            # ~25% of the kernel at drill scale)
+            dots = pch @ M.T
+            key = dots.astype(np.int64)
+            key += off
+            key <<= 40
+            key |= inv_ids
             key[ich[:, None] == mids[None, :]] = NEG
+            dots = (key >> 40) - off  # recover exact dots, no 2nd cast
             sel = (np.argpartition(-key, kk - 1, axis=1)[:, :kk]
                    if key.shape[1] > kk else
                    np.broadcast_to(np.arange(kk), (len(ich), kk)))

@@ -266,7 +266,7 @@ def main(argv=None) -> int:
         elif args.mode == "knng":
             from logdata_anomaly_miner_ray.stages.ann import knn_graph
 
-            nc = max(64, rows // 20_000)  # ~20k vectors per cell
+            nc = max(64, rows // 2_000)  # ~2k vectors per cell (the semdedup k heuristic; per-bucket argpartition work is O(rows^2*nprobe/nc))
             t0 = time.time()
             out = knn_graph(eds, "embedding", "vec_id", k=5,
                             n_centroids=nc, nprobe=2)
