@@ -2472,7 +2472,7 @@ def q_dedup_cluster_sizes_documents(sf_dir: str):
         return pd.DataFrame({
             "n_members": pd.Series(dtype=np.int64),
             "n_clusters": pd.Series(dtype=np.int64)})
-    sizes = comp.groupby("cluster").size()
+    sizes = comp.groupby("component").size()
     hist = sizes.value_counts().sort_index()
     return pd.DataFrame({
         "n_members": hist.index.to_numpy(np.int64),

@@ -57,8 +57,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     if only:
-        keep = set(only.split(","))
-        qs = {k: v for k, v in qs.items() if k in keep}
+        # SUBSTRING match per comma term (exact-only silently matched
+        # NOTHING for shorthand names and printed a vacuous
+        # "0 failures" — a scoped run must fail loudly instead)
+        terms = [t for t in only.split(",") if t]
+        qs = {k: v for k, v in qs.items()
+              if any(t in k for t in terms)}
+        if not qs:
+            print(f"no queries match {only!r}")
+            return 2
     failures = []
     for name, fn in qs.items():
         try:
